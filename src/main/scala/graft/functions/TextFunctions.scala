@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is built from native Spark SQL functions (regexp_*,
+  * higher-order array functions) — whole-stage-codegen'd, no UDFs — so
+  * a 100 TB corpus scan stays a single embarrassingly-parallel
+  * projection with zero shuffles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit(BpeTokenPattern)).as("bpe_tokens"),
+      length(col("text")).as("n_chars_m"))
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+       | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+       | CAST(length(text) AS INTEGER) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: structural ratios every pretraining filter uses.
+    * stopword density, punctuation density, uppercase density, mean
+    * token length — combined into a [0,1]-ish score.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val chars = length(col("text")).cast("double")
+    val toks = size(wsTokens(col("text"))).cast("double")
+    val stops = regexp_count(lower(col("text")),
+      lit("\\b(the|a|an|of|to|and|in|is|it|that)\\b")).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+    val upper = regexp_count(col("text"), lit("[A-Z]")).cast("double")
+    docs.select(
+      col("doc_id"),
+      round((stops / toks), 4).as("stop_ratio"),
+      round((punct / greatest(chars, lit(1.0))), 4).as("punct_ratio"),
+      round((upper / greatest(chars, lit(1.0))), 4).as("upper_ratio"),
+      round(chars / toks, 4).as("chars_per_token"),
+      round(
+        least(lit(1.0), (stops / toks) * 2.5)
+          * (lit(1.0) - least(lit(1.0), (punct / greatest(chars, lit(1.0))) * 10.0))
+          * least(lit(1.0), log(lit(1.0) + toks) / 5.0), 4).as("quality"))
+  }
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|that)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+      |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(stops / toks, 4) AS stop_ratio,
+      |  round(punct / greatest(chars, 1.0), 4) AS punct_ratio,
+      |  round(upper / greatest(chars, 1.0), 4) AS upper_ratio,
+      |  round(chars / toks, 4) AS chars_per_token,
+      |  round(least(1.0, (stops / toks) * 2.5)
+      |    * (1.0 - least(1.0, (punct / greatest(chars, 1.0)) * 10.0))
+      |    * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Word-bigram corpus counts (n-gram extraction), top 50. */
+  def topBigrams(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    docs
+      .select(explode(expr(
+        "transform(sequence(0, size(split(trim(lower(text)), '\\\\s+')) - 2), " +
+          "i -> concat(split(trim(lower(text)), '\\\\s+')[i], ' ', split(trim(lower(text)), '\\\\s+')[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  def topBigrams(spark: SparkSession, dir: String): DataFrame =
+    topBigrams(Tables.documents(spark, dir))
+
+  val topBigramsSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS l FROM documents),
+      |bi AS (
+      |  SELECT l[i] || ' ' || l[i + 1] AS bigram
+      |  FROM toks, UNNEST(range(1, len(l))) AS t(i))
+      |SELECT bigram, count(*) AS n FROM bi
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+
+  /** 64-bit-ish rolling-hash document fingerprint (mod a large prime so
+    * the arithmetic is overflow-free under ANSI mode). Deterministic,
+    * order-sensitive — the classic content-defined fingerprint.
+    * Built from higher-order functions (aggregate over char codes).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 131 + c) % 1000000007L)
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"),
+      length(col("text")).as("n_chars_m"))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |   (acc, c) -> (acc * 131 + c) % 1000000007) AS fp,
+      | CAST(length(text) AS INTEGER) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** n-gram-profile language identification heuristic: score each
+    * language by density of its characteristic stopwords / character
+    * patterns; argmax wins. Deterministic; rows-only checked (a
+    * heuristic has no SQL oracle).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val profiles: Seq[(String, String)] = Seq(
+      "en" -> "\\b(the|and|of|to|is|in|that|it|for|with)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\\b",
+      "fr" -> "\\b(le|la|les|et|est|une|des|que|pour|dans)\\b",
+      "es" -> "\\b(el|la|los|las|es|una|que|por|para|con)\\b",
+      "pt" -> "\\b(o|os|um|uma|que|para|com|não|por|mais)\\b")
+    val toks = greatest(size(wsTokens(col("text"))).cast("double"), lit(1.0))
+    val scored = profiles.foldLeft(docs) { case (df, (lang, pat)) =>
+      df.withColumn(s"score_$lang",
+        round(regexp_count(lower(col("text")), lit(pat)).cast("double") / toks, 6))
+    }
+    val scoresArr = array(profiles.map { case (l, _) =>
+      struct(col(s"score_$l").as("score"), lit(l).as("lang"))
+    }: _*)
+    scored
+      .withColumn("best", array_max(scoresArr))
+      .select(col("doc_id"),
+        when(col("best.score") > 0, col("best.lang")).otherwise(lit("und")).as("pred_lang"),
+        col("best.score").as("pred_score"))
+      .orderBy("doc_id")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir))
+}

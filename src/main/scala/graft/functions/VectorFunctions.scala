@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * higher-order native functions (`zip_with`, `aggregate`) so the hot
+  * path stays inside whole-stage codegen — no UDF serialization, no
+  * Python round trips. All arithmetic in double.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** cos(a, b) = a·b / (‖a‖‖b‖); 0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2norm(a) * l2norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Squared euclidean distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val diff = x.cast("double") - y.cast("double")
+      diff * diff
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane signature: bit i = sign(v · hᵢ), packed into a
+    * long. Hyperplanes are deterministic (seeded) literal arrays baked
+    * into the plan — broadcast for free with the task binary.
+    */
+  def hyperplaneSig(v: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
+  def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational / analytics operators over the TPC-H-ish star schema.
+  *
+  * Design notes (100 TB):
+  *   - Every query is fully declarative DataFrame code: Catalyst pushes
+  *     filters/projections to the parquet scan and picks shuffle vs
+  *     broadcast joins (we force `broadcast` for dims that are small by
+  *     construction: region/nation/supplier).
+  *   - Aggregations rely on partial (map-side) aggregation; no driver
+  *     collects anywhere.
+  *   - Double-typed aggregates are rounded (2dp sums / 4dp avgs) so
+  *     results are stable across summation orders — required both for
+  *     distributed determinism and for the DuckDB oracle compare.
+  *
+  * Reference scope: the reference app (see
+  * /root/reference/src/main/scala/com/sg/job/streaming/StreamingJobExecutor.scala:49)
+  * materializes CDC state into tables that are then queried by Dremio /
+  * Superset; this module is the query surface over such tables.
+  */
+object Analytics {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate groupBy, the
+    * canonical partial-agg scan. One shuffle on (returnflag, linestatus)
+    * — 6 groups, trivially skew-free.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_extendedprice), 4) AS avg_price,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: selective filters on both join
+    * sides reach the scans (PushedFilters), then a two-step shuffle join
+    * (customer⋈orders on custkey, ⋈lineitem on orderkey) and a top-N.
+    * customer qualifies for broadcast at any SF where dims stay small
+    * relative to facts.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1999-06-30").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local supplier volume: a 6-table join. region and
+    * nation are broadcast (tiny by schema); customer/supplier co-filter
+    * on nationkey. One fact shuffle, dims broadcast — the plan to want
+    * at 100 TB.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      | JOIN orders   ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      | JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6-style forecast revenue: the pure scan-efficiency query.
+    * All three predicates push to parquet; projection prunes to 4 cols.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10-style returned-item ranking: 4-way join + top-N. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      | JOIN orders   ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      | JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Window function: top-3 customers by spend within each nation.
+    * Spend agg shuffles on custkey; rank shuffles on nationkey. The
+    * rank's partition count = #nations — fine because the spend agg
+    * already reduced cardinality to #customers.
+    */
+  def topCustomersWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name", "c_nationkey")
+      .agg(round(sum("o_totalprice"), 2).as("total_spend"))
+    val w = Window.partitionBy("c_nationkey").orderBy(col("total_spend").desc, col("c_custkey"))
+    spend.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
+      .orderBy("n_name", "rnk")
+  }
+
+  val topCustomersSql: String =
+    """WITH spend AS (
+      |  SELECT c_custkey, c_name, c_nationkey, round(sum(o_totalprice), 2) AS total_spend
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey, c_name, c_nationkey),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+      |            ORDER BY total_spend DESC, c_custkey) AS INTEGER) AS rnk
+      |  FROM spend)
+      |SELECT n_name, c_custkey, c_name, total_spend, rnk
+      |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk""".stripMargin
+
+  /** Moving average over a per-day event aggregate (window frame). */
+  def movingAvgEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(round(sum("value"), 2).as("daily_value"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    daily.withColumn("ma3", round(avg("daily_value").over(w), 4))
+      .orderBy("event_type", "day")
+  }
+
+  val movingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, round(sum(value), 2) AS daily_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, daily_value,
+      | round(avg(daily_value) OVER (PARTITION BY event_type ORDER BY day
+      |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
+  /** ROLLUP aggregation over two dimensions. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("total"), col("n"))
+      .orderBy("priority", "status")
+  }
+
+  val rollupSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+
+  /** Anti join: customers that never placed an URGENT order. */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: high-balance customers having at least one open order. */
+  def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Exact distinct counting per group (the small-cardinality path). */
+  def distinctUsersExact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("events_n"))
+      .orderBy("event_type")
+  }
+
+  val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS events_n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Approximate distinct (HyperLogLog++) — the 100 TB path where exact
+    * distinct would shuffle every key. No oracle (approx): rows-only.
+    */
+  def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  /** Salted skew join: the fact side's hot keys are spread over SALTS
+    * sub-keys; the build side is replicated SALTS×. Result must be
+    * identical to the plain join (oracle = plain SQL join).
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_linenumber").cast("int"), lit(salts)))
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  val skewSaltedSql: String =
+    """SELECT o_orderpriority,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Broadcast dim join: region⋈nation broadcast into customer. */
+  def broadcastDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey")))
+    Tables.customer(spark, dir)
+      .join(dims, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("customers"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name")
+  }
+
+  val broadcastDimSql: String =
+    """SELECT r_name, count(*) AS customers, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Range-bucketed aggregation (histogram-style). */
+  def rangeBucketAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("bucket")
+  }
+
+  val rangeBucketSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Typed extraction from semi-structured event props (JSON-ish). */
+  def eventsPropsExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .withColumn("k", expr("try_cast(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT)"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val eventsPropsSql: String =
+    """SELECT event_type,
+      | round(avg(k), 4) AS avg_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}

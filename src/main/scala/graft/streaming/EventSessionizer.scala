@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+import graft.Tables
+
+/** Sessionization (30-minute inactivity gap) — batch and streaming.
+  *
+  * Batch path: gaps-and-islands with window functions — a single
+  * shuffle+sort on (user_id, ts). Streaming path: custom keyed state via
+  * `flatMapGroupsWithState` with event-time timeout, the Structured
+  * Streaming idiom for session windows the built-in tumbling/sliding
+  * windows can't express.
+  */
+object EventSessionizer {
+
+  val GapSeconds = 1800L
+
+  /** Batch gaps-and-islands sessionization.
+    * Output: user_id, session_id (1-based per user), n_events,
+    * session_start, session_end, total_value.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > GapSeconds * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(spark, dir))
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
+      |           - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER w > 1800000
+      |         OR lag(ts) OVER w IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 2) AS total_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------- streaming path ----------------
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  /** start/end are epoch MICROSECONDS — `Timestamp.getTime` is ms-only and
+    * would truncate the µs component the batch path's min(ts)/max(ts) keep. */
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                        n_events: Long, total_value: Double)
+
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming sessionization: emits a session when the event-time
+    * watermark passes its gap timeout. State per key is one open
+    * session — O(active users), evicted on timeout.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.value))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = epochMicros(e.ts)
+              cur match {
+                case Some(s) if t - s.end <= GapSeconds * 1000000L =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end / 1000L + GapSeconds * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Analytics
+import graft.Tables
+
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  test("q6 pushes filters down to the parquet scan") {
+    // formatted explain prints scan details untruncated (tree strings elide long fields)
+    val plan = Analytics.q6ForecastRevenue(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("LessThan(l_quantity")),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("q6 prunes columns: scan reads only needed fields") {
+    val scanSchema = Analytics.q6ForecastRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // ReadSchema must not include untouched wide columns
+    assert(!scanSchema.contains("l_returnflag"), "l_returnflag must be pruned from the scan")
+  }
+
+  test("broadcast_dim_join actually broadcasts the dims") {
+    val plan = Analytics.broadcastDimJoin(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin in:\n$plan")
+  }
+
+  test("salted join result equals plain join") {
+    val salted = Analytics.skewSaltedJoin(spark, sfDir)
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Analytics.q1PricingSummary(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    // query stages are leaves in the tree — descend into their plans by hand
+    def hasCodegen(p: SparkPlan): Boolean = p match {
+      case _: WholeStageCodegenExec => true
+      case a: AdaptiveSparkPlanExec => hasCodegen(a.executedPlan)
+      case q: QueryStageExec        => hasCodegen(q.plan)
+      case other                    => other.children.exists(hasCodegen)
+    }
+    assert(hasCodegen(df.queryExecution.executedPlan),
+      s"q1 must run inside codegen:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("queries and oracles stay in sync") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle without query: ${os.diff(qs)}")
+  }
+}

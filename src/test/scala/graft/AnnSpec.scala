@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Ann
+
+class AnnSpec extends AnyFunSuite with SparkSpec {
+
+  private def recallVsBrute(approx: org.apache.spark.sql.DataFrame): Double = {
+    val brute = Ann.bruteForceTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val hits = brute.intersect(approx.select("query_id", "neighbor_id")).count()
+    hits.toDouble / brute.count()
+  }
+
+  test("brute force top-k: k rows per query, ranks 1..k, cosine non-increasing") {
+    val bf = Ann.bruteForceTopK(spark, sfDir)
+    val perQuery = bf.groupBy("query_id").agg(count(lit(1)).as("n"),
+      min("rank").as("minr"), max("rank").as("maxr"))
+    assert(perQuery.filter(col("n") =!= 5 || col("minr") =!= 1 || col("maxr") =!= 5).count() === 0)
+    // cosine non-increasing with rank
+    val viol = bf.alias("a").join(bf.alias("b"),
+        col("a.query_id") === col("b.query_id") && (col("a.rank") + 1) === col("b.rank"))
+      .filter(col("a.cosine") < col("b.cosine"))
+    assert(viol.count() === 0)
+  }
+
+  test("LSH ANN returns subsets of the corpus with sane ranks; recall measured") {
+    val lsh = Ann.lshTopK(spark, sfDir)
+    assert(lsh.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    val r = recallVsBrute(lsh)
+    info(f"LSH recall@5 = $r%.2f")
+    assert(r > 0.0, "LSH finds at least some true neighbors")
+  }
+
+  test("IVF ANN with 4/16 probes reaches reasonable recall") {
+    val ivf = Ann.ivfTopK(spark, sfDir)
+    assert(ivf.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    val r = recallVsBrute(ivf)
+    info(f"IVF recall@5 = $r%.2f")
+    assert(r >= 0.3, "IVF with 1/4 of cells probed recalls a meaningful fraction")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.Tables
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+
+  test("exact dedup partitions the corpus (group sizes sum to doc count)") {
+    val docs = Tables.documents(spark, sfDir)
+    val groups = Dedup.exact(spark, sfDir)
+    assert(groups.agg(sum("dup_count")).head.getLong(0) === docs.count())
+  }
+
+  test("minhash LSH candidates contain every true Jaccard>=0.5 pair") {
+    val truePairs = Dedup.ngramJaccard(Tables.documents(spark, sfDir), threshold = 0.5)
+      .select("id_a", "id_b")
+    val lsh = Dedup.minhashLsh(spark, sfDir)
+    // every doc in a true pair must report n_dups >= 1 and the pair itself
+    val reported = lsh.filter(col("n_dups") > 0).select(col("doc_id"))
+    val docsInTruePairs = truePairs.select(col("id_a").as("doc_id"))
+      .union(truePairs.select(col("id_b").as("doc_id"))).distinct()
+    assert(docsInTruePairs.exceptAll(reported).count() === 0,
+      "every truly-duplicated doc is caught by LSH")
+  }
+
+  test("minhash signatures are similarity-preserving (identical docs collide)") {
+    val docs = Tables.documents(spark, sfDir).limit(5)
+    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+      .union(docs.select(col("doc_id") + 100000, Dedup.minhashSignature(col("text")).as("sig")))
+    val bySig = sigs.groupBy("sig").count()
+    assert(bySig.filter(col("count") >= 2).count() === 5,
+      "duplicated texts produce identical signatures")
+  }
+
+  test("simhash of identical text is identical; near counts symmetric") {
+    val sh = Dedup.simhashDedup(spark, sfDir)
+    assert(sh.count() === Tables.documents(spark, sfDir).count())
+    // hamming(x,x)=0 ⇒ any doc with an exact dup text must have n_near>0
+    val trueDups = Dedup.ngramJaccard(Tables.documents(spark, sfDir), threshold = 0.999)
+    val dupIds = trueDups.select(col("id_a").as("doc_id"))
+      .union(trueDups.select(col("id_b").as("doc_id"))).distinct()
+    val caught = sh.join(dupIds, Seq("doc_id")).filter(col("n_near") > 0)
+    assert(caught.count() === dupIds.count(), "identical docs collide in simhash space")
+  }
+
+  test("embedding cosine pairs are symmetric-free and thresholded") {
+    val pairs = Dedup.embeddingCosine(spark, sfDir)
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
+    assert(pairs.filter(col("cosine") < 0.4).count() === 0)
+  }
+}

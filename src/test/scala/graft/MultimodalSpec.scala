@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.BinaryPipeline
+import graft.Tables
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  test("binary pipeline preserves row count and emits fixed-dim features") {
+    val out = BinaryPipeline.pipeline(spark, sfDir)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.count() === n)
+    assert(out.filter(size(col("features")) =!= BinaryPipeline.StubCodec.FeatureDim).count() === 0)
+    assert(out.filter(col("payload_bytes") <= 0).count() === 0)
+  }
+
+  test("decode stub is deterministic (two runs identical)") {
+    val a = BinaryPipeline.pipeline(spark, sfDir).drop("features")
+    val b = BinaryPipeline.pipeline(spark, sfDir).drop("features")
+    assert(a.exceptAll(b).count() === 0)
+  }
+
+  test("payload binary column survives the round trip (no string inflation)") {
+    val bin = BinaryPipeline.asBinaryTable(Tables.documents(spark, sfDir))
+    val schema = bin.schema("payload").dataType.typeName
+    assert(schema === "binary")
+    // payload length equals utf-8 text byte length
+    val joined = bin.join(Tables.documents(spark, sfDir), col("item_id") === col("doc_id"))
+      .filter(length(col("payload")) =!= length(encode(col("text"), "UTF-8")))
+    assert(joined.count() === 0)
+  }
+}

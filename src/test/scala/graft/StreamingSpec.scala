@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{EventSessionizer, WindowedAggs}
+import graft.Tables
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  test("streaming hourly windowed agg (complete) matches batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)]
+      .collect()
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = WindowedAggs.hourlyByTypeStream(sdf)
+    val q = agg.writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    events.grouped(math.max(events.length / 4, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+
+    val streamed = spark.table("hourly_test")
+    val batch = WindowedAggs.hourlyByTypeBatch(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy("ts")
+      .as[EventSessionizer.Ev]
+      .collect()
+
+    val stream = MemoryStream[EventSessionizer.Ev]
+    val out = EventSessionizer.sessionizeStream(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    events.grouped(math.max(events.length / 4, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    // push watermark past everything so open sessions close
+    val last = events.map(_.ts.getTime).max
+    stream.addData(EventSessionizer.Ev(-1L, new Timestamp(last + 24 * 3600 * 1000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_test")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+    val batch = EventSessionizer.sessionizeBatch(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"),
+        col("total_value"))
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+  }
+}

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify's
+parquet dumps against the DuckDB oracle SQL on the same tables."""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+names = sorted(os.path.basename(p) for p in glob.glob(f"{outdir}/*") if os.path.isdir(p))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails, passes, rows_only = [], [], []
+for name in names:
+    spark_df = pd.read_parquet(f"{outdir}/{name}")
+    if name not in oracle:
+        rows_only.append((name, len(spark_df)))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    s, d = canon(spark_df.copy()), canon(duck_df.copy())
+    if list(s.columns) != list(d.columns):
+        fails.append((name, f"columns differ: spark={list(s.columns)} duck={list(d.columns)}"))
+        continue
+    if len(s) != len(d):
+        fails.append((name, f"row count: spark={len(s)} duck={len(d)}"))
+        continue
+    try:
+        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+        passes.append(name)
+    except AssertionError as e:
+        msg = str(e).split("\n")[0:6]
+        fails.append((name, " | ".join(msg)))
+
+print(f"PASS ({len(passes)}): {', '.join(passes)}")
+print(f"ROWS-ONLY ({len(rows_only)}): {', '.join(f'{n}[{r}]' for n, r in rows_only)}")
+print(f"FAIL ({len(fails)}):")
+for n, m in fails:
+    print(f"  {n}: {m[:500]}")
+sys.exit(1 if fails else 0)
