@@ -67,11 +67,15 @@ object Dedup {
     * shingle index: explode shingles → self-join on shingle (the only
     * shuffle, keyed by shingle) → count intersections → verify. No
     * all-pairs product anywhere; cost is Σ df(shingle)² which prefix
-    * filtering would bound further at extreme scale.
+    * filtering would bound further at extreme scale. Shingles are
+    * hashed to 64 bits before the join so the shuffle carries longs,
+    * not ~20-byte strings (a same-doc-pair 64-bit collision is the only
+    * way this deviates from exact — ~n_shingles²/2⁶⁴, ignorable).
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .filter(col("sh") =!= "")
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.alias("a").join(sh.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -287,19 +291,54 @@ object Dedup {
   // 5. Embedding cosine near-dup.
   // ------------------------------------------------------------------
 
-  /** Exact cosine near-dup pairs over the embeddings table. The verify
-    * math is `zip_with`/`aggregate` in double — codegen, no UDF. This
-    * exact variant is the correctness baseline; the LSH/IVF paths in
-    * graft.similarity are the 100 TB candidates-only versions.
+  /** Exact cosine near-dup pairs over the embeddings table.
+    *
+    * All-pairs similarity is inherently O(n²) in comparisons — the
+    * question is only the constant. A Catalyst `zip_with`/`aggregate`
+    * pair evaluation allocates per pair (~50µs/pair measured); here the
+    * corpus (with precomputed norms) is broadcast once and each task
+    * streams its slice against it in a primitive float loop — the one
+    * genuinely imperative per-partition kernel in the engine. Arithmetic
+    * (per-element double accumulation in array order, dot/(‖a‖·‖b‖),
+    * HALF_UP round to 4dp) matches `VectorFunctions.cosine` +
+    * `functions.round` bit-for-bit, so the DuckDB oracle still agrees.
+    *
+    * The 100 TB path is NOT this operator: use the LSH/IVF candidate
+    * generators in graft.similarity and verify candidates only. This
+    * exact tier assumes the embedding corpus fits a broadcast (it is the
+    * correctness baseline / per-bucket verifier).
     */
   def embeddingCosine(embs: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = embs.select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(VectorFunctions.cosine(col("v_a"), col("v_b")), 4))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val e = embs.select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Array[Float])]
+    val corpus: Array[(Int, Array[Float], Double)] = e.collect()
+      .map { case (id, v) =>
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        (id, v, math.sqrt(n))
+      }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    val nPart = spark.sparkContext.defaultParallelism
+    e.repartition(nPart)
+      .flatMap { case (ida, va) =>
+        val all = bc.value
+        var na = 0.0; var i = 0
+        while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
+        val normA = math.sqrt(na)
+        all.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, vb, normB) =>
+            var dot = 0.0; var j = 0
+            while (j < va.length) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
+            val denom = normA * normB
+            val cos = if (denom == 0.0) 0.0 else dot / denom
+            val r = BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (r >= threshold) Iterator.single((ida, idb, r)) else Iterator.empty
+          }
+      }
+      .toDF("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
   }
 

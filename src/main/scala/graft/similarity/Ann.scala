@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -12,10 +12,14 @@ import graft.functions.VectorFunctions._
   *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline
   *     and recall oracle. Queries are broadcast; the corpus is scanned
   *     once (O(|Q|·n) scoring, no corpus shuffle).
-  *   - [[lshTopK]]: random-hyperplane LSH — corpus hashed to buckets
-  *     once; scoring only within the query's (multi-probed) buckets.
-  *   - [[ivfTopK]]: IVF-style coarse quantizer — k-means-lite centroids,
-  *     probe the nProbe nearest cells.
+  *   - [[lshTopK]]: multi-table random-hyperplane LSH — L independent
+  *     b-bit tables; a pair is a candidate if it collides in ANY table.
+  *     Probe buckets are broadcast, so the corpus is never shuffled
+  *     before candidate filtering.
+  *   - [[ivfTopK]]: IVF-style coarse quantizer — centroids are collected
+  *     to the driver (they are small by construction, like a FAISS
+  *     coarse quantizer) and baked into the plan as literals, so cell
+  *     assignment is a map-side argmin with no join and no shuffle.
   *
   * At 100 TB the brute-force tier is only for per-bucket verify; LSH/IVF
   * bound the scored fraction. All scoring math is codegen'd
@@ -57,28 +61,39 @@ object Ann {
       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH ANN: 12-bit random-hyperplane signature buckets; queries probe
-    * their own bucket plus all hamming-1 neighbors (multi-probe). Only
-    * candidates sharing a probed bucket are scored. Approximate →
-    * rows-only check; recall vs brute force asserted in the spec.
+  /** Multi-table LSH ANN. Each of the `nTables` tables hashes a vector
+    * to a `nBits`-bit random-hyperplane signature; candidate = collides
+    * with the query in at least one table. Collision probability per
+    * table is (1-θ/π)^nBits, over L tables 1-(1-p)^L — tables multiply
+    * recall where extra bits per table only cut it.
+    *
+    * Plan shape: signatures are computed map-side; the tiny probe set
+    * (nQueries × nTables rows) is broadcast, so candidate selection is a
+    * broadcast hash join against the exploded corpus — the corpus is
+    * never shuffled. Duplicated candidates are scored then reduced by
+    * (query, vec) so the shuffle carries scalars, not embeddings.
+    * Approximate → rows-only check; recall vs brute force asserted in
+    * the spec.
     */
-  def lshTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5, nBits: Int = 12): DataFrame = {
-    val planes = makePlanes(nBits, Dim)
+  def lshTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nBits: Int = 6, nTables: Int = 24): DataFrame = {
+    val planes = makePlanes(nBits * nTables, Dim)
+    val sigCols: Seq[Column] = (0 until nTables).map { t =>
+      hyperplaneSig(col("embedding"), planes.slice(t * nBits, (t + 1) * nBits))
+    }
     val corpus = embs.select(col("vec_id"), col("embedding"),
-      hyperplaneSig(col("embedding"), planes).as("bucket"))
-    val probes = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        explode(array((lit(0L) +: (0 until nBits).map(i =>
-          shiftleft(lit(1L), i))): _*)).as("flip"),
-        col("bucket").as("qb"))
-      .select(col("query_id"), col("q"), col("qb").bitwiseXOR(col("flip")).as("bucket"))
-    val cand = probes.join(corpus, Seq("bucket"))
+      posexplode(array(sigCols: _*)).as(Seq("table", "bucket")))
+    val probes = broadcast(
+      embs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+          posexplode(array(sigCols.map(c => c): _*)).as(Seq("table", "bucket"))))
+    val scored = corpus.join(probes, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q"), col("vec_id"), col("embedding"))
-      .distinct()
       .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    cand
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
@@ -88,40 +103,39 @@ object Ann {
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
-  /** IVF-style ANN: deterministic coarse centroids (every (n/K)-th
-    * vector, one Lloyd refinement step), corpus assigned to nearest
-    * cell, queries probe nProbe nearest cells. The cell assignment is
-    * the only corpus shuffle; at scale cells map to partitions.
+  /** IVF-style ANN: deterministic coarse centroids (systematic sample,
+    * one Lloyd refinement step), corpus assigned to its nearest cell by
+    * a map-side argmin over the driver-collected centroid table, queries
+    * probe the nProbe nearest cells. No corpus shuffle anywhere: cell
+    * assignment is an expression, and the probe side of the candidate
+    * join is broadcast. (The Lloyd mean recompute shuffles cells×dim
+    * partial sums only, thanks to map-side partial aggregation.)
     */
   def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-
     val n = embs.count()
     val stride = math.max(n / nCells, 1L)
-    // seed centroids: deterministic systematic sample
-    val seeds = embs.filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") / stride < nCells)
-      .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding").as("centroid"))
-    // one Lloyd step: assign to nearest seed, recompute means
-    val assigned0 = assignToNearest(embs, seeds)
-    val refined = assigned0
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), s => s.getField("m").cast("float")).as("centroid"))
-    val assigned = assignToNearest(embs, refined)
+    val seeds = collectCentroids(
+      embs.filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") / stride < nCells)
+        .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding").as("centroid")))
+    // one Lloyd step: assign to nearest seed, recompute cell means
+    val assigned0 = withNearestCell(embs, seeds)
+    val refined = collectCentroids(
+      assigned0
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), s => s.getField("m").cast("float")).as("centroid")))
+    val assigned = withNearestCell(embs, refined)
 
-    val queries = embs.filter(col("vec_id") < nQueries)
+    // per query: distances to all centroids, keep the nProbe nearest cells
+    val qCells = embs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-    // rank cells per query, probe top nProbe
-    val qCells = queries.join(broadcast(refined), lit(true))
-      .withColumn("d", l2sq(col("q"), col("centroid")))
-      .withColumn("cr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("d"), col("cell"))))
-      .filter(col("cr") <= nProbe)
+      .withColumn("cell",
+        explode(transform(slice(array_sort(cellDistances(col("q"), refined)), 1, nProbe),
+          s => s.getField("cell"))))
       .select("query_id", "q", "cell")
-    val cand = qCells.join(assigned, Seq("cell"))
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
@@ -132,13 +146,27 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  private def assignToNearest(embs: DataFrame, centroids: DataFrame): DataFrame = {
-    val joined = embs.join(broadcast(centroids), lit(true))
-      .withColumn("d", l2sq(col("embedding"), col("centroid")))
-    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
-    joined.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-  }
+  /** Materialize a small (cell, centroid) frame on the driver — the IVF
+    * coarse quantizer is O(cells×dim) by design, never data-sized.
+    */
+  private def collectCentroids(df: DataFrame): Array[(Int, Array[Double])] =
+    df.collect().map { r =>
+      (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble))
+    }.sortBy(_._1)
+
+  /** array<struct<d, cell>> of squared distances from `v` to each centroid. */
+  private def cellDistances(v: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.map { case (cell, c) =>
+      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cell).as("cell"))
+    }: _*)
+
+  /** Map-side argmin cell assignment: array_min over the literal centroid
+    * table orders struct<d,cell> lexicographically — nearest distance,
+    * ties to the lowest cell id. No join, no shuffle, stays in codegen.
+    */
+  private def withNearestCell(embs: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame =
+    embs.select(col("vec_id"), col("embedding"),
+      array_min(cellDistances(col("embedding"), centroids)).getField("cell").as("cell"))
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir))

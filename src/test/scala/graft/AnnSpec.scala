@@ -29,7 +29,11 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
     val r = recallVsBrute(lsh)
     info(f"LSH recall@5 = $r%.2f")
-    assert(r > 0.0, "LSH finds at least some true neighbors")
+    // this corpus's true top-5 neighbors sit at cosine ~0.26-0.49 (weak
+    // similarity), which caps what any LSH family can recall without
+    // scoring most of the corpus — 6 bits x 24 tables lands well above
+    // the 8x16 config's 0.26 while still bounding candidates
+    assert(r >= 0.4, "multi-table LSH recalls a meaningful fraction")
   }
 
   test("IVF ANN with 4/16 probes reaches reasonable recall") {
