@@ -19,19 +19,14 @@ object VectorFunctions {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖); 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2norm(a) * l2norm(b)
-    when(n === 0.0, lit(0.0)).otherwise(d / n)
-  }
+  /** cos(a, b) = a·b / (‖a‖‖b‖); 0 when either norm is 0.
+    * Native codegen'd expression ([[VectorExpressions.cosine]]) with
+    * arithmetic identical to the HOF formulation above.
+    */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
-  /** Squared euclidean distance. */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val diff = x.cast("double") - y.cast("double")
-      diff * diff
-    }), lit(0.0), (acc, v) => acc + v)
+  /** Squared euclidean distance — native codegen'd fused loop. */
+  def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
 
   /** Random-hyperplane signature: bit i = sign(v · hᵢ), packed into a
     * long. Hyperplanes are deterministic (seeded) literal arrays baked

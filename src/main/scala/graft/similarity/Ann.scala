@@ -77,16 +77,15 @@ object Ann {
     */
   def lshTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
               nBits: Int = 6, nTables: Int = 24): DataFrame = {
-    val planes = makePlanes(nBits * nTables, Dim)
-    val sigCols: Seq[Column] = (0 until nTables).map { t =>
-      hyperplaneSig(col("embedding"), planes.slice(t * nBits, (t + 1) * nBits))
-    }
+    val planesFlat = makePlanes(nBits * nTables, Dim).flatten.toArray
+    val sigs = graft.functions.VectorExpressions.hyperplaneSigs(
+      col("embedding"), planesFlat, nBits, nTables, Dim)
     val corpus = embs.select(col("vec_id"), col("embedding"),
-      posexplode(array(sigCols: _*)).as(Seq("table", "bucket")))
+      posexplode(sigs).as(Seq("table", "bucket")))
     val probes = broadcast(
       embs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-          posexplode(array(sigCols.map(c => c): _*)).as(Seq("table", "bucket"))))
+          posexplode(sigs).as(Seq("table", "bucket"))))
     val scored = corpus.join(probes, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))

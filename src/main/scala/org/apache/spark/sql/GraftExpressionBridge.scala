@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Expression ↔ Column converters,
+  * needed to expose graft's native Catalyst expressions
+  * (graft.functions.VectorExpressions) as user-facing Columns. Same
+  * approach most third-party Spark extension libraries take.
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
