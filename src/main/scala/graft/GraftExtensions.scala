@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{FloatVecCosine, FloatVecL2Sq}
+
+/** SparkSessionExtensions entry point: exposes graft's native codegen'd
+  * expressions to SQL users.
+  *
+  * Production: `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)` on the builder) makes
+  * `vec_cosine(a, b)` / `vec_l2sq(a, b)` available in every session of
+  * the application. [[GraftExtensions.register]] injects the same
+  * functions into an already-running session (specs, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def binary(name: String, clazz: Class[_], make: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        make(args(0), args(1))
+      })
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    binary("vec_cosine", classOf[FloatVecCosine], FloatVecCosine(_, _)),
+    binary("vec_l2sq", classOf[FloatVecL2Sq], FloatVecL2Sq(_, _)))
+
+  /** Register the functions on an existing session's registry. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}
