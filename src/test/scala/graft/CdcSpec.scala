@@ -74,4 +74,56 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
     assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
+
+  test("CdcStreamJob end-to-end survives a restart from checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-restart").toString
+    val srcDir = s"$tmp/stream-in"
+
+    // Changelog with a strictly-unique per-row ts_ms (= event_id) so the
+    // envelope path's recency ordering is total and restart-deterministic.
+    val ch = CdcOps.userChangelog(spark, sfDir).withColumn("ts_ms", col("seq")).cache()
+    val after = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val before = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val encoded = DebeziumEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+      after, before, "users").cache()
+
+    val n = encoded.count()
+    val splitId = ch.orderBy("ts_ms").limit((n / 2).toInt)
+      .agg(max("ts_ms")).head().getLong(0)
+    val config = CdcJobConfig(
+      source = FileSource(srcDir),
+      checkpointLocation = s"$tmp/ckpt",
+      statePath = s"$tmp/state",
+      keyCols = Seq("user_id"),
+      pkSchema = CdcQueries.userPkSchema,
+      rowSchema = CdcQueries.userRowSchema,
+      numBuckets = 8)
+
+    // tranche 1 → run to completion → query stops (AvailableNow)
+    encoded.join(ch.filter(col("ts_ms") <= splitId).select("ts_ms"),
+      expr(s"get_json_object(value, '$$.payload.ts_ms') = ts_ms")).drop("ts_ms")
+      .write.mode("append").json(srcDir)
+    val q1 = new CdcStreamJob(spark, config).execute(Trigger.AvailableNow())
+    q1.awaitTermination()
+
+    // tranche 2 lands while the job is down; a NEW job instance resumes
+    // from the checkpoint and must not re-merge tranche 1
+    encoded.join(ch.filter(col("ts_ms") > splitId).select("ts_ms"),
+      expr(s"get_json_object(value, '$$.payload.ts_ms') = ts_ms")).drop("ts_ms")
+      .write.mode("append").json(srcDir)
+    val q2 = new CdcStreamJob(spark, config).execute(Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$tmp/state")
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val batch = CdcOps.latestState(ch, Seq("user_id"), CdcOps.userDataCols)
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+    assert(streamed.exceptAll(batch).count() === 0, "restarted stream minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus restarted stream")
+    ch.unpersist(); encoded.unpersist()
+  }
 }
