@@ -50,6 +50,11 @@ object SparkEntry {
     "broadcast_dim_join"   -> (Analytics.broadcastDimJoin(_, _)),
     "range_bucket_agg"     -> (Analytics.rangeBucketAgg(_, _)),
     "events_props_extract" -> (Analytics.eventsPropsExtract(_, _)),
+    "q7_volume_shipping"   -> (Analytics.q7VolumeShipping(_, _)),
+    "q14_promo_revenue"    -> (Analytics.q14PromoRevenue(_, _)),
+    "q18_large_orders"     -> (Analytics.q18LargeOrders(_, _)),
+    "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
+    "split_assign"         -> (Analytics.splitAssign(_, _)),
     // --- text analysis (#23-27) ---
     "text_token_count"     -> ((s, d) => TextFunctions.tokenCounts(s, d)),
     "text_quality_score"   -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -94,6 +99,11 @@ object SparkEntry {
     "broadcast_dim_join"   -> Analytics.broadcastDimSql,
     "range_bucket_agg"     -> Analytics.rangeBucketSql,
     "events_props_extract" -> Analytics.eventsPropsSql,
+    "q7_volume_shipping"   -> Analytics.q7Sql,
+    "q14_promo_revenue"    -> Analytics.q14Sql,
+    "q18_large_orders"     -> Analytics.q18Sql,
+    "ship_delay_priority"  -> Analytics.shipDelaySql,
+    "split_assign"         -> Analytics.splitAssignSql,
     "text_token_count"     -> TextFunctions.tokenCountsSql,
     "text_quality_score"   -> TextFunctions.qualityScoreSql,
     "text_ngrams"          -> TextFunctions.topBigramsSql,

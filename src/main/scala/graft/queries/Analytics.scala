@@ -359,6 +359,140 @@ object Analytics {
       |       count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** TPC-H Q7-style volume shipping: revenue between two nations in
+    * either direction, by (supplier nation, customer nation, year).
+    * Nation dim broadcast twice under different roles; one fact shuffle.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM supplier
+      | JOIN lineitem ON s_suppkey = l_suppkey
+      | JOIN orders   ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share: scalar percentage metric. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) * 100.0
+          / sum(revenue), 4).as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      |   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q18-style large orders: pre-aggregate the fact to order
+    * grain (map-side partial agg), filter on the aggregate, THEN join
+    * dims — the aggregate-before-join shape that keeps the join input
+    * tiny at scale.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Ship-delay accounting by order priority (the Q12 shape on this
+    * schema): days between order and ship date, late-line counts.
+    */
+  def shipDelayPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("delay_days") > 90, 1L).otherwise(0L)).as("late_lines"),
+        round(avg("delay_days"), 4).as("avg_delay_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val shipDelaySql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      | sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      |     THEN 1 ELSE 0 END) AS late_lines,
+      | round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Deterministic train/val/test assignment for training-data
+    * pipelines: split = hash-free affine bucket of the stable doc_id
+    * (reproducible across engines and runs, no sampling state), with
+    * per-split accounting. 80/10/10.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 40503L, lit(100L))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .orderBy("split")
+  }
+
+  val splitAssignSql: String =
+    """SELECT CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+      |            WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      | count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+      | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Typed extraction from semi-structured event props (JSON-ish). */
   def eventsPropsExtract(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
