@@ -59,6 +59,7 @@ object SparkEntry {
     "text_token_count"     -> ((s, d) => TextFunctions.tokenCounts(s, d)),
     "text_quality_score"   -> ((s, d) => TextFunctions.qualityScore(s, d)),
     "text_ngrams"          -> ((s, d) => TextFunctions.topBigrams(s, d)),
+    "text_char_ngrams"     -> ((s, d) => TextFunctions.topCharTrigrams(s, d)),
     "text_fingerprint"     -> ((s, d) => TextFunctions.fingerprints(s, d)),
     "text_lang_id"         -> ((s, d) => TextFunctions.langId(s, d)),
     // --- dedup (#28-32) ---
@@ -107,6 +108,7 @@ object SparkEntry {
     "text_token_count"     -> TextFunctions.tokenCountsSql,
     "text_quality_score"   -> TextFunctions.qualityScoreSql,
     "text_ngrams"          -> TextFunctions.topBigramsSql,
+    "text_char_ngrams"     -> TextFunctions.topCharTrigramsSql,
     "text_fingerprint"     -> TextFunctions.fingerprintsSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,

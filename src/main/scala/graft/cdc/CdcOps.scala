@@ -15,10 +15,12 @@ import graft.Tables
   * where (ts_ms, seq) totally orders changes within a key.
   *
   * Scale design: `latestState` uses `max_by(struct(...), struct(ts, seq))`
-  * — a hash aggregation with map-side partial aggregation — instead of a
-  * `row_number` window. On 100 TB of changes, partial agg collapses each
-  * partition's updates for a key locally before the single shuffle on the
-  * key; a window would shuffle and sort the full changelog.
+  * — an aggregation with map-side partial reduction (SortAggregate,
+  * because struct-typed agg buffers are not hash-aggregable) — instead
+  * of a `row_number` window. On 100 TB of changes, the partial agg
+  * collapses each partition's updates for a key locally before the
+  * single shuffle on the key; a window would shuffle and sort the full
+  * changelog. Asserted in PlanSpec.
   */
 object CdcOps {
 

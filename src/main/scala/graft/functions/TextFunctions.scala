@@ -113,6 +113,34 @@ object TextFunctions {
       |SELECT bigram, count(*) AS n FROM bi
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  /** Character trigram corpus counts, top 50. Same staging rule as
+    * [[topBigrams]]: the lowercased text is materialized before the
+    * trigram lambda touches it.
+    */
+  def topCharTrigrams(docs: DataFrame): DataFrame = {
+    val t = col("__lower")
+    docs
+      .select(lower(col("text")).as("__lower"))
+      .select(explode(transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+        i => t.substr(i, lit(3)))).as("trigram"))
+      .filter(length(col("trigram")) === 3)
+      .groupBy("trigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(50)
+  }
+
+  def topCharTrigrams(spark: SparkSession, dir: String): DataFrame =
+    topCharTrigrams(Tables.documents(spark, dir))
+
+  val topCharTrigramsSql: String =
+    """WITH tri AS (
+      |  SELECT substr(lower(text), CAST(i AS INTEGER), 3) AS trigram
+      |  FROM documents, UNNEST(range(1, greatest(length(text) - 2, 1) + 1)) AS t(i))
+      |SELECT trigram, count(*) AS n FROM tri
+      |WHERE length(trigram) = 3
+      |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 50""".stripMargin
+
   /** 64-bit-ish rolling-hash document fingerprint (mod a large prime so
     * the arithmetic is overflow-free under ANSI mode). Deterministic,
     * order-sensitive — the classic content-defined fingerprint.

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.CdcOps
+import graft.similarity.Ann
+
+/** Plan-shape assertions: the scale-design claims in the scaladocs,
+  * checked against the actual physical plans so a refactor that
+  * silently degrades the plan (window instead of partial agg, corpus
+  * shuffle before the LSH probe join, interpreted fallback in the
+  * vector hot path) fails CI.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("cdc_latest_state partially aggregates before its single shuffle — no window") {
+    val p = plan(CdcOps.latestState(
+      CdcOps.userChangelog(spark, sfDir), Seq("user_id"), CdcOps.userDataCols))
+    // max_by's struct buffer forces SortAggregate (struct agg buffers are
+    // not hash-aggregable) but the scale property is the partial agg:
+    // each map task collapses its changes per key BEFORE the exchange.
+    assert(p.contains("partial_max_by"), "map-side partial aggregation expected")
+    assert("Exchange".r.findAllIn(p).size === 1, "exactly one shuffle expected")
+    assert(!p.contains("Window"), "no window operator expected")
+  }
+
+  test("LSH ANN probes via broadcast join — corpus is never sort-merge shuffled") {
+    val p = plan(Ann.lshTopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "probe set should broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join of the corpus expected")
+  }
+
+  test("native vector expressions appear in the plan (not HOF lambdas)") {
+    val p = plan(Ann.bruteForceTopK(spark, sfDir))
+    // The scoring projection sits above a BroadcastNestedLoopJoin (no
+    // whole-stage fusion there) but still evaluates through generated
+    // UnsafeProjection code — what matters is that the native expression
+    // is used, not an interpreted aggregate/zip_with lambda tree.
+    assert(p.contains("vec_cosine"), "expected the native vec_cosine in the plan")
+    assert(!p.contains("lambdafunction"), "no interpreted HOF lambdas in the scoring path")
+  }
+
+  test("q18 aggregates the fact table before joining dims") {
+    val q = graft.queries.Analytics.q18LargeOrders(spark, sfDir)
+    val p = q.queryExecution.optimizedPlan.toString
+    val aggIdx = p.indexOf("Aggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    // optimizedPlan prints top-down: the join must appear above (before)
+    // the lineitem aggregate, i.e. the aggregate is a join INPUT, and
+    // the aggregate's filter must sit on the aggregated side
+    assert(p.contains("sum_qty"), "pre-aggregated quantity expected in plan")
+  }
+}
