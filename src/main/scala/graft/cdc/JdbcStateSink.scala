@@ -1,0 +1,49 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+
+/** JDBC sink for CDC state — the reference's Postgres path
+  * (/root/reference/src/test/scala/StreamingIT.scala:40-56 asserts the
+  * upserted table through a JDBC connection; JDBCConfig at
+  * /root/reference/src/main/scala/com/sg/job/streaming/StreamingUtils.scala:1-7).
+  *
+  * Spark's JDBC writer has no merge, so the sink republishes the full
+  * merged state per micro-batch with `truncate` (DDL-preserving
+  * overwrite) — correct because [[ParquetUpsertSink]]/[[CdcOps]] already
+  * collapsed the changelog to latest-state. For a 100 TB state you
+  * would not JDBC-publish the whole table; the intended pattern is
+  * publishing a FILTERED projection (a serving mart) per batch, which
+  * `publish(df)` supports by taking an arbitrary DataFrame.
+  *
+  * No database ships in this container, so this class is exercised only
+  * for its option plumbing in specs; the write path is the standard
+  * DataFrameWriter jdbc sink.
+  */
+class JdbcStateSink(jdbc: JdbcConfig, batchSize: Int = 10000) {
+
+  def writerOptions: Map[String, String] = Map(
+    "url" -> jdbc.url,
+    "dbtable" -> jdbc.tableName,
+    "user" -> jdbc.user,
+    "password" -> jdbc.password,
+    "batchsize" -> batchSize.toString,
+    "truncate" -> "true",
+    "isolationLevel" -> "READ_COMMITTED")
+
+  /** Republish a state snapshot (or serving projection) to the table. */
+  def publish(state: DataFrame): Unit =
+    state.write
+      .format("jdbc")
+      .options(writerOptions)
+      .mode("overwrite")
+      .save()
+
+  /** foreachBatch hook: merge into parquet state via `sink`, then
+    * republish the merged state — the reference IT's end-to-end shape
+    * (kafka → upsert → queryable JDBC table).
+    */
+  def mergeAndPublish(sink: ParquetUpsertSink)(batch: DataFrame, batchId: Long): Unit = {
+    sink.merge(batch, batchId)
+    publish(sink.readState())
+  }
+}

@@ -75,6 +75,17 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
 
+  test("JdbcStateSink builds the reference-compatible writer options") {
+    val sink = new JdbcStateSink(JdbcConfig(
+      url = "jdbc:postgresql://localhost:5432/inventory",
+      user = "test", password = "Test123", tableName = "orders_it"))
+    val opts = sink.writerOptions
+    assert(opts("url") === "jdbc:postgresql://localhost:5432/inventory")
+    assert(opts("dbtable") === "orders_it")
+    assert(opts("truncate") === "true", "DDL-preserving overwrite expected")
+    assert(opts("batchsize").toInt > 0)
+  }
+
   test("CdcStreamJob end-to-end survives a restart from checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
 
