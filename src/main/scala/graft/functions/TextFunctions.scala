@@ -168,9 +168,11 @@ object TextFunctions {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** n-gram-profile language identification heuristic: score each
-    * language by density of its characteristic stopwords / character
-    * patterns; argmax wins. Deterministic; rows-only checked (a
-    * heuristic has no SQL oracle).
+    * alphabetic language by density of its characteristic stopwords;
+    * CJK languages by ideograph density (they have no whitespace
+    * stopwords); argmax wins. Deterministic; rows-only checked (a
+    * heuristic has no SQL oracle) with accuracy measured against the
+    * testdata's ground-truth `lang` column in the spec.
     */
   def langId(docs: DataFrame): DataFrame = {
     val profiles: Seq[(String, String)] = Seq(
@@ -180,11 +182,17 @@ object TextFunctions {
       "es" -> "\\b(el|la|los|las|es|una|que|por|para|con)\\b",
       "pt" -> "\\b(o|os|um|uma|que|para|com|não|por|mais)\\b")
     val toks = greatest(size(wsTokens(col("text"))).cast("double"), lit(1.0))
-    val scored = profiles.foldLeft(docs) { case (df, (lang, pat)) =>
+    val chars = greatest(length(col("text")).cast("double"), lit(1.0))
+    val scored0 = profiles.foldLeft(docs) { case (df, (lang, pat)) =>
       df.withColumn(s"score_$lang",
         round(regexp_count(lower(col("text")), lit(pat)).cast("double") / toks, 6))
     }
-    val scoresArr = array(profiles.map { case (l, _) =>
+    // zh: fraction of CJK ideographs — ~0.8+ for Chinese text, ~0 for
+    // Latin scripts; comparable scale to the stopword densities above.
+    val scored = scored0.withColumn("score_zh",
+      round(regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("double") / chars, 6))
+    val allLangs = profiles.map(_._1) :+ "zh"
+    val scoresArr = array(allLangs.map { l =>
       struct(col(s"score_$l").as("score"), lit(l).as("lang"))
     }: _*)
     scored
