@@ -102,29 +102,26 @@ object Ann {
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
-  /** IVF-style ANN: deterministic coarse centroids (systematic sample,
-    * one Lloyd refinement step), corpus assigned to its nearest cell by
-    * a map-side argmin over the driver-collected centroid table, queries
-    * probe the nProbe nearest cells. No corpus shuffle anywhere: cell
-    * assignment is an expression, and the probe side of the candidate
-    * join is broadcast. (The Lloyd mean recompute shuffles cells×dim
-    * partial sums only, thanks to map-side partial aggregation.)
+  /** IVF-style ANN, FAISS-shaped: the coarse quantizer is trained on a
+    * deterministic systematic SAMPLE collected to the driver (k-means on
+    * a bounded sample — never a full-corpus shuffle; the quantizer is
+    * O(cells×dim) regardless of corpus size), then the corpus is
+    * assigned to its nearest cell by a map-side argmin over the trained
+    * centroid table and queries probe the nProbe nearest cells. No
+    * corpus shuffle anywhere: cell assignment is an expression, and the
+    * probe side of the candidate join is broadcast.
     */
   def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4, trainSize: Int = 4096): DataFrame = {
     val n = embs.count()
-    val stride = math.max(n / nCells, 1L)
-    val seeds = collectCentroids(
-      embs.filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") / stride < nCells)
-        .select((col("vec_id") / stride).cast("int").as("cell"), col("embedding").as("centroid")))
-    // one Lloyd step: assign to nearest seed, recompute cell means
-    val assigned0 = withNearestCell(embs, seeds)
-    val refined = collectCentroids(
-      assigned0
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), s => s.getField("m").cast("float")).as("centroid")))
+    val stride = math.max(n / trainSize, 1L)
+    val sample: Array[Array[Double]] =
+      embs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val refined = trainCentroids(sample, nCells, iters = 3)
     val assigned = withNearestCell(embs, refined)
 
     // per query: distances to all centroids, keep the nProbe nearest cells
@@ -145,13 +142,42 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** Materialize a small (cell, centroid) frame on the driver — the IVF
-    * coarse quantizer is O(cells×dim) by design, never data-sized.
+  /** Driver-side Lloyd iterations over the training sample: systematic
+    * seeds, `iters` assign/recompute rounds. Deterministic (no RNG);
+    * empty cells keep their previous centroid.
     */
-  private def collectCentroids(df: DataFrame): Array[(Int, Array[Double])] =
-    df.collect().map { r =>
-      (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble))
-    }.sortBy(_._1)
+  private def trainCentroids(sample: Array[Array[Double]], nCells: Int, iters: Int)
+      : Array[(Int, Array[Double])] = {
+    val k = math.min(nCells, math.max(sample.length, 1))
+    val dim = if (sample.nonEmpty) sample.head.length else 0
+    val stride = math.max(sample.length / k, 1)
+    var centroids: Array[Array[Double]] =
+      Array.tabulate(k)(c => sample(math.min(c * stride, sample.length - 1)).clone())
+    var it = 0
+    while (it < iters && sample.nonEmpty) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = new Array[Double](dim); var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
+      }
+      it += 1
+    }
+    centroids.zipWithIndex.map { case (v, c) => (c, v) }
+  }
 
   /** array<struct<d, cell>> of squared distances from `v` to each centroid. */
   private def cellDistances(v: Column, centroids: Array[(Int, Array[Double])]): Column =
