@@ -55,6 +55,7 @@ object SparkEntry {
     "q18_large_orders"     -> (Analytics.q18LargeOrders(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
     "split_assign"         -> (Analytics.splitAssign(_, _)),
+    "asof_join"            -> (graft.queries.AsOf.purchaseAttribution(_, _)),
     // --- text analysis (#23-27) ---
     "text_token_count"     -> ((s, d) => TextFunctions.tokenCounts(s, d)),
     "text_quality_score"   -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q18_large_orders"     -> Analytics.q18Sql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,
     "split_assign"         -> Analytics.splitAssignSql,
+    "asof_join"            -> graft.queries.AsOf.purchaseAttributionSql,
     "text_token_count"     -> TextFunctions.tokenCountsSql,
     "text_quality_score"   -> TextFunctions.qualityScoreSql,
     "text_ngrams"          -> TextFunctions.topBigramsSql,

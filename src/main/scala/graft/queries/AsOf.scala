@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (backward) join — for each left row (key, ts), the latest
+  * right row of the same key with r_ts ≤ ts. Spark has no native as-of
+  * join; this module gives it two ways:
+  *
+  *   - [[purchaseAttribution]] composes built-ins: tag both sides, one
+  *     union, ONE shuffle+sort on (key, ts), and a `last(_, ignoreNulls)`
+  *     running window carries the latest right image forward into left
+  *     rows. At 100 TB that is the minimal-shuffle formulation — the
+  *     same single sort a sort-merge join would pay, no range explosion.
+  *   - [[graft.plans.AsOfJoinExec]] is the whole-operator form (custom
+  *     logical node + strategy + physical zip-merge exec), asserted
+  *     equivalent in PlanSpec/AsOfSpec.
+  *
+  * Semantics follow DuckDB's `ASOF JOIN` (the oracle): inner, backward
+  * (>=), one winning right row per left row.
+  */
+object AsOf {
+
+  /** Composed as-of join of purchases to their latest preceding view
+    * per user. Right side deduped to one row per (user, ts) first so
+    * tie-at-max-ts is deterministic on both engines.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("purchase_id"), lit(null).cast("long").as("view_id"),
+        lit(null).cast("double").as("view_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("view_id"), max_by(col("value"), col("event_id")).as("view_value"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("purchase_id"), col("view_id"), col("view_value"))
+
+    // right rows sort before left rows at equal ts → ts >= matches equality
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(views)
+      .withColumn("m_view_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("m_view_id", last(when(col("side") === 0, col("view_id")), ignoreNulls = true).over(w))
+      .withColumn("m_view_value", last(when(col("side") === 0, col("view_value")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m_view_ts").isNotNull)
+      .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
+        col("m_view_id").as("view_id"), col("m_view_ts").as("v_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("m_view_ts"))).as("gap_ms"),
+        round(col("m_view_value"), 2).as("view_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val purchaseAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts AS v_ts, max(event_id) AS view_id,
+      |         arg_max(value, event_id) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.user_id AS user_id, purchase_id, p_ts, view_id, v_ts,
+      |  CAST(epoch_ms(p_ts) - epoch_ms(v_ts) AS BIGINT) AS gap_ms,
+      |  round(view_value, 2) AS view_value
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.AsOfJoinOps
+import graft.queries.AsOf
+
+class AsOfSpec extends AnyFunSuite with SparkSpec {
+
+  test("custom AsOfJoinExec produces exactly the composed as-of join's result") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("view_id"), max_by(col("value"), col("event_id")).as("view_value"))
+
+    val custom = AsOfJoinOps.asofJoin(purchases, views, "user_id", "ts")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        col("view_id_r").as("view_id"), col("ts_r").as("v_ts"),
+        round(col("view_value_r"), 2).as("view_value"))
+    val composed = AsOf.purchaseAttribution(spark, sfDir)
+      .select("user_id", "purchase_id", "p_ts", "view_id", "v_ts", "view_value")
+
+    assert(custom.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "the custom physical operator should appear in the plan")
+    assert(custom.exceptAll(composed).count() === 0, "custom minus composed")
+    assert(composed.exceptAll(custom).count() === 0, "composed minus custom")
+  }
+
+  test("AsOfJoinExec is inner: left rows with no prior right row drop out") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 50L, "early"), (2L, 10L, "no-match"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 60L, 9.0), (1L, 90L, 7.0), (3L, 1L, 0.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoinOps.asofJoin(left, right, "k", "t")
+      .select("tag", "t_r", "v_r").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // (1,100) matches (1,90); (1,50) has no right ≤ 50; key 2 has no right rows
+    assert(out.toSet === Set(("a", 90L, 7.0)))
+  }
+
+  test("equal timestamps match (backward >= semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 5.0)).toDF("k", "t", "v")
+    val out = AsOfJoinOps.asofJoin(left, right, "k", "t").select("tag", "v_r").collect()
+    assert(out.length === 1 && out(0).getDouble(1) === 5.0)
+  }
+}
