@@ -46,6 +46,8 @@ object SparkEntry {
     "semi_join_customers"  -> (Analytics.semiJoinCustomers(_, _)),
     "distinct_users_exact" -> (Analytics.distinctUsersExact(_, _)),
     "distinct_users_approx" -> (Analytics.distinctUsersApprox(_, _)),
+    "distinct_users_sketch" -> (Analytics.distinctUsersSketch(_, _)),
+    "stratified_sample"    -> (Analytics.stratifiedSample(_, _)),
     "skew_salted_join"     -> (Analytics.skewSaltedJoin(_, _)),
     "broadcast_dim_join"   -> (Analytics.broadcastDimJoin(_, _)),
     "range_bucket_agg"     -> (Analytics.rangeBucketAgg(_, _)),

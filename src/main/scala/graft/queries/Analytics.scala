@@ -303,6 +303,40 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Mergeable HLL sketches (Apache DataSketches via Spark 4's
+    * hll_sketch_agg): build per-(event_type, day) sketches, then
+    * hll_union_agg rolls days up to the type level WITHOUT rescanning —
+    * the incremental-distinct pattern at 100 TB (persist daily sketch
+    * parquet, union for any window). Estimates ≈ exact at this
+    * cardinality; rows-only + spec asserts union == direct sketch.
+    */
+  def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sketch"))
+    daily
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("est_users"),
+        count(lit(1)).as("n_daily_sketches"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic stratified sample: exact per-stratum fractions via
+    * sampleBy with a fixed seed — the downsample-by-source primitive a
+    * training-data pipeline uses for corpus mixing. Rows-only (sampling
+    * has no SQL oracle); proportions spec-asserted.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fractions = docs.select("lang").distinct().collect()
+      .map(_.getString(0))
+      .map(l => l -> (if (l == "en") 0.5 else 1.0)).toMap
+    docs.stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+  }
+
   /** Salted skew join: the fact side's hot keys are spread over SALTS
     * sub-keys; the build side is replicated SALTS×. Result must be
     * identical to the plain join (oracle = plain SQL join).

@@ -61,4 +61,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle without query: ${os.diff(qs)}")
   }
+
+  test("mergeable HLL sketches: daily-union estimate tracks exact distinct") {
+    val est = Analytics.distinctUsersSketch(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Analytics.distinctUsersExact(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val e = est(t).toDouble
+      assert(math.abs(e - n) / n <= 0.05, s"$t: sketch $e vs exact $n")
+    }
+  }
+
+  test("stratified sample hits per-stratum fractions within tolerance") {
+    val docs = Tables.documents(spark, sfDir)
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Analytics.stratifiedSample(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val want = if (lang == "en") 0.5 else 1.0
+      val got = sampled.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - want) <= 0.25, s"$lang: sampled fraction $got, wanted ~$want")
+    }
+    // non-en strata are kept whole: exact
+    totals.filter(_._1 != "en").foreach { case (lang, n) =>
+      assert(sampled(lang) === n, s"$lang should be fully retained")
+    }
+  }
 }
