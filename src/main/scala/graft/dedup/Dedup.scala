@@ -288,23 +288,15 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
-    * sign of the vote sum sets the bit. Implemented as 64 conditional
-    * SUM aggregates (map-side partial agg) — one shuffle on doc_id.
+    * sign of the vote sum sets the bit. One fused map-side pass via the
+    * native [[graft.functions.SimHash64]] expression — a pure
+    * projection with ZERO shuffle (the previous formulation exploded
+    * tokens and shuffled them through a 64-conditional-sum groupBy).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val packed = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("__t"))
+      .select(col("doc_id"),
+        graft.functions.SimHashExpression.simhash64(array_distinct(col("__t"))).as("simhash"))
 
   /** SimHash near-dup: candidates from 4×16-bit band pigeonhole
     * (hamming ≤ 3 ⇒ one band identical), verified with bit_count(xor).
