@@ -65,6 +65,7 @@ object SparkEntry {
     "text_char_ngrams"     -> ((s, d) => TextFunctions.topCharTrigrams(s, d)),
     "text_fingerprint"     -> ((s, d) => TextFunctions.fingerprints(s, d)),
     "text_lang_id"         -> ((s, d) => TextFunctions.langId(s, d)),
+    "curation_pipeline"    -> ((s, d) => TextFunctions.curationPipeline(s, d)),
     // --- dedup (#28-32) ---
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "text_ngrams"          -> TextFunctions.topBigramsSql,
     "text_char_ngrams"     -> TextFunctions.topCharTrigramsSql,
     "text_fingerprint"     -> TextFunctions.fingerprintsSql,
+    "curation_pipeline"    -> TextFunctions.curationPipelineSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,

@@ -167,6 +167,58 @@ object TextFunctions {
       | CAST(length(text) AS INTEGER) AS n_chars_m
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** End-to-end corpus curation: quality-gate → exact-dedup (keep the
+    * smallest doc_id per normalized text) → deterministic train/val/
+    * test assignment → per-split accounting. The composition every
+    * training-data pipeline runs, as ONE declarative plan: Catalyst
+    * fuses the quality projection into the scan, the dedup is a single
+    * hash aggregation, and the split is an affine bucket — two
+    * shuffles total at any scale.
+    */
+  def curationPipeline(docs: DataFrame, minQuality: Double = 0.1): DataFrame = {
+    val scored = qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .filter(col("quality") >= minQuality)
+    val deduped = scored
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(graft.dedup.Dedup.normText(col("text")).as("norm"))
+      .agg(min("doc_id").as("doc_id"), max("quality").as("quality"))
+    val bucket = pmod(col("doc_id") * 40503L, lit(100L))
+    deduped
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("split")
+  }
+
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipeline(Tables.documents(spark, dir))
+
+  val curationPipelineSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|that)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    round(least(1.0, (stops / toks) * 2.5)
+      |      * (1.0 - least(1.0, (punct / greatest(chars, 1.0)) * 10.0))
+      |      * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
+      |  FROM m),
+      |flt AS (SELECT * FROM q WHERE quality >= 0.1),
+      |ded AS (
+      |  SELECT min(doc_id) AS doc_id, max(quality) AS quality
+      |  FROM flt GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |SELECT CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+      |            WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      | count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+      |FROM ded GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace
