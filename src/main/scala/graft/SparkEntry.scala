@@ -42,6 +42,8 @@ object SparkEntry {
     "top_customers_window" -> (Analytics.topCustomersWindow(_, _)),
     "moving_avg_events"    -> (Analytics.movingAvgEvents(_, _)),
     "rollup_sales"         -> (Analytics.rollupSales(_, _)),
+    "cube_sales"           -> (Analytics.cubeSales(_, _)),
+    "price_percentiles"    -> (Analytics.pricePercentiles(_, _)),
     "anti_join_customers"  -> (Analytics.antiJoinCustomers(_, _)),
     "semi_join_customers"  -> (Analytics.semiJoinCustomers(_, _)),
     "distinct_users_exact" -> (Analytics.distinctUsersExact(_, _)),
@@ -97,6 +99,8 @@ object SparkEntry {
     "top_customers_window" -> Analytics.topCustomersSql,
     "moving_avg_events"    -> Analytics.movingAvgSql,
     "rollup_sales"         -> Analytics.rollupSql,
+    "cube_sales"           -> Analytics.cubeSalesSql,
+    "price_percentiles"    -> Analytics.pricePercentilesSql,
     "anti_join_customers"  -> Analytics.antiJoinSql,
     "semi_join_customers"  -> Analytics.semiJoinSql,
     "distinct_users_exact" -> Analytics.distinctUsersSql,

@@ -527,6 +527,46 @@ object Analytics {
       | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition, so this is
+    * oracle-exact — unlike the t-digest `percentile_approx` scale path).
+    */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  val pricePercentilesSql: String =
+    """SELECT o_orderpriority,
+      | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** CUBE aggregation: all 2^k grouping-set combinations. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+      .orderBy("status", "priority")
+  }
+
+  val cubeSalesSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   /** Typed extraction from semi-structured event props (JSON-ish). */
   def eventsPropsExtract(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
