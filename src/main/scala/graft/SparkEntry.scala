@@ -44,6 +44,7 @@ object SparkEntry {
     "rollup_sales"         -> (Analytics.rollupSales(_, _)),
     "cube_sales"           -> (Analytics.cubeSales(_, _)),
     "price_percentiles"    -> (Analytics.pricePercentiles(_, _)),
+    "price_percentiles_approx" -> (Analytics.pricePercentilesApprox(_, _)),
     "anti_join_customers"  -> (Analytics.antiJoinCustomers(_, _)),
     "semi_join_customers"  -> (Analytics.semiJoinCustomers(_, _)),
     "distinct_users_exact" -> (Analytics.distinctUsersExact(_, _)),

@@ -548,6 +548,19 @@ object Analytics {
       | round(quantile_cont(o_totalprice, 0.99), 4) AS p99
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Approximate percentiles (t-digest `percentile_approx`) — the
+    * mergeable scale path where exact percentile's full sort per group
+    * won't fly. Rows-only (approx); accuracy vs exact spec-checked.
+    */
+  def pricePercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50"),
+        expr("percentile_approx(o_totalprice, 0.9, 1000)").as("p90"))
+      .orderBy("o_orderpriority")
+  }
+
   /** CUBE aggregation: all 2^k grouping-set combinations. */
   def cubeSales(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)

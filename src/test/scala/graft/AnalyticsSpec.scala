@@ -73,6 +73,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("approx percentiles track exact within 5%") {
+    val exact = Analytics.pricePercentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Analytics.pricePercentilesApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.05, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 <= 0.05, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("stratified sample hits per-stratum fractions within tolerance") {
     val docs = Tables.documents(spark, sfDir)
     val totals = docs.groupBy("lang").count()
