@@ -58,6 +58,9 @@ object SparkEntry {
     "q7_volume_shipping"   -> (Analytics.q7VolumeShipping(_, _)),
     "q14_promo_revenue"    -> (Analytics.q14PromoRevenue(_, _)),
     "q18_large_orders"     -> (Analytics.q18LargeOrders(_, _)),
+    "q22_rich_no_orders"   -> (Analytics.q22RichNoOrders(_, _)),
+    "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
+    "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
     "split_assign"         -> (Analytics.splitAssign(_, _)),
     "asof_join"            -> (graft.queries.AsOf.purchaseAttribution(_, _)),
@@ -112,6 +115,9 @@ object SparkEntry {
     "q7_volume_shipping"   -> Analytics.q7Sql,
     "q14_promo_revenue"    -> Analytics.q14Sql,
     "q18_large_orders"     -> Analytics.q18Sql,
+    "q22_rich_no_orders"   -> Analytics.q22Sql,
+    "pivot_orders"         -> Analytics.pivotOrdersSql,
+    "ntile_quartiles"      -> Analytics.ntileQuartilesSql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,
     "split_assign"         -> Analytics.splitAssignSql,
     "asof_join"            -> graft.queries.AsOf.purchaseAttributionSql,

@@ -580,6 +580,70 @@ object Analytics {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** TPC-H Q22-style: per market segment, rich customers (balance above
+    * the global positive-balance average — a broadcast scalar, not a
+    * collect) who have never ordered (anti join).
+    */
+  def q22RichNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pivot: order counts by priority × status, statuses as columns. */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  val pivotOrdersSql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Per-group ntile quartiles of order value (partitioned window — the
+    * scale-safe shape; a global ntile would serialize on one task).
+    */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  val ntileQuartilesSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+      |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Typed extraction from semi-structured event props (JSON-ish). */
   def eventsPropsExtract(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
