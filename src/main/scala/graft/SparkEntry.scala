@@ -84,7 +84,9 @@ object SparkEntry {
     "ann_ivf_topk"         -> ((s, d) => Ann.ivfTopK(s, d)),
     // --- multimodal (#36-37) ---
     "mm_binary_pipeline"   -> (BinaryPipeline.pipeline(_, _)),
-    "mm_feature_extract"   -> (BinaryPipeline.featureExtract(_, _))
+    "mm_feature_extract"   -> (BinaryPipeline.featureExtract(_, _)),
+    "mm_resize"            -> (BinaryPipeline.resize(_, _)),
+    "mm_frame_sample"      -> ((s, d) => BinaryPipeline.frameSample(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -104,6 +104,71 @@ object BinaryPipeline {
       .orderBy("item_id")
   }
 
+  /** STUB resize: a real deployment swaps in libvips/PIL behind the same
+    * signature. The stand-in deterministically downsamples the payload
+    * bytes to a fixed target "resolution" (byte budget), preserving the
+    * binary-in/binary-out shape a resize stage has — payloads never
+    * inflate to strings, output size is bounded by construction.
+    */
+  val ResizeTargetBytes = 64
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("orig_bytes", IntegerType),
+    StructField("resized", BinaryType),
+    StructField("resized_bytes", IntegerType)))
+
+  def resize(binTable: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeSchema)
+    binTable.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(r.fieldIndex("item_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        val out = new Array[Byte](math.min(ResizeTargetBytes, payload.length))
+        val stride = math.max(payload.length / math.max(out.length, 1), 1)
+        var i = 0
+        while (i < out.length) { out(i) = payload(math.min(i * stride, payload.length - 1)); i += 1 }
+        Row(id, payload.length, out, out.length)
+      }
+    }(enc)
+  }
+
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    resize(asBinaryTable(Tables.documents(spark, dir))).orderBy("item_id")
+
+  /** STUB frame sampling: treats the payload as a "video" of fixed-size
+    * frames and keeps every `everyK`-th frame — one output row per kept
+    * frame (item_id, frame_idx, frame payload, per-frame features). The
+    * explode-to-frame-rows shape is the real pipeline design: frame
+    * rows partition freely for downstream embedding/dedup regardless of
+    * source-file boundaries.
+    */
+  val FrameBytes = 256
+  val frameSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType),
+    StructField("frame_features", ArrayType(FloatType))))
+
+  def frameSample(binTable: DataFrame, everyK: Int = 4): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    binTable.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(r.fieldIndex("item_id"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        val nFrames = math.max(payload.length / FrameBytes, 1)
+        (0 until nFrames by everyK).iterator.map { f =>
+          val from = math.min(f * FrameBytes, payload.length)
+          val until = math.min(from + FrameBytes, payload.length)
+          val frame = java.util.Arrays.copyOfRange(payload, from, until)
+          Row(id, f, frame, StubCodec.features(frame).toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(asBinaryTable(Tables.documents(spark, dir))).orderBy("item_id", "frame_idx")
+
   /** Feature extraction surfaced for similarity search: item_id +
     * feature vector + feature norm (plumbing check).
     */

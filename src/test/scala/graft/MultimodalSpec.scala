@@ -21,6 +21,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(a.exceptAll(b).count() === 0)
   }
 
+  test("resize bounds output bytes and is deterministic") {
+    val r1 = BinaryPipeline.resize(spark, sfDir)
+    assert(r1.filter(col("resized_bytes") > BinaryPipeline.ResizeTargetBytes).count() === 0)
+    assert(r1.count() === Tables.documents(spark, sfDir).count())
+    val a = r1.collect(); val b = BinaryPipeline.resize(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("frame sampling keeps every k-th frame with per-frame features") {
+    val fs = BinaryPipeline.frameSample(spark, sfDir)
+    // every item contributes at least frame 0; indices are multiples of 4
+    assert(fs.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    val items = fs.select("item_id").distinct().count()
+    assert(items === Tables.documents(spark, sfDir).count())
+    assert(fs.filter(org.apache.spark.sql.functions.size(col("frame_features"))
+      =!= BinaryPipeline.StubCodec.FeatureDim).count() === 0)
+  }
+
   test("payload binary column survives the round trip (no string inflation)") {
     val bin = BinaryPipeline.asBinaryTable(Tables.documents(spark, sfDir))
     val schema = bin.schema("payload").dataType.typeName
