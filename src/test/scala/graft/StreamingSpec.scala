@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{EventSessionizer, WindowedAggs}
+import graft.streaming.{EventSessionizer, StreamingDedup, WindowedAggs}
 import graft.Tables
 
 class StreamingSpec extends AnyFunSuite with SparkSpec {
@@ -69,5 +69,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         col("total_value"))
     assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
     assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+  }
+
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2024-01-15 10:00:00")
+    def at(mins: Long) = new Timestamp(t0.getTime + mins * 60000L)
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "value")
+    val out = StreamingDedup.dedupStream(sdf, Seq("event_id"), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+
+    stream.addData(Seq((1L, at(0), 1.0), (2L, at(1), 2.0), (1L, at(2), 99.0)))
+    q.processAllAvailable()
+    // duplicate of id 1 arrives again in a LATER micro-batch, still
+    // inside the watermark horizon → must be dropped by state
+    stream.addData(Seq((1L, at(3), 98.0), (3L, at(4), 3.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("dedup_test")
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    assert(rows(1L) === 1.0, "first occurrence of id 1 wins")
   }
 }
