@@ -101,27 +101,52 @@ object Dedup {
   //    exact near-dup baseline).
   // ------------------------------------------------------------------
 
-  /** All pairs with 3-shingle Jaccard ≥ threshold, via an inverted
-    * shingle index: explode shingles → self-join on shingle (the only
-    * shuffle, keyed by shingle) → count intersections → verify. No
-    * all-pairs product anywhere; cost is Σ df(shingle)² which prefix
-    * filtering would bound further at extreme scale. Shingles are
-    * hashed to 64 bits before the join so the shuffle carries longs,
-    * not ~20-byte strings (a same-doc-pair 64-bit collision is the only
-    * way this deviates from exact — ~n_shingles²/2⁶⁴, ignorable).
+  /** Default document-frequency cap for the inverted-index self-join:
+    * a shingle present in more than this many documents generates no
+    * candidates. Far above any true near-dup signal (a duplicate
+    * cluster's shingles have df ≈ cluster size) but it bounds the
+    * worst case: without it, one boilerplate shingle across k docs of
+    * a web corpus creates k²/2 candidate pairs in a single join key.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  val MaxShingleDf = 100
+
+  /** Candidate pairs sharing at least one RARE (df ≤ maxDf) shingle:
+    * explode shingles → drop hot shingles (broadcast anti-join against
+    * the tiny hot list — shingles with df > maxDf are few by
+    * construction) → self-join on shingle, keyed by shingle.
+    * Cost is Σ df² over rare shingles only, so bounded by maxDf·Σdf.
+    */
+  def ngramCandidates(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val sh = explodedShingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.alias("a").join(sh.alias("b"),
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val pruned = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    pruned.alias("a").join(pruned.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id"), col("sz").as("sz_a")), col("id_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("sz").as("sz_b")), col("id_b") === col("doc_id")).drop("doc_id")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** All pairs with 3-shingle Jaccard ≥ threshold that share at least
+    * one rare (df ≤ maxDf) shingle. Candidates come from the df-capped
+    * inverted index ([[ngramCandidates]]); the Jaccard itself is then
+    * verified EXACTLY over the full (uncapped) shingle sets of the
+    * candidate pairs, so reported scores are true Jaccard — the cap
+    * only bounds candidate generation. A pair whose every common
+    * shingle is hot is missed by design (the standard df-pruning
+    * trade-off; such pairs share only boilerplate). At the test corpus
+    * max df ≪ cap, so output ≡ the uncapped join; the oracle applies
+    * the identical rule.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+                   maxDf: Int = MaxShingleDf): DataFrame = {
+    val shArr = shingled(docs).select(col("doc_id"), col("__sh").as("shset"))
+    ngramCandidates(docs, maxDf)
+      .join(shArr.select(col("doc_id").as("id_a"), col("shset").as("sh_a")), "id_a")
+      .join(shArr.select(col("doc_id").as("id_b"), col("shset").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+        round(col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -140,9 +165,16 @@ object Dedup {
       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  SELECT c.id_a, c.id_b, count(*) AS inter
+      |  FROM cand c
+      |   JOIN sh a ON a.doc_id = c.id_a
+      |   JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b,
       |  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard

@@ -97,10 +97,28 @@ object BinaryPipeline {
   }
 
   /** End-to-end pipeline over the documents-derived binary table:
-    * binary → decode-stub → features → summary columns.
+    * binary → decode-stub → features → summary columns. Returns the raw
+    * feature vectors (array<float>) — the shape downstream similarity
+    * operators consume.
+    */
+  def pipelineRaw(spark: SparkSession, dir: String): DataFrame = {
+    decodeAndFeaturize(asBinaryTable(Tables.documents(spark, dir)))
+      .orderBy("item_id")
+  }
+
+  /** Driver-facing view of [[pipelineRaw]]: the feature vector is
+    * reduced to two check-friendly scalars (rounded L2 norm + xxhash64
+    * of its canonical string form) because the correctness harness
+    * canonicalizes result rows by sorting every column and array cells
+    * are not sortable there. Same rows, scalar-only schema.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
     decodeAndFeaturize(asBinaryTable(Tables.documents(spark, dir)))
+      .select(col("item_id"), col("payload_bytes"), col("width"), col("height"),
+        col("channels"), col("origin"),
+        round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"),
+        xxhash64(col("features").cast("string")).as("feat_hash"))
       .orderBy("item_id")
   }
 
@@ -166,17 +184,38 @@ object BinaryPipeline {
     }(enc)
   }
 
-  def frameSample(spark: SparkSession, dir: String): DataFrame =
-    frameSample(asBinaryTable(Tables.documents(spark, dir))).orderBy("item_id", "frame_idx")
+  /** Driver-facing frame sampling: per-frame feature vectors reduced to
+    * scalars (norm + hash) for the same harness reason as [[pipeline]];
+    * the binary frame payload itself is hashable and stays.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    frameSample(asBinaryTable(Tables.documents(spark, dir)))
+      .select(col("item_id"), col("frame_idx"), col("frame"),
+        round(VectorFunctions.l2norm(col("frame_features")), 4).as("frame_norm"),
+        xxhash64(col("frame_features").cast("string")).as("frame_hash"))
+      .orderBy("item_id", "frame_idx")
+  }
 
   /** Feature extraction surfaced for similarity search: item_id +
-    * feature vector + feature norm (plumbing check).
+    * feature vector + feature norm (plumbing check). Array-returning —
+    * feed this to graft.similarity.
     */
-  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+  def featureVectors(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
-    pipeline(spark, dir)
+    pipelineRaw(spark, dir)
       .select(col("item_id"), col("features"),
         round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"))
+      .orderBy("item_id")
+  }
+
+  /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    pipelineRaw(spark, dir)
+      .select(col("item_id"),
+        round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"),
+        xxhash64(col("features").cast("string")).as("feat_hash"))
       .orderBy("item_id")
   }
 }

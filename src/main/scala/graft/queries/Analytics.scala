@@ -395,19 +395,42 @@ object Analytics {
 
   /** TPC-H Q7-style volume shipping: revenue between two nations in
     * either direction, by (supplier nation, customer nation, year).
-    * Nation dim broadcast twice under different roles; one fact shuffle.
+    *
+    * Scale shape (the classic nested-dim Q7 plan): the 2-row filtered
+    * nation dim restricts supplier and customer FIRST, so both facts
+    * shrink to the qualifying ~2/25 of rows *before* the only full
+    * fact⋈fact shuffle (l⋈o on orderkey):
+    *   - supplier⋈nation(2 rows) → force-broadcast into lineitem
+    *     (map-side; supplier is the smallest dim, safe at any SF);
+    *   - customer⋈nation(2 rows) → joined into orders un-hinted: at
+    *     test scale stats/AQE pick broadcast, at 100 TB the filtered
+    *     customer may exceed broadcast size and a custkey shuffle of
+    *     orders is the correct fallback — the planner decides;
+    *   - then (reduced l) ⋈ (reduced o) shuffle + the direction filter.
+    * The earlier formulation joined all four tables in full and applied
+    * the nation restriction last — shuffling 100% of lineitem+orders to
+    * keep ~8%.
     */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val n1 = broadcast(Tables.nation(spark, dir)
-      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
-    val n2 = broadcast(Tables.nation(spark, dir)
-      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
-    Tables.supplier(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(n1, col("s_nationkey") === col("s_nk"))
-      .join(n2, col("c_nationkey") === col("c_nk"))
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"),
+        col("l_discount"), col("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
@@ -496,8 +519,8 @@ object Analytics {
 
   val shipDelaySql: String =
     """SELECT o_orderpriority, count(*) AS n_lines,
-      | sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
-      |     THEN 1 ELSE 0 END) AS late_lines,
+      | CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
       | round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay_days
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -580,17 +603,21 @@ object Analytics {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
-  /** TPC-H Q22-style: per market segment, rich customers (balance above
-    * the global positive-balance average — a broadcast scalar, not a
-    * collect) who have never ordered (anti join).
+  /** TPC-H Q22-style: per market segment, rich-but-dormant customers —
+    * balance above the global positive-balance average (a broadcast
+    * scalar, not a collect) with no order placed since the cutoff (anti
+    * join against the filtered fact; the filter reaches the orders scan
+    * so the anti-join build side is already pruned).
     */
   def q22RichNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp")
     val c = Tables.customer(spark, dir)
     val avgBal = c.filter(col("c_acctbal") > 0)
       .agg(avg("c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(spark, dir).filter(col("o_orderdate") >= cutoff)
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
       .orderBy("c_mktsegment")
@@ -600,7 +627,8 @@ object Analytics {
     """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
       |FROM customer
       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** Pivot: order counts by priority × status, statuses as columns. */
@@ -620,29 +648,51 @@ object Analytics {
       | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Per-group ntile quartiles of order value (partitioned window — the
-    * scale-safe shape; a global ntile would serialize on one task).
+  /** Per-group quartile buckets of order value — the scale-safe shape.
+    *
+    * A `ntile(4) OVER (PARTITION BY priority ORDER BY price)` window
+    * partitions by a 5-value column, so 5 tasks would each sort the
+    * entire fact table (~100 GB single-task sorts at 100×). Instead:
+    * compute the three per-group quartile *boundaries* with an exact
+    * interpolated percentile (a hash aggregation with map-side partial
+    * merge — no global sort), broadcast the 5-row boundary table back,
+    * and assign buckets with a map-side comparison. Same output
+    * contract (priority, quartile, n, avg_price); ties at a boundary go
+    * to the lower bucket on both engines by the shared `<=` rule.
+    * At extreme scale swap `percentile` → `percentile_approx` (t-digest,
+    * bounded memory) with the identical plan shape.
     */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    val o = Tables.orders(spark, dir)
+    val bounds = o.groupBy("o_orderpriority").agg(
+      expr("percentile(o_totalprice, 0.25)").as("b1"),
+      expr("percentile(o_totalprice, 0.5)").as("b2"),
+      expr("percentile(o_totalprice, 0.75)").as("b3"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .withColumn("quartile",
+        when(col("o_totalprice") <= col("b1"), lit(1))
+          .when(col("o_totalprice") <= col("b2"), lit(2))
+          .when(col("o_totalprice") <= col("b3"), lit(3))
+          .otherwise(lit(4)))
       .groupBy("o_orderpriority", "quartile")
       .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("o_orderpriority", "quartile")
   }
 
   val ntileQuartilesSql: String =
-    """WITH t AS (
-      |  SELECT o_orderpriority, o_totalprice,
-      |    ntile(4) OVER (PARTITION BY o_orderpriority
-      |                   ORDER BY o_totalprice, o_orderkey) AS quartile
-      |  FROM orders)
-      |SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+    """WITH b AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.25) AS b1,
+      |    quantile_cont(o_totalprice, 0.50) AS b2,
+      |    quantile_cont(o_totalprice, 0.75) AS b3
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority,
+      |  CASE WHEN o_totalprice <= b1 THEN 1
+      |       WHEN o_totalprice <= b2 THEN 2
+      |       WHEN o_totalprice <= b3 THEN 3 ELSE 4 END AS quartile,
       |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
-      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM orders JOIN b USING (o_orderpriority)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Typed extraction from semi-structured event props (JSON-ish). */
   def eventsPropsExtract(spark: SparkSession, dir: String): DataFrame = {

@@ -45,6 +45,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(caught.count() === dupIds.count(), "identical docs collide in simhash space")
   }
 
+  test("ngram jaccard df-cap bounds candidates from a hot shingle") {
+    import spark.implicits._
+    // 50 docs share one boilerplate sentence (its shingles have df=50);
+    // each doc's remaining shingles are unique. Plus one true dup pair
+    // whose shingles are rare.
+    val boiler = "all rights reserved copyright notice terms apply"
+    val docs = (1 to 50).map(i => (i.toLong, s"$boiler unique$i filler$i alpha$i beta$i"))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, "the quick brown fox jumps over the lazy dog today"),
+                 (101L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"))
+    val uncapped = Dedup.ngramCandidates(docs, maxDf = 1000)
+    val capped = Dedup.ngramCandidates(docs, maxDf = 10)
+    assert(uncapped.count() >= 50L * 49 / 2, "hot shingle explodes candidates when uncapped")
+    assert(capped.count() < 50, "df-cap keeps the candidate set bounded")
+    // the true near-dup pair shares rare shingles → survives the cap,
+    // and the verified output still reports exact jaccard for it
+    assert(capped.filter(col("id_a") === 100 && col("id_b") === 101).count() === 1)
+    val out = Dedup.ngramJaccard(docs, threshold = 0.9, maxDf = 10)
+    assert(out.filter(col("id_a") === 100 && col("id_b") === 101 && col("jaccard") === 1.0)
+      .count() === 1)
+  }
+
   test("embedding cosine pairs are symmetric-free and thresholded") {
     val pairs = Dedup.embeddingCosine(spark, sfDir)
     assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)

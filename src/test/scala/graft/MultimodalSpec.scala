@@ -8,7 +8,7 @@ import graft.Tables
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
   test("binary pipeline preserves row count and emits fixed-dim features") {
-    val out = BinaryPipeline.pipeline(spark, sfDir)
+    val out = BinaryPipeline.pipelineRaw(spark, sfDir)
     val n = Tables.documents(spark, sfDir).count()
     assert(out.count() === n)
     assert(out.filter(size(col("features")) =!= BinaryPipeline.StubCodec.FeatureDim).count() === 0)
@@ -16,9 +16,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("decode stub is deterministic (two runs identical)") {
-    val a = BinaryPipeline.pipeline(spark, sfDir).drop("features")
-    val b = BinaryPipeline.pipeline(spark, sfDir).drop("features")
+    val a = BinaryPipeline.pipeline(spark, sfDir)
+    val b = BinaryPipeline.pipeline(spark, sfDir)
     assert(a.exceptAll(b).count() === 0)
+  }
+
+  test("driver-facing views carry no array columns (harness-hashable)") {
+    import org.apache.spark.sql.types.ArrayType
+    Seq(BinaryPipeline.pipeline(spark, sfDir),
+        BinaryPipeline.featureExtract(spark, sfDir),
+        BinaryPipeline.frameSample(spark, sfDir)).foreach { df =>
+      assert(!df.schema.exists(_.dataType.isInstanceOf[ArrayType]), df.schema.treeString)
+    }
   }
 
   test("resize bounds output bytes and is deterministic") {
@@ -30,7 +39,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("frame sampling keeps every k-th frame with per-frame features") {
-    val fs = BinaryPipeline.frameSample(spark, sfDir)
+    val fs = BinaryPipeline.frameSample(
+      BinaryPipeline.asBinaryTable(Tables.documents(spark, sfDir)))
     // every item contributes at least frame 0; indices are multiples of 4
     assert(fs.filter(col("frame_idx") % 4 =!= 0).count() === 0)
     val items = fs.select("item_id").distinct().count()

@@ -49,8 +49,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val joinIdx = p.indexOf("Join")
     assert(aggIdx >= 0 && joinIdx >= 0)
     // optimizedPlan prints top-down: the join must appear above (before)
-    // the lineitem aggregate, i.e. the aggregate is a join INPUT, and
-    // the aggregate's filter must sit on the aggregated side
+    // the lineitem aggregate, i.e. the aggregate is a join INPUT
+    assert(joinIdx < aggIdx, s"aggregate must be a join input, not sit above it:\n$p")
     assert(p.contains("sum_qty"), "pre-aggregated quantity expected in plan")
+  }
+
+  test("q7 restricts supplier and customer by nation below the fact join") {
+    val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
+    val p = q.queryExecution.optimizedPlan.toString
+    val joinIdx = p.indexOf("= o_orderkey")
+    assert(joinIdx >= 0, s"expected an orderkey fact join:\n$p")
+    // top-down print: everything after the fact join line is its input
+    // subtree — both nation IN-restrictions must already be there, so
+    // the facts are pruned BEFORE they shuffle against each other
+    val below = p.substring(joinIdx)
+    val inFilters = "NATION_1,NATION_2".r.findAllIn(below).size
+    assert(inFilters >= 2, s"nation IN-filters must sit below the fact join:\n$p")
   }
 }
