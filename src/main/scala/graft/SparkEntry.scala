@@ -31,6 +31,7 @@ object SparkEntry {
     "cdc_initial_snapshot" -> (CdcQueries.initialSnapshot(_, _)),
     "cdc_change_counts"    -> (CdcQueries.changeCounts(_, _)),
     "cdc_merge_batch"      -> (CdcQueries.mergeBatch(_, _)),
+    "cdc_dim_enrichment"   -> ((s, d) => CdcQueries.enrichedState(s, d)),
     "stream_windowed_agg"  -> (WindowedAggs.hourlyByTypeBatch(_, _)),
     "stream_sessionize"    -> ((s, d) => EventSessionizer.sessionizeBatch(s, d)),
     // --- relational / analytics (#9-22) ---
@@ -95,6 +96,7 @@ object SparkEntry {
     "cdc_initial_snapshot" -> CdcQueries.initialSnapshotSql,
     "cdc_change_counts"    -> CdcQueries.changeCountsSql,
     "cdc_merge_batch"      -> CdcQueries.mergeBatchSql,
+    "cdc_dim_enrichment"   -> CdcQueries.enrichedStateSql,
     "stream_windowed_agg"  -> WindowedAggs.hourlySql,
     "stream_sessionize"    -> EventSessionizer.sessionizeSql,
     "q1_pricing_summary"   -> Analytics.q1Sql,

@@ -40,10 +40,18 @@ object Tables {
     * the real-cluster / 100 TB case, where adding a repartition here
     * would be a pure pessimization.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  private def fanOut(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = load(s, d, name)
+    // estimate the scan's split count from file bytes (no RDD
+    // materialization — df.rdd here would cost a plan + job per read)
+    val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val target = s.sparkContext.defaultParallelism
+    if (splits < target) df.repartition(target) else df
   }
-  def documents(s: SparkSession, d: String): DataFrame  = fanOut(load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))
+  def documents(s: SparkSession, d: String): DataFrame  = fanOut(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(s, d, "embeddings")
 }

@@ -79,6 +79,43 @@ object CdcQueries {
        |FROM r WHERE rn = 1 AND op <> 'd'
        |ORDER BY user_id""".stripMargin
 
+  /** Default location of the repo's static dimension files — the
+    * counterpart of the reference's `files/staticdata/cities.csv`
+    * (email→city) enrichment dim
+    * (/root/reference/files/staticdata/cities.csv).
+    */
+  val StaticDimPath = "/root/repo/data/staticdata/event_channels.csv"
+
+  /** Static-dim enrichment: broadcast a small semicolon-delimited CSV
+    * dimension (event_type→channel) into the CDC latest-state and
+    * aggregate per channel — the reference's cities.csv pattern
+    * re-expressed Spark-first. The dim is read once on the driver-side
+    * scan and broadcast; the state never shuffles for the join.
+    */
+  def enrichedState(spark: SparkSession, dir: String,
+                    dimPath: String = StaticDimPath): DataFrame = {
+    val dim = broadcast(
+      spark.read.option("header", "true").option("delimiter", ";").csv(dimPath))
+    latestState(spark, dir)
+      .join(dim, col("last_event_type") === col("event_type"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_users"), round(sum("last_value"), 2).as("total_value"))
+      .orderBy("channel")
+  }
+
+  val enrichedStateSql: String =
+    s"""WITH ch AS ($changeSql),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn
+       |  FROM ch),
+       |state AS (
+       |  SELECT user_id, last_event_type, round(last_value, 2) AS last_value
+       |  FROM r WHERE rn = 1 AND op <> 'd'),
+       |dim AS (SELECT * FROM read_csv('$StaticDimPath', delim=';', header=true))
+       |SELECT channel, count(*) AS n_users, round(sum(last_value), 2) AS total_value
+       |FROM state JOIN dim ON last_event_type = event_type
+       |GROUP BY channel ORDER BY channel""".stripMargin
+
   /** Initial load (op='r' snapshot semantics): first image per key. */
   def initialSnapshot(spark: SparkSession, dir: String): DataFrame = {
     CdcOps.initialSnapshot(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)

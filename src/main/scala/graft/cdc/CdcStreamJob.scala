@@ -54,13 +54,11 @@ class CdcStreamJob(spark: SparkSession, config: CdcJobConfig) {
   def readRaw(): DataFrame = config.source match {
     case KafkaSource(k) =>
       spark.readStream
-        .format("kafka")
-        .option("kafka.bootstrap.servers", k.kafkaBootstrapServers)
-        .option("subscribe", k.topics)
-        .option("startingOffsets", k.startingOffsets)
-        .option("failOnDataLoss", "false")
+        .format(CdcStreamJob.KafkaFormat)
+        .options(CdcStreamJob.kafkaOptions(k))
         .load()
-        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "topic")
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
+          "topic", "offset")
     case FileSource(path) =>
       spark.readStream
         .schema("key STRING, value STRING, topic STRING")
@@ -88,14 +86,41 @@ class CdcStreamJob(spark: SparkSession, config: CdcJobConfig) {
 
   /** Flatten parsed envelope rows (after-image struct) into the sink's
     * flat changelog shape: key cols + op + ts_ms + seq + data cols.
+    *
+    * `seq` is the within-millisecond tiebreak for the (ts_ms, seq)
+    * recency order — Debezium's ts_ms is millisecond-resolution, so two
+    * changes to one key in the same ms are common and a ts-only order
+    * would pick a nondeterministic winner. Preference: the source log
+    * position (`src_lsn`: Postgres lsn / MySQL pos — totally ordered
+    * within a source), then the Kafka partition offset (ordered within
+    * a key because Debezium keys the topic by PK), then ts_ms.
     */
   def flattenAfterImage(parsed: DataFrame): DataFrame = {
     val dataCols = config.rowSchema.fieldNames.filterNot(config.keyCols.contains)
+    val seqSources =
+      Seq(col("src_lsn")) ++
+        (if (parsed.columns.contains("offset")) Seq(col("offset")) else Seq.empty) ++
+        Seq(col("ts_ms"), lit(0L))
     parsed.select(
       config.keyCols.map(col) ++ Seq(col("op"), col("ts_ms"),
-        coalesce(col("ts_ms"), lit(0L)).as("seq")) ++
+        coalesce(seqSources: _*).as("seq")) ++
         dataCols.map(f => col(s"after.$f").as(f)): _*)
   }
+}
+
+object CdcStreamJob {
+  val KafkaFormat = "kafka"
+
+  /** Reader options for the Kafka source — the reference's
+    * StreamingJobExecutor.read surface
+    * (/root/reference/src/main/scala/com/sg/job/streaming/StreamingJobExecutor.scala:36-46),
+    * exposed as data so the plumbing is spec-checkable without a broker.
+    */
+  def kafkaOptions(k: KafkaReaderConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> k.kafkaBootstrapServers,
+    "subscribe" -> k.topics,
+    "startingOffsets" -> k.startingOffsets,
+    "failOnDataLoss" -> "false")
 }
 
 /** Initial-load job (the reference's StreamingJobInitialExecutor,

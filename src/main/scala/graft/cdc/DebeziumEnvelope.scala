@@ -33,7 +33,9 @@ object DebeziumEnvelope {
           StructField("name", StringType, nullable = true),
           StructField("ts_ms", LongType, nullable = true),
           StructField("db", StringType, nullable = true),
-          StructField("table", StringType, nullable = true))), nullable = true),
+          StructField("table", StringType, nullable = true),
+          StructField("lsn", LongType, nullable = true),
+          StructField("pos", LongType, nullable = true))), nullable = true),
         StructField("op", StringType, nullable = true),
         StructField("ts_ms", LongType, nullable = true))), nullable = true)))
 
@@ -44,12 +46,19 @@ object DebeziumEnvelope {
     * typed CDC change rows. Pure projection — no shuffle, codegen'd.
     *
     * Output columns: every field of `pkSchema` (from the key), plus
-    * `op`, `ts_ms`, `before` (struct), `after` (struct), `src_table`.
+    * `op`, `ts_ms`, `before` (struct), `after` (struct), `src_table`,
+    * and `src_lsn` — the source's log position (Postgres `lsn` /
+    * MySQL binlog `pos`), the genuinely ordered tiebreak for changes
+    * sharing a ts_ms millisecond. When the raw frame carries a Kafka
+    * `offset` column it is passed through too (per-partition ordered —
+    * the fallback tiebreak when the connector emits no log position).
     */
   def parse(raw: DataFrame, pkSchema: StructType, rowSchema: StructType): DataFrame = {
     val k = from_json(col("key"), keySchema(pkSchema))
     val v = from_json(col("value"), valueSchema(rowSchema))
     val pkCols = pkSchema.fields.map(f => col(s"k.payload.${f.name}").as(f.name))
+    val passthrough =
+      if (raw.columns.contains("offset")) Seq(col("offset")) else Seq.empty
     raw
       .withColumn("k", k)
       .withColumn("v", v)
@@ -58,7 +67,9 @@ object DebeziumEnvelope {
         col("v.payload.ts_ms").as("ts_ms"),
         col("v.payload.before").as("before"),
         col("v.payload.after").as("after"),
-        col("v.payload.source.table").as("src_table")): _*)
+        col("v.payload.source.table").as("src_table"),
+        coalesce(col("v.payload.source.lsn"), col("v.payload.source.pos")).as("src_lsn")) ++
+        passthrough: _*)
   }
 
   /** Encode typed change rows into Debezium-shaped JSON strings —
@@ -69,12 +80,14 @@ object DebeziumEnvelope {
     * value payload's after/before images.
     */
   def encode(df: DataFrame, keyCols: Seq[String], opCol: Column, tsMsCol: Column,
-             afterStruct: Column, beforeStruct: Column, table: String): DataFrame = {
+             afterStruct: Column, beforeStruct: Column, table: String,
+             lsnCol: Column = lit(null).cast("long")): DataFrame = {
     val keyPayload = struct(keyCols.map(col): _*)
     val source = struct(
       lit("2.5").as("version"), lit("graft").as("connector"),
       lit("graftserver").as("name"), tsMsCol.as("ts_ms"),
-      lit("inventory").as("db"), lit(table).as("table"))
+      lit("inventory").as("db"), lit(table).as("table"),
+      lsnCol.as("lsn"), lit(null).cast("long").as("pos"))
     df.select(
       to_json(struct(keyPayload.as("payload"))).as("key"),
       to_json(struct(struct(

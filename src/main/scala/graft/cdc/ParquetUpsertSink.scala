@@ -1,5 +1,6 @@
 package graft.cdc
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,70 +9,180 @@ import org.apache.spark.sql.functions._
   * (/root/reference/src/main/scala/com/sg/job/streaming/StreamingJobExecutor.scala:20,
   * `DeltaTable.forPath(... "/mnt/delta/events")`).
   *
-  * State layout: `statePath/bucket=<b>/…parquet` where
-  * `b = pmod(hash(key), numBuckets)`.
+  * State layout (a poor-man's transaction log, the property Delta gives
+  * the reference):
+  * {{{
+  *   statePath/
+  *     _manifest.v<e>          committed bucket map for epoch e
+  *                             (one "bucket<TAB>relative/dir" line per
+  *                             live bucket; highest e wins)
+  *     v<e>/bucket=<b>/part-N.parquet   immutable data written at epoch e
+  * }}}
   *
-  * Scale design: a micro-batch touches only the buckets its keys hash
-  * into. We read ONLY those buckets (partition pruning on the `bucket`
-  * partition column), merge, and overwrite ONLY those directories
-  * (dynamic partition overwrite). A 100 TB state with a 1 GB batch
-  * rewrites ~batch-sized data, not the world — the same dirty-file
-  * story Delta's merge gives, built from plain parquet + hash
-  * partitioning.
+  * Commit protocol: each merge writes its output to a FRESH version
+  * directory `v<e>` (never touching directories any manifest
+  * references), then publishes atomically by renaming a temp file to
+  * `_manifest.v<e>` — rename-to-new-name is atomic on HDFS/posix; on
+  * object stores you'd swap this single call for a conditional PUT.
+  * A crash at ANY point before the rename leaves the previous manifest
+  * as the newest one, so readers (and the checkpoint replay) still see
+  * the last committed state; the half-written `v<e>` is an orphan that
+  * the next successful merge garbage-collects. This replaces the r1
+  * in-place dynamic-partition overwrite, where a crash mid-write left
+  * buckets half-rewritten and replay merged into corrupt state.
+  *
+  * Deletes that empty a bucket commit correctly too: the new manifest
+  * simply omits the bucket, so its old directory stops being visible —
+  * no "resurrection" of deleted rows from a directory that an
+  * overwrite-based scheme would have skipped rewriting.
+  *
+  * Scale design is unchanged: a micro-batch touches only the buckets
+  * its keys hash into (`b = pmod(hash(key), numBuckets)`); the merge
+  * reads ONLY those buckets' committed directories and writes
+  * ~batch-sized data. A 100 TB state with a 1 GB batch rewrites the
+  * dirty buckets, not the world.
   */
 class ParquetUpsertSink(spark: SparkSession, statePath: String,
                         keyCols: Seq[String], numBuckets: Int = 64) {
 
   private def bucketCol = pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("bucket")
 
-  private def stateExists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+  private def root = new Path(statePath)
+  private def fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestRe = """_manifest\.v(\d+)""".r
+
+  /** (epoch, manifestFile) pairs present in the state dir, ascending. */
+  private def manifests(): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(e) => Some((e.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  /** Current committed bucket map: bucket id → relative data dir. */
+  private def readManifest(): Option[(Long, Map[Int, String])] =
+    manifests().lastOption.map { case (epoch, p) =>
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val entries = text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, dir) = line.split('\t')
+        b.toInt -> dir
+      }.toMap
+      (epoch, entries)
+    }
+
+  def stateExists: Boolean = manifests().nonEmpty
+
+  /** Read the committed state (data columns only; no bucket column —
+    * each referenced directory is read as its own parquet root).
+    */
+  def readState(): DataFrame = {
+    val m = readManifest().getOrElse(
+      throw new IllegalStateException(s"no committed state at $statePath"))
+    val paths = m._2.values.toSeq.sorted.map(rel => s"$statePath/$rel")
+    if (paths.isEmpty)
+      throw new IllegalStateException(s"state at $statePath is committed but empty")
+    spark.read.parquet(paths: _*)
   }
 
-  def readState(): DataFrame = spark.read.parquet(statePath).drop("bucket")
-
   /** Merge one changelog micro-batch (keyCols ++ dataCols ++ op, ts_ms,
-    * seq) into the state. Idempotent per batchId is delegated to the
-    * caller's checkpointing (foreachBatch replays whole batches).
+    * seq) into the state. At-least-once replay from the stream
+    * checkpoint is safe: replaying a committed batch re-applies the
+    * same latest-image per key (idempotent), and a batch that crashed
+    * mid-merge never published, so its partial output is invisible.
     */
   def merge(batch: DataFrame, batchId: Long): Unit = {
-    val dataCols = batch.columns.filterNot((keyCols ++ Seq("op", "ts_ms", "seq")).contains).toSeq
-    if (!stateExists) {
-      val state0 = CdcOps.latestState(batch, keyCols, dataCols)
-        .drop("n_changes")
-      write(state0)
-    } else {
-      // Prune to dirty buckets only: collect the distinct bucket ids of
-      // this batch (tiny: ≤ numBuckets values), then read just those
-      // partitions of the state.
-      val batchB = batch.withColumn("bucket", bucketCol)
-      val dirty = batchB.select("bucket").distinct().collect().map(_.getInt(0))
-      val base = spark.read.parquet(statePath)
-        .filter(col("bucket").isin(dirty.toSeq: _*))
-        .drop("bucket")
-      // Materialize before overwriting the directory we just read
-      // (severing lineage is what makes read-then-overwrite safe here;
-      // at cluster scale this would be a new version directory + swap).
-      val merged = CdcOps.mergeChangeSet(base, batch, keyCols, dataCols).localCheckpoint(true)
-      write(merged)
+    readManifest() match {
+      case None =>
+        val dataCols = dataColsOf(batch)
+        val state0 = CdcOps.latestState(batch, keyCols, dataCols).drop("n_changes")
+        commit(0L, Map.empty, dirtyOf(batch), state0)
+      case Some((epoch, current)) =>
+        val dataCols = dataColsOf(batch)
+        val dirty = dirtyOf(batch)
+        val dirtyWithData = dirty.filter(current.contains)
+        val base =
+          if (dirtyWithData.isEmpty) emptyLike(batch, dataCols)
+          else spark.read.parquet(dirtyWithData.map(b => s"$statePath/${current(b)}"): _*)
+        val merged = CdcOps.mergeChangeSet(base, batch, keyCols, dataCols)
+        commit(epoch + 1, current, dirty, merged)
     }
   }
 
-  private def write(state: DataFrame): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      state.withColumn("bucket", bucketCol)
-        .repartition(col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(statePath)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  private def dataColsOf(batch: DataFrame): Seq[String] =
+    batch.columns.filterNot((keyCols ++ Seq("op", "ts_ms", "seq")).contains).toSeq
+
+  /** Distinct bucket ids of this batch — tiny (≤ numBuckets values). */
+  private def dirtyOf(batch: DataFrame): Seq[Int] =
+    batch.select(bucketCol).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Zero-row frame with the base-state schema (keys ++ data ++ last_ts_ms)
+    * for the first merge that touches only previously-unseen buckets.
+    */
+  private def emptyLike(batch: DataFrame, dataCols: Seq[String]): DataFrame =
+    batch.select(keyCols.map(col) ++ dataCols.map(col) :+ col("ts_ms").as("last_ts_ms"): _*)
+      .limit(0)
+
+  /** Write the merged dirty-bucket state into v<epoch>, then atomically
+    * publish a manifest carrying: every clean bucket's previous entry +
+    * every dirty bucket that still has rows. Dirty buckets with no
+    * surviving rows are dropped from the manifest (all keys deleted).
+    */
+  private def commit(epoch: Long, previous: Map[Int, String],
+                     dirty: Seq[Int], merged: DataFrame): Unit = {
+    val versionDir = s"v$epoch"
+    merged.withColumn("bucket", bucketCol)
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(s"$statePath/$versionDir")
+    // which dirty buckets actually produced rows?
+    val written: Set[Int] = fs.listStatus(new Path(root, versionDir)).toSeq
+      .map(_.getPath.getName).collect { case s if s.startsWith("bucket=") =>
+        s.stripPrefix("bucket=").toInt
+      }.toSet
+    val entries = (previous -- dirty) ++
+      written.filter(dirty.contains).map(b => b -> s"$versionDir/bucket=$b")
+    val tmp = new Path(root, s"_tmp-manifest-$epoch")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(root, s"_manifest.v$epoch")))
+      throw new IllegalStateException(
+        s"manifest commit for epoch $epoch failed (concurrent writer?)")
+    vacuum(epoch, entries)
+  }
+
+  /** Drop data no reader can reach: version dirs from older epochs whose
+    * bucket dirs the new manifest doesn't reference (including orphans
+    * from crashed merges), and manifests older than the previous one.
+    * Safe under the sink's single-writer contract; a concurrent reader
+    * that planned against epoch-1 keeps working because we keep that
+    * manifest and everything epoch-1 references is by construction
+    * either still referenced or in v<epoch-1..epoch> which we never
+    * delete here.
+    */
+  private def vacuum(epoch: Long, entries: Map[Int, String]): Unit = {
+    val referenced: Set[String] = entries.values.toSet
+    fs.listStatus(root).toSeq.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v") && name.stripPrefix("v").forall(_.isDigit)
+          && name.stripPrefix("v").toLong < epoch) {
+        fs.listStatus(st.getPath).toSeq.foreach { sub =>
+          val rel = s"$name/${sub.getPath.getName}"
+          if (sub.getPath.getName.startsWith("bucket=") && !referenced.contains(rel))
+            fs.delete(sub.getPath, true)
+        }
+        if (fs.listStatus(st.getPath).forall(!_.getPath.getName.startsWith("bucket=")))
+          fs.delete(st.getPath, true)
+      }
+      name match {
+        case ManifestRe(e) if e.toLong < epoch - 1 => fs.delete(st.getPath, false)
+        case _ => ()
       }
     }
   }

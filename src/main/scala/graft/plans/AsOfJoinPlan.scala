@@ -74,19 +74,31 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           nextRow = null
           while (nextRow == null && lIter.hasNext) {
             val l = lIter.next()
-            val k = l.getLong(lk); val t = l.getLong(lt)
-            // consume right rows usable for this (k, t): key < k is
-            // stale, key == k with ts <= t updates the buffered match
-            while (rIter.hasNext && {
-              val rKey = rIter.head.getLong(rk)
-              rKey < k || (rKey == k && rIter.head.getLong(rt) <= t)
-            }) {
-              val r = rIter.next()
-              if (r.getLong(rk) == k) { matched = r.copy(); matchedKey = k }
+            // null key/ts rows cannot match (SQL join-on-null semantics);
+            // without the guard getLong reads null as 0 and a null-key
+            // left row could spuriously match right rows with key 0
+            // (ClusteredDistribution co-locates nulls, so it's reachable)
+            if (!l.isNullAt(lk) && !l.isNullAt(lt)) {
+              val k = l.getLong(lk); val t = l.getLong(lt)
+              // consume right rows usable for this (k, t): null-keyed
+              // rows (sorted first) are discarded, key < k is stale,
+              // key == k with ts <= t updates the buffered match
+              while (rIter.hasNext && {
+                val h = rIter.head
+                h.isNullAt(rk) || h.isNullAt(rt) || {
+                  val rKey = h.getLong(rk)
+                  rKey < k || (rKey == k && h.getLong(rt) <= t)
+                }
+              }) {
+                val r = rIter.next()
+                if (!r.isNullAt(rk) && !r.isNullAt(rt) && r.getLong(rk) == k) {
+                  matched = r.copy(); matchedKey = k
+                }
+              }
+              if (matched != null && matchedKey == k) {
+                nextRow = proj(joined(l, matched))
+              } // else: no right row at or before t for this key → inner-drop
             }
-            if (matched != null && matchedKey == k) {
-              nextRow = proj(joined(l, matched))
-            } // else: no right row at or before t for this key → inner-drop
           }
         }
 

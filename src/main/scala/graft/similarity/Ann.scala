@@ -121,6 +121,12 @@ object Ann {
         .collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    if (sample.isEmpty) {
+      // empty corpus → empty result with the contract schema (instead of
+      // an out-of-bounds read while seeding centroids)
+      return embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+    }
     val refined = trainCentroids(sample, nCells, iters = 3)
     val assigned = withNearestCell(embs, refined)
 

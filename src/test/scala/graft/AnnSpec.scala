@@ -43,4 +43,10 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     info(f"IVF recall@5 = $r%.2f")
     assert(r >= 0.3, "IVF with 1/4 of cells probed recalls a meaningful fraction")
   }
+
+  test("IVF ANN on an empty embeddings table returns empty, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.ivfTopK(empty).count() === 0)
+  }
 }

@@ -40,6 +40,21 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSet === Set(("a", 90L, 7.0)))
   }
 
+  test("null keys/timestamps never match (no zero-key aliasing)") {
+    import spark.implicits._
+    val left = Seq((Option(0L), Option(100L), "zero-key"),
+                   (Option.empty[Long], Option(100L), "null-key"),
+                   (Option(1L), Option.empty[Long], "null-ts"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Option(0L), Option(50L), 1.0),
+                    (Option.empty[Long], Option(10L), 2.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoinOps.asofJoin(left, right, "k", "t")
+      .select("tag").collect().map(_.getString(0))
+    // only the genuine key-0 row matches; a null key must NOT read as 0
+    assert(out.toSet === Set("zero-key"))
+  }
+
   test("equal timestamps match (backward >= semantics)") {
     import spark.implicits._
     val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")

@@ -92,19 +92,21 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-restart").toString
     val srcDir = s"$tmp/stream-in"
 
-    // Changelog with a strictly-unique per-row ts_ms (= event_id) so the
-    // envelope path's recency ordering is total and restart-deterministic.
-    val ch = CdcOps.userChangelog(spark, sfDir).withColumn("ts_ms", col("seq")).cache()
+    // Real (colliding) ts_ms; the envelope carries the unique event_id
+    // as source.lsn, so the streaming path's (ts_ms, seq) order is total
+    // through the same-millisecond tiebreak — matching the batch
+    // comparator's (ts_ms, event_id) order.
+    val ch = CdcOps.userChangelog(spark, sfDir).cache()
     val after = when(col("op") =!= "d",
       struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
     val before = when(col("op") === "d",
       struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
     val encoded = DebeziumEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
-      after, before, "users").cache()
+      after, before, "users", lsnCol = col("seq")).cache()
 
     val n = encoded.count()
-    val splitId = ch.orderBy("ts_ms").limit((n / 2).toInt)
-      .agg(max("ts_ms")).head().getLong(0)
+    val splitId = ch.orderBy("seq").limit((n / 2).toInt)
+      .agg(max("seq")).head().getLong(0)
     val config = CdcJobConfig(
       source = FileSource(srcDir),
       checkpointLocation = s"$tmp/ckpt",
@@ -115,26 +117,93 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       numBuckets = 8)
 
     // tranche 1 → run to completion → query stops (AvailableNow)
-    encoded.join(ch.filter(col("ts_ms") <= splitId).select("ts_ms"),
-      expr(s"get_json_object(value, '$$.payload.ts_ms') = ts_ms")).drop("ts_ms")
+    encoded.join(ch.filter(col("seq") <= splitId).select("seq"),
+      expr(s"get_json_object(value, '$$.payload.source.lsn') = seq")).drop("seq")
       .write.mode("append").json(srcDir)
     val q1 = new CdcStreamJob(spark, config).execute(Trigger.AvailableNow())
     q1.awaitTermination()
 
     // tranche 2 lands while the job is down; a NEW job instance resumes
     // from the checkpoint and must not re-merge tranche 1
-    encoded.join(ch.filter(col("ts_ms") > splitId).select("ts_ms"),
-      expr(s"get_json_object(value, '$$.payload.ts_ms') = ts_ms")).drop("ts_ms")
+    encoded.join(ch.filter(col("seq") > splitId).select("seq"),
+      expr(s"get_json_object(value, '$$.payload.source.lsn') = seq")).drop("seq")
       .write.mode("append").json(srcDir)
     val q2 = new CdcStreamJob(spark, config).execute(Trigger.AvailableNow())
     q2.awaitTermination()
 
-    val streamed = spark.read.parquet(s"$tmp/state")
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 8)
+    val streamed = sink.readState()
       .select("user_id", "last_event_type", "last_value", "last_ts_ms")
     val batch = CdcOps.latestState(ch, Seq("user_id"), CdcOps.userDataCols)
       .select("user_id", "last_event_type", "last_value", "last_ts_ms")
     assert(streamed.exceptAll(batch).count() === 0, "restarted stream minus batch")
     assert(batch.exceptAll(streamed).count() === 0, "batch minus restarted stream")
     ch.unpersist(); encoded.unpersist()
+  }
+
+  test("Kafka reader options mirror the reference's surface") {
+    val opts = CdcStreamJob.kafkaOptions(KafkaReaderConfig(
+      kafkaBootstrapServers = "broker:9092",
+      topics = "graftserver.inventory.users",
+      startingOffsets = "earliest"))
+    assert(CdcStreamJob.KafkaFormat === "kafka")
+    assert(opts("kafka.bootstrap.servers") === "broker:9092")
+    assert(opts("subscribe") === "graftserver.inventory.users")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("failOnDataLoss") === "false", "reference sets failOnDataLoss=false")
+  }
+
+  private def batchDf(rows: Seq[(Long, String, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "op", "ts_ms", "seq", "last_event_type", "last_value")
+  }
+
+  test("a crash between version write and manifest commit is invisible") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-atomic").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 4)
+    sink.merge(batchDf(Seq((1L, "c", 10L, 1L, "signup", 1.0),
+                           (2L, "c", 10L, 2L, "signup", 2.0))), 0)   // epoch 0
+    sink.merge(batchDf(Seq((1L, "u", 20L, 3L, "click", 1.5))), 1)    // epoch 1
+
+    // Simulate a merge that crashed after writing its version directory
+    // but before the manifest rename: epoch 2 data exists, uncommitted.
+    Seq((9999L, "phantom", 0.0, 99L))
+      .toDF("user_id", "last_event_type", "last_value", "last_ts_ms")
+      .write.parquet(s"$tmp/state/v2/bucket=0")
+    val afterCrash = sink.readState()
+    assert(afterCrash.filter(col("user_id") === 9999).count() === 0,
+      "uncommitted version data must be invisible")
+    assert(afterCrash.filter(col("user_id") === 1 && col("last_event_type") === "click")
+      .count() === 1, "committed state survives the crash")
+
+    // The replayed/next merge takes epoch 2, overwrites the orphan, commits.
+    sink.merge(batchDf(Seq((3L, "c", 30L, 4L, "signup", 3.0))), 2)   // epoch 2
+    val recovered = sink.readState()
+    assert(recovered.filter(col("user_id") === 9999).count() === 0)
+    assert(recovered.count() === 3)
+    assert(recovered.filter(col("user_id") === 3).count() === 1)
+  }
+
+  test("a batch that deletes every key in a bucket does not resurrect them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delbucket").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 2)
+    val keys = (1L to 20L)
+    sink.merge(batchDf(keys.map(k => (k, "c", 10L, k, "signup", k.toDouble))), 0)
+
+    // every key hashing to bucket 0 gets deleted in one batch
+    val buckets = keys.toDF("user_id")
+      .withColumn("b", pmod(hash(col("user_id")), lit(2)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dead = keys.filter(buckets(_) == 0)
+    val alive = keys.filter(buckets(_) == 1)
+    assert(dead.nonEmpty && alive.nonEmpty, "test needs both buckets populated")
+    sink.merge(batchDf(dead.map(k => (k, "d", 20L, 100L + k, "error", 0.0))), 1)
+
+    val state = sink.readState()
+    assert(state.filter(col("user_id").isin(dead: _*)).count() === 0,
+      "deleted keys must not resurrect from the un-rewritten bucket")
+    assert(state.filter(col("user_id").isin(alive: _*)).count() === alive.size)
   }
 }
