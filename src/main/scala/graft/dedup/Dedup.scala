@@ -127,26 +127,36 @@ object Dedup {
       .distinct()
   }
 
-  /** All pairs with 3-shingle Jaccard ≥ threshold that share at least
-    * one rare (df ≤ maxDf) shingle. Candidates come from the df-capped
-    * inverted index ([[ngramCandidates]]); the Jaccard itself is then
-    * verified EXACTLY over the full (uncapped) shingle sets of the
-    * candidate pairs, so reported scores are true Jaccard — the cap
-    * only bounds candidate generation. A pair whose every common
-    * shingle is hot is missed by design (the standard df-pruning
-    * trade-off; such pairs share only boilerplate). At the test corpus
-    * max df ≪ cap, so output ≡ the uncapped join; the oracle applies
-    * the identical rule.
+  /** All pairs with 3-shingle Jaccard ≥ threshold over the RARE
+    * (df ≤ maxDf) shingle sets: hot shingles are dropped before BOTH
+    * candidate generation and scoring, so the score is the
+    * boilerplate-insensitive Jaccard (standard stop-shingle practice —
+    * a sentence shared by 1% of the corpus should neither blow up the
+    * self-join nor inflate similarity). Exactly the r1 inverted-index
+    * plan (one shingle-keyed self-join + count) plus the tiny hot-list
+    * broadcast anti-join; an all-hot doc contributes nothing. At the
+    * test corpus max df ≪ cap, so output ≡ the uncapped formulation;
+    * the oracle applies the identical rule. (An earlier candidate-then-
+    * verify-full-sets variant re-shuffled the corpus's shingle arrays
+    * twice and benched 7× slower — scoring over the pruned postings
+    * keeps the shuffle payload at (long, long) rows.)
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    maxDf: Int = MaxShingleDf): DataFrame = {
-    val shArr = shingled(docs).select(col("doc_id"), col("__sh").as("shset"))
-    ngramCandidates(docs, maxDf)
-      .join(shArr.select(col("doc_id").as("id_a"), col("shset").as("sh_a")), "id_a")
-      .join(shArr.select(col("doc_id").as("id_b"), col("shset").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val sh = explodedShingles(docs)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val pruned = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = pruned.alias("a").join(pruned.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_a")), col("id_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("sz").as("sz_b")), col("id_b") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -164,17 +174,12 @@ object Dedup {
       |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
       |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
       |pairs AS (
-      |  SELECT c.id_a, c.id_b, count(*) AS inter
-      |  FROM cand c
-      |   JOIN sh a ON a.doc_id = c.id_a
-      |   JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b,
       |  round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard

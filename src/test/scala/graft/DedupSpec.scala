@@ -60,8 +60,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val capped = Dedup.ngramCandidates(docs, maxDf = 10)
     assert(uncapped.count() >= 50L * 49 / 2, "hot shingle explodes candidates when uncapped")
     assert(capped.count() < 50, "df-cap keeps the candidate set bounded")
-    // the true near-dup pair shares rare shingles → survives the cap,
-    // and the verified output still reports exact jaccard for it
+    // the true near-dup pair shares only rare shingles → survives the
+    // cap, and its rare-set jaccard is the full exact jaccard (1.0)
     assert(capped.filter(col("id_a") === 100 && col("id_b") === 101).count() === 1)
     val out = Dedup.ngramJaccard(docs, threshold = 0.9, maxDf = 10)
     assert(out.filter(col("id_a") === 100 && col("id_b") === 101 && col("jaccard") === 1.0)
