@@ -71,6 +71,7 @@ object SparkEntry {
     "text_ngrams"          -> ((s, d) => TextFunctions.topBigrams(s, d)),
     "text_char_ngrams"     -> ((s, d) => TextFunctions.topCharTrigrams(s, d)),
     "text_fingerprint"     -> ((s, d) => TextFunctions.fingerprints(s, d)),
+    "text_repetition"      -> ((s, d) => TextFunctions.repetitionSignals(s, d)),
     "text_lang_id"         -> ((s, d) => TextFunctions.langId(s, d)),
     "curation_pipeline"    -> ((s, d) => TextFunctions.curationPipeline(s, d)),
     // --- dedup (#28-32) ---
@@ -79,6 +80,8 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "decontaminate"        -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- similarity search (#33-35) ---
     "ann_bruteforce_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Ann.lshTopK(s, d)),
@@ -130,11 +133,14 @@ object SparkEntry {
     "text_ngrams"          -> TextFunctions.topBigramsSql,
     "text_char_ngrams"     -> TextFunctions.topCharTrigramsSql,
     "text_fingerprint"     -> TextFunctions.fingerprintsSql,
+    "text_repetition"      -> TextFunctions.repetitionSignalsSql,
     "curation_pipeline"    -> TextFunctions.curationPipelineSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "dedup_clusters"       -> Dedup.dedupClustersSql,
+    "decontaminate"        -> Dedup.decontaminateSql,
     "ann_bruteforce_topk"  -> Ann.bruteForceSql
   )
 }

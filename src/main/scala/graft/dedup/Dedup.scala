@@ -32,11 +32,17 @@ object Dedup {
     * Docs with fewer than 3 tokens contribute their whole text as a
     * single shingle (keeps ANSI-safe indexing and a non-empty set).
     */
-  def shinglesOfToks(t: Column): Column =
-    when(size(t) >= 3,
+  def shinglesOfToks(t: Column): Column = ngramsOfToks(t, 3)
+
+  /** Distinct word n-grams from an already-materialized token array
+    * (same staging contract as [[shinglesOfToks]]); docs with fewer
+    * than n tokens contribute their whole text as a single gram.
+    */
+  def ngramsOfToks(t: Column, n: Int): Column =
+    when(size(t) >= n,
       array_distinct(
-        transform(sequence(lit(0), size(t) - 3),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
       .otherwise(array(concat_ws(" ", t)))
 
   /** Single-expression convenience form; avoid in hot paths — see
@@ -65,9 +71,14 @@ object Dedup {
     * shape (explode of an expression over the materialized token
     * attribute; see [[shingled]] for the landmine this avoids).
     */
-  private def explodedShingles(docs: DataFrame): DataFrame =
+  private def explodedShingles(docs: DataFrame): DataFrame = explodedNgrams(docs, 3)
+
+  /** (doc_id, sh: long) — one 64-bit-hashed word n-gram per row, same
+    * safe plan shape as [[explodedShingles]].
+    */
+  private def explodedNgrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("__t"))
-      .select(col("doc_id"), explode(shinglesOfToks(col("__t"))).as("s"))
+      .select(col("doc_id"), explode(ngramsOfToks(col("__t"), n)).as("s"))
       .filter(col("s") =!= "")
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
 
@@ -434,4 +445,142 @@ object Dedup {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // 6. Benchmark decontamination (test-set n-gram overlap).
+  // ------------------------------------------------------------------
+
+  /** Flag training documents that share any 5-token gram with a
+    * benchmark document — the standard pretraining decontamination
+    * check. The benchmark slice here is a deterministic held-out subset
+    * (doc_id % 11 == 0), standing in for an external eval set.
+    *
+    * Scale shape: the benchmark side is small and FIXED-SIZE (eval sets
+    * don't grow with the corpus), so its hashed gram set is broadcast
+    * and the 100 TB corpus scan stays map-side — no corpus shuffle at
+    * all, just a broadcast-hash semi-ish join plus a per-doc count.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = explodedNgrams(docs, n)
+    val benchIds = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+      .select(col("doc_id").as("bench_id"))
+    val benchGrams = grams.join(broadcast(benchIds), col("doc_id") === col("bench_id"))
+      .select(col("bench_id"), col("sh"))
+    val hits = grams.join(broadcast(benchGrams), Seq("sh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bench_hits"))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir))
+
+  val decontaminateSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]
+      |     FOR i IN range(1, len(l) - 3)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |b AS (SELECT doc_id AS bench_id, sh FROM g WHERE doc_id % 11 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, count(DISTINCT b.bench_id) AS n_bench_hits
+      |  FROM g JOIN b ON g.sh = b.sh AND g.doc_id <> b.bench_id
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(h.n_bench_hits, 0) AS n_bench_hits,
+      |  coalesce(h.n_bench_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // 7. Near-dup cluster assignment (connected components).
+  // ------------------------------------------------------------------
+
+  /** Connected components over a verified near-dup pair set: every doc
+    * is labeled with the smallest doc_id reachable through the pair
+    * graph (its canonical representative) plus the cluster size — the
+    * step that turns pairwise dedup output into "keep one per cluster".
+    *
+    * Implementation: iterative min-label propagation. Each round joins
+    * the PAIR set (already tiny relative to the corpus) against the
+    * current labels and takes the per-doc min — converging in
+    * graph-diameter rounds, and near-dup clusters are shallow. Each
+    * round is checkpointed (lineage severed) so the loop stays O(1)
+    * plan depth. For adversarially deep graphs swap the propagation for
+    * large-star/small-star; the output contract is unchanged.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.union(nbr)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupClusters(docs, ngramJaccard(docs).select("id_a", "id_b"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same verified
+    * pair set (df-capped rare-shingle jaccard ≥ 0.5, as ngramJaccardSql).
+    */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jacc AS (
+      |  SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM jacc
+      |  UNION ALL SELECT id_b, id_a FROM jacc),
+      |reach(d, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.d),
+      |labels AS (SELECT d AS doc_id, min(r) AS cluster_id FROM reach GROUP BY d),
+      |csize AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+      |SELECT labels.doc_id, labels.cluster_id, csize.cluster_size
+      |FROM labels JOIN csize USING (cluster_id)
+      |ORDER BY labels.doc_id""".stripMargin
 }

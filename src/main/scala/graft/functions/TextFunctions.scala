@@ -141,6 +141,57 @@ object TextFunctions {
       |WHERE length(trigram) = 3
       |GROUP BY trigram ORDER BY n DESC, trigram LIMIT 50""".stripMargin
 
+  /** Repetition signals (Gopher-style quality filters): the fraction of
+    * tokens that repeat an earlier token in the doc, and the share of
+    * all word bigrams taken by the single most frequent bigram. High
+    * values flag templated/spammy documents. Per-doc computation only:
+    * the unigram signal is a pure projection; the bigram signal is one
+    * (doc_id, bigram) aggregation — both shuffles keyed by doc_id, no
+    * corpus-wide state, so the plan scales linearly with the corpus.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val t = col("__toks")
+    val toked = docs.select(col("doc_id"), wsTokens(trim(lower(col("text")))).as("__toks"))
+    val uni = toked.select(col("doc_id"),
+        size(t).cast("double").as("n_toks"),
+        size(array_distinct(t)).cast("double").as("n_distinct"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct") / greatest(col("n_toks"), lit(1.0)), 4)
+          .as("dup_token_frac"))
+    val bi = toked
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max("n").cast("double").as("top_n"), sum("n").cast("double").as("total"))
+      .select(col("doc_id"), round(col("top_n") / col("total"), 4).as("top_bigram_frac"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir))
+
+  val repetitionSignalsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l FROM documents),
+      |uni AS (
+      |  SELECT doc_id,
+      |    round(1.0 - len(list_distinct(l)) * 1.0 / greatest(len(l), 1), 4) AS dup_token_frac
+      |  FROM toks),
+      |bi AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+      |  FROM toks, UNNEST(range(1, len(l))) AS t(i)),
+      |cnt AS (SELECT doc_id, bigram, count(*) AS n FROM bi GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, round(max(n) * 1.0 / sum(n), 4) AS top_bigram_frac
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT u.doc_id, u.dup_token_frac,
+      |  coalesce(a.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM uni u LEFT JOIN agg a ON u.doc_id = a.doc_id
+      |ORDER BY u.doc_id""".stripMargin
+
   /** 64-bit-ish rolling-hash document fingerprint (mod a large prime so
     * the arithmetic is overflow-free under ANSI mode). Deterministic,
     * order-sensitive — the classic content-defined fingerprint.

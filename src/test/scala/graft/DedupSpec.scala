@@ -68,6 +68,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .count() === 1)
   }
 
+  test("dedup clusters: chains collapse to one component, min id is canonical") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // chain 1-2-3 (transitive, no direct 1-3 edge), pair 5-7, singletons 4,6,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((1L, 3L)) && out(2L) === ((1L, 3L)) && out(3L) === ((1L, 3L)),
+      "chain reaches the min label transitively")
+    assert(out(5L) === ((5L, 2L)) && out(7L) === ((5L, 2L)))
+    Seq(4L, 6L, 8L).foreach(d => assert(out(d) === ((d, 1L)), s"singleton $d"))
+  }
+
+  test("decontamination flags exactly the docs sharing 5-grams with the bench slice") {
+    val out = Dedup.decontaminate(spark, sfDir)
+    assert(out.count() === Tables.documents(spark, sfDir).count())
+    // benchmark docs that are exact duplicates of a training doc must be
+    // flagged from the training side (identical text shares every gram)
+    val dupPairs = Dedup.ngramJaccard(Tables.documents(spark, sfDir), threshold = 0.999)
+    val benchDups = dupPairs
+      .filter(pmod(col("id_a"), lit(11L)) === 0 || pmod(col("id_b"), lit(11L)) === 0)
+    val flaggedIds = out.filter(col("contaminated")).select("doc_id")
+    val mustFlag = benchDups.filter(pmod(col("id_a"), lit(11L)) === 0).select(col("id_b").as("doc_id"))
+      .union(benchDups.filter(pmod(col("id_b"), lit(11L)) === 0).select(col("id_a").as("doc_id")))
+    assert(mustFlag.exceptAll(flaggedIds).count() === 0,
+      "every exact dup of a benchmark doc is flagged")
+  }
+
   test("embedding cosine pairs are symmetric-free and thresholded") {
     val pairs = Dedup.embeddingCosine(spark, sfDir)
     assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
