@@ -97,4 +97,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.keySet === Set(1L, 2L, 3L))
     assert(rows(1L) === 1.0, "first occurrence of id 1 wins")
   }
+
+  test("stream-static dim enrichment matches the batch join, stateless") {
+    import spark.implicits._
+    import graft.streaming.StreamEnrich
+    implicit val sqlCtx = spark.sqlContext
+
+    val dim = StreamEnrich.loadCsvDim(spark, graft.cdc.CdcQueries.StaticDimPath)
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type")).as[(Long, String)].collect()
+
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("event_id", "event_type")
+    val out = StreamEnrich.withDim(sdf, dim, "event_type", "event_type")
+    val q = out.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    events.grouped(math.max(events.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("enrich_test")
+    val batch = StreamEnrich.withDim(
+      Tables.events(spark, sfDir).select(col("event_id"), col("event_type")),
+      dim, "event_type", "event_type")
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+    // every event type is covered by the dim (no null channels)
+    assert(streamed.filter(col("channel").isNull).count() === 0)
+  }
 }

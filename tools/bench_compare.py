@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Compare two bench result files and flag warm-vs-warm regressions.
+
+Accepts either a raw Bench JSON line (or a log containing one) or the
+driver's BENCH_r{N}.json wrapper (whose "tail" embeds the line). Box
+variance here is large (±70% run-to-run), so only ratios above the
+threshold on the SAME machine and SF are meaningful; compare warm pairs.
+
+Usage: bench_compare.py OLD NEW [ratio-threshold=1.5]
+Exit 1 if any query regressed by more than the threshold.
+"""
+import json, re, sys
+
+
+def load(path):
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if "queries" in d:
+            return d
+        text = d.get("tail", "")
+    except json.JSONDecodeError:
+        pass
+    m = None
+    for m in re.finditer(r'\{"metric":.*?"sf":[^}]*\}', text):
+        pass
+    if m is None:
+        raise SystemExit(f"no bench JSON line found in {path}")
+    return json.loads(m.group(0))
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old["queries"], new["queries"]
+    regressed = []
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({len(oq)} -> {len(nq)} queries)")
+    for name in sorted(set(oq) | set(nq)):
+        if name not in oq:
+            print(f"  NEW      {name}: {nq[name]:.2f}s")
+        elif name not in nq:
+            print(f"  REMOVED  {name}: was {oq[name]:.2f}s")
+        else:
+            ratio = nq[name] / max(oq[name], 1e-9)
+            if ratio > thr:
+                regressed.append(name)
+                print(f"  REGRESS  {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.1f}x)")
+            elif ratio < 1 / thr:
+                print(f"  faster   {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.1f}x)")
+    if regressed:
+        print(f"REGRESSIONS: {', '.join(regressed)}")
+        sys.exit(1)
+    print("no regressions above threshold")
+
+
+if __name__ == "__main__":
+    main()
