@@ -65,6 +65,7 @@ object SparkEntry {
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
     "split_assign"         -> (Analytics.splitAssign(_, _)),
     "asof_join"            -> (graft.queries.AsOf.purchaseAttribution(_, _)),
+    "interval_join_views"  -> (Analytics.intervalJoinViews(_, _)),
     // --- text analysis (#23-27) ---
     "text_token_count"     -> ((s, d) => TextFunctions.tokenCounts(s, d)),
     "text_quality_score"   -> ((s, d) => TextFunctions.qualityScore(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "ship_delay_priority"  -> Analytics.shipDelaySql,
     "split_assign"         -> Analytics.splitAssignSql,
     "asof_join"            -> graft.queries.AsOf.purchaseAttributionSql,
+    "interval_join_views"  -> Analytics.intervalJoinSql,
     "text_token_count"     -> TextFunctions.tokenCountsSql,
     "text_quality_score"   -> TextFunctions.qualityScoreSql,
     "text_ngrams"          -> TextFunctions.topBigramsSql,

@@ -694,6 +694,37 @@ object Analytics {
       |FROM orders JOIN b USING (o_orderpriority)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Batch face of the stream-stream interval join (see
+    * graft.streaming.StreamJoin): per purchase, the views by the same
+    * user within the preceding 30 minutes, aggregated. The plan is an
+    * equi-join on user_id (one shuffle per side) with the time interval
+    * as a join-level range filter; at extreme scale co-partitioning
+    * both sides by (user, time-bucket) makes the ranges bucket-local.
+    */
+  def intervalJoinViews(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"), col("value").as("v_value"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .groupBy("purchase_id", "user_id")
+      .agg(count(lit(1)).as("n_views"), round(max("v_value"), 2).as("max_view_value"))
+      .orderBy("purchase_id")
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  count(*) AS n_views, round(max(v.value), 2) AS max_view_value
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Typed extraction from semi-structured event props (JSON-ish). */
   def eventsPropsExtract(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)

@@ -98,6 +98,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1L) === 1.0, "first occurrence of id 1 wins")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect().sortBy(_._3.getTime)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, Timestamp, Double)].collect().sortBy(_._3.getTime)
+
+    val pStream = MemoryStream[(Long, Long, Timestamp)]
+    val vStream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val joined = StreamJoin.purchaseViewStream(
+      pStream.toDF().toDF("user_id", "purchase_id", "p_ts"),
+      vStream.toDF().toDF("v_user", "view_id", "v_ts", "v_value"))
+    val q = joined.writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    // feed both sides in interleaved tranches (event-time ordered)
+    val pGroups = purchases.grouped(math.max(purchases.length / 3, 1)).toSeq
+    val vGroups = views.grouped(math.max(views.length / 3, 1)).toSeq
+    pGroups.zipAll(vGroups,
+        Array.empty[(Long, Long, Timestamp)],
+        Array.empty[(Long, Long, Timestamp, Double)])
+      .foreach { case (pg, vg) =>
+        if (pg.nonEmpty) pStream.addData(pg.toSeq)
+        if (vg.nonEmpty) vStream.addData(vg.toSeq)
+        q.processAllAvailable()
+      }
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ivj_test").select("purchase_id", "view_id")
+    val batchPairs = Tables.events(spark, sfDir).alias("p")
+      .filter(col("p.event_type") === "purchase")
+      .join(Tables.events(spark, sfDir).alias("v")
+          .filter(col("v.event_type") === "view"),
+        col("p.user_id") === col("v.user_id") &&
+          col("v.ts") >= col("p.ts") - expr("INTERVAL 30 MINUTES") &&
+          col("v.ts") <= col("p.ts"))
+      .select(col("p.event_id").as("purchase_id"), col("v.event_id").as("view_id"))
+    assert(streamed.exceptAll(batchPairs).count() === 0, "streamed minus batch")
+    assert(batchPairs.exceptAll(streamed).count() === 0, "batch minus streamed")
+  }
+
   test("stream-static dim enrichment matches the batch join, stateless") {
     import spark.implicits._
     import graft.streaming.StreamEnrich
