@@ -94,6 +94,14 @@ class CdcStreamJob(spark: SparkSession, config: CdcJobConfig) {
     * position (`src_lsn`: Postgres lsn / MySQL pos — totally ordered
     * within a source), then the Kafka partition offset (ordered within
     * a key because Debezium keys the topic by PK), then ts_ms.
+    *
+    * Contract: within one topic all envelopes must draw `seq` from the
+    * SAME ordinal domain — true for any single Debezium connector,
+    * which emits lsn (or pos) either always or never. Mixing domains
+    * (some rows lsn, some offset-only) would compare incomparable
+    * ordinals inside a same-millisecond tie; don't merge streams from
+    * heterogeneous connectors into one state table without normalizing
+    * seq first.
     */
   def flattenAfterImage(parsed: DataFrame): DataFrame = {
     val dataCols = config.rowSchema.fieldNames.filterNot(config.keyCols.contains)

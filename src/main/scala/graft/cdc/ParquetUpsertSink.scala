@@ -62,30 +62,48 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
       }
     }.sortBy(_._1)
 
-  /** Current committed bucket map: bucket id → relative data dir. */
-  private def readManifest(): Option[(Long, Map[Int, String])] =
-    manifests().lastOption.map { case (epoch, p) =>
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val entries = text.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(b, dir) = line.split('\t')
-        b.toInt -> dir
-      }.toMap
-      (epoch, entries)
+  /** Current committed bucket map: bucket id → relative data dir, plus
+    * the state schema (recorded so an all-deleted state stays readable).
+    */
+  private def readManifest(): Option[(Long, Map[Int, String], Option[org.apache.spark.sql.types.StructType])] =
+    manifests().lastOption.map { case (epoch, p) => readManifestAt(epoch, p) }
+
+  private def readManifestAt(epoch: Long, p: Path)
+      : (Long, Map[Int, String], Option[org.apache.spark.sql.types.StructType]) = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val (schemaLines, entryLines) = text.linesIterator.filter(_.nonEmpty).toSeq
+      .partition(_.startsWith("#schema\t"))
+    val schema = schemaLines.headOption.map { l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema\t"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+    val entries = entryLines.map { line =>
+      val Array(b, dir) = line.split('\t')
+      b.toInt -> dir
+    }.toMap
+    (epoch, entries, schema)
+  }
 
   def stateExists: Boolean = manifests().nonEmpty
 
   /** Read the committed state (data columns only; no bucket column —
-    * each referenced directory is read as its own parquet root).
+    * each referenced directory is read as its own parquet root). A
+    * committed state with every key deleted reads as an EMPTY frame
+    * with the recorded schema, not an error.
     */
   def readState(): DataFrame = {
-    val m = readManifest().getOrElse(
+    val (_, entries, schema) = readManifest().getOrElse(
       throw new IllegalStateException(s"no committed state at $statePath"))
-    val paths = m._2.values.toSeq.sorted.map(rel => s"$statePath/$rel")
-    if (paths.isEmpty)
-      throw new IllegalStateException(s"state at $statePath is committed but empty")
-    spark.read.parquet(paths: _*)
+    val paths = entries.values.toSeq.sorted.map(rel => s"$statePath/$rel")
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else schema match {
+      case Some(s) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None =>
+        throw new IllegalStateException(
+          s"state at $statePath is empty and its manifest carries no schema")
+    }
   }
 
   /** Merge one changelog micro-batch (keyCols ++ dataCols ++ op, ts_ms,
@@ -100,7 +118,7 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
         val dataCols = dataColsOf(batch)
         val state0 = CdcOps.latestState(batch, keyCols, dataCols).drop("n_changes")
         commit(0L, Map.empty, dirtyOf(batch), state0)
-      case Some((epoch, current)) =>
+      case Some((epoch, current, _)) =>
         val dataCols = dataColsOf(batch)
         val dirty = dirtyOf(batch)
         val dirtyWithData = dirty.filter(current.contains)
@@ -148,26 +166,29 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
       written.filter(dirty.contains).map(b => b -> s"$versionDir/bucket=$b")
     val tmp = new Path(root, s"_tmp-manifest-$epoch")
     val out = fs.create(tmp, true)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val schemaLine = s"#schema\t${merged.schema.json}\n"
+    try out.write((schemaLine + entries.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }.mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new Path(root, s"_manifest.v$epoch")))
       throw new IllegalStateException(
         s"manifest commit for epoch $epoch failed (concurrent writer?)")
-    vacuum(epoch, entries)
+    vacuum(epoch, entries, previous)
   }
 
   /** Drop data no reader can reach: version dirs from older epochs whose
-    * bucket dirs the new manifest doesn't reference (including orphans
-    * from crashed merges), and manifests older than the previous one.
-    * Safe under the sink's single-writer contract; a concurrent reader
-    * that planned against epoch-1 keeps working because we keep that
-    * manifest and everything epoch-1 references is by construction
-    * either still referenced or in v<epoch-1..epoch> which we never
-    * delete here.
+    * bucket dirs NEITHER the new manifest NOR the retained previous
+    * manifest references (including orphans from crashed merges), and
+    * manifest files older than the previous one. Keeping everything the
+    * previous manifest references means a reader that planned against
+    * epoch-1 just before this commit still finds its files; its data
+    * ages out only at the NEXT commit, by which point a grace window has
+    * passed (single-writer contract; longer reader pins would keep more
+    * manifests).
     */
-  private def vacuum(epoch: Long, entries: Map[Int, String]): Unit = {
-    val referenced: Set[String] = entries.values.toSet
+  private def vacuum(epoch: Long, entries: Map[Int, String],
+                     previous: Map[Int, String]): Unit = {
+    val referenced: Set[String] = entries.values.toSet ++ previous.values.toSet
     fs.listStatus(root).toSeq.foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("v") && name.stripPrefix("v").forall(_.isDigit)

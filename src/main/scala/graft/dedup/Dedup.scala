@@ -455,17 +455,19 @@ object Dedup {
     * check. The benchmark slice here is a deterministic held-out subset
     * (doc_id % 11 == 0), standing in for an external eval set.
     *
-    * Scale shape: the benchmark side is small and FIXED-SIZE (eval sets
-    * don't grow with the corpus), so its hashed gram set is broadcast
-    * and the 100 TB corpus scan stays map-side — no corpus shuffle at
-    * all, just a broadcast-hash semi-ish join plus a per-doc count.
+    * Scale shape: a real eval set is small and fixed-size (it doesn't
+    * grow with the corpus — the %-slice here is only a deterministic
+    * test stand-in), so its hashed gram set is broadcast and the 100 TB
+    * corpus scan stays map-side — no corpus shuffle at all, just a
+    * broadcast-hash join plus a per-doc count.
     */
   def decontaminate(docs: DataFrame, n: Int = 5): DataFrame = {
     val grams = explodedNgrams(docs, n)
-    val benchIds = docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
-      .select(col("doc_id").as("bench_id"))
-    val benchGrams = grams.join(broadcast(benchIds), col("doc_id") === col("bench_id"))
-      .select(col("bench_id"), col("sh"))
+    // gram the (small) bench slice directly — the filter reaches its own
+    // scan, so building the broadcast side never grams the full corpus
+    val benchGrams = explodedNgrams(
+        docs.filter(pmod(col("doc_id"), lit(11L)) === 0), n)
+      .select(col("doc_id").as("bench_id"), col("sh"))
     val hits = grams.join(broadcast(benchGrams), Seq("sh"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id")
@@ -518,7 +520,7 @@ object Dedup {
     * plan depth. For adversarially deep graphs swap the propagation for
     * large-star/small-star; the output contract is unchanged.
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -537,6 +539,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // silent partial convergence would diverge from the transitive-
+    // closure contract (and its oracle) — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIters rounds " +
+        s"($changed labels still changing); raise maxIters for graphs of this diameter")
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select("doc_id", "cluster_id", "cluster_size")

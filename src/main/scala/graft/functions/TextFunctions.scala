@@ -159,6 +159,7 @@ object TextFunctions {
         round(lit(1.0) - col("n_distinct") / greatest(col("n_toks"), lit(1.0)), 4)
           .as("dup_token_frac"))
     val bi = toked
+      .filter(size(t) >= 2) // guard: sequence(0, -1) descends under one token
       .select(col("doc_id"), explode(transform(sequence(lit(0), size(t) - 2),
         i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))

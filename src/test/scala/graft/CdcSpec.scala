@@ -205,5 +205,12 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(state.filter(col("user_id").isin(dead: _*)).count() === 0,
       "deleted keys must not resurrect from the un-rewritten bucket")
     assert(state.filter(col("user_id").isin(alive: _*)).count() === alive.size)
+
+    // delete the rest too: an all-deleted state is committed and reads
+    // as an EMPTY typed frame (schema from the manifest), not an error
+    sink.merge(batchDf(alive.map(k => (k, "d", 30L, 200L + k, "error", 0.0))), 2)
+    val emptyState = sink.readState()
+    assert(emptyState.count() === 0)
+    assert(emptyState.columns.contains("user_id") && emptyState.columns.contains("last_ts_ms"))
   }
 }
