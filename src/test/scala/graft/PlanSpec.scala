@@ -54,6 +54,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("sum_qty"), "pre-aggregated quantity expected in plan")
   }
 
+  test("ntile quartiles plan carries no window operator (boundary + map-side assign)") {
+    val p = plan(graft.queries.Analytics.ntileQuartiles(spark, sfDir))
+    assert(!p.contains("Window"), s"the few-partition sort window must be gone:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "boundary table should broadcast back")
+  }
+
+  test("ngram jaccard prunes hot shingles via a broadcast anti-join") {
+    val p = plan(graft.dedup.Dedup.ngramJaccard(spark, sfDir))
+    assert(p.contains("LeftAnti"), "df-cap anti-join expected")
+    assert(p.contains("BroadcastHashJoin"), "hot list should broadcast")
+  }
+
+  test("decontaminate joins the corpus against broadcast bench grams") {
+    val p = plan(graft.dedup.Dedup.decontaminate(spark, sfDir))
+    // the gram-keyed join (on sh) must be broadcast — the corpus never
+    // shuffles its grams; the final per-doc result join carries ids only
+    assert(p.contains("BroadcastHashJoin [sh"), s"bench gram set should broadcast:\n$p")
+    assert(p.contains("pmod") && p.contains("DataFilters: [isnotnull(doc_id"),
+      "bench slice filter reaches its own scan")
+  }
+
   test("q7 restricts supplier and customer by nation below the fact join") {
     val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString
