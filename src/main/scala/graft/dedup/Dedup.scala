@@ -153,7 +153,14 @@ object Dedup {
     * keeps the shuffle payload at (long, long) rows.)
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
-                   maxDf: Int = MaxShingleDf): DataFrame = {
+                   maxDf: Int = MaxShingleDf): DataFrame =
+    ngramJaccardPairs(docs, threshold, maxDf).orderBy("id_a", "id_b")
+
+  /** [[ngramJaccard]] without the final presentation sort — feed this
+    * to downstream consumers (clustering) that don't need ordering.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
     val sh = explodedShingles(docs)
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
@@ -170,7 +177,6 @@ object Dedup {
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -272,9 +278,14 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // per-doc rollup (symmetric view so every doc reports)
-    val sym = verified.select(col("id_a").as("doc_id"), col("id_b").as("other"), col("jaccard"))
-      .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("other"), col("jaccard")))
+    // per-doc rollup (symmetric view so every doc reports). Explode the
+    // two directions from ONE row instead of union-ing two selects of
+    // the same subtree — Spark has no common-subplan elimination across
+    // union branches, so the union form runs candidate+verify twice.
+    val sym = verified.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("id_b").as("other"), col("jaccard")),
+        struct(col("id_b").as("doc_id"), col("id_a").as("other"), col("jaccard")))).as("e"))
+      .select("e.doc_id", "e.other", "e.jaccard")
     docs.select("doc_id")
       .join(sym, Seq("doc_id"), "left")
       .groupBy("doc_id")
@@ -365,8 +376,11 @@ object Dedup {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    val sym = cand.select(col("id_a").as("doc_id"), col("id_b").as("other"))
-      .union(cand.select(col("id_b").as("doc_id"), col("id_a").as("other")))
+    // single-evaluation symmetrization (see minhashLsh's sym note)
+    val sym = cand.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("id_b").as("other")),
+        struct(col("id_b").as("doc_id"), col("id_a").as("other")))).as("e"))
+      .select("e.doc_id", "e.other")
     docs.select("doc_id")
       .join(sym, Seq("doc_id"), "left")
       .groupBy("doc_id")
@@ -521,8 +535,13 @@ object Dedup {
     * large-star/small-star; the output contract is unchanged.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions from one evaluation of the pair subtree (a union
+    // of two selects would run pair generation twice), materialized
+    // once since every propagation round re-reads the edges
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
@@ -552,7 +571,7 @@ object Dedup {
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    dedupClusters(docs, ngramJaccard(docs).select("id_a", "id_b"))
+    dedupClusters(docs, ngramJaccardPairs(docs).select("id_a", "id_b"))
   }
 
   /** Oracle: transitive closure by recursive CTE over the same verified
