@@ -73,6 +73,7 @@ object SparkEntry {
     "text_char_ngrams"     -> ((s, d) => TextFunctions.topCharTrigrams(s, d)),
     "text_fingerprint"     -> ((s, d) => TextFunctions.fingerprints(s, d)),
     "text_repetition"      -> ((s, d) => TextFunctions.repetitionSignals(s, d)),
+    "corpus_stats"         -> ((s, d) => TextFunctions.corpusStats(s, d)),
     "text_lang_id"         -> ((s, d) => TextFunctions.langId(s, d)),
     "curation_pipeline"    -> ((s, d) => TextFunctions.curationPipeline(s, d)),
     // --- dedup (#28-32) ---
@@ -91,6 +92,7 @@ object SparkEntry {
     "mm_binary_pipeline"   -> (BinaryPipeline.pipeline(_, _)),
     "mm_feature_extract"   -> (BinaryPipeline.featureExtract(_, _)),
     "mm_resize"            -> (BinaryPipeline.resize(_, _)),
+    "mm_dedup"             -> (BinaryPipeline.binaryDedup(_, _)),
     "mm_frame_sample"      -> ((s, d) => BinaryPipeline.frameSample(s, d))
   )
 
@@ -136,6 +138,8 @@ object SparkEntry {
     "text_char_ngrams"     -> TextFunctions.topCharTrigramsSql,
     "text_fingerprint"     -> TextFunctions.fingerprintsSql,
     "text_repetition"      -> TextFunctions.repetitionSignalsSql,
+    "corpus_stats"         -> TextFunctions.corpusStatsSql,
+    "mm_dedup"             -> BinaryPipeline.binaryDedupSql,
     "curation_pipeline"    -> TextFunctions.curationPipelineSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,

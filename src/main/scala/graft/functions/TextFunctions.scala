@@ -271,6 +271,34 @@ object TextFunctions {
       | count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
       |FROM ded GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-source corpus accounting — the summary every corpus-mixing
+    * decision starts from: document counts, token mass, mean quality,
+    * language spread per source. One partial-agg shuffle on `source`.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val toks = size(wsTokens(col("text")))
+    docs.select(col("source"), col("lang"), col("n_chars"), toks.as("toks"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks").cast("long")).as("total_tokens"),
+        round(avg("toks"), 4).as("avg_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(spark, dir))
+
+  val corpusStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace

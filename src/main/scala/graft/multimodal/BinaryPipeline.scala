@@ -209,6 +209,27 @@ object BinaryPipeline {
       .orderBy("item_id")
   }
 
+  /** Exact multimodal dedup: group binary payloads by content hash and
+    * keep the smallest item_id — byte-identical images/audio collapse in
+    * ONE hash aggregation with map-side partials, the same single-
+    * shuffle shape as text `dedup_exact` but over the binary column
+    * directly (no decode needed to kill exact copies).
+    */
+  def binaryDedup(binTable: DataFrame): DataFrame =
+    binTable
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min("item_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "payload_md5")
+      .orderBy("keep_id")
+
+  def binaryDedup(spark: SparkSession, dir: String): DataFrame =
+    binaryDedup(asBinaryTable(Tables.documents(spark, dir)))
+
+  /** Oracle: DuckDB md5 over the same UTF-8 payload bytes. */
+  val binaryDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS payload_md5
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
   /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions

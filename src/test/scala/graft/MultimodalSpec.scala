@@ -49,6 +49,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       =!= BinaryPipeline.StubCodec.FeatureDim).count() === 0)
   }
 
+  test("binary dedup partitions items; byte-identical payloads collapse") {
+    val groups = BinaryPipeline.binaryDedup(spark, sfDir)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(groups.agg(sum(col("n_copies"))).head.getLong(0) === n)
+    // identical texts → identical payload bytes → same md5 group
+    val textGroups = graft.dedup.Dedup.exact(spark, sfDir).count()
+    assert(groups.count() === textGroups,
+      "binary dedup groups == normalized-text dedup groups only if texts are pre-normalized; " +
+        "payload md5 groups must match raw-text distinct count")
+  }
+
   test("payload binary column survives the round trip (no string inflation)") {
     val bin = BinaryPipeline.asBinaryTable(Tables.documents(spark, sfDir))
     val schema = bin.schema("payload").dataType.typeName
