@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatVecCosine, FloatVecL2Sq}
+import graft.functions.{FloatVecCosine, FloatVecL2Sq, SimHash64}
 
 /** SparkSessionExtensions entry point: exposes graft's native codegen'd
   * expressions to SQL users.
@@ -33,9 +33,19 @@ object GraftExtensions {
         make(args(0), args(1))
       })
 
+  private def unary(name: String, clazz: Class[_], make: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+        make(args(0))
+      })
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     binary("vec_cosine", classOf[FloatVecCosine], FloatVecCosine(_, _)),
-    binary("vec_l2sq", classOf[FloatVecL2Sq], FloatVecL2Sq(_, _)))
+    binary("vec_l2sq", classOf[FloatVecL2Sq], FloatVecL2Sq(_, _)),
+    unary("simhash64", classOf[SimHash64], SimHash64(_)))
 
   /** Register the functions on an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "decontaminate"        -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- similarity search (#33-35) ---
     "ann_bruteforce_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),

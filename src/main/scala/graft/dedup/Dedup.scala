@@ -247,27 +247,60 @@ object Dedup {
   def minhashSignature(text: Column): Column =
     minhashFromHashes(shingleHashes(shingles(text)))
 
-  /** LSH banding: signature → 16 band keys; docs sharing any band key
-    * become candidates. The band-bucket groupBy is the only shuffle.
-    * Output per doc: candidate count + best verified match (never empty
-    * — docs with no candidates report n_candidates=0).
+  /** (doc_id, band_id, band_hash) LSH index rows for a corpus slice —
+    * the PERSISTABLE form of the MinHash index: write these ~16 rows/doc
+    * to parquet once per corpus increment and new batches join against
+    * them without ever re-shingling the old corpus (see
+    * [[incrementalCandidates]]). Entirely map-side.
     */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def lshBandIndex(docs: DataFrame): DataFrame = {
     val withSig = shingled(docs)
       .select(col("doc_id"), shingleHashes(col("__sh")).as("__h"))
       .select(col("doc_id"), minhashFromHashes(col("__h")).as("sig"))
-    val bands = withSig.select(
+    withSig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumHashes / BandRows - 1)),
         b => struct(b.as("band_id"),
           xxhash64(slice(col("sig"), b * BandRows + 1, lit(BandRows)).cast("string")).as("band_hash"))))
         .as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val candidates = bands.alias("a").join(bands.alias("b"),
+  }
+
+  /** Within-corpus LSH candidate pairs (id_a < id_b) from a band index. */
+  def lshCandidatesFromIndex(bands: DataFrame): DataFrame =
+    bands.alias("a").join(bands.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+
+  /** Incremental near-dup candidates — the daily-batch pattern: the
+    * existing corpus is represented ONLY by its persisted band index;
+    * the new batch computes its own bands map-side and band-joins them
+    * against the index (batch-vs-corpus) plus itself (within-batch).
+    * Cost scales with the batch, not the corpus — nothing old is
+    * re-shingled or re-signed. Union of two distinct subtrees (no
+    * double evaluation). Verify candidates with the jaccard of choice
+    * downstream, exactly as [[minhashLsh]] does.
+    */
+  def incrementalCandidates(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val nb = lshBandIndex(newDocs)
+    val vsCorpus = nb.alias("a").join(index.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val withinBatch = lshCandidatesFromIndex(nb)
+    vsCorpus.union(withinBatch).distinct()
+  }
+
+  /** LSH banding: signature → 16 band keys; docs sharing any band key
+    * become candidates. The band-bucket groupBy is the only shuffle.
+    * Output per doc: candidate count + best verified match (never empty
+    * — docs with no candidates report n_candidates=0).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val candidates = lshCandidatesFromIndex(lshBandIndex(docs))
     // verify candidates with exact shingle Jaccard
     val sh = shingled(docs).select(col("doc_id"), col("__sh").as("shingles"))
     val verified = candidates
@@ -298,6 +331,24 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables.documents(spark, dir))
+
+  /** Driver entry for the incremental pattern: even doc_ids play the
+    * already-indexed corpus, odd ids the new batch; report candidate
+    * pair counts by origin. Hash-specific → rows-only checked; the
+    * decomposition (full == within-old ∪ incremental) is spec-asserted.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldCorpus = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val newBatch = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+    incrementalCandidates(lshBandIndex(oldCorpus), newBatch)
+      .withColumn("origin",
+        when(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)), "batch_vs_corpus")
+          .otherwise("within_batch"))
+      .groupBy("origin")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_docs_b"))
+      .orderBy("origin")
+  }
 
   /** Oracle for the ROLLUP shape of minhashLsh, computable exactly in
     * SQL because at threshold ≥ 0.5 LSH with 16 bands × 4 rows has

@@ -68,6 +68,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .count() === 1)
   }
 
+  test("incremental LSH candidates decompose the full candidate set") {
+    val docs = Tables.documents(spark, sfDir)
+    val full = Dedup.lshCandidatesFromIndex(Dedup.lshBandIndex(docs))
+    val h1 = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val h2 = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+    // index the first half once, then treat the second half as a new
+    // batch joining only against the persisted index + itself
+    val inc = Dedup.lshCandidatesFromIndex(Dedup.lshBandIndex(h1))
+      .union(Dedup.incrementalCandidates(Dedup.lshBandIndex(h1), h2))
+      .distinct()
+    assert(full.exceptAll(inc).count() === 0, "full minus incremental")
+    assert(inc.exceptAll(full).count() === 0, "incremental minus full")
+  }
+
   test("dedup clusters: chains collapse to one component, min id is canonical") {
     import spark.implicits._
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
