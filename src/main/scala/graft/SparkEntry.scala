@@ -74,6 +74,7 @@ object SparkEntry {
     "text_fingerprint"     -> ((s, d) => TextFunctions.fingerprints(s, d)),
     "text_repetition"      -> ((s, d) => TextFunctions.repetitionSignals(s, d)),
     "corpus_stats"         -> ((s, d) => TextFunctions.corpusStats(s, d)),
+    "pack_sequences"       -> ((s, d) => TextFunctions.packSequences(s, d)),
     "text_lang_id"         -> ((s, d) => TextFunctions.langId(s, d)),
     "curation_pipeline"    -> ((s, d) => TextFunctions.curationPipeline(s, d)),
     // --- dedup (#28-32) ---
@@ -140,6 +141,7 @@ object SparkEntry {
     "text_fingerprint"     -> TextFunctions.fingerprintsSql,
     "text_repetition"      -> TextFunctions.repetitionSignalsSql,
     "corpus_stats"         -> TextFunctions.corpusStatsSql,
+    "pack_sequences"       -> TextFunctions.packSequencesSql,
     "mm_dedup"             -> BinaryPipeline.binaryDedupSql,
     "curation_pipeline"    -> TextFunctions.curationPipelineSql,
     "dedup_exact"          -> Dedup.exactSql,

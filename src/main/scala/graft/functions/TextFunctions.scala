@@ -299,6 +299,43 @@ object TextFunctions {
       |  count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic sequence packing: assign documents to fixed-token-
+    * budget training packs. Docs are spread across `buckets` arithmetic
+    * bins (deterministic, engine-portable); within a bucket a running
+    * token sum assigns each doc to the pack where it starts. The window
+    * partitions by bucket, so the sort is per-bucket — set `buckets` ≈
+    * executor cores × a few so each sort stays partition-sized at
+    * 100 TB (this is the standard distributable approximation of
+    * sequential first-fit packing; packs can overflow by at most one
+    * document, exactly like streaming packers).
+    */
+  def packSequences(docs: DataFrame, seqLen: Int = 256, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"), size(wsTokens(col("text"))).as("toks"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    t.withColumn("cum", sum("toks").over(w))
+      .withColumn("pack_id", floor((col("cum") - col("toks")) / seqLen).cast("long"))
+      .groupBy("bucket", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks").cast("long")).as("pack_tokens"))
+      .orderBy("bucket", "pack_id")
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+      |    doc_id % 64 AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(toks) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum FROM t)
+      |SELECT bucket, CAST(floor((cum - toks) / 256) AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace
