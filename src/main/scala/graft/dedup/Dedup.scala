@@ -279,12 +279,14 @@ object Dedup {
     * the new batch computes its own bands map-side and band-joins them
     * against the index (batch-vs-corpus) plus itself (within-batch).
     * Cost scales with the batch, not the corpus — nothing old is
-    * re-shingled or re-signed. Union of two distinct subtrees (no
-    * double evaluation). Verify candidates with the jaccard of choice
-    * downstream, exactly as [[minhashLsh]] does.
+    * re-shingled or re-signed, and the batch's own index is
+    * materialized ONCE (it feeds three join inputs; without the
+    * checkpoint Spark would re-sign the batch per reference, since
+    * there is no common-subplan elimination). Verify candidates with
+    * the jaccard of choice downstream, exactly as [[minhashLsh]] does.
     */
   def incrementalCandidates(index: DataFrame, newDocs: DataFrame): DataFrame = {
-    val nb = lshBandIndex(newDocs)
+    val nb = lshBandIndex(newDocs).localCheckpoint(true)
     val vsCorpus = nb.alias("a").join(index.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") =!= col("b.doc_id"))

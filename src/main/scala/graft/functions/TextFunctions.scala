@@ -41,6 +41,21 @@ object TextFunctions {
     * stopword density, punctuation density, uppercase density, mean
     * token length — combined into a [0,1]-ish score.
     */
+  /** The combined [0,1]-ish quality score as a reusable expression
+    * (shared by qualityScore, corpusStats, and the curation pipeline).
+    */
+  def qualityExpr(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val toks = size(wsTokens(text)).cast("double")
+    val stops = regexp_count(lower(text),
+      lit("\\b(the|a|an|of|to|and|in|is|it|that)\\b")).cast("double")
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
+    round(
+      least(lit(1.0), (stops / toks) * 2.5)
+        * (lit(1.0) - least(lit(1.0), (punct / greatest(chars, lit(1.0))) * 10.0))
+        * least(lit(1.0), log(lit(1.0) + toks) / 5.0), 4)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("double")
     val toks = size(wsTokens(col("text"))).cast("double")
@@ -54,10 +69,7 @@ object TextFunctions {
       round((punct / greatest(chars, lit(1.0))), 4).as("punct_ratio"),
       round((upper / greatest(chars, lit(1.0))), 4).as("upper_ratio"),
       round(chars / toks, 4).as("chars_per_token"),
-      round(
-        least(lit(1.0), (stops / toks) * 2.5)
-          * (lit(1.0) - least(lit(1.0), (punct / greatest(chars, lit(1.0))) * 10.0))
-          * least(lit(1.0), log(lit(1.0) + toks) / 5.0), 4).as("quality"))
+      qualityExpr(col("text")).as("quality"))
   }
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -277,13 +289,15 @@ object TextFunctions {
     */
   def corpusStats(docs: DataFrame): DataFrame = {
     val toks = size(wsTokens(col("text")))
-    docs.select(col("source"), col("lang"), col("n_chars"), toks.as("toks"))
+    docs.select(col("source"), col("lang"), col("n_chars"), toks.as("toks"),
+        qualityExpr(col("text")).as("quality"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks").cast("long")).as("total_tokens"),
         round(avg("toks"), 4).as("avg_tokens"),
         round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg("quality"), 4).as("avg_quality"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("source")
   }
@@ -292,12 +306,26 @@ object TextFunctions {
     corpusStats(Tables.documents(spark, dir))
 
   val corpusStatsSql: String =
-    """SELECT source, count(*) AS n_docs,
-      |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-      |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+    """WITH m AS (
+      |  SELECT source, lang, n_chars, text,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|that)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, lang, n_chars, CAST(toks AS BIGINT) AS toks,
+      |    round(least(1.0, (stops / toks) * 2.5)
+      |      * (1.0 - least(1.0, (punct / greatest(chars, 1.0)) * 10.0))
+      |      * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  round(avg(toks), 4) AS avg_tokens,
       |  round(avg(n_chars), 4) AS avg_chars,
+      |  round(avg(quality), 4) AS avg_quality,
       |  count(DISTINCT lang) AS n_langs
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   /** Deterministic sequence packing: assign documents to fixed-token-
     * budget training packs. Docs are spread across `buckets` arithmetic

@@ -53,11 +53,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val groups = BinaryPipeline.binaryDedup(spark, sfDir)
     val n = Tables.documents(spark, sfDir).count()
     assert(groups.agg(sum(col("n_copies"))).head.getLong(0) === n)
-    // identical texts → identical payload bytes → same md5 group
-    val textGroups = graft.dedup.Dedup.exact(spark, sfDir).count()
-    assert(groups.count() === textGroups,
-      "binary dedup groups == normalized-text dedup groups only if texts are pre-normalized; " +
-        "payload md5 groups must match raw-text distinct count")
+    // one md5 group per distinct RAW payload (== distinct raw text,
+    // since the payload is the utf-8 text bytes)
+    val distinctRaw = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(groups.count() === distinctRaw)
   }
 
   test("payload binary column survives the round trip (no string inflation)") {
