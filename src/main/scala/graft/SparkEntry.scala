@@ -90,6 +90,7 @@ object SparkEntry {
     "ann_bruteforce_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_topk"         -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Ann.ivfTopK(s, d)),
+    "ann_sq_topk"          -> ((s, d) => Ann.sqTopK(s, d)),
     // --- multimodal (#36-37) ---
     "mm_binary_pipeline"   -> (BinaryPipeline.pipeline(_, _)),
     "mm_feature_extract"   -> (BinaryPipeline.featureExtract(_, _)),

@@ -44,6 +44,29 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(r >= 0.3, "IVF with 1/4 of cells probed recalls a meaningful fraction")
   }
 
+  test("int8 scalar quantization keeps high recall and tight reconstruction") {
+    val sq = Ann.sqTopK(spark, sfDir)
+    assert(sq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    val r = recallVsBrute(sq)
+    info(f"SQ recall@5 = $r%.2f")
+    assert(r >= 0.8, "8-bit quantization should barely perturb the ranking")
+    // reconstruction: cosine(original, dequantized(self)) ≈ 1
+    val embs = Tables.embeddings(spark, sfDir)
+    val bounds = embs
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .collect().sortBy(_.getInt(0)).map(r0 => (r0.getDouble(1), r0.getDouble(2)))
+    val lo = array(bounds.map(b => lit(b._1)): _*)
+    val span = array(bounds.map(b => lit(math.max(b._2 - b._1, 1e-12))): _*)
+    val selfCos = embs.select(
+      graft.functions.VectorFunctions.cosine(
+        col("embedding"),
+        Ann.sqDecode(Ann.sqEncode(col("embedding"), lo, span), lo, span)).as("c"))
+    assert(selfCos.agg(min("c")).head.getDouble(0) >= 0.995,
+      "every dequantized vector stays nearly parallel to its original")
+  }
+
   test("IVF ANN on an empty embeddings table returns empty, not an error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
