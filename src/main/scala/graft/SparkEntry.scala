@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "corpus_delta"         -> ((s, d) => Dedup.corpusDelta(s, d)),
     "decontaminate"        -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- similarity search (#33-35) ---
     "ann_bruteforce_topk"  -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "corpus_delta"         -> Dedup.corpusDeltaSql,
     "dedup_clusters"       -> Dedup.dedupClustersSql,
     "decontaminate"        -> Dedup.decontaminateSql,
     "ann_bruteforce_topk"  -> Ann.bruteForceSql

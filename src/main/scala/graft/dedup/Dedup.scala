@@ -107,6 +107,57 @@ object Dedup {
       |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
       |ORDER BY keep_id""".stripMargin
 
+  /** Corpus snapshot delta — CDC for corpora: classify every doc as
+    * added / removed / changed / unchanged between two snapshots by
+    * content hash. Hashes are map-side; the only shuffle is ONE
+    * co-partitioned full-outer join on doc_id, so a daily diff of a
+    * 100 TB corpus costs a single key shuffle of (id, hash) pairs —
+    * the text itself never moves.
+    */
+  def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("old_hash"))
+    val n = newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
+  /** Driver entry: simulate yesterday/today snapshots from the one
+    * documents table — ids ≡0 (mod 10) are new today, ≡1 were removed,
+    * ≡2 had their text edited. Deterministic, oracle-checked.
+    */
+  def corpusDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val today = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 1)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10L)) === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    corpusDelta(old, today)
+  }
+
+  val corpusDeltaSql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 10 <> 1)
+      |SELECT CASE WHEN o.h IS NULL THEN 'added'
+      |            WHEN n.h IS NULL THEN 'removed'
+      |            WHEN o.h <> n.h THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs
+      |FROM o FULL OUTER JOIN n USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   // 2. Exact n-gram Jaccard via inverted index (the oracle-checkable
   //    exact near-dup baseline).
