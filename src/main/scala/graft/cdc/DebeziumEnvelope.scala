@@ -56,7 +56,7 @@ object DebeziumEnvelope {
   def parse(raw: DataFrame, pkSchema: StructType, rowSchema: StructType): DataFrame = {
     val k = from_json(col("key"), keySchema(pkSchema))
     val v = from_json(col("value"), valueSchema(rowSchema))
-    val pkCols = pkSchema.fields.map(f => col(s"k.payload.${f.name}").as(f.name))
+    val pkCols = pkSchema.fields.toIndexedSeq.map(f => col(s"k.payload.${f.name}").as(f.name))
     val passthrough =
       if (raw.columns.contains("offset")) Seq(col("offset")) else Seq.empty
     raw

@@ -283,8 +283,8 @@ object Dedup {
     * funcs, entirely map-side.
     */
   def minhashFromHashes(h: Column): Column = {
-    val aLit = array(minhashA.map(lit): _*)
-    val bLit = array(minhashB.map(lit): _*)
+    val aLit = array(minhashA.toIndexedSeq.map(lit): _*)
+    val bLit = array(minhashB.toIndexedSeq.map(lit): _*)
     transform(sequence(lit(0), lit(NumHashes - 1)),
       k => array_min(transform(h,
         x => pmod(element_at(aLit, k + 1) * x + element_at(bLit, k + 1), lit(MinhashPrime)))))

@@ -34,7 +34,7 @@ object VectorFunctions {
     */
   def hyperplaneSig(v: Column, planes: Seq[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(v, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

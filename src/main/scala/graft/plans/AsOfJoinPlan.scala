@@ -124,7 +124,7 @@ object AsOfJoinOps {
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame, key: String, ts: String): DataFrame = {
     val spark = leftDf.sparkSession
     register(spark)
-    val rightRenamed = rightDf.select(rightDf.columns.map(c => col(c).as(c + "_r")): _*)
+    val rightRenamed = rightDf.select(rightDf.columns.toIndexedSeq.map(c => col(c).as(c + "_r")): _*)
     val lp = leftDf.queryExecution.analyzed
     val rp = rightRenamed.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

@@ -340,6 +340,11 @@ object Analytics {
   /** Salted skew join: the fact side's hot keys are spread over SALTS
     * sub-keys; the build side is replicated SALTS×. Result must be
     * identical to the plain join (oracle = plain SQL join).
+    *
+    * The salt here is `pmod(l_linenumber, 8)` so the oracle stays
+    * deterministic; a production skew fix salts with `hash`/`rand` to
+    * spread a hot key uniformly regardless of companion columns (and
+    * AQE's skewJoin handles moderate skew without any salting).
     */
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val salts = 8

@@ -168,8 +168,8 @@ object Ann {
       .groupBy("pos")
       .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
       .collect().sortBy(_.getInt(0)).map(r => (r.getDouble(1), r.getDouble(2)))
-    val lo = array(bounds.map(b => lit(b._1)): _*)
-    val span = array(bounds.map(b => lit(math.max(b._2 - b._1, 1e-12))): _*)
+    val lo = array(bounds.toIndexedSeq.map(b => lit(b._1)): _*)
+    val span = array(bounds.toIndexedSeq.map(b => lit(math.max(b._2 - b._1, 1e-12))): _*)
     val corpus = embs.select(col("vec_id"), sqEncode(col("embedding"), lo, span).as("code"))
     val queries = broadcast(
       embs.filter(col("vec_id") < nQueries)
@@ -238,8 +238,8 @@ object Ann {
 
   /** array<struct<d, cell>> of squared distances from `v` to each centroid. */
   private def cellDistances(v: Column, centroids: Array[(Int, Array[Double])]): Column =
-    array(centroids.map { case (cell, c) =>
-      struct(l2sq(v, array(c.map(lit): _*)).as("d"), lit(cell).as("cell"))
+    array(centroids.toIndexedSeq.map { case (cell, c) =>
+      struct(l2sq(v, array(c.toIndexedSeq.map(lit): _*)).as("d"), lit(cell).as("cell"))
     }: _*)
 
   /** Map-side argmin cell assignment: array_min over the literal centroid

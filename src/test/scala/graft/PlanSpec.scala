@@ -75,6 +75,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "bench slice filter reaches its own scan")
   }
 
+  test("pack_sequences windows per bucket, never globally") {
+    val p = plan(graft.functions.TextFunctions.packSequences(spark, sfDir))
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"running sum must partition by bucket (per-bucket sorts):\n$p")
+  }
+
   test("q7 restricts supplier and customer by nation below the fact join") {
     val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString
