@@ -115,13 +115,18 @@ object Dedup {
     * the text itself never moves.
     */
   def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("old_hash"))
-    val n = newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("new_hash"))
+    // presence is tracked with explicit markers, NOT hash nullness — a
+    // doc present with NULL text would otherwise masquerade as absent;
+    // the hash compare below is null-safe for the same reason
+    val o = oldDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("old_hash"),
+      lit(true).as("in_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text").cast("binary")).as("new_hash"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") =!= col("new_hash"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
           .otherwise("unchanged"))
       .groupBy("status")
       .agg(count(lit(1)).as("n_docs"))
@@ -145,14 +150,16 @@ object Dedup {
 
   val corpusDeltaSql: String =
     """WITH o AS (
-      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+      |  SELECT doc_id, md5(text) AS h, TRUE AS in_old
+      |  FROM documents WHERE doc_id % 10 <> 0),
       |n AS (
       |  SELECT doc_id,
-      |    md5(CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END) AS h
+      |    md5(CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END) AS h,
+      |    TRUE AS in_new
       |  FROM documents WHERE doc_id % 10 <> 1)
-      |SELECT CASE WHEN o.h IS NULL THEN 'added'
-      |            WHEN n.h IS NULL THEN 'removed'
-      |            WHEN o.h <> n.h THEN 'changed'
+      |SELECT CASE WHEN in_old IS NULL THEN 'added'
+      |            WHEN in_new IS NULL THEN 'removed'
+      |            WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
       |            ELSE 'unchanged' END AS status,
       |  count(*) AS n_docs
       |FROM o FULL OUTER JOIN n USING (doc_id)

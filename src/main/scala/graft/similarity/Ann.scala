@@ -163,25 +163,37 @@ object Ann {
     * rows-only; recall and reconstruction floors in the spec.
     */
   def sqTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val bounds: Array[(Double, Double)] = embs
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
-      .collect().sortBy(_.getInt(0)).map(r => (r.getDouble(1), r.getDouble(2)))
-    val lo = array(bounds.toIndexedSeq.map(b => lit(b._1)): _*)
-    val span = array(bounds.toIndexedSeq.map(b => lit(math.max(b._2 - b._1, 1e-12))): _*)
-    val corpus = embs.select(col("vec_id"), sqEncode(col("embedding"), lo, span).as("code"))
+    val (lo, span) = sqBounds(embs)
+    // decode BELOW the join: the dequantized vector is projected once
+    // per corpus row, not once per (corpus × query) joined row — the
+    // interpreted HOF decode is the dominant per-row cost
+    val corpus = embs.select(col("vec_id"),
+      sqDecode(sqEncode(col("embedding"), lo, span), lo, span).as("vec"))
     val queries = broadcast(
       embs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q")))
     val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("q"), sqDecode(col("code"), lo, span)), 4))
+      .withColumn("cosine", round(cosine(col("q"), col("vec")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Per-dimension quantizer grid: (lo, span) literal arrays from one
+    * partial-agg pass over the corpus (shared by sqTopK and its spec so
+    * the spec always validates the production grid).
+    */
+  def sqBounds(embs: DataFrame): (Column, Column) = {
+    val bounds: Array[(Double, Double)] = embs
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
+      .collect().sortBy(_.getInt(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    (array(bounds.toIndexedSeq.map(b => lit(b._1)): _*),
+      array(bounds.toIndexedSeq.map(b => lit(math.max(b._2 - b._1, 1e-12))): _*))
   }
 
   /** code_i = round((x_i - lo_i) / span_i · 255) − 128 ∈ [-128, 127]. */

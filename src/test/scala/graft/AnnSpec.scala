@@ -50,15 +50,10 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val r = recallVsBrute(sq)
     info(f"SQ recall@5 = $r%.2f")
     assert(r >= 0.8, "8-bit quantization should barely perturb the ranking")
-    // reconstruction: cosine(original, dequantized(self)) ≈ 1
+    // reconstruction: cosine(original, dequantized(self)) ≈ 1, using
+    // the PRODUCTION quantizer grid (shared helper)
     val embs = Tables.embeddings(spark, sfDir)
-    val bounds = embs
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos")
-      .agg(min(col("x").cast("double")).as("lo"), max(col("x").cast("double")).as("hi"))
-      .collect().sortBy(_.getInt(0)).map(r0 => (r0.getDouble(1), r0.getDouble(2)))
-    val lo = array(bounds.map(b => lit(b._1)): _*)
-    val span = array(bounds.map(b => lit(math.max(b._2 - b._1, 1e-12))): _*)
+    val (lo, span) = Ann.sqBounds(embs)
     val selfCos = embs.select(
       graft.functions.VectorFunctions.cosine(
         col("embedding"),

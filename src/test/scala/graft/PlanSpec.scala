@@ -77,8 +77,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("pack_sequences windows per bucket, never globally") {
     val p = plan(graft.functions.TextFunctions.packSequences(spark, sfDir))
-    assert(p.contains("windowspecdefinition(bucket"),
-      s"running sum must partition by bucket (per-bucket sorts):\n$p")
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val bucketSpecs = "windowspecdefinition\\(bucket".r.findAllIn(p).size
+    assert(bucketSpecs >= 1, s"running sum must partition by bucket:\n$p")
+    assert(allSpecs === bucketSpecs, s"no window spec may be global (empty partition):\n$p")
   }
 
   test("q7 restricts supplier and customer by nation below the fact join") {
