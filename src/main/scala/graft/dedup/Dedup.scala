@@ -343,14 +343,20 @@ object Dedup {
     * there is no common-subplan elimination). Verify candidates with
     * the jaccard of choice downstream, exactly as [[minhashLsh]] does.
     */
-  def incrementalCandidates(index: DataFrame, newDocs: DataFrame): DataFrame = {
-    val nb = lshBandIndex(newDocs).localCheckpoint(true)
-    val vsCorpus = nb.alias("a").join(index.alias("b"),
+  def incrementalCandidates(index: DataFrame, newDocs: DataFrame): DataFrame =
+    incrementalCandidatesFromBands(index, lshBandIndex(newDocs).localCheckpoint(true))
+
+  /** [[incrementalCandidates]] when the batch's bands are already
+    * computed/persisted (pass a materialized frame — it feeds three
+    * join inputs).
+    */
+  def incrementalCandidatesFromBands(index: DataFrame, newBands: DataFrame): DataFrame = {
+    val vsCorpus = newBands.alias("a").join(index.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-    val withinBatch = lshCandidatesFromIndex(nb)
+    val withinBatch = lshCandidatesFromIndex(newBands)
     vsCorpus.union(withinBatch).distinct()
   }
 
@@ -399,9 +405,12 @@ object Dedup {
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val oldCorpus = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
-    val newBatch = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
-    incrementalCandidates(lshBandIndex(oldCorpus), newBatch)
+    // sign the corpus ONCE; both roles (persisted index, new batch) are
+    // parity slices of the same materialized band frame
+    val bands = lshBandIndex(docs).localCheckpoint(true)
+    val oldIndex = bands.filter(pmod(col("doc_id"), lit(2L)) === 0)
+    val newBands = bands.filter(pmod(col("doc_id"), lit(2L)) === 1)
+    incrementalCandidatesFromBands(oldIndex, newBands)
       .withColumn("origin",
         when(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)), "batch_vs_corpus")
           .otherwise("within_batch"))
