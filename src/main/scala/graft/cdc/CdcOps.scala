@@ -109,7 +109,11 @@ object CdcOps {
       .filter(col("c.s").isNull || col("c.s.op") =!= "d")
       .select(
         keyCols.map(k => coalesce(col(s"c.$k"), col(s"b.$k")).as(k)) ++
-          dataCols.map(f => coalesce(col(s"c.s.$f"), col(s"b.$f")).as(f)) ++ Seq(
+          // gate on IMAGE presence, not field nullness: an update that
+          // legitimately sets a column to NULL must win — a per-field
+          // coalesce would silently resurrect the base's stale value
+          dataCols.map(f =>
+            when(col("c.s").isNotNull, col(s"c.s.$f")).otherwise(col(s"b.$f")).as(f)) ++ Seq(
           coalesce(col("c.c_last_ts_ms"), col("b.last_ts_ms")).as("last_ts_ms")): _*)
   }
 }

@@ -321,17 +321,19 @@ object Analytics {
       .orderBy("event_type")
   }
 
-  /** Deterministic stratified sample: exact per-stratum fractions via
-    * sampleBy with a fixed seed — the downsample-by-source primitive a
-    * training-data pipeline uses for corpus mixing. Rows-only (sampling
-    * has no SQL oracle); proportions spec-asserted.
+  /** Deterministic stratified sample — the downsample-by-stratum
+    * primitive a training-data pipeline uses for corpus mixing: keep a
+    * hash-uniform half of the over-represented stratum ('en'), all of
+    * the rest. Hash-threshold sampling is a pure map-side filter — no
+    * sampler state, no stratum enumeration, and (unlike a sampleBy
+    * whose fractions map needs a driver-side distinct+collect first)
+    * ONE pass over the corpus. Reproducible across runs and engines.
+    * Rows-only (sampling has no SQL oracle); proportions spec-asserted.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val fractions = docs.select("lang").distinct().collect()
-      .map(_.getString(0))
-      .map(l => l -> (if (l == "en") 0.5 else 1.0)).toMap
-    docs.stat.sampleBy("lang", fractions, seed = 42L)
+    Tables.documents(spark, dir)
+      .filter(col("lang") =!= "en" ||
+        pmod(xxhash64(col("doc_id"), lit(42L)), lit(100L)) < 50)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), round(avg("n_chars"), 4).as("avg_chars"))
       .orderBy("lang")
@@ -348,8 +350,10 @@ object Analytics {
     */
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val salts = 8
+    // l_linenumber is 1-based (1..7): subtract 1 so all `salts` buckets
+    // are reachable and no replicated build-side slice is dead weight
     val l = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(col("l_linenumber").cast("int"), lit(salts)))
+      .withColumn("salt", pmod(col("l_linenumber").cast("int") - 1, lit(salts)))
     val o = Tables.orders(spark, dir)
       .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))

@@ -39,18 +39,22 @@ object AsOf {
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         lit(null).cast("long").as("purchase_id"), col("view_id"), col("view_value"))
 
-    // right rows sort before left rows at equal ts → ts >= matches equality
+    // right rows sort before left rows at equal ts → ts >= matches
+    // equality. The matched view is carried as ONE struct so all its
+    // fields come from the same winning row — separate last(_, ignore
+    // Nulls) columns would skip a NULL view_value and pair it with an
+    // older view's value (a row matching no actual view).
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchases.unionByName(views)
-      .withColumn("m_view_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-      .withColumn("m_view_id", last(when(col("side") === 0, col("view_id")), ignoreNulls = true).over(w))
-      .withColumn("m_view_value", last(when(col("side") === 0, col("view_value")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1 && col("m_view_ts").isNotNull)
+      .withColumn("m_view", last(when(col("side") === 0,
+        struct(col("ts").as("v_ts"), col("view_id"), col("view_value"))),
+        ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m_view").isNotNull)
       .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
-        col("m_view_id").as("view_id"), col("m_view_ts").as("v_ts"),
-        (unix_millis(col("ts")) - unix_millis(col("m_view_ts"))).as("gap_ms"),
-        round(col("m_view_value"), 2).as("view_value"))
+        col("m_view.view_id").as("view_id"), col("m_view.v_ts").as("v_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("m_view.v_ts"))).as("gap_ms"),
+        round(col("m_view.view_value"), 2).as("view_value"))
       .orderBy("user_id", "purchase_id")
   }
 

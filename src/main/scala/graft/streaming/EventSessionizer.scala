@@ -85,6 +85,14 @@ object EventSessionizer {
   /** Streaming sessionization: emits a session when the event-time
     * watermark passes its gap timeout. State per key is one open
     * session — O(active users), evicted on timeout.
+    *
+    * Delivery contract: exact batch equivalence holds when each key's
+    * events arrive in nondecreasing event time (the Kafka-keyed-by-user
+    * layout). A late-but-within-watermark event merges into the OPEN
+    * session (extending start/end as needed) but cannot reopen a
+    * session already emitted at gap detection — eager emission trades
+    * that edge for O(1) state; buffering until the watermark would
+    * close it is the alternative when out-of-order keys are expected.
     */
   def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
     import spark.implicits._
@@ -104,9 +112,15 @@ object EventSessionizer {
             var cur = state.getOption
             sorted.foreach { e =>
               val t = epochMicros(e.ts)
+              // gap compared at MILLISECOND resolution, exactly like the
+              // batch path's unix_millis diff — a µs-resolution compare
+              // would split sessions differently at the exact boundary
+              def gapMs(a: Long, b: Long) =
+                Math.floorDiv(a, 1000L) - Math.floorDiv(b, 1000L)
               cur match {
-                case Some(s) if t - s.end <= GapSeconds * 1000000L =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) if gapMs(t, s.end) <= GapSeconds * 1000L =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -23,11 +23,15 @@ object StreamEnrich {
 
   /** Left-enrich `stream` (streaming or batch — the declarative join is
     * identical) with a broadcast dim. The dim's key column is renamed
-    * away before the join so same-named stream columns never collide.
+    * away before the join, and any OTHER dim column whose name collides
+    * with a stream column gets a `_dim` suffix — so the output never
+    * carries ambiguous duplicate names.
     */
   def withDim(stream: DataFrame, dim: DataFrame,
               streamKey: String, dimKey: String): DataFrame = {
-    val d = dim.withColumnRenamed(dimKey, "__dim_key")
+    val d0 = dim.withColumnRenamed(dimKey, "__dim_key")
+    val d = dim.columns.filter(c => c != dimKey && stream.columns.contains(c))
+      .foldLeft(d0)((acc, c) => acc.withColumnRenamed(c, c + "_dim"))
     stream.join(broadcast(d), col(streamKey) === col("__dim_key"), "left")
       .drop("__dim_key")
   }

@@ -31,6 +31,21 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("mergeChangeSet: an update that nulls a column wins (no resurrection)") {
+    import spark.implicits._
+    val base = Seq((1L, "signup", 1.0, 10L))
+      .toDF("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val changes = Seq((1L, "u", 20L, 2L, Option.empty[String], 2.0))
+      .toDF("user_id", "op", "ts_ms", "seq", "last_event_type", "last_value")
+    val merged = CdcOps.mergeChangeSet(base, changes, Seq("user_id"),
+      Seq("last_event_type", "last_value"))
+    val row = merged.collect().head
+    assert(row.isNullAt(row.fieldIndex("last_event_type")),
+      "a legitimate NULL in the latest after-image must not resurrect the old value")
+    assert(row.getDouble(row.fieldIndex("last_value")) === 2.0)
+    assert(row.getLong(row.fieldIndex("last_ts_ms")) === 20L)
+  }
+
   test("latestState drops deleted keys") {
     val ch = CdcOps.userChangelog(spark, sfDir)
     val state = CdcOps.latestState(ch, Seq("user_id"), CdcOps.userDataCols)
