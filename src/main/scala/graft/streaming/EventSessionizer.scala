@@ -91,8 +91,8 @@ object EventSessionizer {
     * layout). A late-but-within-watermark event merges into the OPEN
     * session (extending start/end as needed) but cannot reopen a
     * session already emitted at gap detection — eager emission trades
-    * that edge for O(1) state; buffering until the watermark would
-    * close it is the alternative when out-of-order keys are expected.
+    * that edge for O(1) state. [[sessionizeStreamBuffered]] is the
+    * out-of-order-exact alternative (O(events-in-horizon) state).
     */
   def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
     import spark.implicits._
@@ -133,6 +133,59 @@ object EventSessionizer {
               state.setTimeoutTimestamp(s.end / 1000L + GapSeconds * 1000L)
             }
             closed.reverseIterator
+          }
+      }
+  }
+
+  case class BufferState(events: Seq[(Long, Double)])
+
+  /** Watermark-exact sessionization for OUT-OF-ORDER delivery: events
+    * buffer in keyed state and nothing is emitted until the event-time
+    * timeout fires — i.e. the watermark has passed the last buffered
+    * event plus the gap. At that point no future event can extend any
+    * buffered session (anything close enough in event time would be
+    * below the watermark and already dropped), so the buffer is
+    * sessionized with the SAME gaps-and-islands rule as the batch path
+    * and emitted whole. Exact batch equivalence for any arrival order
+    * the watermark admits, at the cost of O(events-in-horizon) state
+    * per key (vs [[sessionizeStream]]'s O(1) open-session state).
+    */
+  def sessionizeStreamBuffered(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BufferState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[BufferState]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.get.events.sortBy(identity)
+            state.remove()
+            // gaps-and-islands over the complete buffer (batch rule:
+            // ms-resolution gap compare, µs-precision boundaries)
+            val sessions = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur: Option[SessionState] = None
+            buffered.foreach { case (t, v) =>
+              cur match {
+                case Some(s)
+                    if Math.floorDiv(t, 1000L) - Math.floorDiv(s.end, 1000L) <= GapSeconds * 1000L =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + v))
+                case Some(s) =>
+                  sessions += SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach(s =>
+              sessions += SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total))
+            sessions.iterator
+          } else {
+            val incoming = rows.map(e => (epochMicros(e.ts), e.value)).toSeq
+            val all = state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming
+            state.update(BufferState(all))
+            state.setTimeoutTimestamp(all.map(_._1).max / 1000L + GapSeconds * 1000L)
+            Iterator.empty
           }
       }
   }

@@ -71,6 +71,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
 
+  test("buffered sessionization is batch-exact under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2024-01-15 10:00:00")
+    def ts(min: Long) = new Timestamp(t0.getTime + min * 60000L)
+    def ev(min: Long, v: Double) = EventSessionizer.Ev(1L, ts(min), v)
+    // tranche 2 delivers an event (minute 35) EARLIER than tranche 1's
+    // max (minute 50) — batch merges 0,10,35,50 into ONE session via the
+    // 35-minute bridge; an eager sessionizer has already closed [0,10]
+    val tranche1 = Seq(ev(0, 1.0), ev(10, 2.0), ev(50, 3.0))
+    val tranche2 = Seq(ev(35, 4.0), ev(100, 5.0), ev(170, 6.0))
+
+    val stream = MemoryStream[EventSessionizer.Ev]
+    val out = EventSessionizer.sessionizeStreamBuffered(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("buffered_sessions")
+      .outputMode("append").start()
+    stream.addData(tranche1); q.processAllAvailable()
+    stream.addData(tranche2); q.processAllAvailable()
+    stream.addData(EventSessionizer.Ev(-1L, ts(24 * 60), 0.0)); q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("buffered_sessions")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("total_value"), 2).as("total_value"))
+    val batchIn = (tranche1 ++ tranche2).zipWithIndex
+      .map { case (e, i) => (e.user_id, e.ts, e.value, i.toLong) }
+      .toDF("user_id", "ts", "value", "event_id")
+    val batch = EventSessionizer.sessionizeBatch(batchIn)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+    // the bridge case specifically: one 4-event session [0, 50]
+    assert(streamed.filter(col("n_events") === 4 &&
+      col("session_start") === ts(0) && col("session_end") === ts(50)).count() === 1)
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
