@@ -343,15 +343,17 @@ object Analytics {
     * sub-keys; the build side is replicated SALTS×. Result must be
     * identical to the plain join (oracle = plain SQL join).
     *
-    * The salt here is `pmod(l_linenumber, 8)` so the oracle stays
+    * The salt here is `pmod(l_linenumber - 1, 7)` so the oracle stays
     * deterministic; a production skew fix salts with `hash`/`rand` to
     * spread a hot key uniformly regardless of companion columns (and
     * AQE's skewJoin handles moderate skew without any salting).
     */
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val salts = 8
-    // l_linenumber is 1-based (1..7): subtract 1 so all `salts` buckets
-    // are reachable and no replicated build-side slice is dead weight
+    // l_linenumber takes exactly the 7 values 1..7: seven salt buckets
+    // (0..6) means EVERY replicated build-side slice is reachable — a
+    // salt count above the source cardinality pays replication for
+    // buckets that can never match
+    val salts = 7
     val l = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(col("l_linenumber").cast("int") - 1, lit(salts)))
     val o = Tables.orders(spark, dir)

@@ -112,13 +112,8 @@ object EventSessionizer {
             var cur = state.getOption
             sorted.foreach { e =>
               val t = epochMicros(e.ts)
-              // gap compared at MILLISECOND resolution, exactly like the
-              // batch path's unix_millis diff — a µs-resolution compare
-              // would split sessions differently at the exact boundary
-              def gapMs(a: Long, b: Long) =
-                Math.floorDiv(a, 1000L) - Math.floorDiv(b, 1000L)
               cur match {
-                case Some(s) if gapMs(t, s.end) <= GapSeconds * 1000L =>
+                case Some(s) if withinGap(t, s.end) =>
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t),
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
@@ -139,16 +134,43 @@ object EventSessionizer {
 
   case class BufferState(events: Seq[(Long, Double)])
 
+  /** Gap compared at MILLISECOND resolution, exactly like the batch
+    * path's unix_millis diff — a µs-resolution compare would split
+    * sessions differently at the exact boundary. ONE shared rule for
+    * the eager sessionizer, the buffered sessionizer, and (by
+    * construction) the batch SQL, so the paths cannot drift apart.
+    */
+  private def withinGap(t: Long, end: Long): Boolean =
+    Math.floorDiv(t, 1000L) - Math.floorDiv(end, 1000L) <= GapSeconds * 1000L
+
+  /** Batch-rule gaps-and-islands fold over (µs, value) events sorted by
+    * time — shared by the buffered sessionizer's seal-and-emit steps.
+    */
+  private def foldSessions(sorted: Seq[(Long, Double)]): Seq[SessionState] = {
+    val out = scala.collection.mutable.ListBuffer.empty[SessionState]
+    var cur: Option[SessionState] = None
+    sorted.foreach { case (t, v) =>
+      cur match {
+        case Some(s) if withinGap(t, s.end) =>
+          cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + v))
+        case Some(s) => out += s; cur = Some(SessionState(t, t, 1, v))
+        case None => cur = Some(SessionState(t, t, 1, v))
+      }
+    }
+    cur.foreach(out += _)
+    out.toSeq
+  }
+
   /** Watermark-exact sessionization for OUT-OF-ORDER delivery: events
-    * buffer in keyed state and nothing is emitted until the event-time
-    * timeout fires — i.e. the watermark has passed the last buffered
-    * event plus the gap. At that point no future event can extend any
-    * buffered session (anything close enough in event time would be
-    * below the watermark and already dropped), so the buffer is
-    * sessionized with the SAME gaps-and-islands rule as the batch path
-    * and emitted whole. Exact batch equivalence for any arrival order
-    * the watermark admits, at the cost of O(events-in-horizon) state
-    * per key (vs [[sessionizeStream]]'s O(1) open-session state).
+    * buffer in keyed state; each batch re-sessionizes the sorted buffer
+    * and emits exactly the sessions the watermark has SEALED (end + gap
+    * < watermark — no admissible future event can extend them, since it
+    * would be below the watermark and dropped). Unsealed sessions'
+    * events stay buffered, so state is genuinely bounded by the
+    * watermark horizon even for keys that never go idle; the event-time
+    * timeout only flushes the tail when a key does go idle. Exact batch
+    * equivalence for any arrival order the watermark admits (vs
+    * [[sessionizeStream]]'s O(1) state + in-order delivery contract).
     */
   def sessionizeStreamBuffered(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
     import spark.implicits._
@@ -158,34 +180,30 @@ object EventSessionizer {
       .flatMapGroupsWithState[BufferState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[BufferState]) =>
+          def emit(s: SessionState) =
+            SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total)
           if (state.hasTimedOut) {
-            val buffered = state.get.events.sortBy(identity)
+            // key went idle: watermark passed last event + gap, so every
+            // remaining buffered session is sealed
+            val sessions = foldSessions(state.get.events.sortBy(identity))
             state.remove()
-            // gaps-and-islands over the complete buffer (batch rule:
-            // ms-resolution gap compare, µs-precision boundaries)
-            val sessions = scala.collection.mutable.ListBuffer.empty[SessionOut]
-            var cur: Option[SessionState] = None
-            buffered.foreach { case (t, v) =>
-              cur match {
-                case Some(s)
-                    if Math.floorDiv(t, 1000L) - Math.floorDiv(s.end, 1000L) <= GapSeconds * 1000L =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + v))
-                case Some(s) =>
-                  sessions += SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, v))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, v))
-              }
-            }
-            cur.foreach(s =>
-              sessions += SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total))
-            sessions.iterator
+            sessions.iterator.map(emit)
           } else {
             val incoming = rows.map(e => (epochMicros(e.ts), e.value)).toSeq
-            val all = state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming
-            state.update(BufferState(all))
-            state.setTimeoutTimestamp(all.map(_._1).max / 1000L + GapSeconds * 1000L)
-            Iterator.empty
+            val all = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming)
+              .sortBy(identity)
+            val wmMs = state.getCurrentWatermarkMs()
+            val (finished, open) = foldSessions(all)
+              .partition(s => Math.floorDiv(s.end, 1000L) + GapSeconds * 1000L < wmMs)
+            open.headOption match {
+              case Some(first) =>
+                val remaining = all.filter(_._1 >= first.start)
+                state.update(BufferState(remaining))
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(open.last.end, 1000L) + GapSeconds * 1000L)
+              case None => state.remove()
+            }
+            finished.iterator.map(emit)
           }
       }
   }

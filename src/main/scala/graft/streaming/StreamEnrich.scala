@@ -29,9 +29,17 @@ object StreamEnrich {
     */
   def withDim(stream: DataFrame, dim: DataFrame,
               streamKey: String, dimKey: String): DataFrame = {
+    // collision checks are case-insensitive (Spark's default resolver
+    // is), and the suffix loop guarantees the new name is itself free
+    val streamCols = stream.columns.map(_.toLowerCase).toSet
     val d0 = dim.withColumnRenamed(dimKey, "__dim_key")
-    val d = dim.columns.filter(c => c != dimKey && stream.columns.contains(c))
-      .foldLeft(d0)((acc, c) => acc.withColumnRenamed(c, c + "_dim"))
+    val d = dim.columns.filter(c => c != dimKey && streamCols.contains(c.toLowerCase))
+      .foldLeft(d0) { (acc, c) =>
+        val taken = streamCols ++ acc.columns.map(_.toLowerCase)
+        var name = c + "_dim"
+        while (taken.contains(name.toLowerCase)) name += "_"
+        acc.withColumnRenamed(c, name)
+      }
     stream.join(broadcast(d), col(streamKey) === col("__dim_key"), "left")
       .drop("__dim_key")
   }

@@ -111,6 +111,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       col("session_start") === ts(0) && col("session_end") === ts(50)).count() === 1)
   }
 
+  test("buffered sessionizer seals finished sessions while the key stays active") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2024-02-01 08:00:00")
+    def ts(min: Long) = new Timestamp(t0.getTime + min * 60000L)
+    def ev(min: Long, v: Double) = EventSessionizer.Ev(7L, ts(min), v)
+
+    val stream = MemoryStream[EventSessionizer.Ev]
+    val out = EventSessionizer.sessionizeStreamBuffered(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("sealed_sessions")
+      .outputMode("append").start()
+    stream.addData(Seq(ev(0, 1.0), ev(10, 2.0))); q.processAllAvailable()
+    stream.addData(Seq(ev(300, 3.0))); q.processAllAvailable()
+    // watermark lags a batch: one more event from the SAME (still
+    // active) user pushes it past session [0,10]'s end + gap
+    stream.addData(Seq(ev(310, 4.0))); q.processAllAvailable()
+    val emitted = spark.table("sealed_sessions")
+      .filter(col("session_start") === ts(0) && col("session_end") === ts(10))
+    assert(emitted.count() === 1,
+      "a watermark-sealed session must emit without the key going idle")
+    q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
