@@ -41,15 +41,22 @@ object TextFunctions {
     * stopword density, punctuation density, uppercase density, mean
     * token length — combined into a [0,1]-ish score.
     */
+  /** Quality-signal sub-expressions — ONE definition each (the
+    * stopword list / punctuation class must not drift between the
+    * per-signal columns and the combined score).
+    */
+  val StopwordPattern = "\\b(the|a|an|of|to|and|in|is|it|that)\\b"
+  private def charsOf(text: Column) = length(text).cast("double")
+  private def toksOf(text: Column) = size(wsTokens(text)).cast("double")
+  private def stopsOf(text: Column) = regexp_count(lower(text), lit(StopwordPattern)).cast("double")
+  private def punctOf(text: Column) = regexp_count(text, lit("[.,!?;:]")).cast("double")
+
   /** The combined [0,1]-ish quality score as a reusable expression
     * (shared by qualityScore, corpusStats, and the curation pipeline).
     */
   def qualityExpr(text: Column): Column = {
-    val chars = length(text).cast("double")
-    val toks = size(wsTokens(text)).cast("double")
-    val stops = regexp_count(lower(text),
-      lit("\\b(the|a|an|of|to|and|in|is|it|that)\\b")).cast("double")
-    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
+    val chars = charsOf(text); val toks = toksOf(text)
+    val stops = stopsOf(text); val punct = punctOf(text)
     round(
       least(lit(1.0), (stops / toks) * 2.5)
         * (lit(1.0) - least(lit(1.0), (punct / greatest(chars, lit(1.0))) * 10.0))
@@ -57,19 +64,16 @@ object TextFunctions {
   }
 
   def qualityScore(docs: DataFrame): DataFrame = {
-    val chars = length(col("text")).cast("double")
-    val toks = size(wsTokens(col("text"))).cast("double")
-    val stops = regexp_count(lower(col("text")),
-      lit("\\b(the|a|an|of|to|and|in|is|it|that)\\b")).cast("double")
-    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
-    val upper = regexp_count(col("text"), lit("[A-Z]")).cast("double")
+    val text = col("text")
+    val chars = charsOf(text); val toks = toksOf(text)
+    val upper = regexp_count(text, lit("[A-Z]")).cast("double")
     docs.select(
       col("doc_id"),
-      round((stops / toks), 4).as("stop_ratio"),
-      round((punct / greatest(chars, lit(1.0))), 4).as("punct_ratio"),
+      round((stopsOf(text) / toks), 4).as("stop_ratio"),
+      round((punctOf(text) / greatest(chars, lit(1.0))), 4).as("punct_ratio"),
       round((upper / greatest(chars, lit(1.0))), 4).as("upper_ratio"),
       round(chars / toks, 4).as("chars_per_token"),
-      qualityExpr(col("text")).as("quality"))
+      qualityExpr(text).as("quality"))
   }
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -105,6 +109,7 @@ object TextFunctions {
     val t = col("__toks")
     docs
       .select(wsTokens(trim(lower(col("text")))).as("__toks"))
+      .filter(size(t) >= 2) // guard: sequence(0, -1) descends under one token
       .select(explode(transform(sequence(lit(0), size(t) - 2),
         i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2)))).as("bigram"))
       .groupBy("bigram")
@@ -240,11 +245,13 @@ object TextFunctions {
     * shuffles total at any scale.
     */
   def curationPipeline(docs: DataFrame, minQuality: Double = 0.1): DataFrame = {
-    val scored = qualityScore(docs)
-      .select(col("doc_id"), col("quality"))
+    // quality is computed INLINE on the scan (qualityExpr) — joining a
+    // scored frame back to docs for `text` would add a full corpus
+    // shuffle just to recover a column the scan already had
+    val gated = docs
+      .select(col("doc_id"), col("text"), qualityExpr(col("text")).as("quality"))
       .filter(col("quality") >= minQuality)
-    val deduped = scored
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val deduped = gated
       .groupBy(graft.dedup.Dedup.normText(col("text")).as("norm"))
       .agg(min("doc_id").as("doc_id"), max("quality").as("quality"))
     val bucket = pmod(col("doc_id") * 40503L, lit(100L))

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * These expressions emit a primitive fused loop via `doGenCode`, so
   * vector math stays inside whole-stage codegen with zero allocation.
   * Arithmetic (per-element double accumulation in ascending order)
-  * matches the HOF versions bit-for-bit, so DuckDB oracles agree.
+  * matches the HOF versions bit-for-bit, so DuckDB oracles agree —
+  * including NULL on dimension mismatch (zip_with null-pads to a null
+  * aggregate; DuckDB errors): a truncated/corrupt vector must surface,
+  * not score a plausible prefix.
   */
 object VectorExpressions {
 
@@ -37,7 +40,7 @@ object VectorExpressions {
     * vector dim.
     */
   def hyperplaneSigs(v: Column, planes: Array[Double], nBits: Int, nTables: Int, dim: Int): Column =
-    GraftExpressionBridge.column(HyperplaneSigs(expr(v), planes, nBits, nTables, dim))
+    GraftExpressionBridge.column(HyperplaneSigs(expr(v), planes.toIndexedSeq, nBits, nTables, dim))
 }
 
 private[functions] trait VecArrayExpr { self: Expression =>
@@ -63,13 +66,18 @@ case class FloatVecCosine(left: Expression, right: Expression)
     extends BinaryExpression with VecArrayExpr {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
+  // NULL on dimension mismatch (the HOF zip_with and DuckDB both refuse
+  // mismatched lengths) — silently scoring a truncated prefix would
+  // mask corrupt embeddings with a plausible number
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = checkArrTypes(Seq(left, right))
   private lazy val lf = isFloatArr(left)
   private lazy val rf = isFloatArr(right)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = getS(a, lf, i); val y = getS(b, rf, i)
@@ -86,15 +94,19 @@ case class FloatVecCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val den = ctx.freshName("den")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = ${getJ(a, lf, i)};
-         |  final double $y = ${getJ(b, rf, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = ${getJ(a, lf, i)};
+         |    final double $y = ${getJ(b, rf, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($den == 0.0) ? 0.0 : ($dot / $den);
          |}
-         |final double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($den == 0.0) ? 0.0 : ($dot / $den);
        """.stripMargin
     })
 
@@ -106,13 +118,16 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
     extends BinaryExpression with VecArrayExpr {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_l2sq"
+  // NULL on dimension mismatch — see FloatVecCosine
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = checkArrTypes(Seq(left, right))
   private lazy val lf = isFloatArr(left)
   private lazy val rf = isFloatArr(right)
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0; var i = 0
     while (i < n) {
       val d = getS(a, lf, i) - getS(b, rf, i); acc += d * d; i += 1
@@ -125,13 +140,17 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $d = ${getJ(a, lf, i)} - ${getJ(b, rf, i)};
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d = ${getJ(a, lf, i)} - ${getJ(b, rf, i)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -144,7 +163,7 @@ case class FloatVecL2Sq(left: Expression, right: Expression)
   * expression evaluation replaces nTables×nBits interpreted
   * aggregate/zip_with dot products.
   */
-case class HyperplaneSigs(child: Expression, planes: Array[Double],
+case class HyperplaneSigs(child: Expression, planes: IndexedSeq[Double],
                           nBits: Int, nTables: Int, dim: Int)
     extends UnaryExpression with VecArrayExpr {
   require(planes.length == nBits * nTables * dim,
@@ -153,6 +172,11 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
   override def prettyName: String = "hyperplane_sigs"
   override def checkInputDataTypes(): TypeCheckResult = checkArrTypes(Seq(child))
   private lazy val cf = isFloatArr(child)
+  // planes is an IndexedSeq (structural equality — two expressions
+  // built from equal plane values canonicalize/unify in the plan, which
+  // an Array field's reference equality would prevent); the hot loops
+  // read this primitive mirror
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -164,7 +188,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
       while (b < nBits) {
         val off = (t * nBits + b) * dim
         var dot = 0.0; var i = 0
-        while (i < n) { dot += getS(v, cf, i) * planes(off + i); i += 1 }
+        while (i < n) { dot += getS(v, cf, i) * planesArr(off + i); i += 1 }
         if (dot >= 0) sig |= (1L << b)
         b += 1
       }
@@ -175,7 +199,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val pRef = ctx.addReferenceObj("planes", planesArr, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val sigs = ctx.freshName("sigs")
       val t = ctx.freshName("t"); val b = ctx.freshName("b")

@@ -28,19 +28,11 @@ object VectorFunctions {
   /** Squared euclidean distance — native codegen'd fused loop. */
   def l2sq(a: Column, b: Column): Column = VectorExpressions.l2sq(a, b)
 
-  /** Random-hyperplane signature: bit i = sign(v · hᵢ), packed into a
-    * long. Hyperplanes are deterministic (seeded) literal arrays baked
-    * into the plan — broadcast for free with the task binary.
+  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed) —
+    * consumed by the fused native [[VectorExpressions.hyperplaneSigs]]
+    * kernel (the interpreted per-plane formulation it replaced lived
+    * here and was removed as dead code).
     */
-  def hyperplaneSig(v: Column, planes: Seq[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.toIndexedSeq.map(lit): _*)
-      when(dot(v, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
   def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))

@@ -81,10 +81,12 @@ object BinaryPipeline {
     * partition-wide materialization).
     */
   def decodeAndFeaturize(binTable: DataFrame): DataFrame = {
-    val spark = binTable.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // no repartition: the decode is purely row-local, and shuffling the
+    // payload column (the largest in the pipeline) to rebalance would
+    // cost more than it saves — the scan's own splits (plus
+    // Tables.fanOut for tiny test files) set the parallelism
     binTable
-      .repartition(binTable.sparkSession.sessionState.conf.numShufflePartitions, col("item_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(r.fieldIndex("item_id"))
@@ -142,7 +144,11 @@ object BinaryPipeline {
         val id = r.getLong(r.fieldIndex("item_id"))
         val payload = r.getAs[Array[Byte]]("payload")
         val out = new Array[Byte](math.min(ResizeTargetBytes, payload.length))
-        val stride = math.max(payload.length / math.max(out.length, 1), 1)
+        // ceil division: samples must span the WHOLE payload (floor
+        // would copy only the first out.length bytes of payloads up to
+        // 2x the target, ignoring the tail entirely)
+        val stride = math.max(
+          (payload.length + math.max(out.length, 1) - 1) / math.max(out.length, 1), 1)
         var i = 0
         while (i < out.length) { out(i) = payload(math.min(i * stride, payload.length - 1)); i += 1 }
         Row(id, payload.length, out, out.length)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -54,6 +54,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
       Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // advertise what the zip-merge preserves: rows leave hash-clustered
+  // on the left key and sorted by (key, ts), so a downstream groupBy /
+  // window on the key reuses the exchange and sort instead of
+  // re-shuffling (SortMergeJoinExec does the same)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lk = left.output.indexWhere(_.exprId == leftKey.exprId)

@@ -35,6 +35,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkSpec {
     embs.unpersist()
   }
 
+  test("dimension mismatch yields NULL, not a truncated-prefix score") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT vec_cosine(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS c,
+        |       vec_l2sq(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS d
+        |""".stripMargin).head()
+    assert(row.isNullAt(0), "cosine over mismatched dims must be NULL")
+    assert(row.isNullAt(1), "l2sq over mismatched dims must be NULL")
+    // and the interpreted (non-codegen) path agrees
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("wrong arity is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
