@@ -77,6 +77,9 @@ object SparkEntry {
     "pack_sequences"       -> ((s, d) => TextFunctions.packSequences(s, d)),
     "text_lang_id"         -> ((s, d) => TextFunctions.langId(s, d)),
     "curation_pipeline"    -> ((s, d) => TextFunctions.curationPipeline(s, d)),
+    "pii_scrub"            -> ((s, d) => TextFunctions.piiScrub(s, d)),
+    "token_vocab"          -> ((s, d) => TextFunctions.tokenVocab(s, d)),
+    "quality_gate"         -> ((s, d) => TextFunctions.qualityGate(s, d)),
     // --- dedup (#28-32) ---
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -146,6 +149,9 @@ object SparkEntry {
     "pack_sequences"       -> TextFunctions.packSequencesSql,
     "mm_dedup"             -> BinaryPipeline.binaryDedupSql,
     "curation_pipeline"    -> TextFunctions.curationPipelineSql,
+    "pii_scrub"            -> TextFunctions.piiScrubSql,
+    "token_vocab"          -> TextFunctions.tokenVocabSql,
+    "quality_gate"         -> TextFunctions.qualityGateSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,

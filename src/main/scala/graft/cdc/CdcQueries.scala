@@ -79,12 +79,16 @@ object CdcQueries {
        |FROM r WHERE rn = 1 AND op <> 'd'
        |ORDER BY user_id""".stripMargin
 
-  /** Default location of the repo's static dimension files — the
-    * counterpart of the reference's `files/staticdata/cities.csv`
-    * (email→city) enrichment dim
-    * (/root/reference/files/staticdata/cities.csv).
+  /** Location of the repo's static dimension file — the counterpart of
+    * the reference's `files/staticdata/cities.csv` (email→city)
+    * enrichment dim (/root/reference/files/staticdata/cities.csv).
+    * Overridable via GRAFT_STATIC_DIM_PATH; otherwise resolved relative
+    * to the working directory, so any checkout location (or a cluster
+    * submit dir shipping the file) works. The resolved absolute path is
+    * interpolated into the oracle SQL below.
     */
-  val StaticDimPath = "/root/repo/data/staticdata/event_channels.csv"
+  val StaticDimPath: String = sys.env.getOrElse("GRAFT_STATIC_DIM_PATH",
+    new java.io.File("data/staticdata/event_channels.csv").getAbsolutePath)
 
   /** Static-dim enrichment: broadcast a small semicolon-delimited CSV
     * dimension (event_type→channel) into the CDC latest-state and

@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   *     _manifest.v<e>          committed bucket map for epoch e
   *                             (one "bucket<TAB>relative/dir" line per
   *                             live bucket; highest e wins)
-  *     v<e>/bucket=<b>/part-N.parquet   immutable data written at epoch e
+  *     v<e>-<attempt>/bucket=<b>/part-N.parquet  immutable data written
+  *                                               at epoch e
   * }}}
   *
-  * Commit protocol: each merge writes its output to a FRESH version
-  * directory `v<e>` (never touching directories any manifest
-  * references), then publishes atomically by renaming a temp file to
+  * Commit protocol: each merge writes its output to a FRESH per-attempt
+  * version directory `v<e>-<attempt>` (never touching directories any
+  * manifest references — unique even if two writers race the same
+  * epoch), then publishes atomically by renaming a temp file to
   * `_manifest.v<e>` — rename-to-new-name is atomic on HDFS/posix; on
   * object stores you'd swap this single call for a conditional PUT.
   * A crash at ANY point before the rename leaves the previous manifest
@@ -151,7 +153,14 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
     */
   private def commit(epoch: Long, previous: Map[Int, String],
                      dirty: Seq[Int], merged: DataFrame): Unit = {
-    val versionDir = s"v$epoch"
+    // detect a single-writer violation BEFORE touching any file, and
+    // stage data in a per-attempt directory: even a writer racing at
+    // the same epoch can then never clobber files that a just-published
+    // manifest references — its loss is confined to its own orphan dir
+    if (fs.exists(new Path(root, s"_manifest.v$epoch")))
+      throw new IllegalStateException(
+        s"epoch $epoch already committed at $statePath (concurrent writer?)")
+    val versionDir = s"v$epoch-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.withColumn("bucket", bucketCol)
       .repartition(col("bucket"))
       .write.mode("overwrite")
@@ -189,10 +198,14 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
   private def vacuum(epoch: Long, entries: Map[Int, String],
                      previous: Map[Int, String]): Unit = {
     val referenced: Set[String] = entries.values.toSet ++ previous.values.toSet
+    val VersionRe = """v(\d+)(?:-[0-9a-f]+)?""".r
     fs.listStatus(root).toSeq.foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v") && name.stripPrefix("v").forall(_.isDigit)
-          && name.stripPrefix("v").toLong < epoch) {
+      val dirEpoch = name match {
+        case VersionRe(e) if st.isDirectory => Some(e.toLong)
+        case _ => None
+      }
+      if (dirEpoch.exists(_ < epoch)) {
         fs.listStatus(st.getPath).toSeq.foreach { sub =>
           val rel = s"$name/${sub.getPath.getName}"
           if (sub.getPath.getName.startsWith("bucket=") && !referenced.contains(rel))

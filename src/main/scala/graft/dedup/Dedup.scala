@@ -179,36 +179,57 @@ object Dedup {
     */
   val MaxShingleDf = 100
 
-  /** Candidate pairs sharing at least one RARE (df ≤ maxDf) shingle:
-    * explode shingles → drop hot shingles (broadcast anti-join against
-    * the tiny hot list — shingles with df > maxDf are few by
-    * construction) → self-join on shingle, keyed by shingle.
-    * Cost is Σ df² over rare shingles only, so bounded by maxDf·Σdf.
+  /** Rare-shingle posting lists: ONE shuffle groups the exploded
+    * shingles by value, the df-cap is a filter on the grouped size (no
+    * separate hot-list aggregation), and the result is materialized
+    * because every consumer (pair generation AND per-doc sizes) reads
+    * it — Spark has no common-subplan elimination, so leaving this lazy
+    * re-runs the corpus scan + shuffle once per reference (measured 3×
+    * on the r2 formulation, whose `pruned` frame fed three joins). At
+    * cluster scale the materialization is a persist of (long, array)
+    * postings — far smaller than the corpus text it replaces.
     */
-  def ngramCandidates(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = explodedShingles(docs)
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val pruned = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    pruned.alias("a").join(pruned.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame =
+    explodedShingles(docs)
+      .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .select("ids")
+      .localCheckpoint(true)
+
+  /** All ordered (id_a < id_b) pairs within one sorted posting array,
+    * generated map-side: with df ≤ maxDf the expansion is ≤ maxDf²/2
+    * pairs per shingle — bounded by construction, no self-join.
+    */
+  private def postingPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** Candidate pairs sharing at least one RARE (df ≤ maxDf) shingle —
+    * pairs expand map-side from the grouped posting lists; the only
+    * shuffles are the posting groupBy and the pair distinct.
+    */
+  def ngramCandidates(docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame =
+    rarePostings(docs, maxDf)
+      .filter(size(col("ids")) >= 2)
+      .select(explode(postingPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-  }
 
   /** All pairs with 3-shingle Jaccard ≥ threshold over the RARE
     * (df ≤ maxDf) shingle sets: hot shingles are dropped before BOTH
     * candidate generation and scoring, so the score is the
     * boilerplate-insensitive Jaccard (standard stop-shingle practice —
     * a sentence shared by 1% of the corpus should neither blow up the
-    * self-join nor inflate similarity). Exactly the r1 inverted-index
-    * plan (one shingle-keyed self-join + count) plus the tiny hot-list
-    * broadcast anti-join; an all-hot doc contributes nothing. At the
-    * test corpus max df ≪ cap, so output ≡ the uncapped formulation;
-    * the oracle applies the identical rule. (An earlier candidate-then-
-    * verify-full-sets variant re-shuffled the corpus's shingle arrays
-    * twice and benched 7× slower — scoring over the pruned postings
-    * keeps the shuffle payload at (long, long) rows.)
+    * self-join nor inflate similarity). Plan: ONE posting groupBy (the
+    * df-cap is a filter on the grouped size), map-side pair expansion
+    * from the sorted posting arrays, then a pair-keyed count — no
+    * shingle self-join at all; an all-hot doc contributes nothing. At
+    * the test corpus max df ≪ cap, so output ≡ the uncapped
+    * formulation; the oracle applies the identical rule. (An earlier
+    * candidate-then-verify-full-sets variant re-shuffled the corpus's
+    * shingle arrays twice and benched 7× slower — scoring over the
+    * grouped postings keeps the shuffle payload at (long, long) rows.)
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    maxDf: Int = MaxShingleDf): DataFrame =
@@ -219,14 +240,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = explodedShingles(docs)
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val pruned = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = pruned.alias("a").join(pruned.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val posts = rarePostings(docs, maxDf)
+    val sizes = posts.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = posts.filter(size(col("ids")) >= 2)
+      .select(explode(postingPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id"), col("sz").as("sz_a")), col("id_a") === col("doc_id")).drop("doc_id")
@@ -311,18 +330,18 @@ object Dedup {
     * them without ever re-shingling the old corpus (see
     * [[incrementalCandidates]]). Entirely map-side.
     */
-  def lshBandIndex(docs: DataFrame): DataFrame = {
-    val withSig = shingled(docs)
+  def lshBandIndex(docs: DataFrame): DataFrame =
+    shingled(docs)
       .select(col("doc_id"), shingleHashes(col("__sh")).as("__h"))
-      .select(col("doc_id"), minhashFromHashes(col("__h")).as("sig"))
-    withSig.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(NumHashes / BandRows - 1)),
-        b => struct(b.as("band_id"),
-          xxhash64(slice(col("sig"), b * BandRows + 1, lit(BandRows)).cast("string")).as("band_hash"))))
-        .as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-  }
+      // the generator input is the native fused expression, NOT an
+      // attribute: sign + band in one codegen'd pass (the K interpreted
+      // array_min passes dominated this pipeline's CPU), and explode-of-
+      // expression dodges the InferFiltersFromGenerate re-evaluation
+      // landmine (see [[shingled]])
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashExpression.minhashBandHashes(
+          col("__h"), minhashA.toIndexedSeq, minhashB.toIndexedSeq,
+          MinhashPrime, BandRows)).as(Seq("band_id", "band_hash")))
 
   /** Within-corpus LSH candidate pairs (id_a < id_b) from a band index. */
   def lshCandidatesFromIndex(bands: DataFrame): DataFrame =
@@ -669,13 +688,17 @@ object Dedup {
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.union(nbr)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"), lit(false).as("self"))
+      // carry each doc's previous label through the same aggregation so
+      // the convergence check is a filter over the checkpointed result —
+      // not (as in r2) a second labels-vs-next join+shuffle per round
+      val next = labels.withColumn("self", lit(true)).unionByName(nbr)
+        .groupBy("doc_id")
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          min(when(col("self"), col("cluster_id"))).as("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
     // silent partial convergence would diverge from the transitive-

@@ -371,6 +371,137 @@ object TextFunctions {
       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** PII detection/redaction patterns — deliberately in the common
+    * RE2/Java regex subset so the Spark scan and the DuckDB oracle
+    * apply the identical rule.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?\\d[\\d() -]{7,}\\d"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact PII spans (emails → [EMAIL], then phone-ish number runs →
+    * [PHONE], then IPv4s → [IP]) — order matters and is part of the
+    * contract (an email's digits must not be half-eaten by the phone
+    * pass first).
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
+  /** PII scrub accounting per document: span counts per category plus
+    * the redacted length. Pure codegen'd projection — the 100 TB plan
+    * is a scan with zero shuffles. (The testdata corpus is synthetic
+    * and PII-free, so counts are ~0 here; the redaction semantics are
+    * spec-tested on planted PII.)
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+        lit(PhonePattern)).as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).as("n_ips"),
+      length(scrubPii(col("text"))).as("clean_chars"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+      | CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?\d[\d() -]{7,}\d')) AS INTEGER) AS n_phones,
+      | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+      | CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |   '\+?\d[\d() -]{7,}\d', '[PHONE]', 'g'),
+      |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS INTEGER) AS clean_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus token vocabulary, Zipf view: the top 100 tokens by corpus
+    * frequency with document frequency and rank — the table a tokenizer/
+    * vocab build starts from. One (token)-keyed aggregation with
+    * map-side partials; the rank window runs over the already-truncated
+    * top-k, never the full vocabulary.
+    */
+  def tokenVocab(docs: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("doc_id"), wsTokens(trim(lower(col("text")))).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .select("rank", "token", "n", "n_docs")
+  }
+
+  def tokenVocab(spark: SparkSession, dir: String): DataFrame =
+    tokenVocab(Tables.documents(spark, dir))
+
+  val tokenVocabSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |  FROM t WHERE token <> '' GROUP BY token
+      |  ORDER BY n DESC, token LIMIT 100)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+      |  token, n, n_docs
+      |FROM c ORDER BY rank""".stripMargin
+
+  /** Per-source quality-percentile gating — "keep the best (1-p)
+    * quantile of each source" corpus curation: an exact interpolated
+    * per-source threshold (scale path: percentile_approx, same plan),
+    * broadcast back onto the scan for a map-side keep/drop compare.
+    * Both the threshold and each doc's quality are 4-dp-rounded before
+    * the compare so the boundary rule is engine-portable.
+    */
+  def qualityGate(docs: DataFrame, pct: Double = 0.25): DataFrame = {
+    val scored = docs.select(col("source"), qualityExpr(col("text")).as("quality"))
+    val thr = scored.groupBy("source")
+      .agg(round(expr(s"percentile(quality, $pct)"), 4).as("q_thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= col("q_thr"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("q_thr")).as("q_threshold"))
+      .orderBy("source")
+  }
+
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGate(Tables.documents(spark, dir))
+
+  val qualityGateSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|that)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct
+      |  FROM documents),
+      |q AS (
+      |  SELECT source,
+      |    round(least(1.0, (stops / toks) * 2.5)
+      |      * (1.0 - least(1.0, (punct / greatest(chars, 1.0)) * 10.0))
+      |      * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
+      |  FROM m),
+      |thr AS (
+      |  SELECT source, round(quantile_cont(quality, 0.25), 4) AS q_thr
+      |  FROM q GROUP BY source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN quality >= q_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  max(q_thr) AS q_threshold
+      |FROM q JOIN thr USING (source)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace

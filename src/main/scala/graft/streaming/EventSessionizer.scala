@@ -182,29 +182,31 @@ object EventSessionizer {
         (userId: Long, rows: Iterator[Ev], state: GroupState[BufferState]) =>
           def emit(s: SessionState) =
             SessionOut(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.total)
-          if (state.hasTimedOut) {
-            // key went idle: watermark passed last event + gap, so every
-            // remaining buffered session is sealed
-            val sessions = foldSessions(state.get.events.sortBy(identity))
-            state.remove()
-            sessions.iterator.map(emit)
-          } else {
-            val incoming = rows.map(e => (epochMicros(e.ts), e.value)).toSeq
-            val all = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming)
-              .sortBy(identity)
-            val wmMs = state.getCurrentWatermarkMs()
-            val (finished, open) = foldSessions(all)
-              .partition(s => Math.floorDiv(s.end, 1000L) + GapSeconds * 1000L < wmMs)
-            open.headOption match {
-              case Some(first) =>
-                val remaining = all.filter(_._1 >= first.start)
-                state.update(BufferState(remaining))
-                state.setTimeoutTimestamp(
-                  Math.floorDiv(open.last.end, 1000L) + GapSeconds * 1000L)
-              case None => state.remove()
-            }
-            finished.iterator.map(emit)
+          // one path for both wake-ups (new data OR timeout): re-fold the
+          // buffer, emit the watermark-sealed prefix, keep the rest. The
+          // timeout is armed at the FIRST open session's seal point — not
+          // the last's — so an idle key's earlier sessions emit as soon
+          // as the watermark seals them instead of waiting for the whole
+          // buffered span to seal at once.
+          val incoming =
+            if (state.hasTimedOut) Seq.empty
+            else rows.map(e => (epochMicros(e.ts), e.value)).toSeq
+          val all = (state.getOption.map(_.events).getOrElse(Seq.empty) ++ incoming)
+            .sortBy(identity)
+          val wmMs = state.getCurrentWatermarkMs()
+          val (finished, open) = foldSessions(all)
+            .partition(s => Math.floorDiv(s.end, 1000L) + GapSeconds * 1000L < wmMs)
+          open.headOption match {
+            case Some(first) =>
+              val remaining = all.filter(_._1 >= first.start)
+              state.update(BufferState(remaining))
+              // must be strictly beyond the current watermark or Spark
+              // rejects the timestamp (seal check above is strict too)
+              state.setTimeoutTimestamp(Math.max(
+                Math.floorDiv(first.end, 1000L) + GapSeconds * 1000L, wmMs + 1L))
+            case None => state.remove()
           }
+          finished.iterator.map(emit)
       }
   }
 }

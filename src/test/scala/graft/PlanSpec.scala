@@ -60,10 +60,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "boundary table should broadcast back")
   }
 
-  test("ngram jaccard prunes hot shingles via a broadcast anti-join") {
+  test("ngram jaccard groups postings once — no shingle-keyed self-join") {
     val p = plan(graft.dedup.Dedup.ngramJaccard(spark, sfDir))
-    assert(p.contains("LeftAnti"), "df-cap anti-join expected")
-    assert(p.contains("BroadcastHashJoin"), "hot list should broadcast")
+    assert(p.contains("Scan ExistingRDD"), "grouped postings must be materialized once")
+    assert("Join \\[sh".r.findFirstIn(p).isEmpty, s"no shingle self-join expected:\n$p")
+    assert(!p.contains("LeftAnti"), "df-cap is a size filter on the grouped postings")
   }
 
   test("decontaminate joins the corpus against broadcast bench grams") {

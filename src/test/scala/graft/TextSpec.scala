@@ -43,4 +43,50 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     val distinctFps = TextFunctions.fingerprints(docs).select("fp").distinct().count()
     assert(distinctFps >= distinctTexts - 1)
   }
+
+  // the synthetic corpus is PII-free, so the driver query's counts are
+  // vacuously zero there — the redaction semantics are proven on
+  // planted PII through the same operator
+  test("pii scrub redacts planted emails, phones, and IPs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk for details"),
+      (2L, "call +1 (555) 123-4567 or 020 7946 0958 today"),
+      (3L, "server at 192.168.0.1 and 10.0.0.254 responded"),
+      (4L, "mixed: bob@host.org then 555-867-5309 then 8.8.8.8"),
+      (5L, "clean text with number 42 and nothing sensitive")).toDF("doc_id", "text")
+    val out = TextFunctions.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((1, 0, 0)))
+    assert(out(2L) === ((0, 2, 0)))
+    assert(out(3L) === ((0, 0, 2)))
+    assert(out(4L) === ((1, 1, 1)))
+    assert(out(5L) === ((0, 0, 0)))
+    val scrubbed = docs.select(col("doc_id"), TextFunctions.scrubPii(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) === "contact me at [EMAIL] for details")
+    assert(scrubbed(4L) === "mixed: [EMAIL] then [PHONE] then [IP]")
+    assert(!scrubbed.values.exists(t => t.contains("@") || t.contains("555")))
+  }
+
+  test("token vocab ranks by corpus frequency with deterministic ties") {
+    val v = TextFunctions.tokenVocab(Tables.documents(spark, sfDir)).collect()
+    // the synthetic corpus has a tiny vocabulary (~31 tokens at
+    // sf0.001), so the top-k may be the whole vocab
+    assert(v.nonEmpty && v.length <= 100)
+    assert(v.map(_.getInt(0)).toSeq === (1 to v.length))
+    val ns = v.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    v.foreach(r => assert(r.getLong(3) <= r.getLong(2), "doc freq cannot exceed term freq"))
+  }
+
+  test("quality gate keeps roughly the top three quarters per source") {
+    val g = TextFunctions.qualityGate(Tables.documents(spark, sfDir)).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      val n = r.getLong(1).toDouble; val kept = r.getLong(2).toDouble
+      assert(kept / n >= 0.5 && kept / n <= 1.0,
+        s"source ${r.getString(0)}: kept ${kept / n} outside sane band")
+    }
+  }
 }

@@ -9,7 +9,7 @@ threshold on the SAME machine and SF are meaningful; compare warm pairs.
 Usage: bench_compare.py OLD NEW [ratio-threshold=1.5]
 Exit 1 if any query regressed by more than the threshold.
 """
-import json, re, sys
+import json, sys
 
 
 def load(path):
@@ -21,12 +21,25 @@ def load(path):
         text = d.get("tail", "")
     except json.JSONDecodeError:
         pass
-    m = None
-    for m in re.finditer(r'\{"metric":.*?"sf":[^}]*\}', text):
-        pass
-    if m is None:
+    # scan line-by-line and json-parse whole candidate lines (a regex
+    # slice silently truncates if key order changes); keep the LAST
+    # parseable bench line so warm re-runs in one log win
+    found = None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("[info]"):
+            line = line[len("[info]"):].strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "metric" in d and "queries" in d:
+            found = d
+    if found is None:
         raise SystemExit(f"no bench JSON line found in {path}")
-    return json.loads(m.group(0))
+    return found
 
 
 def main():
