@@ -45,7 +45,14 @@ object GraftExtensions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     binary("vec_cosine", classOf[FloatVecCosine], FloatVecCosine(_, _)),
     binary("vec_l2sq", classOf[FloatVecL2Sq], FloatVecL2Sq(_, _)),
-    unary("simhash64", classOf[SimHash64], SimHash64(_)))
+    unary("simhash64", classOf[SimHash64], SimHash64(_)),
+    // minhash_bands(hashes): the engine's standard 64-hash/4-row LSH
+    // banding (same coefficients as the Dedup pipeline, so SQL users
+    // band-join compatibly against indexes it persisted)
+    unary("minhash_bands", classOf[graft.functions.MinHashBands],
+      graft.functions.MinHashBands(_,
+        graft.dedup.Dedup.minhashA.toIndexedSeq, graft.dedup.Dedup.minhashB.toIndexedSeq,
+        graft.dedup.Dedup.MinhashPrime, graft.dedup.Dedup.BandRows)))
 
   /** Register the functions on an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -60,6 +60,9 @@ object SparkEntry {
     "q14_promo_revenue"    -> (Analytics.q14PromoRevenue(_, _)),
     "q18_large_orders"     -> (Analytics.q18LargeOrders(_, _)),
     "q22_rich_no_orders"   -> (Analytics.q22RichNoOrders(_, _)),
+    "q4_order_priority"    -> (Analytics.q4OrderPriority(_, _)),
+    "q13_customer_distribution" -> (Analytics.q13CustomerDistribution(_, _)),
+    "q17_small_quantity"   -> (Analytics.q17SmallQuantity(_, _)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
@@ -133,6 +136,9 @@ object SparkEntry {
     "q14_promo_revenue"    -> Analytics.q14Sql,
     "q18_large_orders"     -> Analytics.q18Sql,
     "q22_rich_no_orders"   -> Analytics.q22Sql,
+    "q4_order_priority"    -> Analytics.q4Sql,
+    "q13_customer_distribution" -> Analytics.q13Sql,
+    "q17_small_quantity"   -> Analytics.q17Sql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,

@@ -290,8 +290,8 @@ object Dedup {
   val NumHashes = 64
   val BandRows = 4 // → 16 bands; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
-  private val MinhashPrime = 4294967311L // prime > 2^32
-  private val (minhashA, minhashB) = {
+  val MinhashPrime = 4294967311L // prime > 2^32
+  private[graft] val (minhashA, minhashB) = {
     val rnd = new scala.util.Random(7L)
     val as = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
     val bs = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
@@ -682,8 +682,9 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select("e.src", "e.dst")
       .localCheckpoint(true)
+    // init labels stay lazy: round 1 reads them exactly once, and every
+    // later round reads the previous round's checkpointed aggregate
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {

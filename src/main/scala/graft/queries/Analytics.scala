@@ -752,4 +752,82 @@ object Analytics {
       |        TRY_CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INTEGER) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** TPC-H Q4 shape — priority accounting of orders with at least one
+    * late-shipped line (EXISTS → left-semi join with a non-equi
+    * residual). The date restriction prunes orders BEFORE the join (a
+    * partition-pruned scan at warehouse scale), and the semi join never
+    * duplicates an order however many of its lines are late.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape — customer count distribution by orders placed.
+    * Orders aggregate per customer BEFORE the outer join (the
+    * aggregate-then-join form: the join carries one row per customer,
+    * not one per order), then the histogram is a second tiny
+    * aggregation.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir)
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """WITH per AS (SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+      |FROM customer LEFT JOIN per ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q17 shape — revenue that would be lost by refusing
+    * small-quantity orders of one brand's parts: lines below half the
+    * part's average quantity. The brand slice broadcast-restricts
+    * lineitem first, so the per-part average aggregates the SLICE (a
+    * ~1/25 fraction), never the full fact table, and the thresholds
+    * broadcast back for a map-side filter.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#1").select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val thr = l.groupBy("l_partkey").agg((avg("l_quantity") * 0.5).as("thresh"))
+    l.join(broadcast(thr), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("thresh"))
+      .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+      |l AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |      FROM lineitem JOIN p ON l_partkey = p_partkey),
+      |t AS (SELECT l_partkey, avg(l_quantity) * 0.5 AS thresh FROM l GROUP BY l_partkey)
+      |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |FROM l JOIN t USING (l_partkey) WHERE l_quantity < thresh""".stripMargin
 }

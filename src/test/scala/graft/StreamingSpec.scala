@@ -238,4 +238,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // every event type is covered by the dim (no null channels)
     assert(streamed.filter(col("channel").isNull).count() === 0)
   }
+
+  test("streaming near-dedup finds cross-batch pairs from the persisted index only") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDedupJob
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog while the rain " +
+      "falls gently on the quiet village roofs and the river keeps moving east"
+    val emitted = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val tmp = java.nio.file.Files.createTempDirectory("neardedup").toString
+    val job = new StreamingNearDedupJob(spark, s"$tmp/index",
+      (cands, id) => emitted(id) = cands.select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = job.start(stream.toDF().toDF("doc_id", "text"), s"$tmp/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0: two unrelated docs + a near-dup pair within the batch
+    stream.addData(Seq(
+      (1L, base),
+      (2L, base + " tonight"),
+      (3L, "completely different words about spark catalyst optimizer internals and shuffles exchanged across executor boundaries")))
+    q.processAllAvailable()
+    // batch 1: a near-dup of doc 1 — must pair via the PERSISTED index
+    stream.addData(Seq(
+      (10L, base + " again"),
+      (11L, "another unrelated document mentioning parquet footers column statistics and predicate pushdown behavior at scan time")))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(emitted(0L).contains((1L, 2L)), s"within-batch pair missing: ${emitted(0L)}")
+    assert(emitted(1L).contains((1L, 10L)) && emitted(1L).contains((2L, 10L)),
+      s"cross-batch pairs via persisted index missing: ${emitted(1L)}")
+    assert(!emitted(1L).exists { case (a, b) => a == 11L || b == 11L },
+      "unrelated doc must not pair")
+    // the index now carries bands for every doc seen
+    assert(job.readIndex().get.select("doc_id").distinct().count() === 5)
+  }
 }
