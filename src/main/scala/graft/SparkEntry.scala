@@ -103,7 +103,8 @@ object SparkEntry {
     "mm_feature_extract"   -> (BinaryPipeline.featureExtract(_, _)),
     "mm_resize"            -> (BinaryPipeline.resize(_, _)),
     "mm_dedup"             -> (BinaryPipeline.binaryDedup(_, _)),
-    "mm_frame_sample"      -> ((s, d) => BinaryPipeline.frameSample(s, d))
+    "mm_frame_sample"      -> ((s, d) => BinaryPipeline.frameSample(s, d)),
+    "mm_similar_topk"      -> (BinaryPipeline.similarTopK(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -682,13 +682,20 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select("e.src", "e.dst")
       .localCheckpoint(true)
+    // verified near-dup edge sets are sparse relative to the corpus —
+    // broadcasting them makes every propagation round's join map-side,
+    // leaving the label groupBy as the round's ONLY shuffle. The count
+    // is free (edges are already materialized); genuinely huge edge
+    // sets fall back to a shuffle join.
+    val edgesJ =
+      if (edges.count() <= 5000000L) broadcast(edges) else edges
     // init labels stay lazy: round 1 reads them exactly once, and every
     // later round reads the previous round's checkpointed aggregate
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+      val nbr = edgesJ.join(labels, edgesJ("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"), lit(false).as("self"))
       // carry each doc's previous label through the same aggregation so
       // the convergence check is a filter over the checkpointed result —

@@ -236,6 +236,19 @@ object BinaryPipeline {
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS payload_md5
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** Multimodal similarity — the composition the feature vectors exist
+    * for: stub-extracted features fed straight into the similarity
+    * tier's exact top-k (broadcast queries, one corpus scan). A real
+    * deployment swaps the codec, not this plumbing; at scale the same
+    * frame feeds the LSH/IVF candidate generators instead. Rows-only
+    * checked (values are stub-codec-specific).
+    */
+  def similarTopK(spark: SparkSession, dir: String): DataFrame = {
+    val feats = pipelineRaw(spark, dir)
+      .select(col("item_id").as("vec_id"), col("features").as("embedding"))
+    graft.similarity.Ann.bruteForceTopK(feats)
+  }
+
   /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions

@@ -84,6 +84,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(allSpecs === bucketSpecs, s"no window spec may be global (empty partition):\n$p")
   }
 
+  test("q13 aggregates orders per customer before the outer join") {
+    val p = graft.queries.Analytics.q13CustomerDistribution(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val joinIdx = p.indexOf("Join LeftOuter")
+    assert(joinIdx >= 0, s"expected an outer join:\n$p")
+    // top-down print: the per-customer aggregate must be INSIDE the
+    // join subtree (below it), so the join carries one row per customer
+    assert(p.indexOf("Aggregate [o_custkey", joinIdx) > joinIdx,
+      s"per-customer aggregate must be a join input:\n$p")
+  }
+
+  test("q17 broadcasts the brand slice and the per-part thresholds") {
+    val p = plan(graft.queries.Analytics.q17SmallQuantity(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both the part slice and threshold joins should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-table shuffle join expected:\n$p")
+  }
+
+  test("dedup_clusters propagation round shuffles labels only once (edges broadcast)") {
+    // the loop runs eagerly inside dedupClusters, so lock the shape on
+    // one round built the same way: broadcast edges join + label agg
+    val docs = Tables.documents(spark, sfDir)
+    val edges = graft.dedup.Dedup.ngramJaccardPairs(docs).select(
+      org.apache.spark.sql.functions.col("id_a").as("src"),
+      org.apache.spark.sql.functions.col("id_b").as("dst")).localCheckpoint(true)
+    val labels = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("doc_id").as("cluster_id"))
+    val round = org.apache.spark.sql.functions.broadcast(edges)
+      .join(labels, edges("dst") === labels("doc_id"))
+    val p = plan(round)
+    assert(p.contains("BroadcastHashJoin"), s"edges must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"labels must not shuffle for the join:\n$p")
+  }
+
   test("q7 restricts supplier and customer by nation below the fact join") {
     val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString
