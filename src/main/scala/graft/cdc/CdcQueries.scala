@@ -87,8 +87,8 @@ object CdcQueries {
     * submit dir shipping the file) works. The resolved absolute path is
     * interpolated into the oracle SQL below.
     */
-  val StaticDimPath: String = sys.env.getOrElse("GRAFT_STATIC_DIM_PATH",
-    new java.io.File("data/staticdata/event_channels.csv").getAbsolutePath)
+  val StaticDimPath: String = new java.io.File(sys.env.getOrElse(
+    "GRAFT_STATIC_DIM_PATH", "data/staticdata/event_channels.csv")).getAbsolutePath
 
   /** Static-dim enrichment: broadcast a small semicolon-delimited CSV
     * dimension (event_type→channel) into the CDC latest-state and

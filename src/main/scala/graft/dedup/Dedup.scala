@@ -189,12 +189,21 @@ object Dedup {
     * cluster scale the materialization is a persist of (long, array)
     * postings — far smaller than the corpus text it replaces.
     */
-  private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame =
-    explodedShingles(docs)
+  private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame = {
+    val sh = explodedShingles(docs)
+    // the df-cap must be applied with a COUNT aggregation (O(1) per-key
+    // state) BEFORE any posting list is collected: grouping sets first
+    // and filtering on size would accumulate an unbounded array for
+    // exactly the boilerplate mega-df shingle the cap exists to bound.
+    // The hot list is tiny by construction, so the prune is a broadcast
+    // anti-join; the collect_set that follows is bounded by maxDf.
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
       .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
       .select("ids")
       .localCheckpoint(true)
+  }
 
   /** All ordered (id_a < id_b) pairs within one sorted posting array,
     * generated map-side: with df ≤ maxDf the expansion is ≤ maxDf²/2
@@ -289,6 +298,16 @@ object Dedup {
 
   val NumHashes = 64
   val BandRows = 4 // → 16 bands; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+  /** Identity of the band-hash family. Persisted indexes
+    * ([[lshBandIndex]] scaladoc, StreamingNearDedupJob) only join
+    * meaningfully against bands of the SAME family — bump this string
+    * whenever the banding arithmetic changes so stored indexes fail
+    * loudly instead of silently matching nothing. v2 = fused native
+    * minima + FNV-1a band mixing (v1 was xxhash64 over signature
+    * slices cast to string).
+    */
+  val BandFormat = s"minhash-fnv-v2/$NumHashes/$BandRows"
 
   val MinhashPrime = 4294967311L // prime > 2^32
   private[graft] val (minhashA, minhashB) = {
@@ -685,10 +704,12 @@ object Dedup {
     // verified near-dup edge sets are sparse relative to the corpus —
     // broadcasting them makes every propagation round's join map-side,
     // leaving the label groupBy as the round's ONLY shuffle. The count
-    // is free (edges are already materialized); genuinely huge edge
-    // sets fall back to a shuffle join.
+    // is free (edges are already materialized). Threshold is modest
+    // because each round's fresh plan re-runs the BroadcastExchange (a
+    // driver collect per round): 1M (long,long) rows is ~tens of MB as
+    // a HashedRelation — cheap per round; bigger sets shuffle-join.
     val edgesJ =
-      if (edges.count() <= 5000000L) broadcast(edges) else edges
+      if (edges.count() <= 1000000L) broadcast(edges) else edges
     // init labels stay lazy: round 1 reads them exactly once, and every
     // later round reads the previous round's checkpointed aggregate
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))

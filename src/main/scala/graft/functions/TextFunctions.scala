@@ -397,14 +397,20 @@ object TextFunctions {
     * and PII-free, so counts are ~0 here; the redaction semantics are
     * spec-tested on planted PII.)
     */
-  def piiScrub(docs: DataFrame): DataFrame =
+  def piiScrub(docs: DataFrame): DataFrame = {
+    // each category is counted on the text AS THE SCRUB PASS SEES IT
+    // (emails removed before phones, both removed before IPs), so the
+    // counts are exactly the redactions performed — an IP-shaped email
+    // local part is one [EMAIL], never a phantom n_ips entry
+    val afterEmail = regexp_replace(col("text"), EmailPattern, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "[PHONE]")
     docs.select(
       col("doc_id"),
       regexp_count(col("text"), lit(EmailPattern)).as("n_emails"),
-      regexp_count(regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
-        lit(PhonePattern)).as("n_phones"),
-      regexp_count(col("text"), lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(afterEmail, lit(PhonePattern)).as("n_phones"),
+      regexp_count(afterPhone, lit(Ipv4Pattern)).as("n_ips"),
       length(scrubPii(col("text"))).as("clean_chars"))
+  }
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -413,7 +419,10 @@ object TextFunctions {
     """SELECT doc_id,
       | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
       | CAST(len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+?\d[\d() -]{7,}\d')) AS INTEGER) AS n_phones,
-      | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+      | CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |   '\+?\d[\d() -]{7,}\d', '[PHONE]', 'g'),
+      |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
       | CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
       |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
       |   '\+?\d[\d() -]{7,}\d', '[PHONE]', 'g'),

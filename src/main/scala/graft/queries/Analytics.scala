@@ -817,6 +817,10 @@ object Analytics {
     val l = Tables.lineitem(spark, dir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "l_quantity", "l_extendedprice")
+      // the slice feeds BOTH the threshold aggregate and the final
+      // filter — materialize it once (no common-subplan elimination)
+      // instead of scanning + broadcast-joining lineitem twice
+      .localCheckpoint(true)
     val thr = l.groupBy("l_partkey").agg((avg("l_quantity") * 0.5).as("thresh"))
     l.join(broadcast(thr), Seq("l_partkey"))
       .filter(col("l_quantity") < col("thresh"))

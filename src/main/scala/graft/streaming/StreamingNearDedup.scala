@@ -34,11 +34,34 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
                             onCandidates: (DataFrame, Long) => Unit) {
 
   private def indexDir = s"$indexPath/bands"
+  private def fs = new Path(indexPath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Band hashes only join meaningfully against bands produced by the
+    * SAME hash family — a marker file pins the family the index was
+    * built with, so an engine upgrade that changes the banding can
+    * never silently band-join old and new hashes into zero matches
+    * (it fails loudly and asks for a rebuild instead).
+    */
+  private val formatMarker = new Path(indexPath, "_band_format")
+
+  private def checkOrWriteFormat(): Unit = {
+    if (fs.exists(formatMarker)) {
+      val in = fs.open(formatMarker)
+      val found = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (found != Dedup.BandFormat) throw new IllegalStateException(
+        s"band index at $indexPath was built with '$found' but this engine " +
+          s"produces '${Dedup.BandFormat}' — rebuild the index")
+    } else {
+      val out = fs.create(formatMarker, true)
+      try out.write((Dedup.BandFormat + "\n").getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** The persisted band index, if any batch has committed one yet. */
   def readIndex(): Option[DataFrame] = {
     val p = new Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       Some(spark.read.parquet(indexDir).select("doc_id", "band_id", "band_hash"))
     else None
@@ -46,6 +69,7 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
 
   /** One micro-batch: emit candidates, then append the batch's bands. */
   def processBatch(docs: DataFrame, batchId: Long): Unit = {
+    checkOrWriteFormat()
     val newBands = Dedup.lshBandIndex(docs).localCheckpoint(true)
     val candidates = readIndex() match {
       case Some(idx) => Dedup.incrementalCandidatesFromBands(idx, newBands)

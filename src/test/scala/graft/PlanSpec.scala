@@ -95,10 +95,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"per-customer aggregate must be a join input:\n$p")
   }
 
-  test("q17 broadcasts the brand slice and the per-part thresholds") {
+  test("q17 materializes the brand slice once and broadcasts the thresholds") {
     val p = plan(graft.queries.Analytics.q17SmallQuantity(spark, sfDir))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      s"both the part slice and threshold joins should broadcast:\n$p")
+    // the brand-slice join runs once, upstream of the materialization
+    // boundary; the visible plan reads the slice and broadcast-joins
+    // only the tiny per-part threshold table back onto it
+    assert(p.contains("Scan ExistingRDD"), s"brand slice must be materialized once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no fact-table shuffle join expected:\n$p")
   }
 
