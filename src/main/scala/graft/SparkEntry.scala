@@ -63,6 +63,7 @@ object SparkEntry {
     "q4_order_priority"    -> (Analytics.q4OrderPriority(_, _)),
     "q13_customer_distribution" -> (Analytics.q13CustomerDistribution(_, _)),
     "q17_small_quantity"   -> (Analytics.q17SmallQuantity(_, _)),
+    "q15_top_supplier"     -> (Analytics.q15TopSupplier(_, _)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q4_order_priority"    -> Analytics.q4Sql,
     "q13_customer_distribution" -> Analytics.q13Sql,
     "q17_small_quantity"   -> Analytics.q17Sql,
+    "q15_top_supplier"     -> Analytics.q15Sql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,

@@ -834,4 +834,39 @@ object Analytics {
       |t AS (SELECT l_partkey, avg(l_quantity) * 0.5 AS thresh FROM l GROUP BY l_partkey)
       |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
       |FROM l JOIN t USING (l_partkey) WHERE l_quantity < thresh""".stripMargin
+
+  /** TPC-H Q15 shape — the top supplier by quarterly revenue: an
+    * argmax over an aggregate via a broadcast 1-row scalar joined back
+    * with equality (HAVING total = (SELECT max ...)). The revenue
+    * aggregate is materialized once — it feeds both the max and the
+    * equality filter — and everything after the fact-slice aggregation
+    * moves supplier-count-sized rows only.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_revenue"))
+      .localCheckpoint(true)
+    val mx = rev.agg(max("total_revenue").as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
 }
