@@ -135,6 +135,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("idle key emits its sealed prefix at the FIRST open session's seal point") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2024-03-01 06:00:00")
+    def ts(min: Long) = new Timestamp(t0.getTime + min * 60000L)
+
+    val stream = MemoryStream[EventSessionizer.Ev]
+    val out = EventSessionizer.sessionizeStreamBuffered(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("idle_prefix")
+      .outputMode("append").start()
+    // user 7 buffers TWO sessions ([0,10] and [300,310]) then goes idle
+    stream.addData(Seq(
+      EventSessionizer.Ev(7L, ts(0), 1.0), EventSessionizer.Ev(7L, ts(10), 2.0),
+      EventSessionizer.Ev(7L, ts(300), 3.0), EventSessionizer.Ev(7L, ts(310), 4.0)))
+    q.processAllAvailable()
+    // a DIFFERENT user's event advances the watermark past session 1's
+    // seal point (end 10m + gap 30m) but far short of session 2's (340m)
+    stream.addData(Seq(EventSessionizer.Ev(8L, ts(320), 0.0)))
+    q.processAllAvailable()
+    val afterIdle = spark.table("idle_prefix").filter(col("user_id") === 7L)
+    assert(afterIdle.filter(col("session_start") === ts(0)).count() === 1,
+      "sealed first session must emit at ITS seal point, not the last session's")
+    assert(afterIdle.count() === 1, "unsealed later session must stay buffered")
+    // advance the watermark past session 2's seal point too
+    stream.addData(Seq(EventSessionizer.Ev(8L, ts(500), 0.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(EventSessionizer.Ev(8L, ts(510), 0.0)))
+    q.processAllAvailable()
+    assert(spark.table("idle_prefix").filter(col("user_id") === 7L).count() === 2,
+      "the remainder must emit once the watermark seals it")
+    q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
