@@ -151,8 +151,8 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
     * every dirty bucket that still has rows. Dirty buckets with no
     * surviving rows are dropped from the manifest (all keys deleted).
     */
-  private def commit(epoch: Long, previous: Map[Int, String],
-                     dirty: Seq[Int], merged: DataFrame): Unit = {
+  private[graft] def commit(epoch: Long, previous: Map[Int, String],
+                            dirty: Seq[Int], merged: DataFrame): Unit = {
     // detect a single-writer violation BEFORE touching any file, and
     // stage data in a per-attempt directory: even a writer racing at
     // the same epoch can then never clobber files that a just-published

@@ -200,6 +200,26 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(recovered.filter(col("user_id") === 3).count() === 1)
   }
 
+  test("a racing writer at an already-published epoch fails before touching state") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-race").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 4)
+    sink.merge(batchDf(Seq((1L, "c", 10L, 1L, "signup", 1.0))), 0)   // epoch 0 published
+    val before = sink.readState().collect().toSet
+
+    // a second writer that read the pre-epoch-0 state and lost the race
+    // would attempt epoch 0 again — the guard must reject it BEFORE any
+    // file is written, leaving the published state untouched
+    val phantom = Seq((999L, "phantom", 9.9, 99L))
+      .toDF("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val ex = intercept[IllegalStateException] {
+      sink.commit(0L, Map.empty, Seq(0), phantom)
+    }
+    assert(ex.getMessage.contains("already committed"))
+    assert(sink.readState().collect().toSet === before, "state must be untouched")
+    assert(sink.readState().filter(col("user_id") === 999).count() === 0)
+  }
+
   test("a batch that deletes every key in a bucket does not resurrect them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-delbucket").toString
