@@ -79,6 +79,37 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
     newBands.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
   }
 
+  /** Fold the accumulated per-batch directories into one compacted
+    * directory. Run periodically (e.g. every N batches, or nightly):
+    * file-listing cost otherwise grows with every batch forever. Safe
+    * against the job's own crash-replay because the swap is
+    * last-step-atomic in the same sense as the upsert sink: the
+    * compacted data is written to a staging dir first, the live dir is
+    * replaced only after the write succeeds, and a crash before the
+    * swap leaves the original dirs untouched. Run it from the single
+    * writer (between batches), never concurrently with an append.
+    */
+  def compact(): Unit = readIndex().foreach { idx =>
+    val staged = new Path(s"$indexPath/_compacting")
+    fs.delete(staged, true)
+    // keep the batch=<n> partition layout: later appends land beside
+    // batch=0 without conflicting with partition discovery (a replayed
+    // folded batch merely re-adds rows the candidate distinct absorbs)
+    idx.write.parquet(new Path(staged, "batch=0").toString)
+    val live = new Path(indexDir)
+    val old = new Path(s"$indexPath/_pre_compact")
+    fs.delete(old, true)
+    if (!fs.rename(live, old)) throw new IllegalStateException(
+      s"compaction could not displace $live (concurrent writer?)")
+    if (!fs.rename(staged, live)) {
+      // restore the previous index before failing — the staged data is
+      // still on disk for inspection either way
+      fs.rename(old, live)
+      throw new IllegalStateException(s"compaction could not publish $live")
+    }
+    fs.delete(old, true)
+  }
+
   /** Run continuously over a streaming (doc_id, text) frame. */
   def start(docs: DataFrame, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =

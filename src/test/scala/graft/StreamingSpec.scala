@@ -309,5 +309,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "unrelated doc must not pair")
     // the index now carries bands for every doc seen
     assert(job.readIndex().get.select("doc_id").distinct().count() === 5)
+
+    // compaction folds the per-batch dirs without changing the content,
+    // and a post-compaction batch still pairs against the folded corpus
+    val before = job.readIndex().get.collect().toSet
+    job.compact()
+    assert(job.readIndex().get.collect().toSet === before,
+      "compaction must preserve the index content")
+    job.processBatch(Seq((20L, base + " anew")).toDF("doc_id", "text"), 2L)
+    assert(emitted(2L).contains((1L, 20L)),
+      s"post-compaction batch must pair via the folded index: ${emitted(2L)}")
   }
 }
