@@ -87,8 +87,14 @@ object CdcQueries {
     * submit dir shipping the file) works. The resolved absolute path is
     * interpolated into the oracle SQL below.
     */
-  val StaticDimPath: String = new java.io.File(sys.env.getOrElse(
-    "GRAFT_STATIC_DIM_PATH", "data/staticdata/event_channels.csv")).getAbsolutePath
+  val StaticDimPath: String = {
+    val raw = sys.env.getOrElse("GRAFT_STATIC_DIM_PATH", "data/staticdata/event_channels.csv")
+    // absolutize bare relative paths only — URI-style values
+    // (hdfs://, s3a://, file://) and absolute paths pass through
+    // verbatim (java.io.File would mangle a scheme into the cwd)
+    if (raw.contains("://") || raw.startsWith("/")) raw
+    else new java.io.File(raw).getAbsolutePath
+  }
 
   /** Static-dim enrichment: broadcast a small semicolon-delimited CSV
     * dimension (event_type→channel) into the CDC latest-state and

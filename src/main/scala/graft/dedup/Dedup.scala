@@ -179,27 +179,30 @@ object Dedup {
     */
   val MaxShingleDf = 100
 
-  /** Rare-shingle posting lists: ONE shuffle groups the exploded
-    * shingles by value, the df-cap is a filter on the grouped size (no
-    * separate hot-list aggregation), and the result is materialized
-    * because every consumer (pair generation AND per-doc sizes) reads
-    * it — Spark has no common-subplan elimination, so leaving this lazy
-    * re-runs the corpus scan + shuffle once per reference (measured 3×
-    * on the r2 formulation, whose `pruned` frame fed three joins). At
-    * cluster scale the materialization is a persist of (long, array)
-    * postings — far smaller than the corpus text it replaces.
+  /** Rare-shingle posting lists, materialized because every consumer
+    * (pair generation AND per-doc sizes) reads them — Spark has no
+    * common-subplan elimination, so leaving this lazy re-runs the
+    * upstream once per reference (measured 3× on the r2 formulation,
+    * whose `pruned` frame fed three joins).
+    *
+    * The plan, in order: the corpus is shingled ONCE and the exploded
+    * (doc_id, sh) postings materialized (re-shingling is the dominant
+    * CPU cost — cheaper to persist the hashed postings than compute
+    * them twice); the df-cap is applied with a COUNT aggregation (O(1)
+    * per-key state) and an anti-join BEFORE any posting list is
+    * collected — grouping sets first and filtering on size would
+    * accumulate an unbounded array for exactly the boilerplate mega-df
+    * shingle the cap exists to bound; only then does collect_set build
+    * the (≤ maxDf)-bounded lists. The join strategy for the hot-list
+    * prune is left to AQE: on clean corpora the hot list is tiny and
+    * broadcasts, but its size is bounded only by Σrows/maxDf, so a
+    * boilerplate-heavy corpus legitimately shuffle-joins it.
     */
   private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame = {
-    val sh = explodedShingles(docs)
-    // the df-cap must be applied with a COUNT aggregation (O(1) per-key
-    // state) BEFORE any posting list is collected: grouping sets first
-    // and filtering on size would accumulate an unbounded array for
-    // exactly the boilerplate mega-df shingle the cap exists to bound.
-    // The hot list is tiny by construction, so the prune is a broadcast
-    // anti-join; the collect_set that follows is bounded by maxDf.
+    val sh = explodedShingles(docs).localCheckpoint(true)
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    sh.join(hot, Seq("sh"), "left_anti")
       .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .select("ids")
       .localCheckpoint(true)
@@ -230,10 +233,12 @@ object Dedup {
     * candidate generation and scoring, so the score is the
     * boilerplate-insensitive Jaccard (standard stop-shingle practice —
     * a sentence shared by 1% of the corpus should neither blow up the
-    * self-join nor inflate similarity). Plan: ONE posting groupBy (the
-    * df-cap is a filter on the grouped size), map-side pair expansion
-    * from the sorted posting arrays, then a pair-keyed count — no
-    * shingle self-join at all; an all-hot doc contributes nothing. At
+    * self-join nor inflate similarity). Plan: the corpus is shingled
+    * once ([[rarePostings]]: count-based df-cap, then bounded posting
+    * groupBy), pairs expand map-side from the sorted posting arrays,
+    * then a pair-keyed count — no shingle self-join at all (the only
+    * sh-keyed join is the hot-list anti-join); an all-hot doc
+    * contributes nothing. At
     * the test corpus max df ≪ cap, so output ≡ the uncapped
     * formulation; the oracle applies the identical rule. (An earlier
     * candidate-then-verify-full-sets variant re-shuffled the corpus's
@@ -301,13 +306,23 @@ object Dedup {
 
   /** Identity of the band-hash family. Persisted indexes
     * ([[lshBandIndex]] scaladoc, StreamingNearDedupJob) only join
-    * meaningfully against bands of the SAME family — bump this string
-    * whenever the banding arithmetic changes so stored indexes fail
-    * loudly instead of silently matching nothing. v2 = fused native
-    * minima + FNV-1a band mixing (v1 was xxhash64 over signature
+    * meaningfully against bands of the SAME family. The string embeds a
+    * digest of every parameter the band values depend on (permutation
+    * coefficients — which fix the seed — the rehash prime, and the FNV
+    * mixing constants), so ANY arithmetic change shifts the format
+    * mechanically; no one has to remember to bump a version. v2 = fused
+    * native minima + FNV-1a band mixing (v1 was xxhash64 over signature
     * slices cast to string).
     */
-  val BandFormat = s"minhash-fnv-v2/$NumHashes/$BandRows"
+  val BandFormat: String = {
+    val digest = java.util.Objects.hash(
+      java.util.Arrays.hashCode(minhashA): Integer,
+      java.util.Arrays.hashCode(minhashB): Integer,
+      MinhashPrime: java.lang.Long,
+      graft.functions.MinHashExpression.FnvOffset: java.lang.Long,
+      graft.functions.MinHashExpression.FnvPrime: java.lang.Long)
+    f"minhash-fnv-v2/$NumHashes/$BandRows/$digest%08x"
+  }
 
   val MinhashPrime = 4294967311L // prime > 2^32
   private[graft] val (minhashA, minhashB) = {

@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
 object MinHashExpression {
   private def expr(c: Column): Expression = GraftExpressionBridge.expression(c)
 
+  /** FNV-1a 64-bit constants used for band mixing — public so the
+    * persisted-index format digest can incorporate them.
+    */
+  val FnvOffset: Long = -3750763034362895579L
+  val FnvPrime: Long = 1099511628211L
+
   /** Band hashes (`numHashes/bandRows` longs) of a 31-bit shingle-hash
     * array; a/b are the affine-permutation coefficients.
     */
@@ -58,8 +64,8 @@ case class MinHashBands(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Lo
   @transient private lazy val aArr: Array[Long] = a.toArray
   @transient private lazy val bArr: Array[Long] = b.toArray
 
-  private val FnvOffset = -3750763034362895579L // FNV-1a 64-bit offset basis
-  private val FnvPrime = 1099511628211L
+  private val FnvOffset = MinHashExpression.FnvOffset
+  private val FnvPrime = MinHashExpression.FnvPrime
 
   override protected def nullSafeEval(input: Any): Any = {
     val h = input.asInstanceOf[ArrayData]

@@ -851,7 +851,10 @@ object Analytics {
         .as("total_revenue"))
       .localCheckpoint(true)
     val mx = rev.agg(max("total_revenue").as("mx"))
-    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+    // the argmax result is ~1 row but descends from a checkpointed RDD
+    // whose stats look huge to the static planner — hint it, so the
+    // supplier join is map-side at any supplier-table size
+    broadcast(rev.join(broadcast(mx), col("total_revenue") === col("mx")))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")

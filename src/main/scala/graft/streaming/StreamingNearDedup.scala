@@ -53,16 +53,37 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
       if (found != Dedup.BandFormat) throw new IllegalStateException(
         s"band index at $indexPath was built with '$found' but this engine " +
           s"produces '${Dedup.BandFormat}' — rebuild the index")
+    } else if (readIndex().isDefined) {
+      // bands exist but carry no marker: an index of unknown provenance
+      // (e.g. built before markers existed) must NOT be silently
+      // adopted — its hashes may predate the current band family, and
+      // stamping it would convert a loud failure into zero matches
+      throw new IllegalStateException(
+        s"band index at $indexPath has no format marker — rebuild it (or, " +
+          s"if it is KNOWN to be '${Dedup.BandFormat}', write that to ${formatMarker.getName})")
     } else {
       val out = fs.create(formatMarker, true)
       try out.write((Dedup.BandFormat + "\n").getBytes("UTF-8")) finally out.close()
     }
   }
 
+  private def liveDir = new Path(indexDir)
+  private def preCompactDir = new Path(s"$indexPath/_pre_compact")
+
+  /** If a compaction crashed between displacing the live dir and
+    * publishing the staged one, the previous index is still intact at
+    * [[preCompactDir]] — restore it before reading anything.
+    */
+  private def recoverIfNeeded(): Unit =
+    if (!fs.exists(liveDir) && fs.exists(preCompactDir)) {
+      if (!fs.rename(preCompactDir, liveDir)) throw new IllegalStateException(
+        s"could not restore $preCompactDir to $liveDir after an interrupted compaction")
+    }
+
   /** The persisted band index, if any batch has committed one yet. */
   def readIndex(): Option[DataFrame] = {
-    val p = new Path(indexDir)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    recoverIfNeeded()
+    if (fs.exists(liveDir) && fs.listStatus(liveDir).nonEmpty)
       Some(spark.read.parquet(indexDir).select("doc_id", "band_id", "band_hash"))
     else None
   }
@@ -81,13 +102,16 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
 
   /** Fold the accumulated per-batch directories into one compacted
     * directory. Run periodically (e.g. every N batches, or nightly):
-    * file-listing cost otherwise grows with every batch forever. Safe
-    * against the job's own crash-replay because the swap is
-    * last-step-atomic in the same sense as the upsert sink: the
-    * compacted data is written to a staging dir first, the live dir is
-    * replaced only after the write succeeds, and a crash before the
-    * swap leaves the original dirs untouched. Run it from the single
-    * writer (between batches), never concurrently with an append.
+    * file-listing cost otherwise grows with every batch forever. Run it
+    * from the single writer (between batches), never concurrently with
+    * an append.
+    *
+    * Crash safety: the swap is two renames, not one, so there IS a
+    * window where the live dir is absent — but the full previous index
+    * sits at `_pre_compact` throughout it, and [[recoverIfNeeded]]
+    * (invoked by every read) restores it on the next touch, so no crash
+    * point loses data or silently empties the corpus: either the old
+    * index is (re)stored live, or the new one is published.
     */
   def compact(): Unit = readIndex().foreach { idx =>
     val staged = new Path(s"$indexPath/_compacting")
@@ -96,18 +120,16 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
     // batch=0 without conflicting with partition discovery (a replayed
     // folded batch merely re-adds rows the candidate distinct absorbs)
     idx.write.parquet(new Path(staged, "batch=0").toString)
-    val live = new Path(indexDir)
-    val old = new Path(s"$indexPath/_pre_compact")
-    fs.delete(old, true)
-    if (!fs.rename(live, old)) throw new IllegalStateException(
-      s"compaction could not displace $live (concurrent writer?)")
-    if (!fs.rename(staged, live)) {
-      // restore the previous index before failing — the staged data is
-      // still on disk for inspection either way
-      fs.rename(old, live)
-      throw new IllegalStateException(s"compaction could not publish $live")
+    fs.delete(preCompactDir, true)
+    if (!fs.rename(liveDir, preCompactDir)) throw new IllegalStateException(
+      s"compaction could not displace $liveDir (concurrent writer?)")
+    if (!fs.rename(staged, liveDir)) {
+      if (!fs.rename(preCompactDir, liveDir)) throw new IllegalStateException(
+        s"compaction could not publish $liveDir AND could not restore " +
+          s"$preCompactDir — restore it manually before the next batch")
+      throw new IllegalStateException(s"compaction could not publish $liveDir (restored previous index)")
     }
-    fs.delete(old, true)
+    fs.delete(preCompactDir, true)
   }
 
   /** Run continuously over a streaming (doc_id, text) frame. */
