@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_lsh_topk"         -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Ann.ivfTopK(s, d)),
     "ann_sq_topk"          -> ((s, d) => Ann.sqTopK(s, d)),
+    "ann_ivf_incremental"  -> (Ann.ivfIncremental(_, _)),
     // --- multimodal (#36-37) ---
     "mm_binary_pipeline"   -> (BinaryPipeline.pipeline(_, _)),
     "mm_feature_extract"   -> (BinaryPipeline.featureExtract(_, _)),

@@ -113,6 +113,23 @@ object Ann {
     */
   def ivfTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
               nCells: Int = 16, nProbe: Int = 4, trainSize: Int = 4096): DataFrame = {
+    trainFromCorpus(embs, nCells, trainSize) match {
+      case None =>
+        // empty corpus → empty result with the contract schema (instead
+        // of an out-of-bounds read while seeding centroids)
+        embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+      case Some(refined) =>
+        probeCells(withNearestCell(embs, refined), refined,
+          embs.filter(col("vec_id") < nQueries), k, nProbe)
+    }
+  }
+
+  /** Train the coarse quantizer from a bounded systematic sample of the
+    * corpus (None on an empty corpus).
+    */
+  private def trainFromCorpus(embs: DataFrame, nCells: Int, trainSize: Int)
+      : Option[Array[(Int, Array[Double])]] = {
     val n = embs.count()
     val stride = math.max(n / trainSize, 1L)
     val sample: Array[Array[Double]] =
@@ -121,17 +138,16 @@ object Ann {
         .collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    if (sample.isEmpty) {
-      // empty corpus → empty result with the contract schema (instead of
-      // an out-of-bounds read while seeding centroids)
-      return embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
-    }
-    val refined = trainCentroids(sample, nCells, iters = 3)
-    val assigned = withNearestCell(embs, refined)
+    if (sample.isEmpty) None else Some(trainCentroids(sample, nCells, iters = 3))
+  }
 
-    // per query: distances to all centroids, keep the nProbe nearest cells
-    val qCells = embs.filter(col("vec_id") < nQueries)
+  /** Probe: per query keep the nProbe nearest cells, score candidates in
+    * those cells only, rank top-k. The probe set broadcasts; the
+    * assigned corpus never shuffles.
+    */
+  private def probeCells(assigned: DataFrame, refined: Array[(Int, Array[Double])],
+                         queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val qCells = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
       .withColumn("cell",
         explode(transform(slice(array_sort(cellDistances(col("q"), refined)), 1, nProbe),
@@ -146,6 +162,67 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Persistable IVF index — the incremental-corpus pattern for ANN,
+  // parallel to Dedup.lshBandIndex: train the coarse quantizer ONCE,
+  // persist the centroid table + cell-assigned inverted lists; new
+  // embedding batches assign cells map-side against the PERSISTED
+  // centroids (no retraining, no old-corpus access), and probing works
+  // identically over the combined lists.
+  // ------------------------------------------------------------------
+
+  /** (centroid table, cell-assigned corpus): both persistable as
+    * parquet. The centroid table is O(cells×dim) rows; the assignment
+    * frame is the corpus's inverted-list form (vec_id, embedding, cell).
+    * Returns empty frames for an empty corpus.
+    */
+  def ivfIndex(embs: DataFrame, nCells: Int = 16, trainSize: Int = 4096)
+      : (DataFrame, DataFrame) = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    trainFromCorpus(embs, nCells, trainSize) match {
+      case None =>
+        (Seq.empty[(Int, Seq[Double])].toDF("cell", "centroid"),
+          embs.select(col("vec_id"), col("embedding"), lit(0).as("cell")).limit(0))
+      case Some(refined) =>
+        (refined.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid"),
+          withNearestCell(embs, refined))
+    }
+  }
+
+  /** Driver-side literal form of a persisted centroid table (bounded:
+    * cells×dim, like the training sample).
+    */
+  private def centroidTable(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Assign a NEW embedding batch to cells of a persisted centroid
+    * table — map-side argmin, no retraining, cost scales with the
+    * batch. Append the result to the persisted assignment lists.
+    */
+  def assignCells(centroids: DataFrame, newEmbs: DataFrame): DataFrame =
+    withNearestCell(newEmbs, centroidTable(centroids))
+
+  /** Top-k probe over a persisted index (centroids + assigned lists). */
+  def ivfTopKFromIndex(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
+                       k: Int = 5, nProbe: Int = 4): DataFrame =
+    probeCells(assigned, centroidTable(centroids), queries, k, nProbe)
+
+  /** Driver entry for the incremental pattern: even vec_ids play the
+    * already-indexed corpus (quantizer trained on them alone), odd ids
+    * the new batch assigned against the persisted centroids without
+    * retraining. Hash/centroid-specific → rows-only; equality with the
+    * monolithic index path is spec-asserted.
+    */
+  def ivfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val (centroids, oldAssigned) = ivfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0))
+    val newAssigned = assignCells(centroids, embs.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    ivfTopKFromIndex(centroids, oldAssigned.unionByName(newAssigned),
+      embs.filter(col("vec_id") < 10))
   }
 
   /** Scalar-quantized (int8) ANN — the storage tier every production

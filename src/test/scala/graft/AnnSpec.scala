@@ -67,4 +67,26 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Ann.ivfTopK(empty).count() === 0)
   }
+
+  test("incremental IVF assignment equals the monolithic index (same centroids)") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, sfDir)
+    val (centroids, assignedAll) = Ann.ivfIndex(embs)
+    // assigning any slice against the persisted centroid table must
+    // reproduce exactly the monolithic assignment for those ids —
+    // cell assignment is a deterministic map-side argmin
+    val slice = embs.filter(pmod(col("vec_id"), lit(3L)) === 1)
+    val incremental = Ann.assignCells(centroids, slice)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val monolithic = assignedAll.filter(pmod(col("vec_id"), lit(3L)) === 1)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(incremental === monolithic)
+    // and probing the recombined lists equals probing the monolithic ones
+    val q = embs.filter(col("vec_id") < 5)
+    val viaUnion = Ann.ivfTopKFromIndex(centroids,
+      assignedAll.filter(pmod(col("vec_id"), lit(3L)) =!= 1)
+        .unionByName(Ann.assignCells(centroids, slice)), q)
+    val direct = Ann.ivfTopKFromIndex(centroids, assignedAll, q)
+    assert(viaUnion.collect().toSeq === direct.collect().toSeq)
+  }
 }
