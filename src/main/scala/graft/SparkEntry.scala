@@ -87,6 +87,7 @@ object SparkEntry {
     // --- dedup (#28-32) ---
     "dedup_exact"          -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard"  -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dup_span_stats"       -> ((s, d) => Dedup.dupSpanStats(s, d)),
     "dedup_minhash_lsh"    -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
@@ -164,6 +165,7 @@ object SparkEntry {
     "quality_gate"         -> TextFunctions.qualityGateSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
+    "dup_span_stats"       -> Dedup.dupSpanStatsSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "corpus_delta"         -> Dedup.corpusDeltaSql,

@@ -297,6 +297,51 @@ object Dedup {
       |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Span-level duplication accounting — the "duplicate text fraction"
+    * curation signal: for each document, how many of its distinct
+    * `n`-token spans also appear in at least one OTHER document. High
+    * fractions flag docs that are mostly assembled from text duplicated
+    * elsewhere even when no whole-document pair crosses a Jaccard
+    * threshold (the passage-level view that document-level dedup
+    * misses).
+    *
+    * Plan: one span explode (map-side, hashed), postings materialized
+    * once (they feed the df aggregation AND the join back), one df
+    * aggregation, one hash-keyed join, one per-doc aggregation — all
+    * shuffle payloads are (long, long).
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 20): DataFrame = {
+    val grams = explodedNgrams(docs, n).localCheckpoint(true)
+    val dfs = grams.groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+      .orderBy("doc_id")
+  }
+
+  def dupSpanStats(spark: SparkSession, dir: String): DataFrame =
+    dupSpanStats(Tables.documents(spark, dir))
+
+  val dupSpanStatsSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 20 THEN list_distinct(
+      |    [array_to_string(l[i:i+19], ' ') FOR i IN range(1, len(l) - 18)])
+      |    ELSE [array_to_string(l, ' ')] END) AS g FROM l),
+      |g AS (SELECT * FROM g0 WHERE g <> ''),
+      |d AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+      |FROM g JOIN d USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   // 3. MinHash + LSH banding (the scale path for near-dup).
   // ------------------------------------------------------------------
