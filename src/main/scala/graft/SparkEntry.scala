@@ -33,6 +33,7 @@ object SparkEntry {
     "cdc_merge_batch"      -> (CdcQueries.mergeBatch(_, _)),
     "cdc_dim_enrichment"   -> ((s, d) => CdcQueries.enrichedState(s, d)),
     "stream_windowed_agg"  -> (WindowedAggs.hourlyByTypeBatch(_, _)),
+    "stream_sliding_agg"   -> (WindowedAggs.slidingByTypeBatch(_, _)),
     "stream_sessionize"    -> ((s, d) => EventSessionizer.sessionizeBatch(s, d)),
     // --- relational / analytics (#9-22) ---
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "cdc_merge_batch"      -> CdcQueries.mergeBatchSql,
     "cdc_dim_enrichment"   -> CdcQueries.enrichedStateSql,
     "stream_windowed_agg"  -> WindowedAggs.hourlySql,
+    "stream_sliding_agg"   -> WindowedAggs.slidingSql,
     "stream_sessionize"    -> EventSessionizer.sessionizeSql,
     "q1_pricing_summary"   -> Analytics.q1Sql,
     "q3_shipping_priority" -> Analytics.q3Sql,

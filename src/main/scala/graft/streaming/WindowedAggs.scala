@@ -37,4 +37,44 @@ object WindowedAggs {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
       |       count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** SLIDING (overlapping) window per event type: 1-hour windows every
+    * 15 minutes, so each event lands in 4 windows — the moving-metric
+    * shape (rolling error rates, rate limits) that a tumbling window
+    * can't express. Spark's `window(ts, len, slide)` replicates each
+    * row into its windows BEFORE the aggregation, so the plan is still
+    * one partial-agg shuffle, just on 4× the rows — which is the
+    * honest cost of sliding windows at any scale; the slide/length
+    * ratio bounds the blow-up.
+    */
+  def slidingByType(events: DataFrame): DataFrame = {
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  def slidingByTypeBatch(spark: SparkSession, dir: String): DataFrame =
+    slidingByType(Tables.events(spark, dir)).orderBy("win_start", "event_type")
+
+  /** Streaming face: watermark bounds the open-window state. */
+  def slidingByTypeStream(events: DataFrame): DataFrame =
+    slidingByType(events.withWatermark("ts", "2 hours"))
+
+  /** Oracle: replicate each event into its 4 enclosing windows (the
+    * window START is the 15-min grid point at or before ts, minus 0-3
+    * slides) and aggregate — the relational definition of the same
+    * windows Spark materializes.
+    */
+  val slidingSql: String =
+    """WITH slid AS (
+      |  SELECT date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 15) MINUTE
+      |           - INTERVAL (o.off * 15) MINUTE AS win_start,
+      |         event_type, value
+      |  FROM events, (SELECT unnest(range(0, 4)) AS off) o)
+      |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM slid
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 }

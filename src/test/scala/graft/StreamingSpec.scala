@@ -36,6 +36,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming sliding windowed agg (complete) matches batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)]
+      .collect()
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = WindowedAggs.slidingByTypeStream(sdf)
+    val q = agg.writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    events.grouped(math.max(events.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+
+    val streamed = spark.table("sliding_test")
+    val batch = WindowedAggs.slidingByTypeBatch(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+    // every event lands in exactly 4 overlapping windows
+    val evN = Tables.events(spark, sfDir).count()
+    assert(batch.agg(sum("n")).collect().head.getLong(0) === 4 * evN)
+    q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
