@@ -201,15 +201,29 @@ object Ann {
 
   /** Assign a NEW embedding batch to cells of a persisted centroid
     * table — map-side argmin, no retraining, cost scales with the
-    * batch. Append the result to the persisted assignment lists.
+    * batch. Append the result to the persisted assignment lists. An
+    * empty centroid table (index of an empty corpus) assigns nothing —
+    * a zero-element literal array would otherwise fail to type-check
+    * in the argmin expression.
     */
-  def assignCells(centroids: DataFrame, newEmbs: DataFrame): DataFrame =
-    withNearestCell(newEmbs, centroidTable(centroids))
+  def assignCells(centroids: DataFrame, newEmbs: DataFrame): DataFrame = {
+    val table = centroidTable(centroids)
+    if (table.isEmpty)
+      newEmbs.select(col("vec_id"), col("embedding"), lit(0).as("cell")).limit(0)
+    else withNearestCell(newEmbs, table)
+  }
 
-  /** Top-k probe over a persisted index (centroids + assigned lists). */
+  /** Top-k probe over a persisted index (centroids + assigned lists).
+    * Empty index → empty contract-schema result (see [[assignCells]]).
+    */
   def ivfTopKFromIndex(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
-                       k: Int = 5, nProbe: Int = 4): DataFrame =
-    probeCells(assigned, centroidTable(centroids), queries, k, nProbe)
+                       k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val table = centroidTable(centroids)
+    if (table.isEmpty)
+      queries.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+    else probeCells(assigned, table, queries, k, nProbe)
+  }
 
   /** Driver entry for the incremental pattern: even vec_ids play the
     * already-indexed corpus (quantizer trained on them alone), odd ids

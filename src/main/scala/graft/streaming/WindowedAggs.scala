@@ -13,14 +13,21 @@ import graft.Tables
   */
 object WindowedAggs {
 
-  /** Hourly tumbling window per event type. Batch/stream shared. */
-  def hourlyByType(events: DataFrame): DataFrame = {
+  /** Shared aggregation body: the metric contract (count + rounded
+    * value sum) is defined ONCE for every window shape so tumbling and
+    * sliding faces can never silently diverge.
+    */
+  private def aggByWindow(events: DataFrame, w: org.apache.spark.sql.Column,
+                          startName: String): DataFrame =
     events
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(w.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            round(sum("value"), 2).as("total_value"))
-      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total_value"))
-  }
+      .select(col("w.start").as(startName), col("event_type"), col("n"), col("total_value"))
+
+  /** Hourly tumbling window per event type. Batch/stream shared. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    aggByWindow(events, window(col("ts"), "1 hour"), "hour_start")
 
   /** Batch entry (Verify/oracle path). */
   def hourlyByTypeBatch(spark: SparkSession, dir: String): DataFrame =
@@ -47,13 +54,8 @@ object WindowedAggs {
     * honest cost of sliding windows at any scale; the slide/length
     * ratio bounds the blow-up.
     */
-  def slidingByType(events: DataFrame): DataFrame = {
-    events
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           round(sum("value"), 2).as("total_value"))
-      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
-  }
+  def slidingByType(events: DataFrame): DataFrame =
+    aggByWindow(events, window(col("ts"), "1 hour", "15 minutes"), "win_start")
 
   def slidingByTypeBatch(spark: SparkSession, dir: String): DataFrame =
     slidingByType(Tables.events(spark, dir)).orderBy("win_start", "event_type")

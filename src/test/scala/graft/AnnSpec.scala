@@ -66,6 +66,12 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Ann.ivfTopK(empty).count() === 0)
+    // the persisted-index APIs honor the same contract: an index built
+    // from an empty corpus assigns and probes to empty, not a crash
+    val (centroids, assigned) = Ann.ivfIndex(empty)
+    val batch = Seq((1L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    assert(Ann.assignCells(centroids, batch).count() === 0)
+    assert(Ann.ivfTopKFromIndex(centroids, assigned, batch).count() === 0)
   }
 
   test("incremental IVF assignment equals the monolithic index (same centroids)") {
