@@ -122,6 +122,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"labels must not shuffle for the join:\n$p")
   }
 
+  test("dup_span_stats materializes the span postings once") {
+    val p = plan(graft.dedup.Dedup.dupSpanStats(spark, sfDir))
+    // grams feed the df aggregation AND the join back — the plan must
+    // read a materialized frame, not recompute the corpus explode twice
+    assert(p.contains("Scan ExistingRDD"), s"span postings must be materialized:\n$p")
+    assert(!p.contains("Generate explode"), s"no live corpus explode may remain:\n$p")
+  }
+
   test("q7 restricts supplier and customer by nation below the fact join") {
     val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString
