@@ -65,6 +65,7 @@ object SparkEntry {
     "q13_customer_distribution" -> (Analytics.q13CustomerDistribution(_, _)),
     "q17_small_quantity"   -> (Analytics.q17SmallQuantity(_, _)),
     "q15_top_supplier"     -> (Analytics.q15TopSupplier(_, _)),
+    "q20_promo_suppliers"  -> (Analytics.q20PromoSuppliers(_, _)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
@@ -146,6 +147,7 @@ object SparkEntry {
     "q13_customer_distribution" -> Analytics.q13Sql,
     "q17_small_quantity"   -> Analytics.q17Sql,
     "q15_top_supplier"     -> Analytics.q15Sql,
+    "q20_promo_suppliers"  -> Analytics.q20Sql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,

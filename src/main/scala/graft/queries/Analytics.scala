@@ -872,4 +872,41 @@ object Analytics {
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q20 shape — the nested semi-join chain: suppliers who
+    * shipped a meaningful volume of promo parts in 1996 (EXISTS over an
+    * aggregated-and-thresholded subquery which itself semi-restricts on
+    * a dim slice). Plan: the promo-part slice broadcast-restricts
+    * lineitem, the date filter rides the same scan, the per-supplier
+    * aggregate collapses the slice BEFORE the threshold, and the
+    * surviving supplier keys semi-join supplier — the fact table is
+    * touched once and everything after the aggregate is key-sized.
+    */
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val qualified = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("promo_qty"))
+      .filter(col("promo_qty") > 50)
+    Tables.supplier(spark, dir)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name, s_nationkey
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING sum(l_quantity) > 50)
+      |ORDER BY s_suppkey""".stripMargin
 }
