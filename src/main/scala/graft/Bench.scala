@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints per-query timings as SHORT chunk lines followed by
+  * one short summary line, and writes the complete full-precision JSON to
+  * `bench_full.json`. The driver parses the bench result out of a bounded
+  * log-tail window (~3 KB): a single line carrying all ~80 query timings
+  * overflowed it two rounds running (BENCH_r02/r03 `parsed:null`), so the
+  * output is now sized to survive tail truncation — the summary line is
+  * printed LAST (always inside the window) and chunk lines are small enough
+  * that at most the first can be clipped. `tools/bench_compare.py` stitches
+  * chunks + summary back together.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,14 +42,28 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal values keep the whole line well under the log-tail
-    // window the driver parses it from (full doubles overflowed it)
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def fmt(v: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    def qJson(qs: Seq[(String, Double)], dec: Int): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+
+    // Complete full-precision record → file (survives regardless of log tail).
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qJson(results, 3)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+
+    // Chunk lines: ~20 queries each at 2 decimals keeps every line < ~700 B.
+    val chunks = results.grouped(20).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":${qJson(chunk, 2)}}""")
+    }
+    // Summary LAST so the driver's tail window always contains it whole;
+    // carries the headline value plus the top-12 slowest for a quick read.
+    val slowest = results.sortBy(-_._2).take(12)
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"queries":${qJson(slowest, 3)},"failed":$failedJson,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -744,66 +744,166 @@ object Dedup {
     * graph (its canonical representative) plus the cluster size — the
     * step that turns pairwise dedup output into "keep one per cluster".
     *
-    * Implementation: iterative min-label propagation. Each round joins
-    * the PAIR set (already tiny relative to the corpus) against the
-    * current labels and takes the per-doc min — converging in
-    * graph-diameter rounds, and near-dup clusters are shallow. Each
-    * round is checkpointed (lineage severed) so the loop stays O(1)
-    * plan depth. For adversarially deep graphs swap the propagation for
-    * large-star/small-star; the output contract is unchanged.
+    * Adaptive implementation. The near-dup EDGE set is orders of
+    * magnitude smaller than the corpus, so the plan forks on its size:
+    *
+    *  - edges within the broadcast threshold: any iterative distributed
+    *    scheme would re-collect exactly these rows to the driver in a
+    *    BroadcastExchange EVERY round (r2/r3 did: one driver collect +
+    *    2-3 jobs per round, pure scheduling overhead at this size).
+    *    Collect them ONCE instead, run exact union-find in milliseconds
+    *    driver-side, and touch the corpus with a single broadcast join
+    *    (label + size, singletons via coalesce) — zero iterative jobs,
+    *    one corpus-wide map-side pass, the orderBy is the only shuffle.
+    *  - larger edge sets: distributed alternating large-star/small-star
+    *    rounds ([[dedupClustersStar]]) — converges in O(log²) rounds
+    *    regardless of graph diameter, never touches the corpus inside
+    *    the loop.
+    *
+    * Both paths produce identical labelings (equality specs).
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // both directions from one evaluation of the pair subtree (a union
-    // of two selects would run pair generation twice), materialized
-    // once since every propagation round re-reads the edges
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select("e.src", "e.dst")
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    // canonical undirected form big→small, self-loops out; materialized
+    // once — it is read by the count gate and then by whichever path runs
+    val canon = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    // verified near-dup edge sets are sparse relative to the corpus —
-    // broadcasting them makes every propagation round's join map-side,
-    // leaving the label groupBy as the round's ONLY shuffle. The count
-    // is free (edges are already materialized). Threshold is modest
-    // because each round's fresh plan re-runs the BroadcastExchange (a
-    // driver collect per round): 1M (long,long) rows is ~tens of MB as
-    // a HashedRelation — cheap per round; bigger sets shuffle-join.
-    val edgesJ =
-      if (edges.count() <= 1000000L) broadcast(edges) else edges
-    // init labels stay lazy: round 1 reads them exactly once, and every
-    // later round reads the previous round's checkpointed aggregate
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbr = edgesJ.join(labels, edgesJ("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"), lit(false).as("self"))
-      // carry each doc's previous label through the same aggregation so
-      // the convergence check is a filter over the checkpointed result —
-      // not (as in r2) a second labels-vs-next join+shuffle per round
-      val next = labels.withColumn("self", lit(true)).unionByName(nbr)
-        .groupBy("doc_id")
-        .agg(min(col("cluster_id")).as("cluster_id"),
-          min(when(col("self"), col("cluster_id"))).as("prev"))
-        .localCheckpoint(true)
-      changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      labels = next.select("doc_id", "cluster_id")
-      iter += 1
+    // 1M (long,long) edges ≈ 16 MB — the same payload a broadcast-join
+    // round would ship to the driver anyway; beyond that, stay distributed
+    if (canon.count() <= 1000000L) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val labeled = unionFindLabels(
+        canon.collect().map(r => (r.getLong(0), r.getLong(1))))
+        .toSeq.toDF("doc_id", "cluster_id", "cluster_size")
+      docs.select("doc_id")
+        .join(broadcast(labeled), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+        .orderBy("doc_id")
+    } else {
+      dedupClustersStar(docs,
+        canon.select(col("u").as("id_a"), col("v").as("id_b")), maxIters)
     }
-    // silent partial convergence would diverge from the transitive-
-    // closure contract (and its oracle) — fail loudly instead
-    if (changed > 0) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIters rounds " +
-        s"($changed labels still changing); raise maxIters for graphs of this diameter")
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select("doc_id", "cluster_id", "cluster_size")
-      .orderBy("doc_id")
+  }
+
+  /** Exact union-find (path-halving) over a bounded, already-collected
+    * edge array: member → (min-reachable id, cluster size). Driver-side
+    * BY DESIGN — callers gate on the broadcast threshold first.
+    */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path as we walk
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins → canonical label
+    }
+    val members = parent.keys.toArray
+    val size = scala.collection.mutable.HashMap.empty[Long, Long]
+    members.foreach(x => { val r = find(x); size(r) = size.getOrElse(r, 0L) + 1L })
+    members.toSeq.map(x => { val r = find(x); (x, r, size(r)) })
   }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     dedupClusters(docs, ngramJaccardPairs(docs).select("id_a", "id_b"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14) — the scale path for ADVERSARIALLY DEEP graphs.
+    * Min-label propagation ([[dedupClusters]]) needs graph-diameter
+    * rounds; star operations contract every component onto its minimum
+    * in O(log²) rounds regardless of diameter, and every round is plain
+    * hash aggregation + co-partitioned join over the EDGE set (never
+    * the corpus, never a collect_set of a neighborhood — high-degree
+    * vertices stay in bounded agg state). Output contract identical to
+    * [[dedupClusters]]; an equality spec holds them together.
+    */
+  def dedupClustersStar(docs: DataFrame, pairs: DataFrame, maxIters: Int = 40): DataFrame = {
+    // canonical orientation big→small, self-loops dropped; materialized
+    // because every round re-reads the previous round's edges
+    var cur = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    // large-star: every vertex x links its LARGER neighbors to the
+    // minimum of its neighborhood (incl. itself). Per-vertex minima via
+    // min-agg + join back — never a collected neighbor array.
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.select(explode(array(
+          struct(col("u").as("x"), col("v").as("y")),
+          struct(col("v").as("x"), col("u").as("y")))).as("p"))
+        .select("p.x", "p.y")
+      val mins = b.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      b.join(mins, "x").filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: every vertex links its smaller neighbors (and itself)
+    // to its minimum neighbor; orientation stays big→small throughout
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(explode(array(col("v"), col("u"))).as("w"), col("m"))
+        .filter(col("w") =!= col("m"))
+        .select(col("w").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // cluster membership is decided by the ORIGINAL edge set; star
+    // rounds may only rewire, so the vertex set is computed once
+    val verts = cur.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // convergence: a (count, sum) fingerprint per round is one cheap
+    // job over the materialized frame; only when the fingerprint goes
+    // stable do we pay the exact multiset comparison that proves the
+    // star forest is final
+    def fp(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("u") + col("v")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var curFp = fp(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextFp = fp(next)
+      converged = nextFp == curFp &&
+        next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      curFp = nextFp
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClustersStar did not converge in $maxIters rounds; raise maxIters")
+    // final form is a star forest: every edge points a member straight
+    // at its component minimum; roots appear only on the small side
+    val members = cur.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    val roots = cur.select(col("v").as("doc_id")).distinct()
+      .join(cur.select(col("u").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val labels = members.unionByName(roots)
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val singletons = docs.join(verts, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(1L).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .unionByName(singletons)
+      .orderBy("doc_id")
   }
 
   /** Oracle: transitive closure by recursive CTE over the same verified

@@ -95,6 +95,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     Seq(4L, 6L, 8L).foreach(d => assert(out(d) === ((d, 1L)), s"singleton $d"))
   }
 
+  test("dedup clusters: large-star/small-star equals min-label propagation") {
+    import spark.implicits._
+    // a deliberately DEEP component (path 1-2-...-10) plus a clique-ish
+    // triangle and singletons — the regime the star algorithm exists for
+    val docs = (1L to 15L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((11L, 12L), (12L, 13L), (11L, 13L)))
+      .toDF("id_a", "id_b")
+    val star = Dedup.dedupClustersStar(docs, pairs)
+    val prop = Dedup.dedupClusters(docs, pairs)
+    assert(star.exceptAll(prop).isEmpty && prop.exceptAll(star).isEmpty,
+      "star and propagation must produce identical labelings")
+    val out = star.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (1L to 10L).foreach(d => assert(out(d) === ((1L, 10L)), s"path member $d"))
+    Seq(11L, 12L, 13L).foreach(d => assert(out(d) === ((11L, 3L)), s"triangle $d"))
+    Seq(14L, 15L).foreach(d => assert(out(d) === ((d, 1L)), s"singleton $d"))
+  }
+
+  test("dedup clusters: star path matches propagation on corpus pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b").localCheckpoint(true)
+    val star = Dedup.dedupClustersStar(docs, pairs)
+    val prop = Dedup.dedupClusters(docs, pairs)
+    assert(star.exceptAll(prop).isEmpty && prop.exceptAll(star).isEmpty,
+      "star and propagation must agree on real near-dup pairs")
+  }
+
   test("decontamination flags exactly the docs sharing 5-grams with the bench slice") {
     val out = Dedup.decontaminate(spark, sfDir)
     assert(out.count() === Tables.documents(spark, sfDir).count())

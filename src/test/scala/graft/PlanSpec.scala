@@ -105,21 +105,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no fact-table shuffle join expected:\n$p")
   }
 
-  test("dedup_clusters propagation round shuffles labels only once (edges broadcast)") {
-    // the loop runs eagerly inside dedupClusters, so lock the shape on
-    // one round built the same way: broadcast edges join + label agg
-    val docs = Tables.documents(spark, sfDir)
-    val edges = graft.dedup.Dedup.ngramJaccardPairs(docs).select(
-      org.apache.spark.sql.functions.col("id_a").as("src"),
-      org.apache.spark.sql.functions.col("id_b").as("dst")).localCheckpoint(true)
-    val labels = docs.select(
-      org.apache.spark.sql.functions.col("doc_id"),
-      org.apache.spark.sql.functions.col("doc_id").as("cluster_id"))
-    val round = org.apache.spark.sql.functions.broadcast(edges)
-      .join(labels, edges("dst") === labels("doc_id"))
-    val p = plan(round)
-    assert(p.contains("BroadcastHashJoin"), s"edges must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"labels must not shuffle for the join:\n$p")
+  test("dedup_clusters small-graph path: corpus sees ONE broadcast join, no shuffle join") {
+    // bounded edge sets are solved exactly on the driver (union-find over
+    // the rows a broadcast would ship there anyway); the corpus-side work
+    // must then be a single broadcast label join — no iterative jobs, no
+    // SortMergeJoin, the output orderBy as the only exchange
+    val p = plan(graft.dedup.Dedup.dedupClusters(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"labels must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join expected:\n$p")
   }
 
   test("dup_span_stats materializes the span postings once") {

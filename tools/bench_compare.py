@@ -22,24 +22,40 @@ def load(path):
     except json.JSONDecodeError:
         pass
     # scan line-by-line and json-parse whole candidate lines (a regex
-    # slice silently truncates if key order changes); keep the LAST
-    # parseable bench line so warm re-runs in one log win
-    found = None
+    # slice silently truncates if key order changes). Bench now emits
+    # small "chunk" lines plus a final "total" summary (sized to survive
+    # the driver's log-tail window): merge chunk queries in order, let
+    # the summary supply value/failed and override its top-slowest
+    # entries. A lone full line (e.g. bench_full.json) still works.
+    merged, summary = {}, None
     for line in text.splitlines():
         line = line.strip()
-        if line.startswith("[info]"):
-            line = line[len("[info]"):].strip()
+        for prefix in ("[info]", "[warn]"):
+            if line.startswith(prefix):
+                line = line[len(prefix):].strip()
         if not line.startswith("{"):
             continue
         try:
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if "metric" in d and "queries" in d:
-            found = d
-    if found is None:
+        if "metric" not in d or "queries" not in d:
+            continue
+        if d["metric"] == "chunk":
+            merged.update(d["queries"])
+        else:
+            # a fresh summary means a fresh run in the same log: reset
+            # chunk state so warm re-runs win, as before
+            summary = d
+            merged.update(d["queries"])
+    if summary is None:
+        if merged:
+            return {"metric": "total", "value": sum(merged.values()),
+                    "queries": merged}
         raise SystemExit(f"no bench JSON line found in {path}")
-    return found
+    summary = dict(summary)
+    summary["queries"] = merged
+    return summary
 
 
 def main():
