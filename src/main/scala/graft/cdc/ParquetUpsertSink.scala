@@ -108,6 +108,20 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
     }
   }
 
+  /** Materialize the committed state as a PLAIN parquet directory that
+    * any engine — spark-shell, DuckDB, Trino, a BI tool — can read with
+    * no knowledge of the manifest protocol. This restores the
+    * reference's "the materialized table is directly queryable by
+    * Dremio/Superset" property (its state is Delta; see the reference
+    * README, "Setting-up Dremio") for graft's bespoke manifest-epoch
+    * layout. Spark's job-commit protocol stages the write in
+    * `_temporary` and drops a `_SUCCESS` marker only on completion, so
+    * external readers should treat `_SUCCESS` as the completeness
+    * signal; a crashed export never presents as a finished snapshot.
+    */
+  def exportSnapshot(path: String): Unit =
+    readState().write.mode("overwrite").parquet(path)
+
   /** Merge one changelog micro-batch (keyCols ++ dataCols ++ op, ts_ms,
     * seq) into the state. At-least-once replay from the stream
     * checkpoint is safe: replaying a committed batch re-applies the

@@ -31,7 +31,8 @@ import graft.dedup.Dedup
   * collapse into the within-batch set).
   */
 class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
-                            onCandidates: (DataFrame, Long) => Unit) {
+                            onCandidates: (DataFrame, Long) => Unit,
+                            compactEvery: Int = 16) {
 
   private def indexDir = s"$indexPath/bands"
   private def fs = new Path(indexPath)
@@ -88,7 +89,16 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
     else None
   }
 
-  /** One micro-batch: emit candidates, then append the batch's bands. */
+  /** One micro-batch: emit candidates, append the batch's bands, and
+    * fold the index once enough per-batch directories accumulate.
+    * Compaction runs HERE — inside the single writer's batch callback,
+    * between an append and the next read — so the "never concurrently
+    * with an append" contract of [[compact]] holds with no external
+    * scheduler. The trigger is the OBSERVED directory count, not
+    * `batchId % N`: replayed or skipped batch ids can't starve (or
+    * double-run) the policy, and listing cost stays bounded by
+    * `compactEvery` forever.
+    */
   def processBatch(docs: DataFrame, batchId: Long): Unit = {
     checkOrWriteFormat()
     val newBands = Dedup.lshBandIndex(docs).localCheckpoint(true)
@@ -98,6 +108,14 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
     }
     onCandidates(candidates, batchId)
     newBands.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    if (batchDirCount() >= compactEvery) compact()
+  }
+
+  /** Number of per-batch directories currently in the live index. */
+  private[graft] def batchDirCount(): Int = {
+    recoverIfNeeded()
+    if (fs.exists(liveDir)) fs.listStatus(liveDir)
+      .count(_.getPath.getName.startsWith("batch=")) else 0
   }
 
   /** Fold the accumulated per-batch directories into one compacted

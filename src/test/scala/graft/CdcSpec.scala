@@ -220,6 +220,54 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(sink.readState().filter(col("user_id") === 999).count() === 0)
   }
 
+  test("two sinks racing one epoch: exactly one manifest publishes, the loser writes no file") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-race2").toString
+    val statePath = s"$tmp/state"
+    val a = new ParquetUpsertSink(spark, statePath, Seq("user_id"), numBuckets = 4)
+    val b = new ParquetUpsertSink(spark, statePath, Seq("user_id"), numBuckets = 4)
+    a.merge(batchDf(Seq((1L, "c", 10L, 1L, "signup", 1.0))), 0)      // epoch 0
+    // deterministic interleaving: B publishes epoch 1 while A still
+    // holds a plan computed against epoch 0
+    b.merge(batchDf(Seq((2L, "c", 20L, 2L, "signup", 2.0))), 1)      // epoch 1 wins
+    def listing(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+      walk(new java.io.File(statePath)).toSet
+    }
+    val winnerFiles = listing()
+    val winnerState = b.readState().collect().toSet
+    val phantom = Seq((999L, "phantom", 9.9, 99L))
+      .toDF("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val ex = intercept[IllegalStateException] {
+      a.commit(1L, Map.empty, Seq(0), phantom)                        // loser
+    }
+    assert(ex.getMessage.contains("already committed"))
+    assert(listing() === winnerFiles,
+      "the loser must fail before creating ANY file — not even a staging dir")
+    assert(a.readState().collect().toSet === winnerState,
+      "both handles read the winner's state afterwards")
+  }
+
+  test("exportSnapshot round-trips: any plain parquet reader sees readState") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 4)
+    sink.merge(batchDf(Seq((1L, "c", 10L, 1L, "signup", 1.0),
+                           (2L, "c", 10L, 2L, "signup", 2.0),
+                           (3L, "c", 10L, 3L, "signup", 3.0))), 0)
+    sink.merge(batchDf(Seq((2L, "u", 20L, 4L, "click", 2.5),
+                           (3L, "d", 20L, 5L, "signup", 3.0))), 1)
+    sink.exportSnapshot(s"$tmp/snapshot")
+    val exported = spark.read.parquet(s"$tmp/snapshot")
+    val state = sink.readState()
+    assert(exported.schema === state.schema, "export must carry the state schema")
+    assert(exported.exceptAll(state).count() === 0 && state.exceptAll(exported).count() === 0,
+      "export minus state / state minus export must both be empty")
+    assert(new java.io.File(s"$tmp/snapshot/_SUCCESS").exists(),
+      "external readers key on the _SUCCESS completeness marker")
+  }
+
   test("a batch that deletes every key in a bucket does not resurrect them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-delbucket").toString

@@ -350,4 +350,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(emitted(2L).contains((1L, 20L)),
       s"post-compaction batch must pair via the folded index: ${emitted(2L)}")
   }
+
+  test("auto-compaction keeps the index listing bounded over 50 batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDedupJob
+    val tmp = java.nio.file.Files.createTempDirectory("neardedup-auto").toString
+    val emitted = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val job = new StreamingNearDedupJob(spark, s"$tmp/index",
+      (cands, id) => emitted(id) = cands.select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet,
+      compactEvery = 8)
+    val base = "the quick brown fox jumps over the lazy dog while the rain " +
+      "falls gently on the quiet village roofs and the river keeps moving east"
+    var maxDirs = 0
+    (0 until 50).foreach { i =>
+      val text =
+        if (i == 0) base
+        else if (i == 49) base + " again" // near-dup of doc 0, 49 batches later
+        else s"unique filler number $i about topic-$i with tokens " +
+          (0 until 10).map(j => s"w$i-$j").mkString(" ")
+      job.processBatch(Seq((i.toLong, text)).toDF("doc_id", "text"), i.toLong)
+      maxDirs = math.max(maxDirs, job.batchDirCount())
+    }
+    assert(maxDirs <= 8, s"listing must stay bounded by compactEvery, saw $maxDirs dirs")
+    assert(job.batchDirCount() < 8, "a compaction must actually have folded the tail")
+    assert(job.readIndex().get.select("doc_id").distinct().count() === 50,
+      "no doc's bands may be lost across auto-compactions")
+    assert(emitted(49L).contains((0L, 49L)),
+      s"doc 49 must pair with doc 0 through the many-times-folded index: ${emitted(49L)}")
+  }
 }
