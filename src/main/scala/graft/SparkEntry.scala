@@ -66,6 +66,8 @@ object SparkEntry {
     "q17_small_quantity"   -> (Analytics.q17SmallQuantity(_, _)),
     "q15_top_supplier"     -> (Analytics.q15TopSupplier(_, _)),
     "q20_promo_suppliers"  -> (Analytics.q20PromoSuppliers(_, _)),
+    "q21_waiting_suppliers" -> (Analytics.q21WaitingSuppliers(_, _)),
+    "q19_band_revenue"     -> (Analytics.q19BandRevenue(_, _)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
@@ -148,6 +150,8 @@ object SparkEntry {
     "q17_small_quantity"   -> Analytics.q17Sql,
     "q15_top_supplier"     -> Analytics.q15Sql,
     "q20_promo_suppliers"  -> Analytics.q20Sql,
+    "q21_waiting_suppliers" -> Analytics.q21Sql,
+    "q19_band_revenue"     -> Analytics.q19Sql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,

@@ -909,4 +909,93 @@ object Analytics {
       |  GROUP BY l_suppkey
       |  HAVING sum(l_quantity) > 50)
       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q21 shape — suppliers-who-kept-orders-waiting: for finished
+    * orders, the supplier whose line was the only "faulted" one
+    * (returnflag 'R' stands in for receipt-after-commit on this schema)
+    * on an order involving OTHER suppliers. The classic formulation is
+    * EXISTS(other supplier) AND NOT EXISTS(other faulted supplier) —
+    * two correlated self-joins on the fact table. Plan: both EXISTS are
+    * folded into ONE single-pass per-order aggregate (distinct-supplier
+    * count, distinct-faulted-supplier count, the faulted supplier and
+    * its row count), so lineitem is scanned once instead of three
+    * times; the order-status restriction is a key-only join, and the
+    * supplier/nation dims broadcast onto the key-sized survivor set
+    * (PlanSpec-locked: one lineitem scan, no fact self-join).
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val fault = col("l_returnflag") === "R"
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(fault, col("l_suppkey"))).as("nfault"),
+        min(when(fault, col("l_suppkey"))).as("fault_supp"),
+        sum(when(fault, lit(1L)).otherwise(lit(0L))).as("fault_rows"))
+      // EXISTS other supplier ∧ NOT EXISTS other faulted supplier
+      .filter(col("nsupp") > 1 && col("nfault") === 1)
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    perOrder.join(finished, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("fault_supp") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(sum(col("fault_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Oracle keeps the literal double-EXISTS formulation — the rewrite
+    * must be semantically identical, not just plausible.
+    */
+  val q21Sql: String =
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 shape — disjunctive predicate pushdown: revenue from an
+    * OR of three brand/size/quantity band conjunctions over
+    * lineitem⋈part. The point of the shape is what reaches the scans:
+    * Catalyst must extract the lineitem-only disjunction (quantity
+    * bands ∧ shared returnflag) and the part-only disjunction
+    * (brand/size bands) and push BOTH below the join, so each scan
+    * prunes before a single broadcast hash join — not filter-after-join
+    * (PlanSpec-locked: Or in both scans' PushedFilters).
+    */
+  def q19BandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    def band(brand: String, sizeHi: Int, qtyLo: Int, qtyHi: Int): Column =
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qtyLo, qtyHi) &&
+        col("l_returnflag") === "N"
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("p_partkey") === col("l_partkey"))
+      .filter(band("Brand#1", 15, 1, 15) ||
+        band("Brand#2", 25, 10, 25) ||
+        band("Brand#3", 35, 20, 35))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 15 AND l_returnflag = 'N')
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 25 AND l_returnflag = 'N')
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 35 AND l_returnflag = 'N')""".stripMargin
 }

@@ -105,6 +105,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no fact-table shuffle join expected:\n$p")
   }
 
+  test("q21 scans the fact table once — no EXISTS self-joins survive the rewrite") {
+    val p = plan(graft.queries.Analytics.q21WaitingSuppliers(spark, sfDir))
+    val factScans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(factScans === 1, s"expected exactly one lineitem scan, got $factScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims must broadcast:\n$p")
+  }
+
+  test("q19 pushes the per-side disjunctions into both scans below the join") {
+    val q = graft.queries.Analytics.q19BandRevenue(spark, sfDir)
+    val p = plan(q)
+    // each scan's PushedFilters must carry an Or — brand/size bands on
+    // part, quantity bands on lineitem — plus the extracted common
+    // returnflag conjunct on lineitem; none of it may wait for the join
+    val lineScan = p.linesIterator.filter(l =>
+      l.contains("lineitem.parquet") && l.contains("PushedFilters")).mkString
+    val partScan = p.linesIterator.filter(l =>
+      l.contains("part.parquet") && l.contains("PushedFilters")).mkString
+    assert(lineScan.contains("Or") && lineScan.contains("l_returnflag"),
+      s"lineitem scan must receive the quantity-band Or and the common returnflag:\n$lineScan")
+    assert(partScan.contains("Or") && partScan.contains("p_brand"),
+      s"part scan must receive the brand/size Or:\n$partScan")
+    assert(p.contains("BroadcastHashJoin"), s"part join should broadcast:\n$p")
+  }
+
   test("dedup_clusters small-graph path: corpus sees ONE broadcast join, no shuffle join") {
     // bounded edge sets are solved exactly on the driver (union-find over
     // the rows a broadcast would ship there anyway); the corpus-side work
