@@ -111,7 +111,8 @@ object SparkEntry {
     "mm_resize"            -> (BinaryPipeline.resize(_, _)),
     "mm_dedup"             -> (BinaryPipeline.binaryDedup(_, _)),
     "mm_frame_sample"      -> ((s, d) => BinaryPipeline.frameSample(s, d)),
-    "mm_similar_topk"      -> (BinaryPipeline.similarTopK(_, _))
+    "mm_similar_topk"      -> (BinaryPipeline.similarTopK(_, _)),
+    "mm_similar_ivf"       -> (BinaryPipeline.similarTopKIvf(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -249,6 +249,26 @@ object BinaryPipeline {
     graft.similarity.Ann.bruteForceTopK(feats)
   }
 
+  /** IVF-index variant of [[similarTopK]] — the binary→vector→index
+    * composition end-to-end at the SCALE tier: stub features train the
+    * coarse quantizer, the corpus is cell-assigned map-side, queries
+    * probe the persisted-index path (`ivfTopKFromIndex`). Brute force
+    * scores every (query, item) pair; this touches nProbe cells per
+    * query — the same swap a real deployment makes once the corpus
+    * outgrows one scan per query batch. Rows-only (centroid-specific);
+    * recall vs brute force is spec-asserted.
+    */
+  def similarTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    // the decoded features feed quantizer training, cell assignment AND
+    // the query slice — materialize once or the codec runs three times
+    val feats = pipelineRaw(spark, dir)
+      .select(col("item_id").as("vec_id"), col("features").as("embedding"))
+      .localCheckpoint(true)
+    val (centroids, assigned) = graft.similarity.Ann.ivfIndex(feats)
+    graft.similarity.Ann.ivfTopKFromIndex(centroids, assigned,
+      feats.filter(col("vec_id") < 10))
+  }
+
   /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions

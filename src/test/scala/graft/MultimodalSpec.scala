@@ -59,6 +59,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(groups.count() === distinctRaw)
   }
 
+  test("mm IVF similarity composes binary features into the index tier with real recall") {
+    val brute = BinaryPipeline.similarTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val ivf = BinaryPipeline.similarTopKIvf(spark, sfDir)
+    // contract schema + per-query ranks, like every ANN entry
+    assert(ivf.columns.toSeq === Seq("query_id", "neighbor_id", "rank", "cosine"))
+    val perQuery = ivf.groupBy("query_id").count()
+    assert(perQuery.filter(col("count") > 5).count() === 0, "top-k overflow")
+    // nProbe-of-16-cells probing must still find most true neighbors
+    val hits = ivf.select("query_id", "neighbor_id").intersect(brute).count().toDouble
+    val recall = hits / brute.count()
+    assert(recall >= 0.5, s"IVF recall vs brute force too low: $recall")
+  }
+
   test("payload binary column survives the round trip (no string inflation)") {
     val bin = BinaryPipeline.asBinaryTable(Tables.documents(spark, sfDir))
     val schema = bin.schema("payload").dataType.typeName
