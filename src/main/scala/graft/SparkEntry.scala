@@ -68,6 +68,8 @@ object SparkEntry {
     "q20_promo_suppliers"  -> (Analytics.q20PromoSuppliers(_, _)),
     "q21_waiting_suppliers" -> (Analytics.q21WaitingSuppliers(_, _)),
     "q19_band_revenue"     -> (Analytics.q19BandRevenue(_, _)),
+    "q16_part_suppliers"   -> (Analytics.q16PartSuppliers(_, _)),
+    "doc_tfidf"            -> ((s, d) => TextFunctions.tfidfScore(s, d)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
     "ship_delay_priority"  -> (Analytics.shipDelayPriority(_, _)),
@@ -153,6 +155,8 @@ object SparkEntry {
     "q20_promo_suppliers"  -> Analytics.q20Sql,
     "q21_waiting_suppliers" -> Analytics.q21Sql,
     "q19_band_revenue"     -> Analytics.q19Sql,
+    "q16_part_suppliers"   -> Analytics.q16Sql,
+    "doc_tfidf"            -> TextFunctions.tfidfSql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,
     "ship_delay_priority"  -> Analytics.shipDelaySql,

@@ -511,6 +511,58 @@ object TextFunctions {
       |FROM q JOIN thr USING (source)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** TF-IDF document informativeness score — the rarity-weighted
+    * token-mass signal importance-sampling data-selection pipelines
+    * rank corpora by: score(d) = Σ_t tf(d,t)·ln(N/df(t)) / |d|. Boilerplate
+    * scores low (every token common), information-dense docs high.
+    *
+    * Plan: one explode into a (doc_id, token) count with map-side
+    * partials — materialized ONCE because three aggregates read it —
+    * then a vocabulary-keyed df aggregate joined back (tiny after
+    * normalization → broadcast by AQE; a noisy billion-token vocabulary
+    * would co-partition on the token key instead, which the unhinted
+    * join degrades to automatically), the corpus size as a broadcast
+    * 1-row scalar, and a per-doc sum. Two real shuffles, nothing
+    * corpus²-sized.
+    */
+  def tfidfScore(docs: DataFrame): DataFrame = {
+    val perDocTok = docs
+      .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfs = perDocTok.groupBy("token").agg(count(lit(1)).as("df"))
+    val docLens = perDocTok.groupBy("doc_id").agg(sum("tf").as("n_toks"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
+    perDocTok
+      .join(dfs, "token")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * log(col("n_corpus") / col("df"))).as("mass"))
+      .join(docLens, "doc_id")
+      .select(col("doc_id"), round(col("mass") / col("n_toks"), 4).as("tfidf_score"))
+      .orderBy("doc_id")
+  }
+
+  def tfidfScore(spark: SparkSession, dir: String): DataFrame =
+    tfidfScore(Tables.documents(spark, dir))
+
+  val tfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),
+      |dfs AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |lens AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS n_toks FROM tok GROUP BY doc_id),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
+      |mass AS (
+      |  SELECT doc_id, sum(tf * ln(n_corpus / df)) AS mass
+      |  FROM tok JOIN dfs USING (token) CROSS JOIN n GROUP BY doc_id)
+      |SELECT doc_id, round(mass / n_toks, 4) AS tfidf_score
+      |FROM mass JOIN lens USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace

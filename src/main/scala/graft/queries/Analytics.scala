@@ -964,6 +964,40 @@ object Analytics {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q16 shape — supplier-relationship counting: how many
+    * distinct suppliers ship each surviving (brand, size) combination,
+    * with a dim NOT-IN restriction and a supplier NOT-IN exclusion
+    * (negative account balance stands in for the complaints subquery).
+    * The part slice and the exclusion list both broadcast; the fact
+    * contributes only its two key columns; the distinct count is the
+    * single shuffle. Supplier relationships live in lineitem on this
+    * schema (no partsupp table), which keeps the shape identical.
+    */
+  def q16PartSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = Tables.part(spark, dir)
+      .filter(!col("p_brand").isin("Brand#1", "Brand#2") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+      .select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      |  AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   /** TPC-H Q19 shape — disjunctive predicate pushdown: revenue from an
     * OR of three brand/size/quantity band conjunctions over
     * lineitem⋈part. The point of the shape is what reaches the scans:
