@@ -69,6 +69,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Analytics.q21WaitingSuppliers(_, _)),
     "q19_band_revenue"     -> (Analytics.q19BandRevenue(_, _)),
     "q16_part_suppliers"   -> (Analytics.q16PartSuppliers(_, _)),
+    "funnel_conversion"    -> (Analytics.funnelConversion(_, _)),
     "doc_tfidf"            -> ((s, d) => TextFunctions.tfidfScore(s, d)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> Analytics.q21Sql,
     "q19_band_revenue"     -> Analytics.q19Sql,
     "q16_part_suppliers"   -> Analytics.q16Sql,
+    "funnel_conversion"    -> Analytics.funnelSql,
     "doc_tfidf"            -> TextFunctions.tfidfSql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,

@@ -964,6 +964,61 @@ object Analytics {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** Ordered funnel conversion (view → click → purchase) by first-touch
+    * cohort month: per user, the first view, the first click AFTER that
+    * view, the first purchase AFTER that click — then per-cohort stage
+    * counts and conversion rates. Event-sequence analytics without
+    * per-user event arrays: each stage is a filtered min-aggregate
+    * (O(1) state per user per stage, heavy users cannot skew an
+    * executor the way collect_list-then-sort funnels do), and every
+    * stage join is co-partitioned on the same user_id key so the
+    * chain reuses one partitioning end-to-end.
+    */
+  def funnelConversion(events: DataFrame): DataFrame = {
+    def stage(etype: String, after: DataFrame, afterCol: String, outCol: String) =
+      events.filter(col("event_type") === etype).select(col("user_id"), col("ts"))
+        .join(after, "user_id")
+        .filter(col("ts") > col(afterCol))
+        .groupBy("user_id").agg(min(col("ts")).as(outCol))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val clicks = stage("click", views, "t_view", "t_click")
+    val purchases = stage("purchase", clicks, "t_click", "t_purchase")
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy(date_format(col("t_view"), "yyyy-MM").as("cohort"))
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .withColumn("click_rate", round(col("n_click") / col("n_view"), 4))
+      .withColumn("purchase_rate", round(col("n_purchase") / col("n_view"), 4))
+      .orderBy("cohort")
+  }
+
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversion(Tables.events(spark, dir))
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT strftime(t_view, '%Y-%m') AS cohort,
+      |  count(*) AS n_view, count(t_click) AS n_click,
+      |  count(t_purchase) AS n_purchase,
+      |  round(count(t_click) * 1.0 / count(*), 4) AS click_rate,
+      |  round(count(t_purchase) * 1.0 / count(*), 4) AS purchase_rate
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** TPC-H Q16 shape — supplier-relationship counting: how many
     * distinct suppliers ship each surviving (brand, size) combination,
     * with a dim NOT-IN restriction and a supplier NOT-IN exclusion
