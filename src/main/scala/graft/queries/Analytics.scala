@@ -925,13 +925,20 @@ object Analytics {
     */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val fault = col("l_returnflag") === "R"
+    // two plain aggregations instead of one multi-DISTINCT aggregate:
+    // countDistinct×2 would plan an Expand (3 rows shuffled per fact
+    // row); pre-aggregating per (order, supplier) gets map-side
+    // partials on the full fact, and the per-order rollup then counts
+    // already-distinct rows — strictly less shuffle volume at any scale
     val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(fault, lit(1L)).otherwise(lit(0L))).as("supp_fault_rows"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(fault, col("l_suppkey"))).as("nfault"),
-        min(when(fault, col("l_suppkey"))).as("fault_supp"),
-        sum(when(fault, lit(1L)).otherwise(lit(0L))).as("fault_rows"))
+        count(lit(1)).as("nsupp"),
+        sum(when(col("supp_fault_rows") > 0, 1).otherwise(0)).as("nfault"),
+        min(when(col("supp_fault_rows") > 0, col("l_suppkey"))).as("fault_supp"),
+        sum(col("supp_fault_rows")).as("fault_rows"))
       // EXISTS other supplier ∧ NOT EXISTS other faulted supplier
       .filter(col("nsupp") > 1 && col("nfault") === 1)
     val finished = Tables.orders(spark, dir)

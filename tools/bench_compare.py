@@ -52,6 +52,17 @@ def load(path):
         if merged:
             return {"metric": "total", "value": sum(merged.values()),
                     "queries": merged}
+        # last resort for head-truncated captures (the r2/r3 driver
+        # wrappers): recover raw "name":float pairs from the fragment
+        import re
+        pairs = {k: float(v) for k, v in
+                 re.findall(r'"([a-z][a-z0-9_]{3,})":([0-9]+\.[0-9]+)', text)
+                 if k not in ("value",)}
+        if pairs:
+            print(f"note: {path} had no parseable line; "
+                  f"recovered {len(pairs)} query timings from a fragment")
+            return {"metric": "total", "value": sum(pairs.values()),
+                    "queries": pairs}
         raise SystemExit(f"no bench JSON line found in {path}")
     summary = dict(summary)
     summary["queries"] = merged
