@@ -34,6 +34,7 @@ object SparkEntry {
     "cdc_dim_enrichment"   -> ((s, d) => CdcQueries.enrichedState(s, d)),
     "stream_windowed_agg"  -> (WindowedAggs.hourlyByTypeBatch(_, _)),
     "stream_sliding_agg"   -> (WindowedAggs.slidingByTypeBatch(_, _)),
+    "stream_trending_topk" -> (WindowedAggs.trendingTopKBatch(_, _)),
     "stream_sessionize"    -> ((s, d) => EventSessionizer.sessionizeBatch(s, d)),
     // --- relational / analytics (#9-22) ---
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q19_band_revenue"     -> (Analytics.q19BandRevenue(_, _)),
     "q16_part_suppliers"   -> (Analytics.q16PartSuppliers(_, _)),
     "funnel_conversion"    -> (Analytics.funnelConversion(_, _)),
+    "q8_market_share"      -> (Analytics.q8MarketShare(_, _)),
     "doc_tfidf"            -> ((s, d) => TextFunctions.tfidfScore(s, d)),
     "pivot_orders"         -> (Analytics.pivotOrders(_, _)),
     "ntile_quartiles"      -> (Analytics.ntileQuartiles(_, _)),
@@ -127,6 +129,7 @@ object SparkEntry {
     "cdc_dim_enrichment"   -> CdcQueries.enrichedStateSql,
     "stream_windowed_agg"  -> WindowedAggs.hourlySql,
     "stream_sliding_agg"   -> WindowedAggs.slidingSql,
+    "stream_trending_topk" -> WindowedAggs.trendingSql,
     "stream_sessionize"    -> EventSessionizer.sessionizeSql,
     "q1_pricing_summary"   -> Analytics.q1Sql,
     "q3_shipping_priority" -> Analytics.q3Sql,
@@ -158,6 +161,7 @@ object SparkEntry {
     "q19_band_revenue"     -> Analytics.q19Sql,
     "q16_part_suppliers"   -> Analytics.q16Sql,
     "funnel_conversion"    -> Analytics.funnelSql,
+    "q8_market_share"      -> Analytics.q8Sql,
     "doc_tfidf"            -> TextFunctions.tfidfSql,
     "pivot_orders"         -> Analytics.pivotOrdersSql,
     "ntile_quartiles"      -> Analytics.ntileQuartilesSql,

@@ -971,6 +971,61 @@ object Analytics {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q8 shape — national market share: the share of revenue a
+    * chosen supplier nation captures, per order year, among orders
+    * placed by customers of one region. The conditional-share form
+    * (sum(CASE)/sum) rides ONE aggregation; the region restriction is a
+    * customer-keyed SEMI join applied to ORDERS before the fact join
+    * (the q7 lesson: prune the fact inputs before the big shuffle, so
+    * the lineitem⋈orders join only moves qualifying orders); nation and
+    * supplier are broadcast dims, nation playing its second role on the
+    * supplier side.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val regionCustomers = Tables.customer(spark, dir)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val regionOrders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(regionCustomers, col("o_custkey") === col("c_custkey"), "left_semi")
+    val suppNations = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(regionOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNations), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_0", col("volume")).otherwise(lit(0.0)))
+          / sum(col("volume")), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """WITH rev AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem
+      |    JOIN orders ON o_orderkey = l_orderkey
+      |    JOIN customer ON c_custkey = o_custkey
+      |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |    JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AFRICA'
+      |    JOIN supplier ON s_suppkey = l_suppkey
+      |    JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+      |SELECT o_year,
+      |  round(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE 0 END)
+      |    / sum(volume), 4) AS mkt_share
+      |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** Ordered funnel conversion (view → click → purchase) by first-touch
     * cohort month: per user, the first view, the first click AFTER that
     * view, the first purchase AFTER that click — then per-cohort stage

@@ -64,6 +64,41 @@ object WindowedAggs {
   def slidingByTypeStream(events: DataFrame): DataFrame =
     slidingByType(events.withWatermark("ts", "2 hours"))
 
+  /** Per-window trending top-k: rank event types inside each hourly
+    * window by count and keep the top k — the "what's hot right now"
+    * view. The STATEFUL part is exactly [[hourlyByType]] (watermarked,
+    * incremental); the rank is a stateless post-projection applied per
+    * finalized window downstream (foreachBatch sink, or over the
+    * materialized result table), because a rank over a still-open
+    * window is unstable by definition. The window partition bounds the
+    * rank's sort to (#event types) rows — never a global sort.
+    */
+  def trendingTopK(hourly: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hour_start").orderBy(col("n").desc, col("event_type"))
+    hourly.select("hour_start", "event_type", "n")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("hour_start", "rank", "event_type", "n")
+  }
+
+  def trendingTopKBatch(spark: SparkSession, dir: String): DataFrame =
+    trendingTopK(hourlyByType(Tables.events(spark, dir)))
+      .orderBy("hour_start", "rank")
+
+  val trendingSql: String =
+    """WITH h AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT hour_start, event_type, n,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY hour_start ORDER BY n DESC, event_type) AS INTEGER) AS rank
+      |  FROM h)
+      |SELECT hour_start, rank, event_type, n FROM r WHERE rank <= 3
+      |ORDER BY hour_start, rank""".stripMargin
+
   /** Oracle: replicate each event into its 4 enclosing windows (the
     * window START is the 15-min grid point at or before ts, minus 0-3
     * slides) and aggregate — the relational definition of the same

@@ -101,4 +101,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(sampled(lang) === n, s"$lang should be fully retained")
     }
   }
+
+  test("funnel conversion respects event ORDER, not just event presence") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    def t(min: Int) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", t(10)), (1L, "click", t(20)), (1L, "purchase", t(30)),
+      // user 2: click BEFORE the first view — must not count as converted,
+      // and the later purchase has no qualifying click to follow
+      (2L, "click", t(5)), (2L, "view", t(10)), (2L, "purchase", t(20)),
+      // user 3: view only
+      (3L, "view", t(10)))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.queries.Analytics.funnelConversion(events).collect()
+    assert(out.length === 1 && out.head.getAs[String]("cohort") === "1997-03")
+    assert(out.head.getAs[Long]("n_view") === 3L)
+    assert(out.head.getAs[Long]("n_click") === 1L, "only user 1's click follows a view")
+    assert(out.head.getAs[Long]("n_purchase") === 1L,
+      "user 2's purchase lacks a qualifying click before it")
+  }
 }

@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming trending top-k: ranked stream face equals batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)]
+      .collect()
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    // the stateful windowed count streams; the rank is applied over the
+    // materialized result — the documented deployment shape
+    val q = WindowedAggs.hourlyByTypeStream(sdf)
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode("complete").start()
+    events.grouped(math.max(events.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+
+    val streamed = WindowedAggs.trendingTopK(spark.table("trend_test"))
+    val batch = WindowedAggs.trendingTopKBatch(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+    // every window carries at most k ranks, contiguous from 1
+    assert(batch.filter(col("rank") > 3).count() === 0)
+    q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
