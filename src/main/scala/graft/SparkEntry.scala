@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_simhash"        -> ((s, d) => Dedup.simhashDedup(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "near_dedup_keep"      -> ((s, d) => Dedup.nearDedupKeep(s, d)),
     "dedup_incremental"    -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "corpus_delta"         -> ((s, d) => Dedup.corpusDelta(s, d)),
     "decontaminate"        -> ((s, d) => Dedup.decontaminate(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "ann_lsh_topk"         -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf_topk"         -> ((s, d) => Ann.ivfTopK(s, d)),
     "ann_sq_topk"          -> ((s, d) => Ann.sqTopK(s, d)),
+    "corpus_buckets"       -> ((s, d) => Ann.corpusBuckets(s, d)),
     "ann_ivf_incremental"  -> (Ann.ivfIncremental(_, _)),
     // --- multimodal (#36-37) ---
     "mm_binary_pipeline"   -> (BinaryPipeline.pipeline(_, _)),
@@ -189,6 +191,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "corpus_delta"         -> Dedup.corpusDeltaSql,
     "dedup_clusters"       -> Dedup.dedupClustersSql,
+    "near_dedup_keep"      -> Dedup.nearDedupKeepSql,
     "decontaminate"        -> Dedup.decontaminateSql,
     "ann_bruteforce_topk"  -> Ann.bruteForceSql
   )

@@ -821,6 +821,25 @@ object Dedup {
     dedupClusters(docs, ngramJaccardPairs(docs).select("id_a", "id_b"))
   }
 
+  /** The dedup pipeline's end product — "keep one doc per near-dup
+    * cluster": cluster representatives (the canonical min id) with
+    * their cluster sizes. Composes pair generation → connected
+    * components → representative filter; what a training-data curation
+    * run actually materializes as its keep-list.
+    */
+  def nearDedupKeep(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_size")
+      .orderBy("doc_id")
+
+  // lazy: interpolates dedupClustersSql, which is declared later in
+  // this object (strict init order would capture null)
+  lazy val nearDedupKeepSql: String =
+    s"""SELECT doc_id, cluster_size FROM (
+       |$dedupClustersSql
+       |) WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin
+
   /** Connected components via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC '14) — the scale path for ADVERSARIALLY DEEP graphs.

@@ -239,6 +239,29 @@ object Ann {
       embs.filter(col("vec_id") < 10))
   }
 
+  /** Semantic corpus bucketing — the "shard the corpus by embedding
+    * cluster" pass training-mix pipelines run for curriculum/domain
+    * balance and per-bucket subsampling: the IVF cells double as
+    * k-means buckets, and the output is per-bucket occupancy plus
+    * dispersion (mean cosine distance to the centroid). Assignment is
+    * the usual map-side argmin; the stats are one cell-keyed
+    * aggregation with map-side partials. Rows-only (centroid-specific);
+    * occupancy/dispersion invariants are spec'd.
+    */
+  def corpusBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val (centroids, assigned) = ivfIndex(embs)
+    assigned
+      .join(broadcast(centroids), "cell")
+      .withColumn("dist",
+        lit(1.0) - cosine(col("embedding"), col("centroid").cast("array<float>")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")), 4).as("mean_dist"),
+        min(col("vec_id")).as("example_vec"))
+      .orderBy("cell")
+  }
+
   /** Scalar-quantized (int8) ANN — the storage tier every production
     * vector store offers: the corpus is encoded to per-dimension affine
     * int8 codes (4× smaller than float32, which is what lets 4× more

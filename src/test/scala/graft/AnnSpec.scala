@@ -95,4 +95,20 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val direct = Ann.ivfTopKFromIndex(centroids, assignedAll, q)
     assert(viaUnion.collect().toSeq === direct.collect().toSeq)
   }
+
+  test("corpus buckets partition the corpus with sane dispersion") {
+    val buckets = Ann.corpusBuckets(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(buckets.map(_.getAs[Long]("n_vecs")).sum === n,
+      "every vector lands in exactly one bucket")
+    assert(buckets.length <= 16, "no more buckets than trained cells")
+    buckets.foreach { r =>
+      val d = r.getAs[Double]("mean_dist")
+      assert(d >= -0.0001 && d <= 2.0001, s"cosine distance out of range: $d")
+    }
+    // argmin assignment ⇒ vectors sit closer to their own centroid than
+    // random: mean dispersion must beat the worst possible (orthogonal)
+    val overall = buckets.map(r => r.getAs[Double]("mean_dist") * r.getAs[Long]("n_vecs")).sum / n
+    assert(overall < 1.0, s"mean distance-to-own-centroid should beat orthogonality: $overall")
+  }
 }
