@@ -659,6 +659,29 @@ object Analytics {
       | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Unpivot (melt) — the inverse API face of [[pivotOrders]]: the
+    * wide per-status count columns fold back into (priority, status, n)
+    * rows via the `stack` generator. Round-tripping through
+    * pivot→unpivot is the contract; melt is a pure projection (each
+    * input row expands to 3 output rows map-side, no shuffle beyond
+    * the pivot's own aggregation).
+    */
+  def unpivotOrders(spark: SparkSession, dir: String): DataFrame =
+    pivotOrders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, n)"))
+      // the pivot zero-fills absent combinations; the relational form
+      // (and the oracle) has no row for them — drop the fill on the way
+      // back so melt inverts pivot exactly
+      .filter(col("n") > 0)
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  val unpivotOrdersSql: String =
+    """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   /** Per-group quartile buckets of order value — the scale-safe shape.
     *
     * A `ntile(4) OVER (PARTITION BY priority ORDER BY price)` window
