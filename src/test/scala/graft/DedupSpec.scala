@@ -112,6 +112,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     Seq(14L, 15L).foreach(d => assert(out(d) === ((d, 1L)), s"singleton $d"))
   }
 
+  test("dedup clusters: empty, self-loop, and duplicate pair sets degrade gracefully") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // empty pair set → every doc is its own singleton cluster
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out0 = Dedup.dedupClusters(docs, empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out0.toSet === (1L to 5L).map(i => (i, i, 1L)).toSet)
+    // self-loops contribute nothing; duplicate + reversed pairs collapse
+    val messy = Seq((2L, 2L), (1L, 3L), (3L, 1L), (1L, 3L)).toDF("id_a", "id_b")
+    val out1 = Dedup.dedupClusters(docs, messy).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out1(1L) === ((1L, 2L)) && out1(3L) === ((1L, 2L)))
+    Seq(2L, 4L, 5L).foreach(d => assert(out1(d) === ((d, 1L)), s"singleton $d"))
+  }
+
+  test("dedup clusters: star and union-find agree on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val nV = 20 + trial * 5
+      val docs = (1L to nV.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = Seq.fill(nV)((rnd.nextInt(nV) + 1L, rnd.nextInt(nV) + 1L))
+        .toDF("id_a", "id_b")
+      val uf = Dedup.dedupClusters(docs, pairs)
+      val star = Dedup.dedupClustersStar(docs, pairs)
+      assert(uf.exceptAll(star).isEmpty && star.exceptAll(uf).isEmpty,
+        s"trial $trial: union-find and star labelings diverge")
+    }
+  }
+
   test("dedup clusters: star path matches propagation on corpus pairs") {
     val docs = Tables.documents(spark, sfDir)
     val pairs = Dedup.ngramJaccardPairs(docs).select("id_a", "id_b").localCheckpoint(true)

@@ -110,6 +110,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val factScans = "lineitem\\.parquet".r.findAllIn(p).length
     assert(factScans === 1, s"expected exactly one lineitem scan, got $factScans:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims must broadcast:\n$p")
+    // the two-stage aggregate replaced the multi-DISTINCT form — an
+    // Expand here would mean 3 shuffled rows per fact row again
+    assert(!p.contains("Expand"), s"no multi-distinct Expand may shuffle the fact:\n$p")
   }
 
   test("q19 pushes the per-side disjunctions into both scans below the join") {
