@@ -994,6 +994,65 @@ object Analytics {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q2 shape — the correlated per-group MIN subquery: for each
+    * part, the supplier(s) offering the lowest observed unit price,
+    * restricted to suppliers of one region (unit prices derived from
+    * lineitem since this schema has no partsupp — same shape, same
+    * plan problem). The correlated subquery becomes aggregate-once →
+    * per-part min → equality self-join: the per-(part, supplier) cost
+    * table materializes ONCE and feeds both the min aggregation and
+    * the equality join back (a live plan would evaluate the aggregate
+    * twice); region/nation/supplier broadcast; deterministic top-100.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal")
+    // min (not avg) of the per-row unit prices: min is summation-order
+    // independent, so Spark and the oracle pick the bit-identical
+    // double and the later rounding + equality join can never diverge
+    // on a boundary (avg did, at exactly one sf0.001 row)
+    val cost = Tables.lineitem(spark, dir)
+      .join(broadcast(asiaSuppliers.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("unit_cost"))
+      .localCheckpoint(true)
+    val minCost = cost.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    cost
+      .join(minCost, col("l_partkey") === col("mc_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("s_acctbal"), col("unit_cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH asia AS (
+      |  SELECT s_suppkey, s_name, s_acctbal
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+      |cost AS (
+      |  SELECT l_partkey, l_suppkey, round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      |  FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT p_partkey, p_brand, s_name, s_acctbal, unit_cost
+      |FROM cost
+      |  JOIN asia ON l_suppkey = s_suppkey
+      |  JOIN part ON l_partkey = p_partkey
+      |WHERE unit_cost = (
+      |  SELECT min(c2.unit_cost) FROM cost c2 WHERE c2.l_partkey = cost.l_partkey)
+      |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin
+
   /** TPC-H Q8 shape — national market share: the share of revenue a
     * chosen supplier nation captures, per order year, among orders
     * placed by customers of one region. The conditional-share form

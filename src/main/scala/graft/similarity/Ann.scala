@@ -262,6 +262,32 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Balanced per-bucket subsampling — the training-mix step AFTER
+    * semantic bucketing: every IVF bucket is capped at ~`target`
+    * vectors with a deterministic per-bucket Bernoulli fraction
+    * (oversized buckets downsample, small ones pass whole) — the
+    * composition that turns "bucket the corpus" into "balance the
+    * mix". The per-bucket counts are ≤ nCells rows (bounded collect,
+    * like the centroid table itself); the sampling is one map-side
+    * filter over the assigned corpus. Output is the per-bucket
+    * accounting; rows-only (centroid-specific) with invariants spec'd.
+    */
+  def balancedSample(spark: SparkSession, dir: String, target: Long = 100): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val (_, assigned) = ivfIndex(embs)
+    val a = assigned.localCheckpoint(true) // counts + sample read it
+    val counts = a.groupBy("cell").agg(count(lit(1)).as("n_total"))
+    val fractions = counts.collect()
+      .map(r => r.getInt(0) -> math.min(1.0, target.toDouble / r.getLong(1)))
+      .toMap
+    a.stat.sampleBy("cell", fractions, seed = 42L)
+      .groupBy("cell").agg(count(lit(1)).as("n_sampled"))
+      .join(counts, "cell")
+      .select(col("cell"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_total"), 4).as("kept_frac"))
+      .orderBy("cell")
+  }
+
   /** Scalar-quantized (int8) ANN — the storage tier every production
     * vector store offers: the corpus is encoded to per-dimension affine
     * int8 codes (4× smaller than float32, which is what lets 4× more

@@ -111,4 +111,19 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val overall = buckets.map(r => r.getAs[Double]("mean_dist") * r.getAs[Long]("n_vecs")).sum / n
     assert(overall < 1.0, s"mean distance-to-own-centroid should beat orthogonality: $overall")
   }
+
+  test("balanced sampling caps oversized buckets and passes small ones whole") {
+    val target = 20L
+    val out = Ann.balancedSample(spark, sfDir, target).collect()
+    out.foreach { r =>
+      val (total, sampled) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_sampled"))
+      assert(sampled <= total)
+      if (total <= target) assert(sampled === total, s"small bucket must pass whole: $r")
+      // Bernoulli sampling jitters around the cap — bound, don't pin
+      else assert(sampled <= target * 2, s"oversized bucket not capped: $r")
+    }
+    // deterministic: seeded sampling reproduces exactly
+    val again = Ann.balancedSample(spark, sfDir, target).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
