@@ -126,7 +126,7 @@ case class MinHashBands(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Lo
          |  }
          |  $bands[$t] = $acc;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($bands);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bands);
        """.stripMargin
     })
   }

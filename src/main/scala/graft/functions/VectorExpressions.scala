@@ -220,7 +220,7 @@ case class HyperplaneSigs(child: Expression, planes: IndexedSeq[Double],
          |  }
          |  $sigs[$t] = $sig;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sigs);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
        """.stripMargin
     })
   }

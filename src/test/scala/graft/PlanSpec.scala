@@ -150,6 +150,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Generate explode"), s"no live corpus explode may remain:\n$p")
   }
 
+  test("custom expressions compile under strict codegen (no interpreted fallback)") {
+    // Regression lock for the silent-fallback failure mode: a doGenCode
+    // body that emits uncompilable Java (e.g. a wrong FQN) still passes
+    // every correctness spec because Spark quietly falls back to
+    // interpreted eval — only this strict-mode run surfaces it.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, array_distinct, split, lit}
+    val conf = spark.conf
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val d = graft.dedup.Dedup
+      val bands = Seq(Seq(1L, 2L, 3L), Seq(42L)).toDF("h")
+        .select(graft.functions.MinHashExpression.minhashBandHashes(col("h"),
+          d.minhashA.toIndexedSeq, d.minhashB.toIndexedSeq,
+          d.MinhashPrime, d.BandRows).as("b"))
+        .collect()
+      assert(bands.length === 2 && bands.forall(!_.isNullAt(0)))
+
+      val planes = Array.tabulate(2 * 2 * 3)(i => if (i % 2 == 0) 1.0 else -1.0)
+      val vecRow = Seq((Seq(1.0f, 0.0f, 2.0f), Seq(0.5f, 0.5f, -1.0f))).toDF("a", "b")
+        .select(
+          graft.functions.VectorExpressions.hyperplaneSigs(col("a"), planes, 2, 2, 3).as("s"),
+          graft.functions.VectorExpressions.cosine(col("a"), col("b")).as("cos"),
+          graft.functions.VectorExpressions.l2sq(col("a"), col("b")).as("l2"))
+        .collect()
+      assert(vecRow.length === 1 && !vecRow(0).isNullAt(0))
+
+      val sh = Seq("a b c a").toDF("text")
+        .select(graft.functions.SimHashExpression.simhash64(
+          array_distinct(split(col("text"), lit(" ")))).as("sh"))
+        .collect()
+      assert(sh.length === 1 && !sh(0).isNullAt(0))
+    } finally {
+      conf.set("spark.sql.codegen.fallback", "true")
+      conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("q7 restricts supplier and customer by nation below the fact join") {
     val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString
