@@ -1053,6 +1053,118 @@ object Analytics {
       |  SELECT min(c2.unit_cost) FROM cost c2 WHERE c2.l_partkey = cost.l_partkey)
       |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q9 shape — product-line profit by supplier nation and order
+    * year. The schema has no partsupp, so supply cost is derived as a
+    * fixed fraction of `p_retailprice` (deterministic and
+    * SQL-expressible — same substitution family as q2/q16). Plan story:
+    * the part filter is the selective one, so the fact joins the
+    * filtered part dim FIRST (broadcast) — the lineitem stream shrinks
+    * before anything else touches it; supplier⋈nation is a second
+    * broadcast; only then does the surviving slice shuffle against
+    * orders. At 100 TB the single fact⋈orders shuffle carries only
+    * widget rows, and the group key (nation, year) is tiny.
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val widgetParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNations = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNations), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      // 175 (nation, year) groups summing a SUBTRACTION of doubles is
+      // exactly the boundary-rounding trap q2's scaladoc warns about
+      // (one sf0.01 group landed within fp-noise of a half-cent): all
+      // inputs are exact cents, so the profit is computed in integer
+      // 1e-4 dollars (cents × percent), summed exactly as BIGINT —
+      // order-independent, so Spark's partial-agg order can never
+      // diverge from the oracle's sequential sum — and divided once.
+      .withColumn("profit_e4",
+        round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))
+          - round(col("p_retailprice") * 100).cast("long")
+            * round(col("l_quantity")).cast("long") * lit(50L))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(col("profit_e4")) / lit(10000.0)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT nation, o_year, sum(profit_e4) / 10000.0 AS sum_profit FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      - CAST(round(p_retailprice * 100) AS BIGINT)
+      |        * CAST(round(l_quantity) AS BIGINT) * 50 AS profit_e4
+      |  FROM lineitem
+      |    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      |    JOIN supplier ON l_suppkey = s_suppkey
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN orders ON l_orderkey = o_orderkey) p
+      |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape — "important stock": per-part value restricted to
+    * one region's suppliers, kept only where the part's value exceeds a
+    * global-total-derived threshold (here 1.2× the mean per-part value,
+    * which is scale-invariant — TPC-H's fixed fraction deflates with
+    * SF). The correlated scalar subquery becomes: aggregate the fact
+    * ONCE per part (materialized so the threshold pass cannot recompute
+    * it), re-aggregate those group rows into a 1-row threshold, and
+    * broadcast that scalar back over the group table as a crossJoin —
+    * two tiny jobs over per-part rows instead of a second fact scan.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val regionSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    // Exact integer 1e-4-dollar units end-to-end (the q9 discipline),
+    // and the threshold compare is pure integer too:
+    // value > 1.2 * total/n  ⟺  5 * value * n > 6 * total — no double
+    // ever enters the predicate, so a part sitting exactly at the
+    // threshold can never flip between Spark and the oracle.
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(regionSuppliers), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("value_e4"))
+      .localCheckpoint(true)
+    val threshold = perPart.agg(sum(col("value_e4")).as("total_e4"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("value_e4") * 5 * col("n_parts") > col("total_e4") * 6)
+      .select(col("l_partkey"), (col("value_e4") / lit(10000.0)).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH eu AS (
+      |  SELECT s_suppkey FROM supplier
+      |    JOIN nation ON s_nationkey = n_nationkey
+      |    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |per_part AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_e4
+      |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+      |  GROUP BY 1),
+      |thr AS (SELECT sum(value_e4) AS total_e4, count(*) AS n_parts FROM per_part)
+      |SELECT l_partkey, value_e4 / 10000.0 AS part_value
+      |FROM per_part, thr
+      |WHERE value_e4 * 5 * n_parts > total_e4 * 6
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
   /** TPC-H Q8 shape — national market share: the share of revenue a
     * chosen supplier nation captures, per order year, among orders
     * placed by customers of one region. The conditional-share form
@@ -1118,7 +1230,7 @@ object Analytics {
     * stage join is co-partitioned on the same user_id key so the
     * chain reuses one partitioning end-to-end.
     */
-  def funnelConversion(events: DataFrame): DataFrame = {
+  def funnelUserStages(events: DataFrame): DataFrame = {
     def stage(etype: String, after: DataFrame, afterCol: String, outCol: String) =
       events.filter(col("event_type") === etype).select(col("user_id"), col("ts"))
         .join(after, "user_id")
@@ -1131,6 +1243,10 @@ object Analytics {
     views
       .join(clicks, Seq("user_id"), "left")
       .join(purchases, Seq("user_id"), "left")
+  }
+
+  def funnelConversion(events: DataFrame): DataFrame = {
+    funnelUserStages(events)
       .groupBy(date_format(col("t_view"), "yyyy-MM").as("cohort"))
       .agg(count(lit(1)).as("n_view"),
         count(col("t_click")).as("n_click"),

@@ -73,10 +73,10 @@ object EventSessionizer {
   case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp,
                         n_events: Long, total_value: Double)
 
-  private def epochMicros(t: Timestamp): Long =
+  private[streaming] def epochMicros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  private def microsToTs(us: Long): Timestamp = {
+  private[streaming] def microsToTs(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t

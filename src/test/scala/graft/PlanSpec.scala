@@ -189,6 +189,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q9 broadcasts both dims and shuffles only the pruned fact against orders") {
+    val p = plan(graft.queries.Analytics.q9ProfitByNation(spark, sfDir))
+    // part (filtered) and supplier⋈nation must broadcast; the only
+    // shuffle join is lineitem⋈orders, carrying just widget rows
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"dims must broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, s"only the orders join may shuffle:\n$p")
+  }
+
+  test("q11 aggregates the fact once and broadcasts the threshold scalar back") {
+    val p = plan(graft.queries.Analytics.q11ImportantParts(spark, sfDir))
+    // the per-part table is materialized (localCheckpoint) so the
+    // threshold pass re-reads group rows, not the fact scan
+    assert(p.contains("Scan ExistingRDD"), s"per-part aggregate must be materialized:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row threshold must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join expected:\n$p")
+  }
+
   test("q7 restricts supplier and customer by nation below the fact join") {
     val q = graft.queries.Analytics.q7VolumeShipping(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString

@@ -410,4 +410,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(emitted(49L).contains((0L, 49L)),
       s"doc 49 must pair with doc 0 through the many-times-folded index: ${emitted(49L)}")
   }
+
+  test("streaming funnel stage table matches the batch filtered-min-agg face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .orderBy("ts")
+      .as[StreamingFunnel.FEv]
+      .collect()
+
+    val stream = MemoryStream[StreamingFunnel.FEv]
+    val out = StreamingFunnel.funnelStream(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    events.grouped(math.max(events.length / 4, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    // push the watermark past every user's attribution horizon
+    val last = events.map(_.ts.getTime).max
+    stream.addData(StreamingFunnel.FEv(-1L,
+      new Timestamp(last + StreamingFunnel.DefaultHorizonMicros / 1000L
+        + 48 * 3600 * 1000L), "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val cols = Seq("user_id", "t_view", "t_click", "t_purchase").map(col)
+    val streamed = spark.table("funnel_test").filter(col("user_id") >= 0).select(cols: _*)
+    val batch = graft.queries.Analytics
+      .funnelUserStages(Tables.events(spark, sfDir)).select(cols: _*)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+
+    // and the cohort rollup built on the streamed stages matches the
+    // full batch funnel_conversion query
+    val cohorts = streamed
+      .groupBy(date_format(col("t_view"), "yyyy-MM").as("cohort"))
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"))
+      .withColumn("click_rate", round(col("n_click") / col("n_view"), 4))
+      .withColumn("purchase_rate", round(col("n_purchase") / col("n_view"), 4))
+    val batchFunnel = graft.queries.Analytics.funnelConversion(spark, sfDir)
+    assert(cohorts.exceptAll(batchFunnel).count() === 0, "cohorts minus batch funnel")
+    assert(batchFunnel.exceptAll(cohorts).count() === 0, "batch funnel minus cohorts")
+  }
 }
