@@ -45,7 +45,11 @@ import org.apache.spark.sql.functions._
   * dirty buckets, not the world.
   */
 class ParquetUpsertSink(spark: SparkSession, statePath: String,
-                        keyCols: Seq[String], numBuckets: Int = 64) {
+                        keyCols: Seq[String], numBuckets: Int = 64,
+                        retainEpochs: Int = 2) {
+  require(retainEpochs >= 2,
+    "retainEpochs must keep at least the current and previous manifest " +
+      "(in-flight readers planned against the previous epoch)")
 
   private def bucketCol = pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("bucket")
 
@@ -97,6 +101,32 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
   def readState(): DataFrame = {
     val (_, entries, schema) = readManifest().getOrElse(
       throw new IllegalStateException(s"no committed state at $statePath"))
+    stateFrom(entries, schema)
+  }
+
+  /** Time travel: the state exactly as committed at `epoch`. Epochs stay
+    * readable while their manifest is retained (`retainEpochs` newest —
+    * immutable data dirs are only vacuumed once no retained manifest
+    * references them, so a retained epoch's read NEVER races a commit).
+    * The epoch values are the stream's batchIds, so "the state before
+    * batch N was applied" is `readStateAt(N - 1)`.
+    */
+  def readStateAt(epoch: Long): DataFrame =
+    manifests().find(_._1 == epoch) match {
+      case Some((e, p)) =>
+        val (_, entries, schema) = readManifestAt(e, p)
+        stateFrom(entries, schema)
+      case None =>
+        throw new IllegalStateException(
+          s"epoch $epoch is not retained at $statePath " +
+            s"(retained: ${manifests().map(_._1).mkString(", ")})")
+    }
+
+  /** Retained epochs, ascending — each is valid for [[readStateAt]]. */
+  def retainedEpochs(): Seq[Long] = manifests().map(_._1)
+
+  private def stateFrom(entries: Map[Int, String],
+                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val paths = entries.values.toSeq.sorted.map(rel => s"$statePath/$rel")
     if (paths.nonEmpty) spark.read.parquet(paths: _*)
     else schema match {
@@ -196,22 +226,24 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
     if (!fs.rename(tmp, new Path(root, s"_manifest.v$epoch")))
       throw new IllegalStateException(
         s"manifest commit for epoch $epoch failed (concurrent writer?)")
-    vacuum(epoch, entries, previous)
+    vacuum(epoch)
   }
 
   /** Drop data no reader can reach: version dirs from older epochs whose
-    * bucket dirs NEITHER the new manifest NOR the retained previous
-    * manifest references (including orphans from crashed merges), and
-    * manifest files older than the previous one. Keeping everything the
-    * previous manifest references means a reader that planned against
-    * epoch-1 just before this commit still finds its files; its data
-    * ages out only at the NEXT commit, by which point a grace window has
-    * passed (single-writer contract; longer reader pins would keep more
-    * manifests).
+    * bucket dirs NO retained manifest (the `retainEpochs` newest)
+    * references — including orphans from crashed merges — plus the
+    * manifest files that aged out of the retention window. Keeping
+    * everything a retained manifest references means a reader that
+    * planned against any retained epoch still finds its files (that is
+    * what makes [[readStateAt]] safe), and at the default
+    * retainEpochs=2 an epoch-1 reader racing this commit keeps its
+    * grace window (single-writer contract; longer reader pins → raise
+    * retainEpochs).
     */
-  private def vacuum(epoch: Long, entries: Map[Int, String],
-                     previous: Map[Int, String]): Unit = {
-    val referenced: Set[String] = entries.values.toSet ++ previous.values.toSet
+  private def vacuum(epoch: Long): Unit = {
+    val retained = manifests().filter(_._1 > epoch - retainEpochs)
+    val referenced: Set[String] = retained
+      .flatMap { case (e, p) => readManifestAt(e, p)._2.values }.toSet
     val VersionRe = """v(\d+)(?:-[0-9a-f]+)?""".r
     fs.listStatus(root).toSeq.foreach { st =>
       val name = st.getPath.getName
@@ -229,7 +261,8 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
           fs.delete(st.getPath, true)
       }
       name match {
-        case ManifestRe(e) if e.toLong < epoch - 1 => fs.delete(st.getPath, false)
+        case ManifestRe(e) if e.toLong <= epoch - retainEpochs =>
+          fs.delete(st.getPath, false)
         case _ => ()
       }
     }

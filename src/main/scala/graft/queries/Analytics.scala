@@ -614,6 +614,36 @@ object Analytics {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * status totals, per-year totals, and the grand total in ONE
+    * aggregation pass — Catalyst's Expand replicates each input row
+    * once per set, so it stays a single scan + single shuffle where
+    * three separate groupBys would scan the fact three times. The
+    * distinct-on-Expand cost q21 dodged does not apply (plain sums
+    * only).
+    */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_year")), Seq.empty),
+        col("o_orderstatus"), col("o_year"))
+      .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_year").cast("string"), lit("ALL")).as("o_year"),
+        col("total"), col("n"))
+      .orderBy("status", "o_year")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR), 'ALL') AS o_year,
+      |       round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      |ORDER BY status, o_year""".stripMargin
+
   /** TPC-H Q22-style: per market segment, rich-but-dormant customers —
     * balance above the global positive-balance average (a broadcast
     * scalar, not a collect) with no order placed since the cutoff (anti

@@ -130,15 +130,22 @@ object Ann {
     */
   private def trainFromCorpus(embs: DataFrame, nCells: Int, trainSize: Int)
       : Option[Array[(Int, Array[Double])]] = {
+    val sample = corpusSample(embs, trainSize)
+    if (sample.isEmpty) None else Some(trainCentroids(sample, nCells, iters = 3))
+  }
+
+  /** Bounded deterministic systematic sample of the corpus, collected
+    * to the driver (quantizer training data — O(trainSize×dim)
+    * regardless of corpus size).
+    */
+  private def corpusSample(embs: DataFrame, trainSize: Int): Array[Array[Double]] = {
     val n = embs.count()
     val stride = math.max(n / trainSize, 1L)
-    val sample: Array[Array[Double]] =
-      embs.filter(pmod(col("vec_id"), lit(stride)) === 0)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    if (sample.isEmpty) None else Some(trainCentroids(sample, nCells, iters = 3))
+    embs.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
   }
 
   /** Probe: per query keep the nProbe nearest cells, score candidates in
@@ -350,6 +357,89 @@ object Ann {
 
   def sqTopK(spark: SparkSession, dir: String): DataFrame =
     sqTopK(Tables.embeddings(spark, dir))
+
+  /** Product-quantized (PQ) ANN — the compression tier past SQ: the
+    * vector splits into `nSub` subvectors, each stored as the id of its
+    * nearest per-subspace codebook centroid, so Dim float32s become
+    * nSub 4-bit codes (256 B → 8 B, 32× at the defaults) — the
+    * FAISS-family trick that keeps a 100 TB corpus's codes
+    * memory-resident.
+    *
+    * Codebooks are per-subspace k-means over the same bounded driver
+    * sample as the IVF coarse quantizer, baked into the plan as
+    * literals: encoding is a map-side argmin per subspace (same
+    * struct<d,j>/array_min shape as cell assignment), decoding a
+    * map-side codebook lookup — no join, no shuffle, corpus scanned
+    * once. Scoring decodes BELOW the broadcast query join (the sqTopK
+    * discipline: one decode per corpus row, not per joined pair) and
+    * ranks by cosine against the FLOAT query (asymmetric distance).
+    * Approximate → rows-only; recall + reconstruction floors in the
+    * spec.
+    */
+  def pqTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nSub: Int = 16, nCodes: Int = 16, trainSize: Int = 4096): DataFrame = {
+    val books = pqCodebooks(embs, nSub, nCodes, trainSize)
+    if (books.isEmpty)
+      return embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+    val corpus = embs.select(col("vec_id"),
+      pqDecode(pqEncode(col("embedding"), books), books).as("vec"))
+    val queries = broadcast(
+      embs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q"), col("vec")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Per-subspace PQ codebooks from the bounded driver sample:
+    * `books(m)(j)` is centroid j of subspace m. Empty on an empty
+    * corpus. Public so the spec validates the production codebooks.
+    */
+  def pqCodebooks(embs: DataFrame, nSub: Int = 16, nCodes: Int = 16,
+                  trainSize: Int = 4096): Array[Array[Array[Double]]] = {
+    val sample = corpusSample(embs, trainSize)
+    if (sample.isEmpty) return Array.empty
+    val subDim = sample.head.length / nSub
+    require(subDim * nSub == sample.head.length,
+      s"dim ${sample.head.length} must divide into $nSub subspaces")
+    Array.tabulate(nSub) { m =>
+      val sub = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
+      trainCentroids(sub, nCodes, iters = 3).map(_._2)
+    }
+  }
+
+  /** Map-side PQ encode: per subspace, argmin over the literal codebook
+    * (struct<d,j> + array_min — stays in codegen). Output array<int>
+    * of length nSub.
+    */
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    val subDim = books.head.head.length
+    array(books.toIndexedSeq.zipWithIndex.map { case (book, m) =>
+      array_min(array(book.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+        struct(l2sq(slice(v, m * subDim + 1, subDim),
+          array(c.toIndexedSeq.map(lit): _*)).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+    }: _*)
+  }
+
+  /** Codebook-lookup decode (inverse of [[pqEncode]] up to quantization
+    * error): concat of each subspace's selected centroid.
+    */
+  def pqDecode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    flatten(array(books.toIndexedSeq.zipWithIndex.map { case (book, m) =>
+      element_at(
+        array(book.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*),
+        element_at(codes, m + 1) + 1)
+    }: _*))
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables.embeddings(spark, dir))
 
   /** Driver-side Lloyd iterations over the training sample: systematic
     * seeds, `iters` assign/recompute rounds. Deterministic (no RNG);

@@ -112,6 +112,29 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(overall < 1.0, s"mean distance-to-own-centroid should beat orthogonality: $overall")
   }
 
+  test("PQ ANN: sane ranks, measurable recall, reconstruction beats orthogonality") {
+    val pq = Ann.pqTopK(spark, sfDir)
+    assert(pq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    val r = recallVsBrute(pq)
+    info(f"PQ recall@5 = $r%.2f")
+    // 16 subspaces × 16 codes on near-random 64-dim vectors is a lossy
+    // 32× compression; it must still rank true neighbors far above
+    // chance (random top-5 of ~500 would land ≈ 0.01)
+    assert(r >= 0.2, s"PQ recall too low: $r")
+
+    // the decode really inverts the encode up to quantization error:
+    // mean cosine(original, reconstructed) across the corpus must be
+    // clearly positive (orthogonal-noise reconstruction would be ~0)
+    import graft.functions.VectorFunctions.cosine
+    val books = Ann.pqCodebooks(Tables.embeddings(spark, sfDir))
+    val mean = Tables.embeddings(spark, sfDir)
+      .select(avg(cosine(col("embedding"),
+        Ann.pqDecode(Ann.pqEncode(col("embedding"), books), books))).as("m"))
+      .head().getDouble(0)
+    info(f"PQ mean reconstruction cosine = $mean%.3f")
+    assert(mean > 0.3, s"reconstruction cosine too low: $mean")
+  }
+
   test("balanced sampling caps oversized buckets and passes small ones whole") {
     val target = 20L
     val out = Ann.balancedSample(spark, sfDir, target).collect()

@@ -268,6 +268,35 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       "external readers key on the _SUCCESS completeness marker")
   }
 
+  test("readStateAt time-travels across retained epochs; aged epochs vacuum away") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"),
+      numBuckets = 4, retainEpochs = 3)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted
+    sink.merge(batchDf(Seq((1L, "c", 10L, 1L, "signup", 1.0),
+                           (2L, "c", 10L, 2L, "signup", 2.0))), 0)
+    val at0 = snap(sink.readState())
+    sink.merge(batchDf(Seq((2L, "u", 20L, 3L, "click", 2.5))), 1)
+    val at1 = snap(sink.readState())
+    sink.merge(batchDf(Seq((1L, "d", 30L, 4L, "signup", 1.0),
+                           (3L, "c", 30L, 5L, "signup", 3.0))), 2)
+
+    assert(sink.retainedEpochs() === Seq(0L, 1L, 2L))
+    assert(snap(sink.readStateAt(0)) === at0, "epoch 0 must read as committed")
+    // epoch 1's manifest references epoch-0 data dirs for clean buckets —
+    // retention must pin those files, not just the manifest
+    assert(snap(sink.readStateAt(1)) === at1, "epoch 1 must read as committed")
+    assert(snap(sink.readStateAt(2)) === snap(sink.readState()))
+
+    // the next commit ages epoch 0 out of the window: manifest deleted,
+    // unreferenced data vacuumed, remaining epochs still exact
+    sink.merge(batchDf(Seq((3L, "u", 40L, 6L, "click", 3.5))), 3)
+    assert(sink.retainedEpochs() === Seq(1L, 2L, 3L))
+    intercept[IllegalStateException] { sink.readStateAt(0) }
+    assert(snap(sink.readStateAt(1)) === at1,
+      "a still-retained epoch must survive its elder's vacuum")
+  }
+
   test("a batch that deletes every key in a bucket does not resurrect them") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-delbucket").toString
