@@ -81,6 +81,37 @@ object CdcOps {
       .agg(count(lit(1)).as("n"), countDistinct(col(keyCol)).as("n_keys"))
       .orderBy("op")
 
+  /** SCD Type-2 dimension history from a changelog: every non-delete
+    * change opens a version row; a version closes when the NEXT change
+    * of the same key arrives (a delete closes the last open version
+    * without opening a new one). `valid_to` is NULL on the open
+    * version, so `WHERE valid_to IS NULL` is exactly `latestState` and
+    * `WHERE valid_from <= t AND (valid_to IS NULL OR t < valid_to)`
+    * is the as-of-`t` snapshot.
+    *
+    * Scale: both windows (lead + version numbering) share one
+    * partitioning and ordering, so the changelog shuffles and sorts
+    * ONCE on the key — the same single key-shuffle latestState pays.
+    * No self-join against "next change"; the window frame carries it.
+    *
+    * Output: keyCols ++ dataCols ++ (valid_from, valid_to, is_current,
+    * version_no).
+    */
+  def scd2History(changelog: DataFrame, keyCols: Seq[String], dataCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts_ms"), col("seq"))
+    changelog
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .withColumn("version_no", row_number().over(w))
+      .select(keyCols.map(col) ++ dataCols.map(col) ++ Seq(
+        col("ts_ms").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+        col("version_no")): _*)
+  }
+
   /** Merge a change-set into a base state — exactly the reference's
     * Delta merge, as a pure DataFrame transform:
     *   matched ∧ latest-op='d'  → delete

@@ -145,6 +145,29 @@ object CdcQueries {
        |FROM r WHERE rn = 1
        |ORDER BY user_id""".stripMargin
 
+  /** SCD Type-2 history: the full version trail the continuous upsert
+    * path discards — every change opens a version, the next change (or
+    * a delete) closes it. The standard "dimension history" consumer of
+    * a CDC feed (the reference materializes only the latest image;
+    * warehouses typically also want this trail).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    CdcOps.scd2History(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+      .withColumn("last_value", round(col("last_value"), 2))
+      .orderBy("user_id", "version_no")
+
+  val scd2Sql: String =
+    s"""WITH ch AS ($changeSql),
+       |v AS (SELECT *,
+       |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, seq) AS valid_to
+       |  FROM ch)
+       |SELECT user_id, last_event_type, round(last_value, 2) AS last_value,
+       |       ts_ms AS valid_from, valid_to,
+       |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, seq) AS INT) AS version_no
+       |FROM v WHERE op <> 'd'
+       |ORDER BY user_id, version_no""".stripMargin
+
   /** Change accounting per op. */
   def changeCounts(spark: SparkSession, dir: String): DataFrame =
     CdcOps.changeCounts(CdcOps.userChangelog(spark, dir), "user_id")

@@ -56,6 +56,43 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(state.join(deleted, Seq("user_id"), "inner").count() === 0)
   }
 
+  test("scd2History: versions tile each key's timeline and currents equal latestState") {
+    val ch = CdcOps.userChangelog(spark, sfDir)
+    val hist = CdcOps.scd2History(ch, Seq("user_id"), CdcOps.userDataCols).cache()
+
+    // one version per non-delete change
+    assert(hist.count() === ch.filter(col("op") =!= "d").count())
+
+    // the open (valid_to IS NULL) slice is exactly latestState
+    val currents = hist.filter(col("valid_to").isNull)
+      .select("user_id", "last_event_type", "last_value")
+    val state = CdcOps.latestState(ch, Seq("user_id"), CdcOps.userDataCols)
+      .select("user_id", "last_event_type", "last_value")
+    assert(currents.exceptAll(state).count() === 0)
+    assert(state.exceptAll(currents).count() === 0)
+
+    // within a key: valid_from non-decreasing, each closed version ends
+    // at or before the next version starts (a gap appears when a delete
+    // closed the version), and only the last version may be open
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version_no")
+    val chained = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+    assert(chained.filter(col("valid_to").isNotNull && col("valid_to") < col("valid_from"))
+      .count() === 0, "a version must not close before it opens")
+    assert(chained.filter(col("next_from").isNotNull &&
+        (col("valid_to").isNull || col("valid_to") > col("next_from")))
+      .count() === 0, "non-final versions must close at or before the next version opens")
+
+    // a key whose last change is a delete has no current version
+    val deleted = ch.groupBy("user_id")
+      .agg(max_by(col("op"), struct(col("ts_ms"), col("seq"))).as("last_op"))
+      .filter(col("last_op") === "d").select("user_id")
+    assert(hist.filter(col("valid_to").isNull)
+      .join(deleted, Seq("user_id"), "inner").count() === 0)
+    hist.unpersist()
+  }
+
   test("streaming CDC upsert through ParquetUpsertSink equals batch latestState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
