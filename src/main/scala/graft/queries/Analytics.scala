@@ -1377,4 +1377,112 @@ object Analytics {
       |       AND l_quantity BETWEEN 10 AND 25 AND l_returnflag = 'N')
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity BETWEEN 20 AND 35 AND l_returnflag = 'N')""".stripMargin
+
+  /** Runtime bloom-filter semi-join pruning: a selective dim-side
+    * predicate (urgent orders) is compacted into a bloom filter by ONE
+    * dim aggregation (Spark's own `BloomFilterAggregate`, map-side
+    * mergeable), then applied to the fact scan MAP-SIDE via the
+    * codegen'd `BloomFilterMightContain` predicate BEFORE the join
+    * shuffles anything. False positives are eliminated by the join
+    * itself, so the result is bit-identical to the plain join — the
+    * bloom only cuts shuffled fact volume (~80% here).
+    *
+    * This is the explicit form of Spark's injected runtime row-level
+    * filter (`spark.sql.optimizer.runtime.bloomFilter.*`), for when the
+    * dim is too big to broadcast but its key set is still compact: at
+    * 100 TB a shuffle join on two fact-sized tables moves both sides,
+    * and an 0.9 MB bloom (2^20 estimated items) shipped in the closure
+    * is the cheapest way to keep non-qualifying fact rows on the
+    * mappers. The single-row `head()` transfers only the serialized
+    * filter bytes — the dim itself is never collected.
+    */
+  def bloomPruneJoin(spark: SparkSession, dir: String,
+                     estItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bfAgg = new BloomFilterAggregate(
+      GraftExpressionBridge.expression(xxhash64(col("o_orderkey"))),
+      estItems).toAggregateExpression()
+    val bytes = dim.select(GraftExpressionBridge.column(bfAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftExpressionBridge.column(new BloomFilterMightContain(
+      Literal.create(bytes, BinaryType),
+      GraftExpressionBridge.expression(xxhash64(col("l_orderkey")))))
+
+    Tables.lineitem(spark, dir)
+      .filter(mightContain)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum(revenue), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomPruneSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Column profiling (data-quality sweep): per-column non-null count,
+    * exact distinct count, and min/max — the table-health summary every
+    * ingestion pipeline runs before trusting a snapshot.
+    *
+    * Scale shape: ONE scan of the table computes every per-column
+    * aggregate in a single Aggregate (the multi-`countDistinct` becomes
+    * one Expand — k× row multiplication but still one shuffle with
+    * map-side partials, and only the profiled columns are read). The
+    * single 1-row result is then unpivoted driver-free via `stack`. At
+    * extreme scale swap `countDistinct` for `approx_count_distinct` and
+    * the Expand disappears; exact here because the oracle is exact.
+    * min/max stringify through a 2dp rounding for doubles so Java and
+    * DuckDB render identically.
+    */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val numeric = Set("o_totalprice")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    // aggregate on the raw values, stringify the 1-row result AFTER —
+    // a min over stringified numbers would order lexicographically
+    def str(c: String, v: Column): Column =
+      (if (numeric(c)) round(v.cast("double"), 2) else v).cast("string")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      str(c, min(col(c))).as(s"${c}__mn"),
+      str(c, max(col(c))).as(s"${c}__mx")))
+    val one = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', $c" + s"__nn, $c" + s"__nd, $c" + s"__mn, $c" + s"__mx").mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_str, max_str)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
+  val profileColumnsSql: String = {
+    val numeric = Set("o_totalprice")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def mm(c: String, f: String) =
+      if (numeric(c)) s"CAST(round($f($c), 2) AS VARCHAR)"
+      else s"CAST($f($c) AS VARCHAR)"
+    val per = cols.map(c =>
+      s"""SELECT '$c' AS col_name, s.n_rows, s.n_rows - count($c) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | ${mm(c, "min")} AS min_str, ${mm(c, "max")} AS max_str
+         |FROM orders, s GROUP BY s.n_rows""".stripMargin)
+    s"""WITH s AS (SELECT count(*) AS n_rows FROM orders)
+       |${per.mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
 }

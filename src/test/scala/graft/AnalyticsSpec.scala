@@ -102,6 +102,47 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bloom-pruned join is bit-identical to the plain join") {
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag")
+    val bloomed = Analytics.bloomPruneJoin(spark, sfDir)
+    assert(bloomed.collect().toSeq === plain.collect().toSeq,
+      "bloom false positives must be eliminated by the join")
+  }
+
+  test("a tiny bloom (high fpp) still yields the exact join result") {
+    // 16 estimated items versus thousands of keys → the filter is
+    // saturated and passes nearly everything; correctness must not
+    // depend on the filter's selectivity, only shuffle volume does
+    val tiny = Analytics.bloomPruneJoin(spark, sfDir, estItems = 16L)
+    val sized = Analytics.bloomPruneJoin(spark, sfDir)
+    assert(tiny.collect().toSeq === sized.collect().toSeq)
+  }
+
+  test("profile_columns reports exact per-column health on orders") {
+    val prof = Analytics.profileColumns(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val orders = Tables.orders(spark, sfDir)
+    val nRows = orders.count()
+    assert(prof.size === 6)
+    prof.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === nRows)
+      assert(r.getAs[Long]("n_nulls") === 0L, "synthetic orders carry no nulls")
+      assert(r.getAs[Long]("n_distinct") <= nRows)
+    }
+    // the primary key is fully distinct; low-cardinality dims are not
+    assert(prof("o_orderkey").getAs[Long]("n_distinct") === nRows)
+    assert(prof("o_orderstatus").getAs[Long]("n_distinct") < 10L)
+    val mn = prof("o_totalprice").getAs[String]("min_str").toDouble
+    val mx = prof("o_totalprice").getAs[String]("max_str").toDouble
+    assert(mn <= mx)
+  }
+
   test("funnel conversion respects event ORDER, not just event presence") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")

@@ -132,6 +132,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"part join should broadcast:\n$p")
   }
 
+  test("bloom_prune_join filters the fact map-side, below the join") {
+    val p = plan(graft.queries.Analytics.bloomPruneJoin(spark, sfDir))
+    assert(p.contains("might_contain"), s"BloomFilterMightContain must appear in the plan:\n$p")
+    // the bloom predicate must sit on the fact side BELOW the join —
+    // i.e. between the lineitem scan and the join operator, so pruned
+    // rows never reach the exchange
+    val joinIdx = p.linesIterator.indexWhere(l => l.contains("Join"))
+    val bloomIdx = p.linesIterator.indexWhere(l => l.contains("might_contain"))
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      s"bloom filter must be a descendant of the join (printed after it):\n$p")
+  }
+
   test("dedup_clusters small-graph path: corpus sees ONE broadcast join, no shuffle join") {
     // bounded edge sets are solved exactly on the driver (union-find over
     // the rows a broadcast would ship there anyway); the corpus-side work
