@@ -601,4 +601,188 @@ object TextFunctions {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir))
+
+  /** Fixed-token-window document chunking with overlap — the upstream
+    * of sequence packing: every doc becomes ⌈n/step⌉ rows of at most
+    * `chunk` tokens, consecutive chunks sharing `overlap` tokens so no
+    * context is lost at a boundary.
+    *
+    * Scale: a pure per-doc projection + explode — NO shuffle anywhere
+    * in the chunking itself (the plan's only exchange is the
+    * deterministic output sort, which a real pipeline writing chunks
+    * back to parquet would drop). Chunking 100 TB is one map pass, and
+    * the explode multiplies rows by ~n/step without ever materializing
+    * a doc's chunks together.
+    */
+  def docChunks(docs: DataFrame, chunk: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunk > overlap && overlap >= 0, "need chunk > overlap >= 0")
+    val step = chunk - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(chunk)), " ").as("chunk_text"),
+        least(lit(chunk), size(col("__toks")) - col("start")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunks(Tables.documents(spark, dir))
+
+  val docChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks, CAST(i // 48 AS INT) AS chunk_id, CAST(i AS INT) AS s
+      |      FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 48)) AS u(i))
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text,
+      |  CAST(least(64, len(toks) - s) AS INT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Per-doc character-distribution Shannon entropy (nats): low values
+    * flag degenerate/repetitive text (a single repeated character ≈ 0),
+    * high values flag binary-ish noise — a standard cheap quality
+    * signal next to the ratio filters in [[qualityScore]].
+    *
+    * Computed as ln N − (Σ nᵢ·ln nᵢ)/N from per-(doc, char) counts, so
+    * the whole thing is two partial-aggregated shuffles keyed by doc_id
+    * — no per-doc state beyond the agg buffers, linear at any corpus
+    * size (same cost class as trigram counting).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_chars"),
+        round(log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(spark, dir))
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), '')) AS ch FROM documents),
+      |g AS (SELECT doc_id, ch, count(*) AS n FROM ch WHERE ch <> '' GROUP BY doc_id, ch)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+      |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS entropy
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Unigram log-probability scoring — the CCNet/Gopher-lineage "LM
+    * filter" with a unigram model trained on the corpus itself:
+    * score(doc) = −(1/n)·Σ ln(count(tokenᵢ)/total). Docs made of rare
+    * or garbled tokens score high (surprising); common-word boilerplate
+    * scores low. The standard cheap stand-in where a real KenLM pass
+    * would run.
+    *
+    * Scale: per-(doc, token) counts materialize ONCE (the same bounded
+    * intermediate tfidfScore uses); the unigram "model" is a re-agg of
+    * that by token, and scoring is one token-keyed join back + a
+    * doc-keyed re-agg. The corpus-total is a 1-row broadcast scalar.
+    * Token frequencies are Zipf-skewed → AQE skew-join handles the
+    * head tokens; nothing is ever collected.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val perDocTok = docs
+      .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val model = perDocTok.groupBy("token").agg(sum("c").as("tn"))
+    val total = model.agg(sum("tn").cast("double").as("tt"))
+    perDocTok
+      .join(model, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        round(sum(col("c") * (log(col("tt")) - log(col("tn")))) / sum("c"), 4)
+          .as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprob(Tables.documents(spark, dir))
+
+  val unigramLogprobSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT doc_id, token, count(*) AS c FROM t WHERE token <> '' GROUP BY doc_id, token),
+      |m AS (SELECT token, CAST(sum(c) AS BIGINT) AS tn FROM c GROUP BY token),
+      |tot AS (SELECT CAST(sum(tn) AS DOUBLE) AS tt FROM m)
+      |SELECT doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+      |  round(sum(c.c * (ln(tot.tt) - ln(m.tn))) / sum(c.c), 4) AS avg_neg_logprob
+      |FROM c JOIN m USING (token), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Training-mix planning: given target token shares per language,
+    * compute each stratum's actual share and the deterministic
+    * downsampling fraction that realizes the mix without upsampling —
+    * the bottleneck stratum (max actual-share deficit) is kept whole
+    * and every other stratum scales to preserve the target RATIOS.
+    * The output is the mix plan a curation run feeds into
+    * `sampleBy`-style stratified sampling ([[graft.queries.Analytics
+    * .stratifiedSample]] is the applying face).
+    *
+    * Scale: one groupBy(lang) over per-doc token counts (map-side
+    * partials), then the tiny per-stratum table self-joins against two
+    * 1-row scalars — everything after the first agg is effectively
+    * driver-free constant work.
+    */
+  def corpusMix(docs: DataFrame, targets: Seq[(String, Double)] = DefaultMixTargets): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val target = broadcast(targets.toDF("lang", "target_share"))
+    val strata = docs
+      .select(col("lang"), size(wsTokens(col("text"))).as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    val withTot = strata
+      .crossJoin(broadcast(strata.agg(sum("tokens").cast("double").as("total"))))
+      .join(target, Seq("lang"), "inner")
+      .withColumn("actual_share", col("tokens") / col("total"))
+    // scale factor: the stratum with the tightest supply relative to
+    // its target is kept whole; all fractions = scale·target/actual ≤ 1
+    val scale = withTot
+      .agg(min(col("actual_share") / col("target_share")).as("scale"))
+    withTot
+      .crossJoin(broadcast(scale))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("actual_share"), 4).as("actual_share"),
+        col("target_share"),
+        round(least(lit(1.0), col("scale") * col("target_share") / col("actual_share")), 4)
+          .as("sample_frac"),
+        round(col("scale") * col("target_share") * col("total"), 2).as("expected_tokens"))
+      .orderBy("lang")
+  }
+
+  val DefaultMixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.40, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15)
+
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMix(Tables.documents(spark, dir))
+
+  val corpusMixSql: String = {
+    // CAST: a bare 0.4 in VALUES binds as DECIMAL in DuckDB and would
+    // string-render differently from Spark's double
+    val vals = DefaultMixTargets.map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }.mkString(", ")
+    s"""WITH tgt(lang, target_share) AS (VALUES $vals),
+       |d AS (SELECT lang, len(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+       |s AS (SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens FROM d GROUP BY lang),
+       |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM s),
+       |j AS (SELECT s.*, tgt.target_share, s.tokens / tot.total AS actual_share
+       |      FROM s JOIN tgt USING (lang), tot),
+       |sc AS (SELECT min(actual_share / target_share) AS scale FROM j)
+       |SELECT lang, n_docs, tokens, round(actual_share, 4) AS actual_share,
+       |  target_share,
+       |  round(least(1.0, sc.scale * target_share / actual_share), 4) AS sample_frac,
+       |  round(sc.scale * target_share * tot.total, 2) AS expected_tokens
+       |FROM j, sc, tot ORDER BY lang""".stripMargin
+  }
 }

@@ -117,6 +117,83 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     v.foreach(r => assert(r.getLong(3) <= r.getLong(2), "doc freq cannot exceed term freq"))
   }
 
+  test("doc chunking covers every token, overlaps exactly, and reconstructs the doc") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
+    val chunks = TextFunctions.docChunks(docs, chunk = 64, overlap = 16)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+
+    // short doc: a single whole chunk
+    val short = chunks(2L)
+    assert(short.length === 1 && short.head.getString(2) === "short doc"
+      && short.head.getInt(3) === 2)
+
+    // 150 tokens, chunk 64 step 48 → starts 0/48/96/144 → 4 chunks
+    val long = chunks(1L)
+    assert(long.length === 4)
+    assert(long.map(_.getInt(3)).toSeq === Seq(64, 64, 54, 6))
+    // consecutive full chunks share exactly `overlap` tokens
+    val t0 = long(0).getString(2).split(" ")
+    val t1 = long(1).getString(2).split(" ")
+    assert(t0.takeRight(16).sameElements(t1.take(16)))
+    // dropping each successor's overlapping prefix reconstructs the doc
+    val rebuilt = (long.head.getString(2).split(" ") ++
+      long.tail.flatMap(_.getString(2).split(" ").drop(16))).mkString(" ")
+    assert(rebuilt === text, "chunks must tile the token stream losslessly")
+  }
+
+  test("char entropy: zero for degenerate text, ln k for uniform k-char text, corpus in range") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"),                  // single symbol → H = 0
+      (2L, "abababab"),                  // uniform 2 symbols → H = ln 2
+      (3L, "abcdabcdabcd")               // uniform 4 symbols → H = ln 4
+    ).toDF("doc_id", "text")
+    val h = TextFunctions.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) === 0.0)
+    assert(math.abs(h(2L) - math.log(2)) < 1e-3)
+    assert(math.abs(h(3L) - math.log(4)) < 1e-3)
+    // real corpus: strictly positive, bounded by ln(alphabet size)
+    val corpus = TextFunctions.charEntropy(Tables.documents(spark, sfDir)).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val e = r.getDouble(2)
+      assert(e > 0 && e < math.log(128), s"doc ${r.getLong(0)}: entropy $e out of range")
+    }
+  }
+
+  test("unigram logprob ranks rare-token docs above boilerplate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the the the the the"),        // all head tokens
+      (2L, "the the the zyx9 qwv7 the the the"),      // two hapaxes
+      (3L, "zyx8 qwv6 plm5 okn4 ijb3 uhv2 ygc1 tfx0") // all hapaxes
+    ).toDF("doc_id", "text")
+    val s = TextFunctions.unigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) < s(2L) && s(2L) < s(3L),
+      s"surprise must increase with rare-token mass: $s")
+    // doc 1: every token is "the", which occurs 14 times in 24 total
+    // → score = −ln(14/24) exactly
+    assert(math.abs(s(1L) - math.log(24.0 / 14.0)) < 1e-3)
+  }
+
+  test("corpus mix plan preserves target ratios without upsampling") {
+    val plan = TextFunctions.corpusMix(Tables.documents(spark, sfDir)).collect()
+    assert(plan.length === 5)
+    val frac = plan.map(r => r.getAs[String]("lang") ->
+      r.getAs[Double]("sample_frac")).toMap
+    frac.values.foreach(f => assert(f > 0.0 && f <= 1.0, s"fractions must be (0,1]: $frac"))
+    assert(frac.values.exists(f => f > 0.999), "the bottleneck stratum is kept whole")
+    // realized mix matches the target ratios: expected_tokens ∝ target_share
+    val rows = plan.map(r => (r.getAs[Double]("target_share"), r.getAs[Double]("expected_tokens")))
+    val perShare = rows.map { case (t, e) => e / t }
+    assert(perShare.max / perShare.min < 1.001,
+      s"expected tokens must be proportional to target shares: ${perShare.toSeq}")
+  }
+
   test("quality gate keeps roughly the top three quarters per source") {
     val g = TextFunctions.qualityGate(Tables.documents(spark, sfDir)).collect()
     assert(g.nonEmpty)
