@@ -459,4 +459,67 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(cohorts.exceptAll(batchFunnel).count() === 0, "cohorts minus batch funnel")
     assert(batchFunnel.exceptAll(cohorts).count() === 0, "batch funnel minus cohorts")
   }
+
+  test("streaming SCD2 closed versions equal the batch history's closed slice") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    implicit val sqlCtx = spark.sqlContext
+
+    val ch = graft.cdc.CdcOps.userChangelog(spark, sfDir)
+      .orderBy("ts_ms", "seq").collect()
+      .map(r => Scd2Stream.Chg(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getDouble(5)))
+
+    val stream = MemoryStream[Scd2Stream.Chg]
+    val out = Scd2Stream.closedVersions(spark, stream.toDS())
+    val q = out.writeStream.format("memory").queryName("scd2_closed")
+      .outputMode("append").start()
+    ch.grouped(math.max(ch.length / 5, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val cols = Seq("user_id", "last_event_type", "last_value",
+      "valid_from", "valid_to", "version_no").map(col)
+    val streamed = spark.table("scd2_closed").select(cols: _*)
+    val batch = graft.cdc.CdcOps
+      .scd2History(graft.cdc.CdcOps.userChangelog(spark, sfDir),
+        Seq("user_id"), graft.cdc.CdcOps.userDataCols)
+      .filter(col("valid_to").isNotNull)
+      .select(cols: _*)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+  }
+
+  test("streaming SCD2 keeps numbering versions across a delete → re-insert") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Scd2Stream.Chg]
+    val q = Scd2Stream.closedVersions(spark, stream.toDS())
+      .writeStream.format("memory").queryName("scd2_reinsert")
+      .outputMode("append").start()
+    // v1 created, updated (closes v1), deleted (closes v2) ... re-created
+    // in a LATER batch (must become v3, not restart at v1), then updated
+    stream.addData(
+      Scd2Stream.Chg(7L, "c", 100L, 1L, "signup", 1.0),
+      Scd2Stream.Chg(7L, "u", 200L, 2L, "click", 2.0),
+      Scd2Stream.Chg(7L, "d", 300L, 3L, "error", 0.0))
+    q.processAllAvailable()
+    stream.addData(
+      Scd2Stream.Chg(7L, "c", 400L, 4L, "signup", 3.0),
+      Scd2Stream.Chg(7L, "u", 500L, 5L, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("scd2_reinsert")
+      .orderBy("version_no")
+      .select("version_no", "valid_from", "valid_to")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, 100L, 200L), (2, 200L, 300L), (3, 400L, 500L)),
+      "delete must close v2 and the re-insert must continue at v3")
+  }
 }
