@@ -149,4 +149,50 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     val again = Ann.balancedSample(spark, sfDir, target).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("PQ ADC scoring equals decode-then-cosine on every scored pair") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val books = Ann.pqCodebooks(embs)
+    val adc = Ann.pqTopK(embs)
+    val decoded = embs.select(col("vec_id"),
+      Ann.pqDecode(Ann.pqEncode(col("embedding"), books), books).as("vec"))
+    val queries = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val direct = decoded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.cosine(col("q"), col("vec")).as("direct_cos"))
+    val joined = adc.join(direct, Seq("query_id", "neighbor_id"))
+    assert(joined.count() === adc.count(), "every ADC pair must exist in the direct scoring")
+    val bad = joined.filter(abs(col("cosine") - col("direct_cos")) > 1e-3).count()
+    assert(bad === 0, "ADC lookup-table cosine must match decode-then-cosine")
+  }
+
+  test("recall report covers every tier and agrees with the per-tier measurement") {
+    val rep = Ann.recallReport(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))
+      .toMap
+    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq"))
+    rep.foreach { case (m, (ret, hits, rec)) =>
+      assert(ret > 0 && hits <= ret, s"$m: hits must not exceed returned")
+      assert(rec >= 0.0 && rec <= 1.0, s"$m: recall $rec out of range")
+    }
+    // cross-check one tier against the spec's own independent measurement
+    val lshDirect = recallVsBrute(Ann.lshTopK(Tables.embeddings(spark, sfDir)))
+    assert(math.abs(rep("lsh")._3 - lshDirect) < 1e-6,
+      s"report ${rep("lsh")._3} vs direct $lshDirect")
+  }
+
+  test("embedding stats: per-label counts sum to the corpus, norms are sane") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val stats = Ann.embeddingStats(embs).collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum === embs.count())
+    stats.foreach { r =>
+      val (mn, av, mx) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))
+      assert(mn > 0.0 && mn <= av && av <= mx,
+        s"label ${r.get(0)}: norm ordering violated ($mn, $av, $mx)")
+    }
+  }
 }
