@@ -168,6 +168,44 @@ object CdcQueries {
        |FROM v WHERE op <> 'd'
        |ORDER BY user_id, version_no""".stripMargin
 
+  /** Sequence-gap audit: CDC feeds promise per-key ordered, gapless
+    * sequence numbers (LSN/offsets); silent gaps mean lost changes.
+    * This flags every key whose consecutive (ts-ordered) changes skip
+    * sequence values, with the widest skip — the integrity check a
+    * consumer runs before trusting a replayed topic.
+    *
+    * The synthetic changelog keys sequence by GLOBAL event_id, so
+    * per-key gaps are expected here; what the oracle locks is the gap
+    * MEASUREMENT. One window shuffle on the key, same partitioning as
+    * latestState.
+    */
+  def gapAudit(spark: SparkSession, dir: String): DataFrame =
+    gapAudit(CdcOps.userChangelog(spark, dir))
+
+  def gapAudit(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ms"), col("seq"))
+    changelog
+      .withColumn("prev_seq", lag(col("seq"), 1).over(w))
+      .filter(col("prev_seq").isNotNull && col("seq") =!= col("prev_seq") + 1)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("seq") - col("prev_seq") - 1).as("max_gap"),
+        min("prev_seq").as("first_gap_after"))
+      .orderBy("user_id")
+  }
+
+  val gapAuditSql: String =
+    s"""WITH ch AS ($changeSql),
+       |l AS (SELECT user_id, seq,
+       |  lag(seq) OVER (PARTITION BY user_id ORDER BY ts_ms, seq) AS prev_seq
+       |  FROM ch)
+       |SELECT user_id, count(*) AS n_gaps,
+       |  CAST(max(seq - prev_seq - 1) AS BIGINT) AS max_gap,
+       |  min(prev_seq) AS first_gap_after
+       |FROM l WHERE prev_seq IS NOT NULL AND seq <> prev_seq + 1
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Change accounting per op. */
   def changeCounts(spark: SparkSession, dir: String): DataFrame =
     CdcOps.changeCounts(CdcOps.userChangelog(spark, dir), "user_id")

@@ -93,6 +93,23 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     hist.unpersist()
   }
 
+  test("gap audit flags exactly the keys with skipped sequence numbers") {
+    import spark.implicits._
+    val ch = Seq(
+      // user 1: 1,2,5 → one gap of width 2 after seq 2
+      (1L, "c", 100L, 1L), (1L, "u", 200L, 2L), (1L, "u", 300L, 5L),
+      // user 2: contiguous → clean
+      (2L, "c", 100L, 3L), (2L, "u", 200L, 4L),
+      // user 3: 10,14,15,20 → gaps of 3 and 4, first after seq 10
+      (3L, "c", 100L, 10L), (3L, "u", 200L, 14L), (3L, "u", 300L, 15L), (3L, "u", 400L, 20L))
+      .toDF("user_id", "op", "ts_ms", "seq")
+    val audit = CdcQueries.gapAudit(ch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit.keySet === Set(1L, 3L), "clean keys must not be flagged")
+    assert(audit(1L) === ((1L, 2L, 2L)))
+    assert(audit(3L) === ((2L, 4L, 10L)))
+  }
+
   test("streaming CDC upsert through ParquetUpsertSink equals batch latestState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
