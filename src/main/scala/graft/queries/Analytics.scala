@@ -1430,6 +1430,44 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Retention cohort matrix: users bucketed by first-activity month,
+    * counted in every later month they return — the
+    * engagement-over-time view every product analytics stack computes.
+    *
+    * Scale shape: aggregate-before-join twice — per-user first month
+    * (one user-keyed agg) and distinct (user, month) activity (one
+    * user-keyed dedup agg) join at USER grain, never at event grain,
+    * then collapse to the tiny (cohort, offset) matrix. No window, no
+    * event-grain join; both heavy aggs are map-side partial.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(date_trunc("month", min("ts")).as("cohort_month"))
+    val activity = events
+      .select(col("user_id"), date_trunc("month", col("ts")).as("act_month"))
+      .distinct()
+    activity.join(cohorts, "user_id")
+      .groupBy(
+        date_format(col("cohort_month"), "yyyy-MM").as("cohort"),
+        months_between(col("act_month"), col("cohort_month")).cast("int").as("month_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohorts(Tables.events(spark, dir))
+
+  val retentionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('month', min(ts)) AS cohort_month
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month FROM events)
+      |SELECT strftime(cohort_month, '%Y-%m') AS cohort,
+      |  CAST(datediff('month', cohort_month, act_month) AS INT) AS month_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, month_offset""".stripMargin
+
   /** Column profiling (data-quality sweep): per-column non-null count,
     * exact distinct count, and min/max — the table-health summary every
     * ingestion pipeline runs before trusting a snapshot.

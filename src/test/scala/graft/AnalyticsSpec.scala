@@ -143,6 +143,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(mn <= mx)
   }
 
+  test("retention cohorts: first month sets the cohort, later months count returns") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("1997-01-05 00:00:00")), (1L, t("1997-01-20 00:00:00")), // jan, twice (dedup to 1)
+      (1L, t("1997-03-02 00:00:00")),                                 // returns at offset 2
+      (2L, t("1997-01-15 00:00:00")),                                 // jan only
+      (3L, t("1997-02-10 00:00:00")), (3L, t("1997-03-10 00:00:00"))) // feb cohort, returns at 1
+      .toDF("user_id", "ts")
+    val m = Analytics.retentionCohorts(events).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m === Map(
+      ("1997-01", 0) -> 2L, ("1997-01", 2) -> 1L,
+      ("1997-02", 0) -> 1L, ("1997-02", 1) -> 1L))
+  }
+
   test("funnel conversion respects event ORDER, not just event presence") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
