@@ -493,6 +493,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
 
+  test("streaming gap events aggregate to the batch gap audit") {
+    import spark.implicits._
+    import graft.streaming.GapAuditStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val ch = graft.cdc.CdcOps.userChangelog(spark, sfDir)
+      .orderBy("ts_ms", "seq").collect()
+      .map(r => GapAuditStream.Chg(r.getLong(0), r.getLong(2), r.getLong(3)))
+
+    val stream = MemoryStream[GapAuditStream.Chg]
+    val q = GapAuditStream.gapEvents(spark, stream.toDS())
+      .writeStream.format("memory").queryName("gap_events")
+      .outputMode("append").start()
+    ch.grouped(math.max(ch.length / 4, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("gap_events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("gap_width")).as("max_gap"),
+        min(col("after_seq")).as("first_gap_after"))
+    val batch = graft.cdc.CdcQueries.gapAudit(
+      graft.cdc.CdcOps.userChangelog(spark, sfDir))
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed minus batch")
+    assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
+  }
+
   test("streaming SCD2 keeps numbering versions across a delete → re-insert") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
