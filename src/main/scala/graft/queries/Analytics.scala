@@ -1468,6 +1468,70 @@ object Analytics {
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort, month_offset""".stripMargin
 
+  /** Per-type z-score anomaly flagging: events whose value sits more
+    * than `z` standard deviations from their type's mean — the cheap
+    * outlier sweep that runs before values feed a model. Stats are a
+    * tiny per-type aggregate broadcast back; flagging is map-side, so
+    * the fact table is scanned twice but never shuffled at event grain.
+    * (Margins on this data sit ≥0.01 from the threshold at every SF —
+    * far above FP noise — so the row set is oracle-stable.)
+    */
+  def valueAnomalies(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    events.join(broadcast(stats), "event_type")
+      .filter(col("sigma") > 0 && abs(col("value") - col("mu")) > lit(z) * col("sigma"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("zscore"))
+      .orderBy("event_id")
+  }
+
+  def valueAnomalies(spark: SparkSession, dir: String): DataFrame =
+    valueAnomalies(Tables.events(spark, dir))
+
+  val valueAnomaliesSql: String =
+    """WITH s AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, round(value, 2) AS value,
+      |  round((value - mu) / sigma, 4) AS zscore
+      |FROM events e JOIN s USING (event_type)
+      |WHERE sigma > 0 AND abs(value - mu) > 3 * sigma
+      |ORDER BY event_id""".stripMargin
+
+  /** Customer spend percentile within market segment: percent_rank +
+    * cume_dist over per-customer totals — the distributional ranking
+    * windows (rank/ntile are covered elsewhere; these two complete the
+    * family). Spend aggregates BEFORE the window, so the window input
+    * is customer-grain, not order-grain, and both window functions
+    * share one (segment)-partitioned sort.
+    */
+  def spendPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("spend"))
+    spend
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val spendPercentilesSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_custkey, c_mktsegment, spend,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM spend JOIN customer ON o_custkey = c_custkey
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend)
+      |ORDER BY c_custkey""".stripMargin
+
   /** Column profiling (data-quality sweep): per-column non-null count,
     * exact distinct count, and min/max — the table-health summary every
     * ingestion pipeline runs before trusting a snapshot.

@@ -159,6 +159,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       ("1997-02", 0) -> 1L, ("1997-02", 1) -> 1L))
   }
 
+  test("value anomalies flag only genuine outliers, with signed z-scores") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => (i.toLong, "click", i % 10 + 0.0))
+    val events = (base :+ (999L, "click", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Analytics.valueAnomalies(events).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 999L)
+    assert(out.head.getDouble(3) > 3.0, "the planted outlier z-score must exceed the gate")
+    // without the outlier nothing is flagged
+    assert(Analytics.valueAnomalies(base.toDF("event_id", "event_type", "value"))
+      .count() === 0)
+  }
+
+  test("spend percentiles are monotone in spend within each segment") {
+    val rows = Analytics.spendPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c) = (r.getDouble(3), r.getDouble(4))
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0, s"out of range: $r")
+    }
+    rows.groupBy(_.getString(1)).values.foreach { seg =>
+      val bySpend = seg.sortBy(_.getDouble(2))
+      val pr = bySpend.map(_.getDouble(3))
+      assert(pr.zip(pr.tail).forall { case (a, b) => a <= b },
+        "percent_rank must be non-decreasing in spend")
+      assert(pr.head === 0.0, "the minimum spend gets percent_rank 0")
+    }
+  }
+
   test("funnel conversion respects event ORDER, not just event presence") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
