@@ -384,7 +384,8 @@ object Ann {
     * the driver (nSub×nCodes doubles — pure codebook math on the
     * already-bounded query set), so per-pair scoring is nSub table
     * lookups + one divide instead of decode + a 64-dim cosine: the
-    * r4 bench cut this from 6.3 s to well under a second at sf0.1.
+    * r4 bench measured 6.3 s → 2.2 s at sf0.1 (the remainder is the
+    * one-time corpus encode, which a persisted index would amortize).
     * cosine(q, decode(code)) is reproduced exactly (up to FP grouping,
     * rounded 4dp): dot(q, concatₘ cₘ) = Σₘ dot(qₘ, cₘ).
     */
