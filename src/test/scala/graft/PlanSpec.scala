@@ -144,6 +144,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"bloom filter must be a descendant of the join (printed after it):\n$p")
   }
 
+  test("doc_chunks is a pure map pass — the only exchange is the output sort") {
+    val p = plan(graft.functions.TextFunctions.docChunks(spark, sfDir))
+    // Tables.documents round-robin-spreads a small local scan (a no-op
+    // at cluster scale — see Tables.fanOut); that spread is not a
+    // chunking shuffle, so count only requirement-driven exchanges
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+    assert(exchanges <= 1, s"chunking itself must not shuffle (got $exchanges exchanges):\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"no aggregation belongs in a chunking pass:\n$p")
+  }
+
+  test("value_anomalies broadcasts the stats back — the fact is never shuffled at event grain") {
+    val p = plan(graft.queries.Analytics.valueAnomalies(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"per-type stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no event-grain shuffle join allowed:\n$p")
+  }
+
+  test("retention_cohorts aggregates to user grain before joining — no window, no event-grain join") {
+    val p = plan(graft.queries.Analytics.retentionCohorts(spark, sfDir))
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+    // both join inputs are aggregates (first-month and distinct month),
+    // so a join line must appear ABOVE at least two aggregate chains
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    assert(joinIdx >= 0, s"expected a join:\n$p")
+    val aggsBelow = lines.drop(joinIdx).count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(aggsBelow >= 2, s"both join inputs must be pre-aggregated:\n$p")
+  }
+
   test("dedup_clusters small-graph path: corpus sees ONE broadcast join, no shuffle join") {
     // bounded edge sets are solved exactly on the driver (union-find over
     // the rows a broadcast would ship there anyway); the corpus-side work
