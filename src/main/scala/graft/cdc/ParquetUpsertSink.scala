@@ -138,6 +138,38 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
     }
   }
 
+  /** Change data feed between two retained epochs: the keyed diff of
+    * the committed states — which keys were added, removed, or changed
+    * by the batches in (fromEpoch, toEpoch]. This is the "what did the
+    * stream do to my table" answer an incremental downstream consumer
+    * needs without replaying the changelog itself.
+    *
+    * One co-partitioned full-outer join on the key (the same shuffle
+    * shape as the merge); presence is decided by MARKER columns, not
+    * data nullness, so a legitimately-NULL attribute can't masquerade
+    * as an absent key. Output: keyCols ++ change ∈ {added, removed,
+    * changed} ++ the after-image data columns (NULL for removed keys).
+    */
+  def changesBetween(fromEpoch: Long, toEpoch: Long): DataFrame = {
+    require(fromEpoch < toEpoch, s"need fromEpoch < toEpoch, got $fromEpoch, $toEpoch")
+    val dataCols = readState().columns.filterNot(keyCols.contains).toSeq
+    val b = readStateAt(fromEpoch).withColumn("__b", lit(true)).alias("b")
+    val a = readStateAt(toEpoch).withColumn("__a", lit(true)).alias("a")
+    val joinCond = keyCols.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _)
+    // exact null-safe struct compare — a hash digest here could collide
+    // and silently classify a real change as unchanged
+    def img(side: String) = struct(dataCols.map(c => col(s"$side.$c")): _*)
+    b.join(a, joinCond, "full_outer")
+      .withColumn("change",
+        when(col("b.__b").isNull, "added")
+          .when(col("a.__a").isNull, "removed")
+          .when(!(img("a") <=> img("b")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(keyCols.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+        Seq(col("change")) ++ dataCols.map(c => col(s"a.$c").as(c)): _*)
+  }
+
   /** Materialize the committed state as a PLAIN parquet directory that
     * any engine — spark-shell, DuckDB, Trino, a BI tool — can read with
     * no knowledge of the manifest protocol. This restores the

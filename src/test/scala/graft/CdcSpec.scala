@@ -322,6 +322,30 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       "external readers key on the _SUCCESS completeness marker")
   }
 
+  test("changesBetween reports the keyed diff of two retained epochs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"),
+      numBuckets = 4, retainEpochs = 3)
+    sink.merge(batchDf(Seq((1L, "c", 10L, 1L, "signup", 1.0),
+                           (2L, "c", 10L, 2L, "signup", 2.0),
+                           (4L, "c", 10L, 3L, "signup", 4.0))), 0)
+    sink.merge(batchDf(Seq((2L, "u", 20L, 4L, "click", 2.5))), 1)
+    sink.merge(batchDf(Seq((1L, "d", 30L, 5L, "signup", 1.0),
+                           (3L, "c", 30L, 6L, "signup", 3.0))), 2)
+
+    val diff = sink.changesBetween(0, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(1L -> "removed", 2L -> "changed", 3L -> "added"),
+      "user 4 is untouched and must not appear")
+    // after-image carried for added/changed, NULL for removed
+    val rows = sink.changesBetween(0, 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).getAs[String]("last_event_type") === "signup")
+    assert(rows(2L).getAs[String]("last_event_type") === "click")
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("last_event_type")))
+    intercept[IllegalArgumentException] { sink.changesBetween(2, 0) }
+  }
+
   test("readStateAt time-travels across retained epochs; aged epochs vacuum away") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tt").toString
     val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"),
