@@ -1468,6 +1468,44 @@ object Analytics {
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort, month_offset""".stripMargin
 
+  /** Exact heavy hitters: top-k users by event count, deterministic
+    * tiebreak. One partial-aggregated count + a k-row TakeOrdered —
+    * the exact face the CMS variant below is property-tested against.
+    */
+  def userTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+
+  val userTopkSql: String =
+    """SELECT user_id, count(*) AS n_events
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin
+
+  /** Count-min-sketch heavy hitters: the mergeable fixed-size sketch
+    * answer to "how often did key X occur" — the structure a streaming
+    * frequency monitor keeps when exact per-key counts would be
+    * unbounded state. `df.stat.countMinSketch` aggregates the sketch
+    * distributedly (map-side partial sketches merged), and only the
+    * w×d counter table (≈2/eps × ln(1/(1−confidence)) longs, ~200 KB
+    * here) reaches the driver; estimates are then read for the exact
+    * top-k keys. CMS never under-counts, over-counts ≤ eps·N w.p.
+    * `confidence` (spec-asserted). Approx → rows-only.
+    */
+  def heavyHittersCms(spark: SparkSession, dir: String, k: Int = 20,
+                      eps: Double = 0.0005, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val cms = Tables.events(spark, dir)
+      .stat.countMinSketch(col("user_id"), eps, confidence, seed = 42)
+    // the exact top-k is k rows BY CONSTRUCTION — the only driver data
+    userTopk(spark, dir, k).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+      .toDF("user_id", "n_events", "cms_estimate")
+      .orderBy("user_id")
+  }
+
   /** Per-type z-score anomaly flagging: events whose value sits more
     * than `z` standard deviations from their type's mean — the cheap
     * outlier sweep that runs before values feed a model. Stats are a

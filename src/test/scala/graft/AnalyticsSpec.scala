@@ -188,6 +188,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("count-min estimates never undercount and stay within the eps bound") {
+    val rep = Analytics.heavyHittersCms(spark, sfDir).collect()
+    val n = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rep.length === math.min(20L, nUsers))
+    rep.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never undercount: $r")
+      assert(est <= exact + math.max(2L, (2 * 0.0005 * n).toLong),
+        s"CMS overcount beyond the eps·N bound: $r (n=$n)")
+    }
+    // the exact face agrees with a direct count
+    val direct = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(Analytics.userTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === direct.toSeq)
+  }
+
   test("funnel conversion respects event ORDER, not just event presence") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
