@@ -23,12 +23,11 @@ import graft.Tables
   */
 object AsOf {
 
-  /** Composed as-of join of purchases to their latest preceding view
-    * per user. Right side deduped to one row per (user, ts) first so
-    * tie-at-max-ts is deterministic on both engines.
+  /** Tagged sides for the union trick: purchases (side=1) and views
+    * deduped to one row per (user, ts) (side=0) so tie-at-equal-ts is
+    * deterministic on both engines.
     */
-  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  private def sides(ev: DataFrame): (DataFrame, DataFrame) = {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("side"),
         col("event_id").as("purchase_id"), lit(null).cast("long").as("view_id"),
@@ -38,6 +37,14 @@ object AsOf {
       .agg(max("event_id").as("view_id"), max_by(col("value"), col("event_id")).as("view_value"))
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         lit(null).cast("long").as("purchase_id"), col("view_id"), col("view_value"))
+    (purchases, views)
+  }
+
+  /** Composed as-of join of purchases to their latest preceding view
+    * per user.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = sides(Tables.events(spark, dir))
 
     // right rows sort before left rows at equal ts → ts >= matches
     // equality. The matched view is carried as ONE struct so all its
@@ -57,6 +64,44 @@ object AsOf {
         round(col("m_view.view_value"), 2).as("view_value"))
       .orderBy("user_id", "purchase_id")
   }
+
+  /** FORWARD as-of: for each purchase, the EARLIEST view with
+    * v_ts ≥ p_ts — "time to next engagement". Same single
+    * shuffle+sort union trick as the backward join, with the sort
+    * REVERSED (ts desc): walking from the largest ts down, the most
+    * recently seen view is exactly the smallest v_ts ≥ the current
+    * row's ts; views sort before purchases at equal ts so equality
+    * matches. Oracle = DuckDB `ASOF JOIN ... ON p_ts <= v_ts`.
+    */
+  def nextViewAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = sides(Tables.events(spark, dir))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(views)
+      .withColumn("m_view", last(when(col("side") === 0,
+        struct(col("ts").as("v_ts"), col("view_id"), col("view_value"))),
+        ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m_view").isNotNull)
+      .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
+        col("m_view.view_id").as("view_id"), col("m_view.v_ts").as("v_ts"),
+        (unix_millis(col("m_view.v_ts")) - unix_millis(col("ts"))).as("wait_ms"),
+        round(col("m_view.view_value"), 2).as("view_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val nextViewAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts AS v_ts, max(event_id) AS view_id,
+      |         arg_max(value, event_id) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.user_id AS user_id, purchase_id, p_ts, view_id, v_ts,
+      |  CAST(epoch_ms(v_ts) - epoch_ms(p_ts) AS BIGINT) AS wait_ms,
+      |  round(view_value, 2) AS view_value
+      |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.p_ts <= v.v_ts
+      |ORDER BY p.user_id, purchase_id""".stripMargin
 
   val purchaseAttributionSql: String =
     """WITH p AS (

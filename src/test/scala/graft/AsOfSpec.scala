@@ -28,6 +28,32 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(composed.exceptAll(custom).count() === 0, "composed minus custom")
   }
 
+  test("forward as-of equals the brute-force earliest-following-view join") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("view_id"), max_by(col("value"), col("event_id")).as("view_value"))
+    // brute force: range join + min_by over every following view
+    val expected = purchases
+      .join(views, col("p_uid") === col("user_id") && col("p_ts") <= col("ts"))
+      .groupBy("p_uid", "purchase_id", "p_ts")
+      .agg(min_by(struct(col("view_id"), col("ts").as("v_ts"), col("view_value")),
+        struct(col("ts"), col("view_id"))).as("m"))
+      .select(col("p_uid").as("user_id"), col("purchase_id"), col("p_ts"),
+        col("m.view_id").as("view_id"), col("m.v_ts").as("v_ts"),
+        (unix_millis(col("m.v_ts")) - unix_millis(col("p_ts"))).as("wait_ms"),
+        round(col("m.view_value"), 2).as("view_value"))
+    val got = AsOf.nextViewAttribution(spark, sfDir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).count() === 0, "forward minus brute force")
+    assert(expected.exceptAll(got).count() === 0, "brute force minus forward")
+    // every wait is non-negative and the matched view never precedes the purchase
+    assert(got.filter(col("wait_ms") < 0).count() === 0)
+  }
+
   test("AsOfJoinExec is inner: left rows with no prior right row drop out") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a"), (1L, 50L, "early"), (2L, 10L, "no-match"))
