@@ -212,7 +212,7 @@ object Dedup {
     * generated map-side: with df ≤ maxDf the expansion is ≤ maxDf²/2
     * pairs per shingle — bounded by construction, no self-join.
     */
-  private def postingPairs(ids: Column): Column =
+  private[graft] def postingPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
@@ -734,6 +734,73 @@ object Dedup {
       |  coalesce(h.n_bench_hits, 0) > 0 AS contaminated
       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Cross-source shingle-overlap matrix — pairwise Jaccard between
+    * every pair of `source` groups over their distinct word-3-shingle
+    * sets. The corpus-level contamination view: which sources are
+    * near-copies of each other (mirror crawls, re-hosted dumps) BEFORE
+    * any doc-level dedup runs, so a pipeline can drop a whole mirrored
+    * source instead of paying doc-pair dedup for it.
+    *
+    * Plan: shingles hash map-side ([[explodedShingles]]'s safe explode
+    * shape), then ONE shuffle — a gram-keyed groupBy whose per-key
+    * state is the ≤|sources| source set — and the source pairs expand
+    * map-side from the sorted set ([[postingPairs]], same trick as
+    * n-gram Jaccard's posting lists). Never a gram-keyed self-join:
+    * at 100 TB the grouped form shuffles each distinct gram once,
+    * per-gram state is bounded by the source count (dozens, not
+    * corpus-sized), and everything after the groupBy is a
+    * |sources|²-row aggregate. The grouped frame is materialized once
+    * because sizes AND intersections both read it.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("source"), toks(col("text")).as("__t"))
+      .select(col("source"), explode(shinglesOfToks(col("__t"))).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("source"), xxhash64(col("s")).as("sh"))
+    val bySh = grams.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select("srcs")
+      .localCheckpoint(true)
+    val sizes = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = bySh.filter(size(col("srcs")) >= 2)
+      .select(explode(postingPairs(col("srcs"))).as("p"))
+      .groupBy(col("p.id_a").as("src_a"), col("p.id_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sz_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("sz_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 4).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir))
+
+  val sourceOverlapSql: String =
+    """WITH l AS (
+      |  SELECT source,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |d AS (SELECT DISTINCT source, sh FROM sh WHERE sh <> ''),
+      |sizes AS (SELECT source, count(*) AS sz FROM d GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |  FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  round(n_shared * 1.0 / (sa.sz + sb.sz - n_shared), 4) AS jaccard
+      |FROM inter
+      | JOIN sizes sa ON sa.source = src_a
+      | JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
 
   // ------------------------------------------------------------------
   // 7. Near-dup cluster assignment (connected components).

@@ -563,6 +563,72 @@ object TextFunctions {
       |SELECT doc_id, round(mass / n_toks, 4) AS tfidf_score
       |FROM mass JOIN lens USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** The fixed keyword query the BM25 entry scores against — the
+    * shape of a retrieval-targeted data-selection pass (score every
+    * corpus doc for relevance to a domain query, keep the top slice).
+    */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "stream", "hash")
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+
+  /** BM25(k1=1.2, b=0.75) relevance of every document to [[Bm25Query]]
+    * — Okapi scoring with corpus-level IDF and doc-length
+    * normalization. Returns one row per doc containing ≥1 query term.
+    *
+    * Plan: tokens explode map-side and are filtered to the query terms
+    * BEFORE any aggregation, so the per-(doc, term) tf state is
+    * |docs|·|query| at most — the full vocabulary never reaches a
+    * shuffle. Doc length is a projection (`size(tokens)`), not a
+    * second pass over exploded tokens. The df table (|query| rows) and
+    * the (N, avgdl) scalar broadcast; the only real shuffles are the
+    * tf groupBy and the doc-length join, both keyed on doc_id — at
+    * 100 TB this is one filtered-token shuffle plus per-doc combines.
+    * Scores round to 4dp so agg-order FP noise can't flip the hash.
+    */
+  def bm25Score(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), wsTokens(trim(lower(col("text")))).as("__t"))
+    val lens = staged.select(col("doc_id"), size(col("__t")).cast("double").as("dl"))
+    val tf = staged
+      .select(col("doc_id"), explode(col("__t")).as("token"))
+      .filter(col("token").isin(Bm25Query: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_corpus"), avg("dl").as("avgdl"))
+    val idf = log(lit(1.0) + (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(broadcast(dfs), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        idf * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  def bm25Score(spark: SparkSession, dir: String): DataFrame =
+    bm25Score(Tables.documents(spark, dir))
+
+  val bm25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM t
+      |  WHERE token IN ('spark', 'join', 'stream', 'hash') GROUP BY 1, 2),
+      |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+      |lens AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus, avg(dl) AS avgdl FROM lens)
+      |SELECT doc_id,
+      |  round(sum(ln(1 + (n_corpus - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+      |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+      |FROM tf JOIN dfs USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace

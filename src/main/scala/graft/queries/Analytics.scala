@@ -1625,4 +1625,83 @@ object Analytics {
        |${per.mkString("\nUNION ALL\n")}
        |ORDER BY col_name""".stripMargin
   }
+
+  /** Market-basket co-occurrence: the top part pairs ordered together,
+    * ranked by the number of distinct orders containing both. The
+    * association-mining primitive (frequent itemsets at k=2).
+    *
+    * Plan: ONE shuffle builds per-order baskets (`collect_set` dedups
+    * in-agg, so no separate distinct pass), pairs expand MAP-SIDE from
+    * each sorted basket ([[graft.dedup.Dedup.postingPairs]] — the same
+    * posting-array trick n-gram dedup uses), then a pair-keyed count
+    * with map-side partials. Never a lineitem self-join: at 100 TB
+    * that join shuffles the fact table twice and multiplies rows
+    * before the aggregate, while the basket form's expansion is
+    * bounded by lines-per-order² (≤ ~25 for TPC-H-shaped orders)
+    * inside the map task. Ordering (count desc, p1, p2) is total, so
+    * the LIMIT slice is deterministic on both engines.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets.filter(size(col("parts")) >= 2)
+      .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+      .groupBy(col("pr.id_a").as("p1"), col("pr.id_b").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  val copurchaseSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+      |SELECT p1, p2, count(*) AS n_orders FROM pairs GROUP BY 1, 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every (event_type → next event_type) adjacency,
+    * the transition count and the conditional probability P(next|cur).
+    * The behavioral-analytics counterpart of the funnel query — what a
+    * session-path or next-action model trains on.
+    *
+    * Plan: one shuffle partitions events by user; `lead` over
+    * (ts, event_id) is a per-user sequential pass with bounded frame
+    * state (one row lookahead). The transition aggregate partials
+    * map-side into a |types|² matrix, and the probability window runs
+    * over that tiny matrix, not the events. At 100 TB the only
+    * event-volume shuffle is the user partition — the same shuffle
+    * sessionization already pays, so the two ops pipeline on a shared
+    * exchange when composed.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val wt = Window.partitionBy("event_type")
+    trans
+      .withColumn("p_next",
+        round(col("n_trans").cast("double") / sum("n_trans").over(wt), 4))
+      .orderBy("event_type", "next_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, next_type, count(*) AS n_trans
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n_trans,
+      |  round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY event_type), 4) AS p_next
+      |FROM t ORDER BY event_type, next_type""".stripMargin
 }

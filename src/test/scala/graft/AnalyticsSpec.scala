@@ -227,4 +227,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(out.head.getAs[Long]("n_purchase") === 1L,
       "user 2's purchase lacks a qualifying click before it")
   }
+
+  test("co-purchase basket expansion equals the self-join formulation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val items = li.select("l_orderkey", "l_partkey").distinct()
+    val selfJoin = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(100)
+    val fast = Analytics.copurchasePairs(spark, sfDir)
+    assert(fast.exceptAll(selfJoin).isEmpty && selfJoin.exceptAll(fast).isEmpty,
+      "map-side basket expansion must produce exactly the self-join pair counts")
+  }
+
+  test("event transitions: probabilities sum to 1 per source state, counts match lead") {
+    val t = Analytics.eventTransitions(spark, sfDir).collect()
+    assert(t.nonEmpty)
+    val bySrc = t.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      val pSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 0.01, s"$src transition probs sum to $pSum")
+    }
+    // total transitions = events - distinct users with >=1 event (each
+    // user's last event has no successor)
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(t.map(_.getLong(2)).sum === expected)
+  }
 }

@@ -172,4 +172,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.filter(col("id_a") >= col("id_b")).count() === 0)
     assert(pairs.filter(col("cosine") < 0.4).count() === 0)
   }
+
+  test("source overlap: mirrored sources score 1.0, disjoint sources never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      // mirror: same texts under two source labels
+      (1L, "alpha beta gamma delta epsilon zeta", "mirror_a"),
+      (2L, "eta theta iota kappa lambda mu", "mirror_a"),
+      (3L, "alpha beta gamma delta epsilon zeta", "mirror_b"),
+      (4L, "eta theta iota kappa lambda mu", "mirror_b"),
+      // disjoint vocabulary source
+      (5L, "uno dos tres cuatro cinco seis", "solo"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs).collect()
+    assert(out.length === 1, s"only the mirror pair overlaps, got ${out.length} rows")
+    val r = out.head
+    assert(r.getString(0) === "mirror_a" && r.getString(1) === "mirror_b")
+    assert(r.getDouble(3) === 1.0, "identical shingle sets must score jaccard 1.0")
+    // corpus run: pairs are ordered, jaccard in (0, 1]
+    val corpus = Dedup.sourceOverlap(spark, sfDir).collect()
+    corpus.foreach { c =>
+      assert(c.getString(0) < c.getString(1))
+      assert(c.getDouble(3) > 0.0 && c.getDouble(3) <= 1.0)
+    }
+  }
 }

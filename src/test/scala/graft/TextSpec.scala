@@ -203,4 +203,26 @@ class TextSpec extends AnyFunSuite with SparkSpec {
         s"source ${r.getString(0)}: kept ${kept / n} outside sane band")
     }
   }
+
+  test("bm25 matches a hand-computed score on planted docs and respects tf saturation") {
+    import spark.implicits._
+    // 3 docs, query = {spark, join, stream, hash}; filler has no query terms
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler"), // tf(spark)=3, dl=6
+      (2L, "spark join filler filler filler filler"), // tf(spark)=1, tf(join)=1, dl=6
+      (3L, "filler filler filler filler filler filler")) // no query terms
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bm25Score(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(3L), "doc without query terms has no score row")
+    // hand-computed Okapi BM25: N=3, avgdl=6, dl=6 → length norm = 1
+    val k1 = 1.2; def idf(df: Double) = math.log(1 + (3.0 - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double) = idf(df) * tf * (k1 + 1) / (tf + k1)
+    val exp1 = term(3, 2) // spark appears in docs 1 and 2
+    val exp2 = term(1, 2) + term(1, 1)
+    assert(math.abs(out(1L) - exp1) < 1e-3, s"doc1: ${out(1L)} vs $exp1")
+    assert(math.abs(out(2L) - exp2) < 1e-3, s"doc2: ${out(2L)} vs $exp2")
+    // saturation: tripling tf must NOT triple the contribution (k1 caps it)
+    assert(out(1L) < 3 * term(1, 2) * 0.8)
+  }
 }
