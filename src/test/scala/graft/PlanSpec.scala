@@ -262,4 +262,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val inFilters = "NATION_1,NATION_2".r.findAllIn(below).size
     assert(inFilters >= 2, s"nation IN-filters must sit below the fact join:\n$p")
   }
+
+  test("copurchase pairs expand map-side — the fact table is never self-joined") {
+    val p = plan(graft.queries.Analytics.copurchasePairs(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"basket expansion must not join at all:\n$p")
+    assert(p.contains("Generate explode"), "pairs come from a map-side explode")
+  }
+
+  test("bm25 filters tokens to the query terms below the tf aggregate") {
+    val q = graft.functions.TextFunctions.bm25Score(Tables.documents(spark, sfDir))
+    val opt = q.queryExecution.optimizedPlan.toString
+    // the isin filter must sit under the tf aggregate, so only
+    // query-term tokens reach the (doc, token) shuffle
+    val aggIdx = opt.indexOf("Aggregate [doc_id")
+    assert(aggIdx >= 0, s"expected the per-doc aggregate:\n$opt")
+    assert(opt.substring(aggIdx).contains("token#") &&
+      opt.substring(aggIdx).contains(" IN "), // filter below the agg in the printed subtree
+      s"query-term IN filter must sit below the tf aggregate:\n$opt")
+    val p = plan(q)
+    assert(p.contains("BroadcastExchange"), "df and corpus stats should broadcast")
+  }
+
+  test("source overlap groups grams once — no gram-keyed self-join") {
+    val p = plan(graft.dedup.Dedup.sourceOverlap(spark, sfDir))
+    // after the grouped frame materializes, the only joins are over the
+    // |sources|²-row aggregate — tiny, so they must all broadcast
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join of gram rows:\n$p")
+    // the grouped frame is checkpointed (read twice), so the downstream
+    // plan reads srcs arrays and expands pairs map-side
+    assert(p.contains("Generate explode"), "pairs come from a map-side explode")
+  }
 }
