@@ -79,6 +79,58 @@ object CdcQueries {
        |FROM r WHERE rn = 1 AND op <> 'd'
        |ORDER BY user_id""".stripMargin
 
+  /** Order-independent content checksum of the materialized CDC state —
+    * the cross-engine validation for [[ParquetUpsertSink.exportSnapshot]]:
+    * any engine that can md5 a canonical row string (DuckDB, Trino,
+    * another Spark) recomputes the same (n_rows, checksum) over the
+    * exported parquet and proves the copy is intact, without comparing
+    * rows. The checksum is a SUM of per-row 60-bit md5 prefixes mod a
+    * fixed prime, so it is commutative (row order and partitioning
+    * can't change it) and MERGEABLE — per-shard checksums of a 100 TB
+    * table sum to the table checksum, so validation parallelizes and
+    * incremental re-checks only touch changed shards.
+    *
+    * Doubles are canonicalized through DECIMAL(18,2) before stringing —
+    * Java's and DuckDB's double→string renderings disagree on edge
+    * values, decimal renderings don't. Plan: one map-side projection +
+    * a single scalar aggregate; no shuffle beyond the final combine.
+    */
+  def stateChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("user_id").cast("string"),
+      col("last_event_type"),
+      col("last_value").cast("decimal(18,2)").cast("string"),
+      col("last_ts_ms").cast("string"),
+      col("n_changes").cast("string"))
+    latestState(spark, dir)
+      .select(conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(576460752303423433L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
+
+  val stateChecksumSql: String =
+    s"""WITH ch AS ($changeSql),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn,
+       |  max(ts_ms) OVER (PARTITION BY user_id) AS last_ts_ms,
+       |  count(*) OVER (PARTITION BY user_id) AS n_changes
+       |  FROM ch),
+       |state AS (
+       |  SELECT user_id, last_event_type, round(last_value, 2) AS last_value,
+       |         last_ts_ms, n_changes
+       |  FROM r WHERE rn = 1 AND op <> 'd'),
+       |h AS (
+       |  SELECT ('0x' || substr(md5(concat_ws('|',
+       |    CAST(user_id AS VARCHAR), last_event_type,
+       |    CAST(CAST(last_value AS DECIMAL(18,2)) AS VARCHAR),
+       |    CAST(last_ts_ms AS VARCHAR), CAST(n_changes AS VARCHAR))), 1, 15))::BIGINT AS h
+       |  FROM state)
+       |SELECT count(*) AS n_rows,
+       |  CAST(sum(h) % 576460752303423433 AS BIGINT) AS checksum
+       |FROM h""".stripMargin
+
   /** Location of the repo's static dimension file — the counterpart of
     * the reference's `files/staticdata/cities.csv` (email→city)
     * enrichment dim (/root/reference/files/staticdata/cities.csv).

@@ -629,6 +629,47 @@ object TextFunctions {
       |FROM tf JOIN dfs USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Deterministic weighted sampling-without-replacement
+    * (Efraimidis–Spirakis A-ES): every doc gets key = u^(1/w) with u a
+    * content-hash-derived uniform and w = ln(1+n_chars); the global
+    * top-k by key IS a weighted sample. Replacing `rand()` with an
+    * md5-derived uniform makes the sample a pure function of the data —
+    * reproducible across runs, engines, partitionings, and retries
+    * (rerunning a failed task cannot change the sample), which is what
+    * a training-data pipeline needs from its subsampling stage.
+    *
+    * Plan: the key is a map-side projection; the only cross-partition
+    * work is the global top-k (TakeOrderedAndProject — per-partition
+    * heaps, no full sort). At 100 TB: scan + k-row driver merge; the
+    * keys round to 6dp so the (continuous-valued) boundary is
+    * cross-engine stable, with doc_id as the total tie-break.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 100): DataFrame = {
+    // 15 hex chars = 60 bits, exactly representable in a double; +0.5
+    // centers the lattice so u is never 0 (pow(0, x) would pin key=0)
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    val w = log(lit(1.0) + col("n_chars"))
+    docs.select(col("doc_id"), col("n_chars"),
+        round(pow(u, lit(1.0) / w), 6).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(spark, dir))
+
+  val weightedSampleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    round(pow(
+      |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+      |        / 1152921504606846976.0,
+      |      1.0 / ln(1.0 + n_chars)), 6) AS sample_key
+      |  FROM documents)
+      |SELECT doc_id, n_chars, sample_key
+      |FROM s ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace

@@ -1693,6 +1693,51 @@ object Analytics {
       .orderBy("event_type", "next_type")
   }
 
+  /** Gap-filled daily event counts — dimension densification: every
+    * (event_type, day) cell of the full [min day, max day] range,
+    * zero-filled where no events landed. Downstream time-series
+    * consumers (anomaly windows, moving averages, forecasting
+    * featurizers) need the dense grid; a naive groupBy silently drops
+    * empty days and shifts every window that crosses them.
+    *
+    * Plan: the daily aggregate is the ONLY event-volume shuffle
+    * (map-side partials). The scaffold is dims-only — a 2-row min/max
+    * scalar exploded into the day spine, cross-joined with the distinct
+    * type set — and the left join runs over |types|·|days| rows, never
+    * event grain. At 100 TB the scaffold is still a few thousand rows:
+    * densification cost is independent of fact volume.
+    */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val days = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"))
+      .orderBy("event_type", "day")
+  }
+
+  val gapFillDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+      |  coalesce(daily.n_events, 0) AS n_events
+      |FROM types t CROSS JOIN days d
+      |LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+      |ORDER BY t.event_type, 2""".stripMargin
+
   val eventTransitionsSql: String =
     """WITH seq AS (
       |  SELECT event_type,

@@ -555,10 +555,15 @@ object Ann {
     val tiers: Seq[(String, DataFrame)] = Seq(
       "lsh" -> lshTopK(embs), "ivf" -> ivfTopK(embs),
       "sq" -> sqTopK(embs), "pq" -> pqTopK(embs))
+    // materialized: BOTH the hit semi-join and the returned-count agg
+    // read this union, and without the checkpoint each consumer re-runs
+    // all four tiers (Spark has no common-subplan elimination) —
+    // measured ~2× the whole report's cost.
     val tagged = tiers
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id")) }
       .reduce(_ unionByName _)
+      .localCheckpoint(true)
     val hits = tagged
       .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("method").agg(count(lit(1)).as("n_hits"))

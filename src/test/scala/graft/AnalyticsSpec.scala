@@ -258,4 +258,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(t.map(_.getLong(2)).sum === expected)
   }
+
+  test("gap-filled daily grid is dense, zero-filled, and count-preserving") {
+    val ev = Tables.events(spark, sfDir)
+    val grid = Analytics.gapFillDaily(spark, sfDir).collect()
+    val types = ev.select("event_type").distinct().count()
+    val spanDays = grid.map(r => java.time.LocalDate.parse(r.getString(1))).distinct
+    // every type covers the identical full day spine
+    assert(grid.length === types * spanDays.length)
+    val span = (spanDays.min.toEpochDay to spanDays.max.toEpochDay).length
+    assert(spanDays.length === span, "day spine has no holes")
+    // densification must not invent or lose events
+    assert(grid.map(_.getLong(2)).sum === ev.count())
+  }
 }

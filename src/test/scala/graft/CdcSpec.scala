@@ -403,4 +403,29 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(emptyState.count() === 0)
     assert(emptyState.columns.contains("user_id") && emptyState.columns.contains("last_ts_ms"))
   }
+
+  test("state checksum is order-independent and matches an independent computation") {
+    val out = CdcQueries.stateChecksum(spark, sfDir).collect().head
+    val nRows = out.getLong(0)
+    val checksum = out.getLong(1)
+    val prime = 576460752303423433L
+    assert(checksum >= 0 && checksum < prime)
+    // recompute from collected state rows with plain JVM md5 — proves
+    // the distributed sum-of-row-hashes equals a serial reference
+    val rows = CdcQueries.latestState(spark, sfDir).collect()
+    assert(nRows === rows.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = rows.map { r =>
+      val canon = Seq(
+        r.getLong(0).toString,
+        r.getString(1),
+        java.math.BigDecimal.valueOf(r.getDouble(2))
+          .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString,
+        r.getLong(3).toString,
+        r.getLong(4).toString).mkString("|")
+      val hex = md.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      BigInt(java.lang.Long.parseLong(hex, 16))
+    }.sum.mod(BigInt(prime)).toLong
+    assert(checksum === expected, "distributed checksum must equal the serial reference")
+  }
 }

@@ -225,4 +225,28 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     // saturation: tripling tf must NOT triple the contribution (k1 caps it)
     assert(out(1L) < 3 * term(1, 2) * 0.8)
   }
+
+  test("weighted sample is a pure function of the data and monotone in weight") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val once = TextFunctions.weightedSample(docs).collect()
+    // determinism across runs AND partitionings (retry-safe sampling)
+    assert(once.sameElements(TextFunctions.weightedSample(docs.repartition(7)).collect()))
+    once.foreach { r =>
+      val key = r.getDouble(2)
+      assert(key > 0.0 && key <= 1.0, s"key $key outside (0, 1]")
+    }
+    // same doc hash, larger weight → larger key (u^(1/w) rises with w)
+    val light = Seq((42L, "x", 10L)).toDF("doc_id", "text", "n_chars")
+    val heavy = Seq((42L, "x", 100000L)).toDF("doc_id", "text", "n_chars")
+    val kLight = TextFunctions.weightedSample(light).collect().head.getDouble(2)
+    val kHeavy = TextFunctions.weightedSample(heavy).collect().head.getDouble(2)
+    assert(kHeavy > kLight, s"heavier doc must sample earlier: $kHeavy <= $kLight")
+    // the key matches the A-ES formula computed independently
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 60)
+    val expected = math.pow(u, 1.0 / math.log(1.0 + 10.0))
+    assert(math.abs(kLight - expected) < 1e-6, s"$kLight vs $expected")
+  }
 }
