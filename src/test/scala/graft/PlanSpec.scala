@@ -293,4 +293,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // plan reads srcs arrays and expands pairs map-side
     assert(p.contains("Generate explode"), "pairs come from a map-side explode")
   }
+
+  test("weighted sample is a top-k heap, not a global sort") {
+    val p = plan(graft.functions.TextFunctions.weightedSample(
+      Tables.documents(spark, sfDir)))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must use per-partition heaps:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no full range-partitioned sort for a k-row result")
+  }
+
+  test("gap-fill shuffles events once (the daily agg); the scaffold joins broadcast") {
+    val p = plan(graft.queries.Analytics.gapFillDaily(spark, sfDir))
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"daily counts must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the dims-only scaffold must broadcast, never shuffle the grid")
+  }
 }
