@@ -57,4 +57,44 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       val _ = wh
     }
   }
+
+  test("z-ordering tightens per-file stats on BOTH dims; linear sort only on one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    Layout.writeZOrdered(orders, s"$tmp/z", "o_custkey", "o_totalprice")
+    orders.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    // average per-file span as a fraction of the global span — the
+    // expected fraction of files a point predicate must open
+    def spanFrac(path: String, c: String): Double = {
+      val stats = Layout.skippingStats(spark, path, Seq("o_custkey", "o_totalprice"))
+        .collect()
+      val lo = stats.map(_.getAs[Double](s"${c}__mn")).min
+      val hi = stats.map(_.getAs[Double](s"${c}__mx")).max
+      stats.map(r => (r.getAs[Double](s"${c}__mx") - r.getAs[Double](s"${c}__mn"))
+        / math.max(hi - lo, 1e-9)).sum / stats.length
+    }
+
+    // round trip loses nothing
+    val back = spark.read.parquet(s"$tmp/z")
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).count() === 0)
+
+    val zCust = spanFrac(s"$tmp/z", "o_custkey")
+    val zPrice = spanFrac(s"$tmp/z", "o_totalprice")
+    val linCust = spanFrac(s"$tmp/linear", "o_custkey")
+    val linPrice = spanFrac(s"$tmp/linear", "o_totalprice")
+    // linear: first dim tight, second dim useless (~full span per file)
+    assert(linCust < 0.3, s"linear sort must tighten its own column: $linCust")
+    assert(linPrice > 0.8, s"linear sort leaves the other column wide: $linPrice")
+    // z-order: BOTH dims must skip most files
+    assert(zCust < 0.6, s"z-order custkey span $zCust")
+    assert(zPrice < 0.6, s"z-order totalprice span $zPrice")
+    assert(zPrice < linPrice / 2,
+      s"z-order must at least halve the second dim's span: $zPrice vs $linPrice")
+  }
 }
