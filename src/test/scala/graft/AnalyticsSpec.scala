@@ -259,6 +259,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(t.map(_.getLong(2)).sum === expected)
   }
 
+  test("bottom-k quantile sketch: daily sketches merge to the direct sketch exactly") {
+    import graft.functions.QuantileSketch
+    val k = 64
+    val agg = QuantileSketch.bottomK(k)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        QuantileSketch.hashKey(col("event_id")).as("hkey"), col("value"))
+    val direct = ev.groupBy("event_type")
+      .agg(agg(col("hkey"), col("value")).as("sketch"))
+    // shard by day, sketch each shard, then merge the shards by
+    // re-sketching the union of their entries (set semantics: the
+    // bottom-k of a union is the bottom-k of the bottom-ks)
+    val merged = ev.groupBy("event_type", "day")
+      .agg(agg(col("hkey"), col("value")).as("sketch"))
+      .select(col("event_type"), explode(col("sketch")).as("e"))
+      .groupBy("event_type")
+      .agg(agg(col("e._1"), col("e._2")).as("sketch"))
+    val d = direct.collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val m = merged.collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(d.keySet === m.keySet)
+    d.keys.foreach { t =>
+      assert(d(t) === m(t), s"merge-of-shards must equal direct sketch for $t")
+      assert(d(t).size <= k, "sketch state must stay bounded")
+    }
+    // rank accuracy: the p50 estimate's empirical rank is 0.5 +/- 0.15
+    // (k=64 -> sigma ~ 6.3%, generous 2.4-sigma band)
+    val est = graft.functions.QuantileSketch.quantileSketch(spark, sfDir, k)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    est.foreach { case (t, p50) =>
+      val all = Tables.events(spark, sfDir).filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      val rank = all.count(_ <= p50).toDouble / all.length
+      assert(rank > 0.35 && rank < 0.65, s"$t: p50 estimate $p50 sits at rank $rank")
+    }
+  }
+
   test("gap-filled daily grid is dense, zero-filled, and count-preserving") {
     val ev = Tables.events(spark, sfDir)
     val grid = Analytics.gapFillDaily(spark, sfDir).collect()
