@@ -64,6 +64,74 @@ object EventSessionizer {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** The same sessions through Spark's NATIVE `session_window` operator
+    * — the declarative face of [[sessionizeBatch]]. Emitted
+    * `session_end` is `sw.end - gap`, because the built-in's window end
+    * is last-event-time + gap (an eviction horizon), while this module's
+    * contract (and the oracle) reports the last event time itself.
+    * Session starts/ends/counts/sums match the gaps-and-islands form
+    * row for row (one boundary nuance: the built-in starts a NEW
+    * session at a gap of exactly 30:00.000000, the islands form keeps
+    * it — unobservable on µs-grained data, and spec'd equal on the
+    * testdata).
+    *
+    * Scale: one shuffle on user_id, sessions merged inside the
+    * aggregate — the same cost shape as the islands form but without
+    * the two window passes (no sort-based lag + running sum); in
+    * streaming mode this operator is ALSO the watermark-correct session
+    * agg, so batch and stream share one declaration.
+    */
+  def sessionWindowBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        (col("sw.end") - expr(s"INTERVAL $GapSeconds SECONDS")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowBatch(Tables.events(spark, dir))
+
+  val sessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
+      |           - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER w > 1800000
+      |         OR lag(ts) OVER w IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Streaming face of [[sessionWindowBatch]] — the SAME declaration
+    * under `readStream`: watermark + native session windows, append
+    * mode emits each session once when the watermark passes its gap
+    * horizon. State is Spark-managed (merged open windows per key),
+    * the declarative counterpart of [[sessionizeStream]]'s explicit
+    * `flatMapGroupsWithState` state machine; the spec pins all three
+    * faces (native batch, native stream, custom state) to identical
+    * rows on the testdata.
+    */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        (col("sw.end") - expr(s"INTERVAL $GapSeconds SECONDS")).as("session_end"),
+        col("n_events"), col("total_value"))
+
   // ---------------- streaming path ----------------
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)

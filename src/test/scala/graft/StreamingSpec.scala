@@ -132,6 +132,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
 
+  test("native session_window: batch face, stream face, and custom state agree") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // native batch == custom gaps-and-islands (modulo session numbering)
+    val native = EventSessionizer.sessionWindowBatch(spark, sfDir)
+    val custom = EventSessionizer.sessionizeBatch(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+    assert(native.exceptAll(custom).count() === 0, "native minus custom")
+    assert(custom.exceptAll(native).count() === 0, "custom minus native")
+
+    // native stream (append) == native batch after the watermark flush
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy("ts")
+      .as[EventSessionizer.Ev]
+      .collect()
+    val stream = MemoryStream[EventSessionizer.Ev]
+    val out = EventSessionizer.sessionWindowStream(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    events.grouped(math.max(events.length / 4, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    val last = events.map(_.ts.getTime).max
+    stream.addData(EventSessionizer.Ev(-1L, new Timestamp(last + 48 * 3600 * 1000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("native_sessions").filter(col("user_id") >= 0)
+    assert(streamed.exceptAll(native).count() === 0, "streamed minus batch")
+    assert(native.exceptAll(streamed).count() === 0, "batch minus streamed")
+  }
+
   test("buffered sessionization is batch-exact under out-of-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
