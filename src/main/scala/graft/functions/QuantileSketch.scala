@@ -72,6 +72,22 @@ object QuantileSketch {
     element_at(vals, greatest(lit(1), ceil(size(vals) * lit(p)).cast("int")))
   }
 
+  /** Streaming face: the SAME aggregator as streaming state — Spark
+    * holds one bounded sketch per group and folds each micro-batch in
+    * through the partial-merge path, so a continuously-ingesting
+    * pipeline always has current quantiles at k-entry cost per group.
+    * Because the sketch is a pure function of the row set, the
+    * streamed result is bit-identical to batch (spec), not merely
+    * approximate-equal.
+    */
+  def quantileSketchStream(events: DataFrame, k: Int = DefaultK): DataFrame = {
+    val agg = bottomK(k)
+    events
+      .select(col("event_type"), hashKey(col("event_id")).as("hkey"), col("value"))
+      .groupBy("event_type")
+      .agg(agg(col("hkey"), col("value")).as("sketch"))
+  }
+
   /** Per-event-type quantile estimates from bounded sketches — the
     * driver entry. Approximate (hash-specific sample) → rows-only;
     * mergeability and rank-error floors live in the spec.

@@ -168,6 +168,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(native.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
 
+  test("streaming quantile sketch is bit-identical to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.QuantileSketch
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .collect()
+    val stream = MemoryStream[(Long, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "event_type", "value")
+    val q = QuantileSketch.quantileSketchStream(sdf, k = 64)
+      .writeStream.format("memory").queryName("qsketch_stream")
+      .outputMode("complete").start()
+    events.grouped(math.max(events.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("qsketch_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val batch = QuantileSketch.quantileSketchStream(
+        Tables.events(spark, sfDir).select("event_id", "event_type", "value"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(streamed.keySet === batch.keySet)
+    batch.keys.foreach { t =>
+      assert(streamed(t) === batch(t),
+        s"set-semantics sketch must be identical across batch/stream for $t")
+    }
+  }
+
   test("buffered sessionization is batch-exact under out-of-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
