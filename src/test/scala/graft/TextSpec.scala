@@ -226,6 +226,44 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) < 3 * term(1, 2) * 0.8)
   }
 
+  test("distributed BPE training equals an independent serial implementation") {
+    import graft.functions.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val n = 10
+    val dist = Bpe.learnMerges(docs, n)
+
+    // serial reference: same tokenization (via Spark), then pure Scala
+    val freq = docs
+      .select(explode(graft.functions.TextFunctions.wsTokens(trim(lower(col("text"))))).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def mergeWord(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var words: Seq[(Vector[String], Long)] =
+      freq.toSeq.map { case (t, w) => (t.split("").toVector :+ Bpe.EndOfWord, w) }
+    val serial = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (serial.size < n) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (s, w) =>
+        s.sliding(2).filter(_.size == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + w
+        }
+      }
+      val ((a, b), cnt) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      serial += ((a, b, cnt))
+      words = words.map { case (s, w) => (mergeWord(s, a, b), w) }
+        .filter(_._1.size >= 2)
+    }
+    assert(dist === serial.toSeq,
+      s"distributed merges must match the serial reference:\n$dist\nvs\n$serial")
+  }
+
   test("weighted sample is a pure function of the data and monotone in weight") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
