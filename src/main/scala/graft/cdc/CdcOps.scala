@@ -128,10 +128,19 @@ object CdcOps {
     */
   def mergeChangeSet(base: DataFrame, changelog: DataFrame,
                      keyCols: Seq[String], dataCols: Seq[String]): DataFrame = {
+    // schema evolution: dataCols is the UNION of base and batch data
+    // columns. A column the batch doesn't carry (dropped from the feed,
+    // or a clean-epoch column the batch predates) is CARRIED from base —
+    // absence from the feed must not wipe values, unlike an in-image
+    // NULL, which legitimately wins. A column base doesn't have yet
+    // (just appeared in the feed) backfills NULL for untouched rows.
+    val batchCols = changelog.columns.toSet
+    val baseCols = base.columns.toSet
+    val imgCols = dataCols.filter(batchCols.contains)
     val latestIncl = changelog
       .groupBy(keyCols.map(col): _*)
       .agg(
-        max_by(imageStruct(dataCols), struct(col("ts_ms"), col("seq"))).as("s"),
+        max_by(imageStruct(imgCols), struct(col("ts_ms"), col("seq"))).as("s"),
         max(col("ts_ms")).as("c_last_ts_ms"))
     val b = base.alias("b")
     val c = latestIncl.alias("c")
@@ -143,8 +152,14 @@ object CdcOps {
           // gate on IMAGE presence, not field nullness: an update that
           // legitimately sets a column to NULL must win — a per-field
           // coalesce would silently resurrect the base's stale value
-          dataCols.map(f =>
-            when(col("c.s").isNotNull, col(s"c.s.$f")).otherwise(col(s"b.$f")).as(f)) ++ Seq(
+          dataCols.map { f =>
+            if (imgCols.contains(f) && baseCols.contains(f))
+              when(col("c.s").isNotNull, col(s"c.s.$f")).otherwise(col(s"b.$f")).as(f)
+            else if (imgCols.contains(f)) // new in this batch: base rows backfill NULL
+              when(col("c.s").isNotNull, col(s"c.s.$f")).as(f)
+            else // absent from this batch: carry base (NULL for new keys)
+              col(s"b.$f").as(f)
+          } ++ Seq(
           coalesce(col("c.c_last_ts_ms"), col("b.last_ts_ms")).as("last_ts_ms")): _*)
   }
 }

@@ -128,7 +128,14 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
   private def stateFrom(entries: Map[Int, String],
                         schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val paths = entries.values.toSeq.sorted.map(rel => s"$statePath/$rel")
-    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    // read with the manifest's recorded schema: after an evolution
+    // commit, clean buckets still hold pre-evolution files — an
+    // explicit schema null-fills their missing columns, while parquet's
+    // own schema sampling could silently drop the new column entirely
+    if (paths.nonEmpty) schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.parquet(paths: _*)
+    }
     else schema match {
       case Some(s) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -196,13 +203,28 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
         val dataCols = dataColsOf(batch)
         val state0 = CdcOps.latestState(batch, keyCols, dataCols).drop("n_changes")
         commit(0L, Map.empty, dirtyOf(batch), state0)
-      case Some((epoch, current, _)) =>
-        val dataCols = dataColsOf(batch)
+      case Some((epoch, current, stateSchema)) =>
         val dirty = dirtyOf(batch)
         val dirtyWithData = dirty.filter(current.contains)
-        val base =
-          if (dirtyWithData.isEmpty) emptyLike(batch, dataCols)
-          else spark.read.parquet(dirtyWithData.map(b => s"$statePath/${current(b)}"): _*)
+        // schema evolution: read dirty buckets with the MANIFEST schema
+        // (older bucket files missing newer columns null-fill; parquet
+        // schema sampling could otherwise silently drop a new column),
+        // and merge over the UNION of batch and state data columns so
+        // a widening feed backfills NULL and a narrowed feed carries
+        // state values instead of wiping them.
+        val base = stateSchema match {
+          case Some(s) if dirtyWithData.nonEmpty =>
+            spark.read.schema(s).parquet(dirtyWithData.map(b => s"$statePath/${current(b)}"): _*)
+          case _ if dirtyWithData.nonEmpty =>
+            spark.read.parquet(dirtyWithData.map(b => s"$statePath/${current(b)}"): _*)
+          case Some(s) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          case None => emptyLike(batch, dataColsOf(batch))
+        }
+        val baseDataCols = base.columns.toSeq
+          .filterNot(c => keyCols.contains(c) || c == "last_ts_ms")
+        val dataCols = (dataColsOf(batch) ++
+          baseDataCols.filterNot(dataColsOf(batch).contains)).distinct
         val merged = CdcOps.mergeChangeSet(base, batch, keyCols, dataCols)
         commit(epoch + 1, current, dirty, merged)
     }

@@ -404,6 +404,53 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(emptyState.columns.contains("user_id") && emptyState.columns.contains("last_ts_ms"))
   }
 
+  test("schema evolution: widening batches backfill NULL, narrowed feeds carry state") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"),
+      numBuckets = 4, retainEpochs = 4)
+
+    // epoch 0: two-column images
+    sink.merge(batchDf(Seq(
+      (1L, "c", 10L, 1L, "signup", 1.0),
+      (2L, "c", 10L, 2L, "signup", 2.0),
+      (3L, "c", 10L, 3L, "signup", 3.0))), 0)
+
+    // epoch 1: the feed WIDENS — a region column appears; only user 1
+    // is touched. Untouched rows must read region = NULL, not error,
+    // and not lose the column to parquet schema sampling.
+    val widened = Seq((1L, "u", 20L, 4L, "click", 1.5, "emea"))
+      .toDF("user_id", "op", "ts_ms", "seq", "last_event_type", "last_value", "region")
+    sink.merge(widened, 1)
+    val s1 = sink.readState().orderBy("user_id").collect()
+    assert(s1.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val r1 = s1.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[String]("region") === "emea")
+    assert(r1.getAs[String]("last_event_type") === "click")
+    assert(s1.filter(_.getLong(0) != 1L).forall(_.getAs[String]("region") == null),
+      "untouched rows backfill NULL for the new column")
+
+    // epoch 2: the feed NARROWS — last_value disappears from the
+    // images; updating user 2 must NOT wipe its stored last_value,
+    // and a brand-new key gets NULL for the uncarried column.
+    val narrowed = Seq((2L, "u", 30L, 5L, "purchase", "amer"),
+                       (9L, "c", 30L, 6L, "signup", "apac"))
+      .toDF("user_id", "op", "ts_ms", "seq", "last_event_type", "region")
+    sink.merge(narrowed, 2)
+    val s2 = sink.readState().orderBy("user_id").collect()
+    val r2 = s2.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[String]("last_event_type") === "purchase")
+    assert(r2.getAs[Double]("last_value") === 2.0,
+      "a column absent from the feed must carry its state value")
+    assert(r2.getAs[String]("region") === "amer")
+    val r9 = s2.find(_.getLong(0) == 9L).get
+    assert(r9.isNullAt(r9.fieldIndex("last_value")), "new key, uncarried column -> NULL")
+
+    // time travel still reads each epoch with ITS schema
+    assert(!sink.readStateAt(0).columns.contains("region"))
+    assert(sink.readStateAt(1).columns.contains("region"))
+  }
+
   test("state checksum is order-independent and matches an independent computation") {
     val out = CdcQueries.stateChecksum(spark, sfDir).collect().head
     val nRows = out.getLong(0)
