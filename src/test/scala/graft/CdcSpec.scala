@@ -451,6 +451,31 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(sink.readStateAt(1).columns.contains("region"))
   }
 
+  test("randomized batched sink ingest equals one-shot latestState (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val uid = rnd.nextInt(40).toLong
+      val op = { val d = rnd.nextDouble(); if (d < 0.15) "d" else if (d < 0.55) "u" else "c" }
+      (uid, op, (1000 + i).toLong, i.toLong,
+        s"t${rnd.nextInt(5)}", math.round(rnd.nextDouble() * 10000) / 100.0)
+    }
+    val expected = CdcOps.latestState(batchDf(rows), Seq("user_id"), CdcOps.userDataCols)
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+
+    // random contiguous cuts preserve the per-key arrival order the
+    // continuous-upsert contract assumes (Kafka keyed delivery)
+    val cuts = (Seq(0, rows.length) ++ Seq.fill(5)(rnd.nextInt(rows.length))).distinct.sorted
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rand").toString
+    val sink = new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 4)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      if (b > a) sink.merge(batchDf(rows.slice(a, b)), i.toLong)
+    }
+    val got = sink.readState()
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+    assert(got.exceptAll(expected).count() === 0, "sink minus one-shot")
+    assert(expected.exceptAll(got).count() === 0, "one-shot minus sink")
+  }
+
   test("state checksum is order-independent and matches an independent computation") {
     val out = CdcQueries.stateChecksum(spark, sfDir).collect().head
     val nRows = out.getLong(0)
