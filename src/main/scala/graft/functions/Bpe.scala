@@ -82,6 +82,43 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Greedy left-to-right application of one merge to a symbol vector
+    * (JVM-side twin of [[applyMerge]], for the encode path's typed map).
+    */
+  def mergeWord(s: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]; var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode the corpus with learned merges and report the compression —
+    * the acceptance number tokenizer training is judged by. The merge
+    * list is tiny (driver state), so encoding is ONE typed map over the
+    * word-frequency table (per-partition imperative symbol merging —
+    * the codec-at-the-boundary pattern) followed by a scalar aggregate;
+    * the corpus itself is touched only by the up-front token count.
+    */
+  def bpeCompression(spark: SparkSession, dir: String, nMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val merges = learnMerges(docs, nMerges).map(m => (m._1, m._2))
+    val words = wordTable(docs).as[(Seq[String], Long)]
+    words.map { case (syms, w) =>
+      val encoded = merges.foldLeft(syms.toVector) { case (s, (a, b)) => mergeWord(s, a, b) }
+      (w, syms.size.toLong * w, encoded.size.toLong * w)
+    }.toDF("w", "sym_before", "sym_after")
+      .agg(
+        sum("w").as("n_tokens"),
+        sum("sym_before").as("symbols_before"),
+        sum("sym_after").as("symbols_after"))
+      .select(col("n_tokens"), col("symbols_before"), col("symbols_after"),
+        round(col("symbols_after").cast("double") / col("symbols_before"), 4)
+          .as("compression"))
+  }
+
   /** Driver entry: the learned merge table (rank, left, right, merged,
     * pair_count). Iterative training has no SQL oracle → rows-only;
     * the serial-reference equality lives in the spec.

@@ -262,6 +262,15 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
     assert(dist === serial.toSeq,
       s"distributed merges must match the serial reference:\n$dist\nvs\n$serial")
+
+    // encoding with the learned merges must strictly compress, stay
+    // lossless in token count, and never go below 1 symbol per token
+    val comp = Bpe.bpeCompression(spark, sfDir, n).collect().head
+    val (nTok, before, after) = (comp.getLong(0), comp.getLong(1), comp.getLong(2))
+    assert(nTok === freq.map(_._2).sum)
+    assert(after < before, "merges must reduce total symbol count")
+    assert(after >= nTok, "a token cannot encode to fewer than 1 symbol")
+    assert(comp.getDouble(3) > 0.0 && comp.getDouble(3) < 1.0)
   }
 
   test("weighted sample is a pure function of the data and monotone in weight") {
