@@ -168,6 +168,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(native.exceptAll(streamed).count() === 0, "batch minus streamed")
   }
 
+  test("stream metrics capture per-batch progress; RocksDB state store gives identical results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamMetrics
+
+    val events = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)]
+      .collect()
+
+    val metrics = new StreamMetrics().attach(spark)
+    StreamMetrics.useRocksDbStateStore(spark)
+    try {
+      val stream = MemoryStream[(Timestamp, String, Double)]
+      val sdf = stream.toDF().toDF("ts", "event_type", "value")
+      val q = WindowedAggs.hourlyByTypeStream(sdf)
+        .writeStream.format("memory").queryName("rocksdb_hourly")
+        .outputMode("complete").start()
+      events.grouped(math.max(events.length / 3, 1)).foreach { g =>
+        stream.addData(g.toSeq)
+        q.processAllAvailable()
+      }
+      q.processAllAvailable()
+
+      // the RocksDB provider is actually in play, not silently defaulted
+      val opState = q.lastProgress.stateOperators
+      assert(opState.nonEmpty &&
+        opState.head.customMetrics.keySet.toArray.exists(_.toString.contains("rocksdb")),
+        s"expected rocksdb state-store metrics, got: ${opState.headOption}")
+      q.stop()
+
+      // identical results to the default-provider batch semantics
+      val streamed = spark.table("rocksdb_hourly")
+      val batch = WindowedAggs.hourlyByTypeBatch(spark, sfDir)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+
+      // listener saw the batches: input rows add up, durations recorded
+      val prog = metrics.snapshot().filter(_.queryName.startsWith("rocksdb_hourly"))
+      assert(prog.map(_.numInputRows).sum === events.length.toLong)
+      assert(prog.forall(_.durationMs >= 0))
+      assert(metrics.toDF(spark).count() === prog.length.toLong)
+    } finally {
+      StreamMetrics.useDefaultStateStore(spark)
+      metrics.detach(spark)
+    }
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
