@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench/Verify stdout. StdoutOutput passes the
+// forked JVM's stdout through RAW (no "[info] " decoration, which breaks
+// line-wise JSON parsing), and showSuccess drops the trailing
+// "[success] Total time ..." banner so the bench summary JSON is the
+// LAST line of `sbt -batch "runMain graft.Bench"`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,19 +90,28 @@ object CdcQueries {
     * table sum to the table checksum, so validation parallelizes and
     * incremental re-checks only touch changed shards.
     *
-    * Doubles are canonicalized through DECIMAL(18,2) before stringing —
-    * Java's and DuckDB's double→string renderings disagree on edge
-    * values, decimal renderings don't. Plan: one map-side projection +
-    * a single scalar aggregate; no shuffle beyond the final combine.
+    * Doubles are canonicalized as integer cents via
+    * `floor(v*100 + 0.5)` on the RAW double — multiply, add and floor
+    * are exact IEEE-754 operations every engine evaluates identically,
+    * unlike decimal rounding (Spark's round/cast-to-decimal rounds the
+    * shortest decimal rendering HALF_UP while DuckDB rounds the binary
+    * value, so a halfway value like 2.675 flips between engines).
+    * NULLs are encoded explicitly with a \u0001 sentinel — concat_ws
+    * silently skips NULL fields, which would canonicalize rows
+    * differing only in WHICH field is NULL to the same string. Plan:
+    * one map-side projection + a single scalar aggregate; no shuffle
+    * beyond the final combine.
     */
   def stateChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def c(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(x.cast("string"), lit("\u0001"))
     val canon = concat_ws("|",
-      col("user_id").cast("string"),
-      col("last_event_type"),
-      col("last_value").cast("decimal(18,2)").cast("string"),
-      col("last_ts_ms").cast("string"),
-      col("n_changes").cast("string"))
-    latestState(spark, dir)
+      c(col("user_id")),
+      c(col("last_event_type")),
+      c(floor(col("last_value") * lit(100d) + lit(0.5d)).cast("long")),
+      c(col("last_ts_ms")),
+      c(col("n_changes")))
+    CdcOps.latestState(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
       .select(conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
         .cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"),
@@ -118,14 +127,16 @@ object CdcQueries {
        |  count(*) OVER (PARTITION BY user_id) AS n_changes
        |  FROM ch),
        |state AS (
-       |  SELECT user_id, last_event_type, round(last_value, 2) AS last_value,
+       |  SELECT user_id, last_event_type, last_value,
        |         last_ts_ms, n_changes
        |  FROM r WHERE rn = 1 AND op <> 'd'),
        |h AS (
        |  SELECT ('0x' || substr(md5(concat_ws('|',
-       |    CAST(user_id AS VARCHAR), last_event_type,
-       |    CAST(CAST(last_value AS DECIMAL(18,2)) AS VARCHAR),
-       |    CAST(last_ts_ms AS VARCHAR), CAST(n_changes AS VARCHAR))), 1, 15))::BIGINT AS h
+       |    coalesce(CAST(user_id AS VARCHAR), chr(1)),
+       |    coalesce(last_event_type, chr(1)),
+       |    coalesce(CAST(CAST(floor(last_value * 100 + 0.5) AS BIGINT) AS VARCHAR), chr(1)),
+       |    coalesce(CAST(last_ts_ms AS VARCHAR), chr(1)),
+       |    coalesce(CAST(n_changes AS VARCHAR), chr(1)))), 1, 15))::BIGINT AS h
        |  FROM state)
        |SELECT count(*) AS n_rows,
        |  CAST(sum(h) % 576460752303423433 AS BIGINT) AS checksum

@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * State is bounded at k (key, value) pairs per group; reduce is
   * O(k) worst case on insert (a linear insertion — at k=256 the
   * vector copy is cheaper than heap bookkeeping) and O(1) on the
-  * common reject path (key above the current max).
+  * common reject path (key above the current max). Set semantics are
+  * enforced on BOTH paths: reduce rejects a key already in the buffer
+  * and merge dedups after a full (key, value) sort, so a replayed row
+  * is a no-op everywhere and a (vanishingly rare) 60-bit hash
+  * collision resolves to the same (key, value)-minimal entry whether
+  * the colliding rows meet in reduce or in merge, in any order.
   */
 class BottomKSketch(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
@@ -31,15 +36,23 @@ class BottomKSketch(k: Int)
   override def zero: Seq[(Long, Double)] = Vector.empty
 
   override def reduce(b: Seq[(Long, Double)], a: (Long, Double)): Seq[(Long, Double)] =
-    if (b.size >= k && a._1 >= b.last._1) b
+    if (b.size >= k && a._1 > b.last._1) b
     else {
-      val i = b.indexWhere(_._1 > a._1)
-      val ins = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
-      if (ins.size > k) ins.take(k) else ins
+      val j = b.indexWhere(_._1 == a._1)
+      if (j >= 0) {
+        // key already present: keep the (key, value)-minimal entry, the
+        // same collision rule as merge — a replayed row is a no-op and
+        // a 60-bit hash collision resolves identically on every path
+        if (b(j)._2 <= a._2) b else b.updated(j, a)
+      } else {
+        val i = b.indexWhere(_._1 > a._1)
+        val ins = if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+        if (ins.size > k) ins.take(k) else ins
+      }
     }
 
   override def merge(b1: Seq[(Long, Double)], b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    (b1 ++ b2).distinctBy(_._1).sortBy(_._1).take(k)
+    (b1 ++ b2).sorted.distinctBy(_._1).take(k)
 
   override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
 

@@ -269,6 +269,21 @@ object BinaryPipeline {
       feats.filter(col("vec_id") < 10))
   }
 
+  /** IVF-PQ variant of [[similarTopKIvf]] — the multimodal tier at its
+    * DEPLOYABLE form: binary → stub features → coarse cells + PQ codes,
+    * ADC scoring only inside probed cells (`Ann.ivfpqTopK`). The
+    * feature vectors are 16-dim, so 8 subspaces of 2 dims each keep
+    * the codebooks honest (16 codes per 2-dim subspace ≈ lossless at
+    * this dim). Rows-only (centroid/codebook-specific); recall vs the
+    * exact tier is spec-asserted next to the flat-IVF variant's.
+    */
+  def similarTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val feats = pipelineRaw(spark, dir)
+      .select(col("item_id").as("vec_id"), col("features").as("embedding"))
+      .localCheckpoint(true)
+    graft.similarity.Ann.ivfpqTopK(feats, nSub = 8)
+  }
+
   /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions

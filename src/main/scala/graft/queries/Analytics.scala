@@ -149,6 +149,82 @@ object Analytics {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Decimal-money face of Q6 (see [[q1PricingDecimal]] for the
+    * discipline): price×discount in exact DECIMAL — (12,2)×(4,2) =
+    * (17,4), no precision loss — summed exactly, the exact 4dp sum
+    * converted to double at the boundary (never rescaled first).
+    * Filters stay on the raw double columns so the selected row set is
+    * identical to [[q6ForecastRevenue]]'s.
+    */
+  def q6RevenueDecimal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")
+          * col("l_discount").cast("decimal(4,2)"))
+        .cast("double").as("revenue"))
+  }
+
+  val q6DecimalSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |   * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Decimal-money face of Q1 — TPC-H's native DECIMAL(12,2) semantics,
+    * proving EXACT-sum parity with the oracle and no floating-point
+    * mitigation: every money column is cast to decimal at the scan and
+    * all arithmetic stays decimal (associativity-exact, so partial
+    * aggregation / AQE re-partitioning can never perturb a cent).
+    * Widths are chosen so Spark never hits its precision-loss
+    * rescaling: the (1±disc/tax) factors are DECIMAL(4,2), keeping the
+    * triple product at (24,6) — exact in both engines. The exact sums
+    * convert to DOUBLE at the very end WITHOUT rescaling first — the
+    * unscaled values stay below 2^53, so both engines produce the
+    * identical correctly-rounded double (representation only, the
+    * arithmetic never touched floats). NO intermediate decimal
+    * downscale: Spark's scale-reducing cast rounds HALF_UP while
+    * DuckDB's TRUNCATES (measured: 1.005→1.00, .2854→.28), so a
+    * "cents" cast before the double conversion diverges by a cent.
+    */
+  def q1PricingDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(4,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discF = one - col("l_discount").cast("decimal(4,2)")
+    val taxF = one + col("l_tax").cast("decimal(4,2)")
+    def money(c: Column): Column = c.cast("double")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(sum(col("l_quantity").cast("decimal(12,2)"))).as("sum_qty"),
+        money(sum(price)).as("sum_base_price"),
+        money(sum(price * discF)).as("sum_disc_price"),
+        money(sum(price * discF * taxF)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1DecimalSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |   * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |   * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** TPC-H Q10-style returned-item ranking: 4-way join + top-N. */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -414,13 +414,8 @@ object Ann {
     val qLuts = embs.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
-        val id = r.getLong(0)
-        val q = r.getSeq[Float](1).toArray
-        val qnorm = math.sqrt(q.map(x => x.toDouble * x).sum)
-        val lut = books.zipWithIndex.map { case (book, m) =>
-          book.map(c => c.indices.map(i => q(m * subDim + i).toDouble * c(i)).sum).toSeq
-        }.toSeq
-        (id, qnorm, lut)
+        val (qnorm, lut) = adcQueryLut(r.getSeq[Float](1).toArray, books, subDim)
+        (r.getLong(0), qnorm, lut)
       }.toSeq
     val queries = broadcast(qLuts.toDF("query_id", "qnorm", "dot_lut"))
 
@@ -438,6 +433,107 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** Driver-side ADC precomputation for one query: (‖q‖, dot LUT) where
+    * `lut(m)(j) = dot(q_m, books(m)(j))` — per-pair scoring becomes nSub
+    * table lookups instead of a Dim-wide cosine.
+    */
+  private def adcQueryLut(q: Array[Float], books: Array[Array[Array[Double]]], subDim: Int)
+      : (Double, Seq[Seq[Double]]) = {
+    val qnorm = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val lut = books.zipWithIndex.map { case (book, m) =>
+      book.map(c => c.indices.map(i => q(m * subDim + i).toDouble * c(i)).sum).toSeq
+    }.toSeq
+    (qnorm, lut)
+  }
+
+  /** IVF-PQ — the deployable composition of the two index tiers, the
+    * FAISS-standard shape for web-scale ANN: the coarse quantizer
+    * bounds WHICH rows are scored (only the nProbe probed cells per
+    * query, like [[ivfTopK]]) and PQ bounds WHAT a scored row costs
+    * (nSub code lookups against the query's ADC table, like
+    * [[pqTopK]]). Flat PQ scans every corpus code per query set; here
+    * the scored fraction is ~nProbe/nCells, which is what keeps query
+    * cost sublinear when the corpus is 100 TB.
+    *
+    * Plan shape: ONE corpus scan encodes cell + PQ codes + norm² map-
+    * side (argmin and code LUTs are literal expressions — no join, no
+    * shuffle); the probe side (query ADC tables × probed cells) is
+    * built entirely on the driver from the two bounded artifacts
+    * (centroid table, codebooks) and broadcast, so the only join is
+    * broadcast-hash on `cell` and the only shuffle carries (query,
+    * vec, score) scalars into the top-k window. Codes are
+    * residual-free (raw-vector PQ): recall loss vs per-cell residual
+    * codebooks is negligible at these code sizes and the codebooks
+    * stay query-independent, which is what lets one persisted code
+    * table serve any probe set. The default probes MORE cells than
+    * flat IVF (6/16 vs 4/16) — the standard compressed-tier trade:
+    * ADC-scored rows cost nSub lookups instead of a Dim-wide cosine,
+    * so widening the probe set to absorb code error is cheaper than
+    * the recall it buys back. Approximate → rows-only; recall floor
+    * (≥ the flat-IVF tier's spec floor) in AnnSpec.
+    */
+  def ivfpqTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 6,
+                nSub: Int = 16, nCodes: Int = 16, trainSize: Int = 4096): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val emptyOut = embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+      lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+    trainFromCorpus(embs, nCells, trainSize) match {
+      case None => emptyOut
+      case Some(refined) =>
+        val books = pqCodebooks(embs, nSub, nCodes, trainSize)
+        if (books.isEmpty) return emptyOut
+        val subDim = books.head.head.length
+
+        val normLut = array(books.toIndexedSeq.map(book =>
+          array(book.toIndexedSeq.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+        val corpus = withNearestCell(embs, refined)
+          .select(col("vec_id"), col("cell"), pqEncode(col("embedding"), books).as("codes"))
+          .withColumn("dnorm2",
+            aggregate(zip_with(normLut, col("codes"),
+              (lut, c) => element_at(lut, c + 1)), lit(0.0), (a, v) => a + v))
+
+        // probe rows = (query, probed cell) pairs with the query's ADC
+        // table — nQueries × nProbe rows, assembled driver-side from the
+        // driver-resident centroids/codebooks (no extra Spark pass) and
+        // broadcast. Cell choice mirrors probeCells: nearest-l2², ties
+        // to the lowest cell id.
+        val probeRows = embs.filter(col("vec_id") < nQueries)
+          .select(col("vec_id"), col("embedding")).collect()
+          .flatMap { r =>
+            val id = r.getLong(0)
+            val q = r.getSeq[Float](1).toArray
+            val (qnorm, lut) = adcQueryLut(q, books, subDim)
+            refined.map { case (cell, c) =>
+              var d = 0.0; var i = 0
+              while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+              (d, cell)
+            }.sortBy(identity).take(nProbe)
+              .map { case (_, cell) => (id, qnorm, lut, cell) }
+          }.toSeq
+        val probes = broadcast(probeRows.toDF("query_id", "qnorm", "dot_lut", "cell"))
+
+        val scored = corpus.join(probes, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("dot",
+            aggregate(zip_with(col("dot_lut"), col("codes"),
+              (lut, c) => element_at(lut, c + 1)), lit(0.0), (a, v) => a + v))
+          .withColumn("cosine",
+            round(when(col("qnorm") === 0.0 || col("dnorm2") === 0.0, 0.0)
+              .otherwise(col("dot") / (col("qnorm") * sqrt(col("dnorm2")))), 4))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+          .orderBy("query_id", "rank")
+    }
+  }
+
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfpqTopK(Tables.embeddings(spark, dir))
 
   /** Per-subspace PQ codebooks from the bounded driver sample:
     * `books(m)(j)` is centroid j of subspace m. Empty on an empty
@@ -554,7 +650,8 @@ object Ann {
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     val tiers: Seq[(String, DataFrame)] = Seq(
       "lsh" -> lshTopK(embs), "ivf" -> ivfTopK(embs),
-      "sq" -> sqTopK(embs), "pq" -> pqTopK(embs))
+      "sq" -> sqTopK(embs), "pq" -> pqTopK(embs),
+      "ivfpq" -> ivfpqTopK(embs))
     // materialized: BOTH the hit semi-join and the returned-count agg
     // read this union, and without the checkpoint each consumer re-runs
     // all four tiers (Spark has no common-subplan elimination) —

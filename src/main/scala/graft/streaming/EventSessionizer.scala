@@ -70,10 +70,15 @@ object EventSessionizer {
     * is last-event-time + gap (an eviction horizon), while this module's
     * contract (and the oracle) reports the last event time itself.
     * Session starts/ends/counts/sums match the gaps-and-islands form
-    * row for row (one boundary nuance: the built-in starts a NEW
-    * session at a gap of exactly 30:00.000000, the islands form keeps
-    * it — unobservable on µs-grained data, and spec'd equal on the
-    * testdata).
+    * row for row, with the boundary pinned explicitly: the built-in
+    * starts a NEW session at a gap of exactly 30:00.000000 (an event at
+    * `last + gap` falls outside the half-open eviction horizon
+    * `[start, last + gap)`), so this operator's oracle flags a new
+    * session on `gap >= 30 min` — engine-identical even on data that
+    * hits the exact boundary. ([[sessionizeBatch]]'s islands form and
+    * its custom-state streaming twin keep the strict-`>` contract;
+    * the two operator families are separate entries with matching
+    * oracles each.)
     *
     * Scale: one shuffle on user_id, sessions merged inside the
     * aggregate — the same cost shape as the islands form but without
@@ -98,7 +103,7 @@ object EventSessionizer {
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
-      |           - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER w > 1800000
+      |           - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER w >= 1800000
       |         OR lag(ts) OVER w IS NULL
       |    THEN 1 ELSE 0 END AS new_session
       |  FROM events

@@ -44,6 +44,21 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(r >= 0.3, "IVF with 1/4 of cells probed recalls a meaningful fraction")
   }
 
+  test("IVF-PQ composes cell probing with ADC codes: sane ranks, recall holds the IVF floor") {
+    val ivfpq = Ann.ivfpqTopK(spark, sfDir)
+    assert(ivfpq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    val r = recallVsBrute(ivfpq)
+    info(f"IVF-PQ recall@5 = $r%.2f")
+    // the deployable composition must not sink below the flat-IVF
+    // tier's spec floor — PQ code error is small next to cell
+    // truncation at these code sizes
+    assert(r >= 0.3, "probed-cell ADC must hold the flat-IVF recall floor")
+    // empty-corpus contract matches the other tiers
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.ivfpqTopK(empty).count() === 0)
+  }
+
   test("int8 scalar quantization keeps high recall and tight reconstruction") {
     val sq = Ann.sqTopK(spark, sfDir)
     assert(sq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
@@ -172,7 +187,7 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))
       .toMap
-    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq"))
+    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq", "ivfpq"))
     rep.foreach { case (m, (ret, hits, rec)) =>
       assert(ret > 0 && hits <= ret, s"$m: hits must not exceed returned")
       assert(rec >= 0.0 && rec <= 1.0, s"$m: recall $rec out of range")

@@ -483,18 +483,25 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     val prime = 576460752303423433L
     assert(checksum >= 0 && checksum < prime)
     // recompute from collected state rows with plain JVM md5 — proves
-    // the distributed sum-of-row-hashes equals a serial reference
-    val rows = CdcQueries.latestState(spark, sfDir).collect()
+    // the distributed sum-of-row-hashes equals a serial reference.
+    // Canonicalization mirrors stateChecksum exactly: raw (unrounded)
+    // state, doubles as floor(v*100 + 0.5) integer cents (exact IEEE
+    // ops, engine-stable), NULLs as a U+0001 sentinel.
+    val rows = graft.cdc.CdcOps.latestState(
+      graft.cdc.CdcOps.userChangelog(spark, sfDir), Seq("user_id"), graft.cdc.CdcOps.userDataCols)
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms", "n_changes")
+      .collect()
     assert(nRows === rows.length)
     val md = java.security.MessageDigest.getInstance("MD5")
+    def f(r: org.apache.spark.sql.Row, i: Int)(s: => String): String =
+      if (r.isNullAt(i)) "\u0001" else s
     val expected = rows.map { r =>
       val canon = Seq(
-        r.getLong(0).toString,
-        r.getString(1),
-        java.math.BigDecimal.valueOf(r.getDouble(2))
-          .setScale(2, java.math.RoundingMode.HALF_UP).toPlainString,
-        r.getLong(3).toString,
-        r.getLong(4).toString).mkString("|")
+        f(r, 0)(r.getLong(0).toString),
+        f(r, 1)(r.getString(1)),
+        f(r, 2)(math.floor(r.getDouble(2) * 100d + 0.5d).toLong.toString),
+        f(r, 3)(r.getLong(3).toString),
+        f(r, 4)(r.getLong(4).toString)).mkString("|")
       val hex = md.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
       BigInt(java.lang.Long.parseLong(hex, 16))
     }.sum.mod(BigInt(prime)).toLong

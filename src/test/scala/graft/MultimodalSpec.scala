@@ -72,6 +72,17 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs brute force too low: $recall")
   }
 
+  test("mm IVF-PQ similarity holds the flat-IVF recall floor over binary features") {
+    val brute = BinaryPipeline.similarTopK(spark, sfDir).select("query_id", "neighbor_id")
+    val ivfpq = BinaryPipeline.similarTopKIvfPq(spark, sfDir)
+    assert(ivfpq.columns.toSeq === Seq("query_id", "neighbor_id", "rank", "cosine"))
+    assert(ivfpq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    val hits = ivfpq.select("query_id", "neighbor_id").intersect(brute).count().toDouble
+    val recall = hits / brute.count()
+    info(f"mm IVF-PQ recall@5 = $recall%.2f")
+    assert(recall >= 0.5, s"IVF-PQ recall vs brute force too low: $recall")
+  }
+
   test("payload binary column survives the round trip (no string inflation)") {
     val bin = BinaryPipeline.asBinaryTable(Tables.documents(spark, sfDir))
     val schema = bin.schema("payload").dataType.typeName

@@ -226,51 +226,106 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) < 3 * term(1, 2) * 0.8)
   }
 
-  test("distributed BPE training equals an independent serial implementation") {
-    import graft.functions.Bpe
-    val docs = Tables.documents(spark, sfDir)
-    val n = 10
-    val dist = Bpe.learnMerges(docs, n)
+  // serial BPE reference shared by the equality + batching specs.
+  // Tie-break compares strings by CODE POINTS (= UTF-8 byte order, the
+  // ordering Spark's UTF8String comparison implements) — plain Java
+  // String.compareTo is UTF-16 code-unit order, which disagrees on
+  // supplementary-plane characters, so a serial reference using it
+  // would diverge from the engine on non-BMP corpora.
+  private def cpLt(a: String, b: String): Boolean = {
+    val x = a.codePoints().toArray; val y = b.codePoints().toArray
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) { if (x(i) != y(i)) return x(i) < y(i); i += 1 }
+    x.length < y.length
+  }
 
-    // serial reference: same tokenization (via Spark), then pure Scala
-    val freq = docs
-      .select(explode(graft.functions.TextFunctions.wsTokens(trim(lower(col("text"))))).as("t"))
-      .filter(col("t") =!= "").groupBy("t").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    def mergeWord(s: Vector[String], a: String, b: String): Vector[String] = {
-      val out = Vector.newBuilder[String]; var i = 0
-      while (i < s.length) {
-        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
-        else { out += s(i); i += 1 }
-      }
-      out.result()
-    }
+  private def serialBpe(freq: Seq[(String, Long)], n: Int): Seq[(String, String, Long)] = {
+    import graft.functions.Bpe
     var words: Seq[(Vector[String], Long)] =
-      freq.toSeq.map { case (t, w) => (t.split("").toVector :+ Bpe.EndOfWord, w) }
+      freq.map { case (t, w) => (t.split("").toVector :+ Bpe.EndOfWord, w) }
     val serial = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    while (serial.size < n) {
+    var done = false
+    while (serial.size < n && !done) {
       val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
       words.foreach { case (s, w) =>
         s.sliding(2).filter(_.size == 2).foreach { p =>
           pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + w
         }
       }
-      val ((a, b), cnt) = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
-      serial += ((a, b, cnt))
-      words = words.map { case (s, w) => (mergeWord(s, a, b), w) }
-        .filter(_._1.size >= 2)
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pairs.toSeq.sortWith { case (((x1, y1), c1), ((x2, y2), c2)) =>
+          if (c1 != c2) c1 > c2
+          else if (x1 != x2) cpLt(x1, x2)
+          else cpLt(y1, y2)
+        }.head
+        serial += ((a, b, cnt))
+        words = words.map { case (s, w) => (Bpe.mergeWord(s, a, b), w) }
+          .filter(_._1.size >= 2)
+      }
     }
-    assert(dist === serial.toSeq,
+    serial.toSeq
+  }
+
+  private def bpeTokenFreq: Seq[(String, Long)] =
+    Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.wsTokens(trim(lower(col("text"))))).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count()
+      .collect().toSeq.map(r => r.getString(0) -> r.getLong(1))
+
+  test("distributed BPE training (batch=1) equals an independent serial implementation") {
+    import graft.functions.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val n = 10
+    val dist = Bpe.learnMerges(docs, n, batch = 1)
+    val freq = bpeTokenFreq
+    val serial = serialBpe(freq, n)
+    assert(dist === serial,
       s"distributed merges must match the serial reference:\n$dist\nvs\n$serial")
 
     // encoding with the learned merges must strictly compress, stay
     // lossless in token count, and never go below 1 symbol per token
-    val comp = Bpe.bpeCompression(spark, sfDir, n).collect().head
+    val comp = Bpe.bpeCompression(spark, sfDir, n, batch = 1).collect().head
     val (nTok, before, after) = (comp.getLong(0), comp.getLong(1), comp.getLong(2))
     assert(nTok === freq.map(_._2).sum)
     assert(after < before, "merges must reduce total symbol count")
     assert(after >= nTok, "a token cannot encode to fewer than 1 symbol")
     assert(comp.getDouble(3) > 0.0 && comp.getDouble(3) < 1.0)
+  }
+
+  test("batched BPE rounds: valid exact counts, deterministic, compression parity with serial") {
+    import graft.functions.Bpe
+    val docs = Tables.documents(spark, sfDir)
+    val n = 20
+    val batched = Bpe.learnMerges(docs, n, batch = graft.functions.Bpe.DefaultBatch)
+    val serial = serialBpe(bpeTokenFreq, n)
+
+    assert(batched.size === n)
+    assert(batched.map(m => (m._1, m._2)).distinct.size === n, "merges must be distinct pairs")
+    assert(batched.forall(_._3 > 0), "every accepted pair carries a positive corpus count")
+    // determinism: training is a pure function of (corpus, n, batch)
+    assert(Bpe.learnMerges(docs, n, batch = graft.functions.Bpe.DefaultBatch) === batched)
+
+    // end-to-end quality parity: encoding with the batched merge list
+    // must compress within 2% of the strict-serial list. Batched
+    // acceptance can reorder merges only in the documented
+    // created-pair case, which defers a merge by one round but keeps
+    // every accepted count exact, so compression stays at parity.
+    def compressionOf(merges: Seq[(String, String)]): Double = {
+      val freq = bpeTokenFreq
+      var (before, after) = (0L, 0L)
+      freq.foreach { case (t, w) =>
+        val syms = t.split("").toVector :+ Bpe.EndOfWord
+        val enc = merges.foldLeft(syms) { case (s, (a, b)) => Bpe.mergeWord(s, a, b) }
+        before += syms.size.toLong * w; after += enc.size.toLong * w
+      }
+      after.toDouble / before
+    }
+    val cb = compressionOf(batched.map(m => (m._1, m._2)))
+    val cs = compressionOf(serial.map(m => (m._1, m._2)))
+    assert(cb <= cs * 1.02,
+      s"batched merges must compress within 2% of serial: batched=$cb serial=$cs")
   }
 
   test("weighted sample is a pure function of the data and monotone in weight") {
