@@ -41,6 +41,17 @@ object VectorExpressions {
     */
   def hyperplaneSigs(v: Column, planes: Array[Double], nBits: Int, nTables: Int, dim: Int): Column =
     GraftExpressionBridge.column(HyperplaneSigs(expr(v), planes.toIndexedSeq, nBits, nTables, dim))
+
+  /** PQ encode: per-subspace argmin over a flat codebook
+    * (`books[(m*nCodes + j)*subDim + i]`), ties to the lowest code id.
+    * One compact generated loop replaces nSub×nCodes inlined distance
+    * expressions — the literal-expression form of the same encode blew
+    * past the JVM's 64 KB method limit once composed with cell
+    * assignment in one projection (IVF-PQ), throwing the whole stage
+    * back to interpreted execution.
+    */
+  def pqEncodeCodes(v: Column, books: Array[Double], nSub: Int, nCodes: Int, subDim: Int): Column =
+    GraftExpressionBridge.column(PqEncodeCodes(expr(v), books.toIndexedSeq, nSub, nCodes, subDim))
 }
 
 private[functions] trait VecArrayExpr { self: Expression =>
@@ -221,6 +232,82 @@ case class HyperplaneSigs(child: Expression, planes: IndexedSeq[Double],
          |  $sigs[$t] = $sig;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Product-quantization encode: code m = argmin_j ‖v[m·subDim ..] −
+  * books[m][j]‖² with ties to the lowest j (exactly the struct<d,j> +
+  * array_min lexicographic rule the literal-expression form used, so
+  * the swap is plan-for-plan value-identical). Output: array<int> of
+  * nSub codes; NULL when the vector is shorter than nSub·subDim (a
+  * truncated embedding must surface, not encode a prefix).
+  */
+case class PqEncodeCodes(child: Expression, books: IndexedSeq[Double],
+                         nSub: Int, nCodes: Int, subDim: Int)
+    extends UnaryExpression with VecArrayExpr {
+  require(books.length == nSub * nCodes * subDim,
+    s"books length ${books.length} != $nSub*$nCodes*$subDim")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkArrTypes(Seq(child))
+  private lazy val cf = isFloatArr(child)
+  @transient private lazy val booksArr: Array[Double] = books.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() < nSub * subDim) return null
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < nCodes) {
+        val off = (m * nCodes + j) * subDim
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val t = getS(v, cf, m * subDim + i) - booksArr(off + i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", booksArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes"); val m = ctx.freshName("m")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val off = ctx.freshName("off"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($v.numElements() < ${nSub * subDim}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int[] $codes = new int[$nSub];
+         |  for (int $m = 0; $m < $nSub; $m++) {
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $j = 0; $j < $nCodes; $j++) {
+         |      final int $off = ($m * $nCodes + $j) * $subDim;
+         |      double $d = 0.0;
+         |      for (int $i = 0; $i < $subDim; $i++) {
+         |        final double $t = ${getJ(v, cf, s"$m * $subDim + $i")} - $bRef[$off + $i];
+         |        $d += $t * $t;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |    }
+         |    $codes[$m] = $best;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+         |}
        """.stripMargin
     })
   }

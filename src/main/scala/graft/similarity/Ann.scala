@@ -552,18 +552,18 @@ object Ann {
     }
   }
 
-  /** Map-side PQ encode: per subspace, argmin over the literal codebook
-    * (struct<d,j> + array_min — stays in codegen). Output array<int>
-    * of length nSub.
+  /** Map-side PQ encode via the native [[graft.functions.VectorExpressions.pqEncodeCodes]]
+    * expression: per subspace, argmin over the flat codebook, ties to
+    * the lowest code id. Output array<int> of length nSub. The earlier
+    * literal form (nSub×nCodes inlined struct<d,j> distances +
+    * array_min) was value-identical but generated >64 KB of bytecode
+    * once IVF cell assignment shared the projection, kicking the whole
+    * stage out of codegen.
     */
   def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column = {
     val subDim = books.head.head.length
-    array(books.toIndexedSeq.zipWithIndex.map { case (book, m) =>
-      array_min(array(book.toIndexedSeq.zipWithIndex.map { case (c, j) =>
-        struct(l2sq(slice(v, m * subDim + 1, subDim),
-          array(c.toIndexedSeq.map(lit): _*)).as("d"), lit(j).as("j"))
-      }: _*)).getField("j")
-    }: _*)
+    graft.functions.VectorExpressions.pqEncodeCodes(
+      v, books.flatten.flatten, books.length, books.head.length, subDim)
   }
 
   /** Codebook-lookup decode (inverse of [[pqEncode]] up to quantization

@@ -226,6 +226,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
           array_distinct(split(col("text"), lit(" ")))).as("sh"))
         .collect()
       assert(sh.length === 1 && !sh(0).isNullAt(0))
+
+      // PQ encode: 2 subspaces × 2 codes × 2 dims; v=(0,0,5,5) → code 0
+      // is nearest (0,0) [j=0], code 1 nearest (4,4) [j=1]
+      val flatBooks = Array(0.0, 0.0, 3.0, 3.0, 1.0, 1.0, 4.0, 4.0)
+      val pq = Seq(Seq(0.0f, 0.0f, 5.0f, 5.0f)).toDF("v")
+        .select(graft.functions.VectorExpressions.pqEncodeCodes(
+          col("v"), flatBooks, 2, 2, 2).as("codes"))
+        .collect()
+      assert(pq.length === 1 && pq(0).getSeq[Int](0) === Seq(0, 1))
     } finally {
       conf.set("spark.sql.codegen.fallback", "true")
       conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
