@@ -678,6 +678,47 @@ object Dedup {
       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the IVF coarse
+    * quantizer, compare embeddings ONLY within a cluster, and drop
+    * every vector that has a smaller-id in-cell neighbor at cosine ≥
+    * threshold. This is the SCALE path next to [[embeddingCosine]]'s
+    * exact all-pairs tier: the quadratic is bounded per cell
+    * (Σ|cell|² ≈ (nAssign·n)²/nCells for balanced cells, and nCells
+    * grows with the corpus), the only shuffle is the cell-keyed
+    * self-join, and scoring is the native fused-loop cosine.
+    * Assignment is SOFT (each vector in its `nAssign` nearest cells),
+    * so a pair straddling a cell boundary still meets in the overlap —
+    * the standard recall lever; remaining cross-cell misses are the
+    * documented trade, measured in the spec against the exact tier
+    * alongside the soundness assertion that every within-cell drop is
+    * a true drop.
+    *
+    * Output: (vec_id, cell, keep) with the vector's PRIMARY (nearest)
+    * cell — the keep-list face, array-free so the driver can hash it.
+    * Rows-only (centroid-specific).
+    */
+  def semanticDedup(embs: DataFrame, threshold: Double = 0.4, nCells: Int = 16,
+                    nAssign: Int = 2): DataFrame = {
+    val (centroids, primary) = graft.similarity.Ann.ivfIndex(embs, nCells)
+    // both sides of the self-join read the soft assignment — materialize once
+    val multi = graft.similarity.Ann.assignCellsMulti(centroids, embs, nAssign)
+      .localCheckpoint(true)
+    val l = multi.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val r = multi.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val dups = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.VectorExpressions.cosine(col("va"), col("vb")), 4)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    primary.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), coalesce(!col("dup"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir))
+
   // ------------------------------------------------------------------
   // 6. Benchmark decontamination (test-set n-gram overlap).
   // ------------------------------------------------------------------

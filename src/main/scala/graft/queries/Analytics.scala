@@ -1685,6 +1685,39 @@ object Analytics {
       .orderBy("col_name")
   }
 
+  /** The scale face of [[profileColumns]]: `approx_count_distinct`
+    * (HLL++, rsd 2%) replaces the exact multi-countDistinct. The exact
+    * form costs an Expand×|cols| blow-up of the scan (every row
+    * duplicated once per distinct-aggregated column) so its shuffle is
+    * |cols|× the table; the sketch form keeps ONE row per input row
+    * and bounded per-column state — at 100 TB this is the only
+    * runnable shape, with the exact face kept as the small-scale
+    * auditor. Approximate → rows-only; the ±2% agreement with the
+    * exact profile is spec'd.
+    */
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val numeric = Set("o_totalprice")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def str(c: String, v: Column): Column =
+      (if (numeric(c)) round(v.cast("double"), 2) else v).cast("string")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      approx_count_distinct(col(c), 0.02).as(s"${c}__nd"),
+      str(c, min(col(c))).as(s"${c}__mn"),
+      str(c, max(col(c))).as(s"${c}__mx")))
+    val one = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', $c" + s"__nn, $c" + s"__nd, $c" + s"__mn, $c" + s"__mx").mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_str, max_str)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
   val profileColumnsSql: String = {
     val numeric = Set("o_totalprice")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -220,6 +220,22 @@ object Ann {
     else withNearestCell(newEmbs, table)
   }
 
+  /** Overlapping (soft) cell assignment: each vector lands in its
+    * `nAssign` nearest cells. The standard recall lever for
+    * cell-bounded pairwise work (SemDeDup-style dedup): a near-dup
+    * pair straddling a cell boundary meets in the second-nearest
+    * cell. Cost is nAssign rows per vector into the downstream
+    * cell-keyed join; assignment itself stays a map-side argmin scan.
+    */
+  def assignCellsMulti(centroids: DataFrame, embs: DataFrame, nAssign: Int): DataFrame = {
+    val table = centroidTable(centroids)
+    if (table.isEmpty)
+      embs.select(col("vec_id"), col("embedding"), lit(0).as("cell")).limit(0)
+    else embs.select(col("vec_id"), col("embedding"),
+      explode(transform(slice(array_sort(cellDistances(col("embedding"), table)), 1, nAssign),
+        s => s.getField("cell"))).as("cell"))
+  }
+
   /** Top-k probe over a persisted index (centroids + assigned lists).
     * Empty index → empty contract-schema result (see [[assignCells]]).
     */
@@ -476,64 +492,169 @@ object Ann {
   def ivfpqTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
                 nCells: Int = 16, nProbe: Int = 6,
                 nSub: Int = 16, nCodes: Int = 16, trainSize: Int = 4096): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
     val emptyOut = embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
       lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
     trainFromCorpus(embs, nCells, trainSize) match {
       case None => emptyOut
       case Some(refined) =>
         val books = pqCodebooks(embs, nSub, nCodes, trainSize)
-        if (books.isEmpty) return emptyOut
-        val subDim = books.head.head.length
-
-        val normLut = array(books.toIndexedSeq.map(book =>
-          array(book.toIndexedSeq.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
-        val corpus = withNearestCell(embs, refined)
-          .select(col("vec_id"), col("cell"), pqEncode(col("embedding"), books).as("codes"))
-          .withColumn("dnorm2",
-            aggregate(zip_with(normLut, col("codes"),
-              (lut, c) => element_at(lut, c + 1)), lit(0.0), (a, v) => a + v))
-
-        // probe rows = (query, probed cell) pairs with the query's ADC
-        // table — nQueries × nProbe rows, assembled driver-side from the
-        // driver-resident centroids/codebooks (no extra Spark pass) and
-        // broadcast. Cell choice mirrors probeCells: nearest-l2², ties
-        // to the lowest cell id.
-        val probeRows = embs.filter(col("vec_id") < nQueries)
-          .select(col("vec_id"), col("embedding")).collect()
-          .flatMap { r =>
-            val id = r.getLong(0)
-            val q = r.getSeq[Float](1).toArray
-            val (qnorm, lut) = adcQueryLut(q, books, subDim)
-            refined.map { case (cell, c) =>
-              var d = 0.0; var i = 0
-              while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
-              (d, cell)
-            }.sortBy(identity).take(nProbe)
-              .map { case (_, cell) => (id, qnorm, lut, cell) }
-          }.toSeq
-        val probes = broadcast(probeRows.toDF("query_id", "qnorm", "dot_lut", "cell"))
-
-        val scored = corpus.join(probes, Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("dot",
-            aggregate(zip_with(col("dot_lut"), col("codes"),
-              (lut, c) => element_at(lut, c + 1)), lit(0.0), (a, v) => a + v))
-          .withColumn("cosine",
-            round(when(col("qnorm") === 0.0 || col("dnorm2") === 0.0, 0.0)
-              .otherwise(col("dot") / (col("qnorm") * sqrt(col("dnorm2")))), 4))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-        scored
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
-          .orderBy("query_id", "rank")
+        if (books.isEmpty) emptyOut
+        else ivfpqScore(ivfpqEncode(embs, refined, books), refined, books,
+          embs.filter(col("vec_id") < nQueries), k, nProbe)
     }
+  }
+
+  /** One corpus scan → (vec_id, cell, codes, dnorm2): cell argmin + PQ
+    * codes + reconstructed norm², all map-side (literal centroid table,
+    * native encode expression, norm LUT).
+    */
+  private def ivfpqEncode(embs: DataFrame, refined: Array[(Int, Array[Double])],
+                          books: Array[Array[Array[Double]]]): DataFrame = {
+    val normLut = array(books.toIndexedSeq.map(book =>
+      array(book.toIndexedSeq.map(c => lit(c.map(x => x * x).sum)): _*)): _*)
+    withNearestCell(embs, refined)
+      .select(col("vec_id"), col("cell"), pqEncode(col("embedding"), books).as("codes"))
+      .withColumn("dnorm2",
+        aggregate(zip_with(normLut, col("codes"),
+          (lut, c) => element_at(lut, c + 1)), lit(0.0), (a, v) => a + v))
+  }
+
+  /** Probe + ADC ranking over an already-encoded code table. Probe rows
+    * = (query, probed cell) pairs with the query's ADC table — nQueries
+    * × nProbe rows, assembled driver-side from the driver-resident
+    * centroids/codebooks (no extra Spark pass) and broadcast. Cell
+    * choice mirrors probeCells: nearest-l2², ties to the lowest cell id.
+    */
+  private def ivfpqScore(codes: DataFrame, refined: Array[(Int, Array[Double])],
+                         books: Array[Array[Array[Double]]], queries: DataFrame,
+                         k: Int, nProbe: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val subDim = books.head.head.length
+    val probeRows = queries
+      .select(col("vec_id"), col("embedding")).collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val q = r.getSeq[Float](1).toArray
+        val (qnorm, lut) = adcQueryLut(q, books, subDim)
+        refined.map { case (cell, c) =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+          (d, cell)
+        }.sortBy(identity).take(nProbe)
+          .map { case (_, cell) => (id, qnorm, lut, cell) }
+      }.toSeq
+    val probes = broadcast(probeRows.toDF("query_id", "qnorm", "dot_lut", "cell"))
+
+    val scored = codes.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("dot_lut"), col("codes"),
+          (lut, c) => element_at(lut, c + 1)), lit(0.0), (a, v) => a + v))
+      .withColumn("cosine",
+        round(when(col("qnorm") === 0.0 || col("dnorm2") === 0.0, 0.0)
+          .otherwise(col("dot") / (col("qnorm") * sqrt(col("dnorm2")))), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
     ivfpqTopK(Tables.embeddings(spark, dir))
+
+  // ------------------------------------------------------------------
+  // Persisted IVF-PQ index — the amortization tier: ~1/3 of a one-shot
+  // ivfpqTopK is the corpus encode (measured at sf0.1/sf1), which a
+  // real deployment pays ONCE. The three artifacts below are all plain
+  // persistable tables; new embedding batches encode map-side against
+  // the persisted quantizers with no retraining and no old-corpus
+  // access — the PQ mirror of the flat ivfIndex/assignCells pattern.
+  // ------------------------------------------------------------------
+
+  /** (centroid table, codebook table, code table):
+    *  - centroids (cell, centroid array<double>) — O(cells×dim) rows;
+    *  - codebooks (sub, code, centroid array<double>) — nSub×nCodes rows;
+    *  - codes (vec_id, cell, codes array<int>, dnorm2) — the corpus at
+    *    ~4·nSub bytes a row instead of 4·dim.
+    * Empty frames for an empty corpus.
+    */
+  def ivfpqIndex(embs: DataFrame, nCells: Int = 16, nSub: Int = 16,
+                 nCodes: Int = 16, trainSize: Int = 4096)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val emptyCodes = embs.select(col("vec_id"), lit(0).as("cell"),
+      array().cast("array<int>").as("codes"), lit(0.0).as("dnorm2")).limit(0)
+    trainFromCorpus(embs, nCells, trainSize) match {
+      case None =>
+        (Seq.empty[(Int, Seq[Double])].toDF("cell", "centroid"),
+          Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "code", "centroid"),
+          emptyCodes)
+      case Some(refined) =>
+        val books = pqCodebooks(embs, nSub, nCodes, trainSize)
+        val bookRows = for {
+          (book, m) <- books.zipWithIndex
+          (c, j) <- book.zipWithIndex
+        } yield (m, j, c.toSeq)
+        (refined.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid"),
+          bookRows.toSeq.toDF("sub", "code", "centroid"),
+          ivfpqEncode(embs, refined, books))
+    }
+  }
+
+  /** Driver-side literal form of a persisted codebook table (bounded:
+    * nSub×nCodes×subDim, like the centroid table).
+    */
+  private def codebookTable(codebooks: DataFrame): Array[Array[Array[Double]]] =
+    codebooks.select(col("sub"), col("code"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Encode a NEW embedding batch against a persisted index's
+    * quantizers — map-side, no retraining, cost scales with the batch.
+    * Append the result to the persisted code table.
+    */
+  def ivfpqAssign(centroids: DataFrame, codebooks: DataFrame, newEmbs: DataFrame): DataFrame = {
+    val cells = centroidTable(centroids)
+    val books = codebookTable(codebooks)
+    if (cells.isEmpty || books.isEmpty)
+      newEmbs.select(col("vec_id"), lit(0).as("cell"),
+        array().cast("array<int>").as("codes"), lit(0.0).as("dnorm2")).limit(0)
+    else ivfpqEncode(newEmbs, cells, books)
+  }
+
+  /** Top-k probe over a persisted IVF-PQ index. Empty index → empty
+    * contract-schema result.
+    */
+  def ivfpqTopKFromIndex(centroids: DataFrame, codebooks: DataFrame, codes: DataFrame,
+                         queries: DataFrame, k: Int = 5, nProbe: Int = 6): DataFrame = {
+    val cells = centroidTable(centroids)
+    val books = codebookTable(codebooks)
+    if (cells.isEmpty || books.isEmpty)
+      queries.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+    else ivfpqScore(codes, cells, books, queries, k, nProbe)
+  }
+
+  /** Driver entry for the incremental IVF-PQ pattern: even vec_ids are
+    * the already-indexed corpus (both quantizers trained on them
+    * alone), odd ids the new batch encoded against the persisted
+    * artifacts without retraining. Rows-only; equality with the
+    * monolithic same-artifacts path is spec-asserted.
+    */
+  def ivfpqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val (centroids, codebooks, oldCodes) =
+      ivfpqIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0))
+    val newCodes = ivfpqAssign(centroids, codebooks,
+      embs.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    ivfpqTopKFromIndex(centroids, codebooks, oldCodes.unionByName(newCodes),
+      embs.filter(col("vec_id") < 10))
+  }
 
   /** Per-subspace PQ codebooks from the bounded driver sample:
     * `books(m)(j)` is centroid j of subspace m. Empty on an empty

@@ -143,6 +143,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(mn <= mx)
   }
 
+  test("profile_columns_approx tracks the exact profile within HLL tolerance, without Expand") {
+    val exact = Analytics.profileColumns(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val approx = Analytics.profileColumnsApprox(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (c, a) =>
+      val e = exact(c)
+      // non-sketch columns are identical; the sketch is within ±5%
+      // (2% rsd, generous margin at small cardinalities)
+      assert(a.getAs[Long]("n_rows") === e.getAs[Long]("n_rows"))
+      assert(a.getAs[Long]("n_nulls") === e.getAs[Long]("n_nulls"))
+      assert(a.getAs[String]("min_str") === e.getAs[String]("min_str"))
+      assert(a.getAs[String]("max_str") === e.getAs[String]("max_str"))
+      val (ad, ed) = (a.getAs[Long]("n_distinct").toDouble, e.getAs[Long]("n_distinct").toDouble)
+      assert(math.abs(ad - ed) <= math.max(ed * 0.05, 2.0),
+        s"$c: approx $ad vs exact $ed")
+    }
+    // the scale property: the sketch plan must NOT Expand the scan
+    // (the exact form duplicates every row once per distinct column)
+    val plan = Analytics.profileColumnsApprox(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+    assert(Analytics.profileColumns(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "the exact face pays Expand by design — this assertion documents the trade")
+  }
+
   test("retention cohorts: first month sets the cohort, later months count returns") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

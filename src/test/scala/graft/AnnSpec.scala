@@ -111,6 +111,37 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(viaUnion.collect().toSeq === direct.collect().toSeq)
   }
 
+  test("incremental IVF-PQ encoding equals the monolithic index (same quantizers)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val (centroids, codebooks, codesAll) = Ann.ivfpqIndex(embs)
+    // encoding any slice against the persisted quantizer tables must
+    // reproduce the monolithic encode exactly — cell argmin and PQ
+    // codes are deterministic map-side functions of the artifacts
+    val slice = embs.filter(pmod(col("vec_id"), lit(3L)) === 1)
+    val inc = Ann.ivfpqAssign(centroids, codebooks, slice)
+      .select("vec_id", "cell", "codes")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val mono = codesAll.filter(pmod(col("vec_id"), lit(3L)) === 1)
+      .select("vec_id", "cell", "codes")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    assert(inc === mono)
+    // probing recombined code tables equals probing the monolithic one
+    val q = embs.filter(col("vec_id") < 5)
+    val viaUnion = Ann.ivfpqTopKFromIndex(centroids, codebooks,
+      codesAll.filter(pmod(col("vec_id"), lit(3L)) =!= 1)
+        .unionByName(Ann.ivfpqAssign(centroids, codebooks, slice)), q)
+    val direct = Ann.ivfpqTopKFromIndex(centroids, codebooks, codesAll, q)
+    assert(viaUnion.collect().toSeq === direct.collect().toSeq)
+    // empty-corpus contract across all three APIs
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val (ec, eb, ecodes) = Ann.ivfpqIndex(empty)
+    val batch = Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(Ann.ivfpqAssign(ec, eb, batch).count() === 0)
+    assert(Ann.ivfpqTopKFromIndex(ec, eb, ecodes, batch).count() === 0)
+  }
+
   test("corpus buckets partition the corpus with sane dispersion") {
     val buckets = Ann.corpusBuckets(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

@@ -173,6 +173,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.filter(col("cosine") < 0.4).count() === 0)
   }
 
+  test("semantic dedup drops only true near-dups and covers most of the exact tier") {
+    val out = Dedup.semanticDedup(spark, sfDir).collect()
+    val embs = Tables.embeddings(spark, sfDir)
+    assert(out.length === embs.count(), "one keep-decision per vector")
+    // deterministic (pure function of corpus + quantizer seed)
+    assert(Dedup.semanticDedup(spark, sfDir).collect().toSeq === out.toSeq)
+
+    val dropped = out.filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    // the exact tier's drop set at the same threshold: any vec with a
+    // smaller-id neighbor at cosine >= 0.4, cells ignored
+    val exactDropped = Dedup.embeddingCosine(spark, sfDir)
+      .select("id_b").collect().map(_.getInt(0).toLong).toSet
+    // soundness: every within-cell drop is a true near-dup drop
+    assert(dropped.subsetOf(exactDropped),
+      s"cell-bounded drops must be a subset of exact drops: ${dropped -- exactDropped}")
+    // recall: cells capture a meaningful share of the exact drop set
+    // (cross-cell pairs are the documented miss)
+    if (exactDropped.nonEmpty) {
+      val recall = dropped.size.toDouble / exactDropped.size
+      info(f"semantic-dedup drop recall vs exact tier = $recall%.2f")
+      assert(recall >= 0.4, s"cell-bounded dedup recall too low: $recall")
+    }
+  }
+
   test("source overlap: mirrored sources score 1.0, disjoint sources never pair") {
     import spark.implicits._
     val docs = Seq(
