@@ -270,8 +270,28 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup pair table memoized per (dir, threshold, maxDf) — the
+    * three driver entries that consume it (`dedup_ngram_jaccard`,
+    * `dedup_clusters`, `near_dedup_keep`) share ONE materialized pair
+    * generation per pass instead of re-running the posting build and
+    * pair expansion three times (the dominant cost of the whole family
+    * at scale: the pair stage is the Θ(Σ min(df,cap)²) part). Same
+    * memoization discipline as BPE's shared training run; the cached
+    * frame is localCheckpoint-materialized so every consumer reads
+    * shuffle output, not lineage.
+    */
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Double, Int), DataFrame]
+
+  private def cachedJaccardPairs(spark: SparkSession, dir: String,
+                                 threshold: Double = 0.5,
+                                 maxDf: Int = MaxShingleDf): DataFrame =
+    pairsCache.getOrElseUpdate((dir, threshold, maxDf),
+      ngramJaccardPairs(Tables.documents(spark, dir), threshold, maxDf)
+        .localCheckpoint(true))
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccard(Tables.documents(spark, dir))
+    cachedJaccardPairs(spark, dir).orderBy("id_a", "id_b")
 
   val ngramJaccardSql: String =
     """WITH l AS (
@@ -924,10 +944,9 @@ object Dedup {
     members.toSeq.map(x => { val r = find(x); (x, r, size(r)) })
   }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    dedupClusters(docs, ngramJaccardPairs(docs).select("id_a", "id_b"))
-  }
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(Tables.documents(spark, dir),
+      cachedJaccardPairs(spark, dir).select("id_a", "id_b"))
 
   /** The dedup pipeline's end product — "keep one doc per near-dup
     * cluster": cluster representatives (the canonical min id) with

@@ -29,6 +29,21 @@ object Ann {
 
   val Dim = 64
 
+  /** Per-(dir, tier) memo for the DRIVER faces: a verify/bench pass
+    * runs every tier standalone AND `ann_recall_report` re-runs all of
+    * them as its ground truth + candidates — without sharing, the
+    * whole family is computed twice per pass. Same discipline as the
+    * BPE shared training run and the dedup shared pair table; each
+    * cached frame is localCheckpoint-materialized so consumers read
+    * shuffle output, not lineage. The generic DataFrame faces stay
+    * uncached (they can't know their input's identity).
+    */
+  private val tierCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private def cachedTier(dir: String, tier: String)(f: => DataFrame): DataFrame =
+    tierCache.getOrElseUpdate((dir, tier), f.localCheckpoint(true))
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries). */
   def bruteForceTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val queries = broadcast(
@@ -45,7 +60,7 @@ object Ann {
   }
 
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
-    bruteForceTopK(Tables.embeddings(spark, dir))
+    cachedTier(dir, "brute")(bruteForceTopK(Tables.embeddings(spark, dir)))
 
   val bruteForceSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -100,7 +115,7 @@ object Ann {
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    lshTopK(Tables.embeddings(spark, dir))
+    cachedTier(dir, "lsh")(lshTopK(Tables.embeddings(spark, dir)))
 
   /** IVF-style ANN, FAISS-shaped: the coarse quantizer is trained on a
     * deterministic systematic SAMPLE collected to the driver (k-means on
@@ -372,7 +387,7 @@ object Ann {
         + element_at(lo, i + 1)).cast("float"))
 
   def sqTopK(spark: SparkSession, dir: String): DataFrame =
-    sqTopK(Tables.embeddings(spark, dir))
+    cachedTier(dir, "sq")(sqTopK(Tables.embeddings(spark, dir)))
 
   /** Product-quantized (PQ) ANN — the compression tier past SQ: the
     * vector splits into `nSub` subvectors, each stored as the id of its
@@ -563,7 +578,7 @@ object Ann {
   }
 
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfpqTopK(Tables.embeddings(spark, dir))
+    cachedTier(dir, "ivfpq")(ivfpqTopK(Tables.embeddings(spark, dir)))
 
   // ------------------------------------------------------------------
   // Persisted IVF-PQ index — the amortization tier: ~1/3 of a one-shot
@@ -698,7 +713,7 @@ object Ann {
     }: _*))
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    pqTopK(Tables.embeddings(spark, dir))
+    cachedTier(dir, "pq")(pqTopK(Tables.embeddings(spark, dir)))
 
   /** Driver-side Lloyd iterations over the training sample: systematic
     * seeds, `iters` assign/recompute rounds. Deterministic (no RNG);
@@ -752,7 +767,7 @@ object Ann {
       array_min(cellDistances(col("embedding"), centroids)).getField("cell").as("cell"))
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.embeddings(spark, dir))
+    cachedTier(dir, "ivf")(ivfTopK(Tables.embeddings(spark, dir)))
 
   /** Index-quality evaluation: recall@k of every approximate tier
     * against the exact brute-force ground truth, in ONE report — the
@@ -766,16 +781,18 @@ object Ann {
     * is a semi join + two counts in one job). Evaluation cost is the
     * sum of the tiers being judged, not a new scan family.
     */
-  def recallReport(embs: DataFrame): DataFrame = {
-    val truth = bruteForceTopK(embs)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-    val tiers: Seq[(String, DataFrame)] = Seq(
+  def recallReport(embs: DataFrame): DataFrame =
+    recallReportFrom(bruteForceTopK(embs), Seq(
       "lsh" -> lshTopK(embs), "ivf" -> ivfTopK(embs),
       "sq" -> sqTopK(embs), "pq" -> pqTopK(embs),
-      "ivfpq" -> ivfpqTopK(embs))
+      "ivfpq" -> ivfpqTopK(embs)))
+
+  private def recallReportFrom(brute: DataFrame, tiers: Seq[(String, DataFrame)]): DataFrame = {
+    val truth = brute
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     // materialized: BOTH the hit semi-join and the returned-count agg
     // read this union, and without the checkpoint each consumer re-runs
-    // all four tiers (Spark has no common-subplan elimination) —
+    // every tier (Spark has no common-subplan elimination) —
     // measured ~2× the whole report's cost.
     val tagged = tiers
       .map { case (m, df) =>
@@ -794,8 +811,15 @@ object Ann {
       .orderBy("method")
   }
 
+  /** Driver face: the gate consumes the SAME memoized tier tables the
+    * standalone entries serve, so a verify/bench pass computes each
+    * tier once — the report's own cost shrinks to tiny-table joins.
+    */
   def recallReport(spark: SparkSession, dir: String): DataFrame =
-    recallReport(Tables.embeddings(spark, dir))
+    recallReportFrom(bruteForceTopK(spark, dir), Seq(
+      "lsh" -> lshTopK(spark, dir), "ivf" -> ivfTopK(spark, dir),
+      "sq" -> sqTopK(spark, dir), "pq" -> pqTopK(spark, dir),
+      "ivfpq" -> ivfpqTopK(spark, dir)))
 
   /** Per-label embedding health stats: count, L2-norm spread — the
     * sanity sweep before any similarity work (zero vectors, norm drift

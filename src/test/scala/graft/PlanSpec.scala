@@ -26,14 +26,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), "no window operator expected")
   }
 
+  // NOTE: these two tests build through the generic DataFrame faces —
+  // the (spark, dir) driver faces serve a per-(dir, tier) memoized
+  // checkpoint, whose plan is just a Scan and would make plan
+  // assertions vacuous
   test("LSH ANN probes via broadcast join — corpus is never sort-merge shuffled") {
-    val p = plan(Ann.lshTopK(spark, sfDir))
+    val p = plan(Ann.lshTopK(Tables.embeddings(spark, sfDir)))
     assert(p.contains("BroadcastHashJoin"), "probe set should broadcast")
     assert(!p.contains("SortMergeJoin"), "no shuffle join of the corpus expected")
   }
 
   test("native vector expressions appear in the plan (not HOF lambdas)") {
-    val p = plan(Ann.bruteForceTopK(spark, sfDir))
+    val p = plan(Ann.bruteForceTopK(Tables.embeddings(spark, sfDir)))
     // The scoring projection sits above a BroadcastNestedLoopJoin (no
     // whole-stage fusion there) but still evaluates through generated
     // UnsafeProjection code — what matters is that the native expression
@@ -61,7 +65,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("ngram jaccard groups postings once — no shingle-keyed self-join") {
-    val p = plan(graft.dedup.Dedup.ngramJaccard(spark, sfDir))
+    // inspect the raw generation plan, not the driver entry — the entry
+    // serves a memoized checkpoint (three consumers share one pair
+    // table), which would make these assertions vacuous
+    val p = plan(graft.dedup.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sfDir)).orderBy("id_a", "id_b"))
     assert(p.contains("Scan ExistingRDD"), "grouped postings must be materialized once")
     assert("Join \\[sh".r.findFirstIn(p).isEmpty, s"no shingle self-join expected:\n$p")
     assert(!p.contains("LeftAnti"), "df-cap is a size filter on the grouped postings")
