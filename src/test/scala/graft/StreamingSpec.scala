@@ -269,6 +269,58 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming ANN ingest builds the same IVF-PQ index as a monolithic encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnnIngestJob
+    import graft.similarity.Ann
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ingest").toString
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+
+    val job = new StreamingAnnIngestJob(spark, s"$tmp/index")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = job.start(stream.toDF().toDF("vec_id", "embedding"), s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    embs.grouped(math.max(embs.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+    val streamed = job.queryIndex(queries).collect().toSeq
+    assert(streamed.nonEmpty)
+
+    // monolithic reference over the SAME persisted quantizers (trained
+    // on the bootstrap batch): encoding everything in one pass and
+    // probing must give identical neighbors — per-batch encoding is a
+    // pure map over immutable artifacts
+    val Some((c, b)) = job.readQuantizers()
+    val mono = Ann.ivfpqTopKFromIndex(c, b,
+      Ann.ivfpqAssign(c, b, Tables.embeddings(spark, sfDir)), queries)
+    assert(streamed === mono.collect().toSeq)
+
+    // at-least-once replay: reprocessing an already-committed batch id
+    // overwrites the same codes — the queryable index does not change
+    val firstBatch = embs.take(math.max(embs.length / 3, 1))
+      .toSeq.toDF("vec_id", "embedding")
+    job.processBatch(firstBatch, 0L)
+    assert(job.queryIndex(queries).collect().toSeq === streamed)
+
+    // compaction folds the per-batch dirs without changing results
+    job.compact()
+    assert(job.batchDirCount() === 1)
+    assert(job.queryIndex(queries).collect().toSeq === streamed)
+
+    // a job restarted with a different PQ geometry must refuse the index
+    val wrong = new StreamingAnnIngestJob(spark, s"$tmp/index", nSub = 8)
+    val ex = intercept[IllegalStateException] { wrong.processBatch(firstBatch, 99L) }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
