@@ -46,6 +46,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("lambdafunction"), "no interpreted HOF lambdas in the scoring path")
   }
 
+  test("decimal money faces keep their filters pushed to the scan") {
+    // the decimal casts are projections ABOVE the filter — they must
+    // not block predicate pushdown into the parquet scan. The scan's
+    // metadata string truncates at 100 chars by default, which would
+    // hide q6's longer filter list from the assertion.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try {
+      val p1 = plan(graft.queries.Analytics.q1PricingDecimal(spark, sfDir))
+      assert(p1.contains("PushedFilters") && p1.contains("LessThanOrEqual(l_shipdate"),
+        s"q1 decimal shipdate filter must reach the scan:\n$p1")
+      val p6 = plan(graft.queries.Analytics.q6RevenueDecimal(spark, sfDir))
+      assert(p6.contains("GreaterThanOrEqual(l_shipdate") && p6.contains("LessThan(l_quantity"),
+        s"q6 decimal filters must reach the scan:\n$p6")
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("q18 aggregates the fact table before joining dims") {
     val q = graft.queries.Analytics.q18LargeOrders(spark, sfDir)
     val p = q.queryExecution.optimizedPlan.toString
