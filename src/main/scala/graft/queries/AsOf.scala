@@ -89,6 +89,71 @@ object AsOf {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** NEAREST as-of: for each purchase, the view minimizing |v_ts −
+    * p_ts| in EITHER direction (ties → the earlier view, i.e. the
+    * backward match) — "closest engagement" attribution, the third
+    * face of the as-of family. Composition: the backward and forward
+    * window columns are computed over the SAME user_id partitioning,
+    * so the plan pays ONE shuffle and two in-partition sorts (asc +
+    * desc) — not two joins and not a range explosion; the winner is a
+    * map-side struct pick. Purchases with no view on either side drop
+    * (inner contract, like the directional faces).
+    */
+  def nearestViewAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, views) = sides(Tables.events(spark, dir))
+    def mView = last(when(col("side") === 0,
+      struct(col("ts").as("v_ts"), col("view_id"), col("view_value"))),
+      ignoreNulls = true)
+    val wB = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy(col("ts").desc, col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(views)
+      .withColumn("b_view", mView.over(wB))
+      .withColumn("f_view", mView.over(wF))
+      .filter(col("side") === 1 && (col("b_view").isNotNull || col("f_view").isNotNull))
+      .withColumn("b_gap", unix_millis(col("ts")) - unix_millis(col("b_view.v_ts")))
+      .withColumn("f_gap", unix_millis(col("f_view.v_ts")) - unix_millis(col("ts")))
+      .withColumn("m_view", when(col("f_view").isNull ||
+          (col("b_view").isNotNull && col("b_gap") <= col("f_gap")), col("b_view"))
+        .otherwise(col("f_view")))
+      .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
+        col("m_view.view_id").as("view_id"), col("m_view.v_ts").as("v_ts"),
+        abs(unix_millis(col("m_view.v_ts")) - unix_millis(col("ts"))).as("gap_ms"),
+        round(col("m_view.view_value"), 2).as("view_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** Oracle: DuckDB has no nearest ASOF — compose its two directional
+    * ASOF LEFT JOINs and pick per row with the same tie rule.
+    */
+  val nearestViewAttributionSql: String = {
+    val pickB = """(f.v_ts IS NULL OR (b.v_ts IS NOT NULL AND
+      | epoch_ms(b.p_ts) - epoch_ms(b.v_ts) <= epoch_ms(f.v_ts) - epoch_ms(f.p_ts)))""".stripMargin
+    s"""WITH p AS (
+       |  SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id, ts AS v_ts, max(event_id) AS view_id,
+       |         arg_max(value, event_id) AS view_value
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+       |b AS (
+       |  SELECT p.user_id AS user_id, purchase_id, p_ts, view_id, v_ts, view_value
+       |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ts >= v.v_ts),
+       |f AS (
+       |  SELECT p.user_id AS user_id, purchase_id, p_ts, view_id, v_ts, view_value
+       |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ts <= v.v_ts)
+       |SELECT b.user_id AS user_id, b.purchase_id AS purchase_id, b.p_ts AS p_ts,
+       |  CASE WHEN $pickB THEN b.view_id ELSE f.view_id END AS view_id,
+       |  CASE WHEN $pickB THEN b.v_ts ELSE f.v_ts END AS v_ts,
+       |  CAST(CASE WHEN $pickB THEN epoch_ms(b.p_ts) - epoch_ms(b.v_ts)
+       |       ELSE epoch_ms(f.v_ts) - epoch_ms(f.p_ts) END AS BIGINT) AS gap_ms,
+       |  round(CASE WHEN $pickB THEN b.view_value ELSE f.view_value END, 2) AS view_value
+       |FROM b JOIN f ON b.purchase_id = f.purchase_id
+       |WHERE b.v_ts IS NOT NULL OR f.v_ts IS NOT NULL
+       |ORDER BY user_id, purchase_id""".stripMargin
+  }
+
   val nextViewAttributionSql: String =
     """WITH p AS (
       |  SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events

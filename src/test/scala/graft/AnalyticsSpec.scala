@@ -311,6 +311,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(d(t) === m(t), s"merge-of-shards must equal direct sketch for $t")
       assert(d(t).size <= k, "sketch state must stay bounded")
     }
+    // at-least-once idempotence ON THE REDUCE PATH: re-ingesting every
+    // row a second time (the replayed-feed shape) must produce the
+    // byte-identical sketch — a duplicate key may not occupy a slot or
+    // evict a distinct k-th entry (regression lock for the r4 advice:
+    // reduce used to insert duplicates that only merge deduplicated)
+    val doubled = ev.unionAll(ev).groupBy("event_type")
+      .agg(agg(col("hkey"), col("value")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    d.keys.foreach { t =>
+      assert(doubled(t) === d(t), s"replayed rows must be reduce-path no-ops for $t")
+    }
+
     // rank accuracy: the p50 estimate's empirical rank is 0.5 +/- 0.15
     // (k=64 -> sigma ~ 6.3%, generous 2.4-sigma band)
     val est = graft.functions.QuantileSketch.quantileSketch(spark, sfDir, k)

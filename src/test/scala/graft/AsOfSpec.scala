@@ -54,6 +54,37 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(got.filter(col("wait_ms") < 0).count() === 0)
   }
 
+  test("nearest as-of equals the brute-force minimal-|gap| join with backward tie-break") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("view_id"), max_by(col("value"), col("event_id")).as("view_value"))
+    // brute force: all (purchase, view) pairs per user, argmin |gap|;
+    // ties break to the EARLIER view (v_ts asc), matching the
+    // operator's backward-wins rule
+    val expected = purchases
+      .join(views, col("p_uid") === col("user_id"))
+      .withColumn("agap", abs(unix_millis(col("ts")) - unix_millis(col("p_ts"))))
+      .groupBy("p_uid", "purchase_id", "p_ts")
+      .agg(min_by(struct(col("view_id"), col("ts").as("v_ts"), col("view_value"), col("agap")),
+        struct(col("agap"), col("ts"))).as("m"))
+      .select(col("p_uid").as("user_id"), col("purchase_id"), col("p_ts"),
+        col("m.view_id").as("view_id"), col("m.v_ts").as("v_ts"),
+        col("m.agap").as("gap_ms"),
+        round(col("m.view_value"), 2).as("view_value"))
+    val got = AsOf.nearestViewAttribution(spark, sfDir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).count() === 0, "nearest minus brute force")
+    assert(expected.exceptAll(got).count() === 0, "brute force minus nearest")
+    // the nearest gap can never exceed either directional face's gap
+    val back = AsOf.purchaseAttribution(spark, sfDir)
+      .select(col("purchase_id"), col("gap_ms").as("b_gap"))
+    assert(got.join(back, "purchase_id").filter(col("gap_ms") > col("b_gap")).count() === 0)
+  }
+
   test("AsOfJoinExec is inner: left rows with no prior right row drop out") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a"), (1L, 50L, "early"), (2L, 10L, "no-match"))
