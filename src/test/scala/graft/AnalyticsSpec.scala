@@ -335,6 +335,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bottom-k sketch is partition/order/replay-invariant (seeded randomized)") {
+    // pure-JVM property sweep over the Aggregator itself: any
+    // partitioning of any input multiset, reduced in any order and
+    // merged in any tree shape, must produce the identical sketch —
+    // including duplicate keys carrying DIFFERENT values (the
+    // at-least-once shape the r4 advice flagged: value ties must
+    // resolve identically on the reduce and merge paths)
+    val sk = new graft.functions.BottomKSketch(16)
+    val rnd = new scala.util.Random(1234)
+    (1 to 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(120)
+      val rows = Vector.fill(n)((rnd.nextInt(40).toLong, // narrow key space → many dup keys
+        math.rint(rnd.nextDouble() * 100) / 10))
+      val direct = rows.foldLeft(sk.zero)(sk.reduce)
+      // random shuffle + random partition count, merged left-to-right
+      val shuffled = rnd.shuffle(rows)
+      val parts = 1 + rnd.nextInt(6)
+      val merged = shuffled.grouped(math.max(1, (n + parts - 1) / parts))
+        .map(_.foldLeft(sk.zero)(sk.reduce))
+        .foldLeft(sk.zero)(sk.merge)
+      assert(merged === direct, s"trial $trial: partitioned-merge diverged from direct")
+      // replaying the whole input is a no-op on both paths
+      assert(rows.foldLeft(direct)(sk.reduce) === direct, s"trial $trial: reduce replay")
+      assert(sk.merge(direct, direct) === direct, s"trial $trial: merge replay")
+    }
+  }
+
   test("gap-filled daily grid is dense, zero-filled, and count-preserving") {
     val ev = Tables.events(spark, sfDir)
     val grid = Analytics.gapFillDaily(spark, sfDir).collect()
