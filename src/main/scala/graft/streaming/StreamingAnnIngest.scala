@@ -28,12 +28,22 @@ import graft.similarity.Ann
   * Consistency contract: the per-batch code directory makes the append
   * idempotent under at-least-once replay (`batch=<id>` is simply
   * overwritten), and because the quantizers never change after batch
-  * one, a replayed batch writes byte-identical codes. A quantizer
+  * one, a replayed batch writes byte-identical codes. Replay stays
+  * idempotent ACROSS compaction too: the compacted directory carries a
+  * `_compacted_through` marker (published by the same rename that
+  * publishes the folded codes, so the two can never disagree) holding
+  * the highest batch id folded into it, and [[processBatch]] skips any
+  * batch id at or below the marker — a batch replayed after its rows
+  * were folded into `batch=0` can not re-append them as duplicate
+  * vec_ids that the top-k window would rank twice. A quantizer
   * marker records the (nCells, nSub, nCodes) configuration — an engine
   * restarted with a different geometry fails loudly instead of mixing
   * incompatible codes. Compaction folds the per-batch directories with
   * the same displaced-live/two-rename protocol as the band index, so
-  * no crash point loses codes.
+  * no crash point loses codes. Empty micro-batches are no-ops: in
+  * particular an empty FIRST batch must not train-and-persist empty
+  * quantizers (which would permanently encode every later batch to
+  * zero rows) — the first non-empty batch bootstraps instead.
   */
 class StreamingAnnIngestJob(spark: SparkSession, indexPath: String,
                             nCells: Int = 16, nSub: Int = 16, nCodes: Int = 16,
@@ -64,6 +74,24 @@ class StreamingAnnIngestJob(spark: SparkSession, indexPath: String,
 
   private def liveDir = new Path(codesDir)
   private def preCompactDir = new Path(s"$indexPath/_pre_compact")
+  // lives INSIDE the codes dir (underscore-prefixed → invisible to the
+  // parquet reader) so the publish rename commits marker + folded codes
+  // as one atomic unit
+  private val compactedMarkerName = "_compacted_through"
+
+  /** Highest batch id whose rows are inside the compacted `batch=0`
+    * directory; -1 before any compaction. Appends at or below this id
+    * are replays of already-folded batches and must be skipped.
+    */
+  private[graft] def compactedThrough(): Long = {
+    recoverIfNeeded()
+    val m = new Path(liveDir, compactedMarkerName)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else -1L
+  }
 
   private def recoverIfNeeded(): Unit =
     if (!fs.exists(liveDir) && fs.exists(preCompactDir)) {
@@ -95,8 +123,21 @@ class StreamingAnnIngestJob(spark: SparkSession, indexPath: String,
     */
   def processBatch(embs: DataFrame, batchId: Long): Unit = {
     checkOrWriteGeometry()
+    // a batch id already folded into batch=0 is an at-least-once replay
+    // that crossed a compaction — re-appending it would duplicate its
+    // vec_ids and rank them twice in the top-k window
+    if (batchId <= compactedThrough()) return
+    // an empty batch has nothing to encode — and must never reach the
+    // bootstrap below, where quantizers trained on zero rows would be
+    // persisted as the immutable artifacts and permanently encode every
+    // later batch to zero rows
+    if (embs.isEmpty) return
     val (centroids, codebooks) = readQuantizers().getOrElse {
       val (c, b, _) = Ann.ivfpqIndex(embs, nCells, nSub, nCodes)
+      require(!c.isEmpty && !b.isEmpty,
+        s"refusing to persist empty IVF-PQ quantizers for $indexPath — " +
+          "training produced no centroids/codebooks; the index would be " +
+          "permanently poisoned (every later batch would encode zero rows)")
       // two independent writes, but ordered so a crash between them
       // leaves readQuantizers() false (codebooks land first, the
       // centroid write PUBLISHES) — the next batch just re-trains
@@ -120,9 +161,19 @@ class StreamingAnnIngestJob(spark: SparkSession, indexPath: String,
     * [[StreamingNearDedupJob.compact]] for the crash-window analysis).
     */
   def compact(): Unit = readCodes().foreach { codes =>
+    // highest batch id being folded, joined with any previous marker
+    // (batch=0 from an earlier compaction no longer carries the original
+    // ids — the marker does, monotonically)
+    val foldedThrough = (compactedThrough() +: fs.listStatus(liveDir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)).max
     val staged = new Path(s"$indexPath/_compacting")
     fs.delete(staged, true)
     codes.write.parquet(new Path(staged, "batch=0").toString)
+    // marker rides inside the staged dir: the publish rename below
+    // commits it atomically with the folded codes
+    val mout = fs.create(new Path(staged, compactedMarkerName), true)
+    try mout.write((foldedThrough.toString + "\n").getBytes("UTF-8")) finally mout.close()
     fs.delete(preCompactDir, true)
     if (!fs.rename(liveDir, preCompactDir)) throw new IllegalStateException(
       s"compaction could not displace $liveDir (concurrent writer?)")

@@ -28,7 +28,14 @@ import graft.dedup.Dedup
   * `distinct()` by construction. Candidates are emitted BEFORE the
   * batch's bands are appended, so a batch never pairs with itself
   * through the corpus index on the happy path (and on replay such pairs
-  * collapse into the within-batch set).
+  * collapse into the within-batch set). Replay stays idempotent ACROSS
+  * compaction too: the compacted directory carries a
+  * `_compacted_through` marker (published by the same rename that
+  * publishes the folded bands) holding the highest batch id folded into
+  * it, and a replayed batch at or below the marker re-emits its
+  * candidates but does NOT re-append bands already inside `batch=0` —
+  * the index never accumulates duplicate band rows across
+  * crash-at-compaction replays.
   */
 class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
                             onCandidates: (DataFrame, Long) => Unit,
@@ -70,6 +77,24 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
 
   private def liveDir = new Path(indexDir)
   private def preCompactDir = new Path(s"$indexPath/_pre_compact")
+  // lives INSIDE the bands dir (underscore-prefixed → invisible to the
+  // parquet reader) so the publish rename commits marker + folded bands
+  // as one atomic unit
+  private val compactedMarkerName = "_compacted_through"
+
+  /** Highest batch id whose bands are inside the compacted `batch=0`
+    * directory; -1 before any compaction. Appends at or below this id
+    * are replays of already-folded batches and must be skipped.
+    */
+  private[graft] def compactedThrough(): Long = {
+    recoverIfNeeded()
+    val m = new Path(liveDir, compactedMarkerName)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else -1L
+  }
 
   /** If a compaction crashed between displacing the live dir and
     * publishing the staged one, the previous index is still intact at
@@ -107,7 +132,13 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
       case None => Dedup.lshCandidatesFromIndex(newBands)
     }
     onCandidates(candidates, batchId)
-    newBands.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    // a batch id already folded into batch=0 is an at-least-once replay
+    // that crossed a compaction: its candidates were just re-emitted
+    // (the sink is at-least-once), but its bands are already inside the
+    // compacted directory — re-appending them would permanently
+    // duplicate the rows and re-pay the join on every later batch
+    if (batchId > compactedThrough())
+      newBands.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     if (batchDirCount() >= compactEvery) compact()
   }
 
@@ -132,12 +163,22 @@ class StreamingNearDedupJob(spark: SparkSession, indexPath: String,
     * index is (re)stored live, or the new one is published.
     */
   def compact(): Unit = readIndex().foreach { idx =>
+    // highest batch id being folded, joined with any previous marker
+    // (batch=0 from an earlier compaction no longer carries the original
+    // ids — the marker does, monotonically)
+    val foldedThrough = (compactedThrough() +: fs.listStatus(liveDir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)).max
     val staged = new Path(s"$indexPath/_compacting")
     fs.delete(staged, true)
     // keep the batch=<n> partition layout: later appends land beside
     // batch=0 without conflicting with partition discovery (a replayed
-    // folded batch merely re-adds rows the candidate distinct absorbs)
+    // folded batch is skipped via the marker, never re-appended)
     idx.write.parquet(new Path(staged, "batch=0").toString)
+    // marker rides inside the staged dir: the publish rename below
+    // commits it atomically with the folded bands
+    val mout = fs.create(new Path(staged, compactedMarkerName), true)
+    try mout.write((foldedThrough.toString + "\n").getBytes("UTF-8")) finally mout.close()
     fs.delete(preCompactDir, true)
     if (!fs.rename(liveDir, preCompactDir)) throw new IllegalStateException(
       s"compaction could not displace $liveDir (concurrent writer?)")

@@ -321,6 +321,93 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("rebuild"))
   }
 
+  test("ANN ingest: empty first batch must not poison the index, and replay across compaction must not duplicate vec_ids") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnnIngestJob
+    import org.apache.spark.sql.types._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-empty").toString
+    val job = new StreamingAnnIngestJob(spark, s"$tmp/index", compactEvery = 64)
+
+    // an empty FIRST batch is a no-op: no quantizers may be persisted
+    // (empty ones would permanently encode every later batch to 0 rows)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    job.processBatch(empty, 0L)
+    assert(job.readQuantizers().isEmpty, "empty batch must not persist quantizers")
+    assert(job.readCodes().isEmpty, "empty batch must not append codes")
+
+    // the first NON-empty batch bootstraps normally
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (b1, b2) = embs.splitAt(math.max(embs.length / 2, 1))
+    job.processBatch(b1.toSeq.toDF("vec_id", "embedding"), 1L)
+    assert(job.readQuantizers().isDefined, "first non-empty batch must bootstrap")
+    job.processBatch(b2.toSeq.toDF("vec_id", "embedding"), 2L)
+    val total = job.readCodes().get.count()
+    assert(total === embs.length.toLong)
+
+    // a later empty batch is also a no-op (no empty batch=<id> dir)
+    job.processBatch(empty, 3L)
+    assert(job.readCodes().get.count() === total)
+
+    // crash-between-compact-and-checkpoint-commit replay: after
+    // compaction folds batch 2 into batch=0, reprocessing batch 2 must
+    // NOT re-append its rows as duplicate vec_ids
+    job.compact()
+    assert(job.compactedThrough() === 2L)
+    job.processBatch(b2.toSeq.toDF("vec_id", "embedding"), 2L)
+    assert(job.batchDirCount() === 1, "replayed folded batch must not re-append a dir")
+    val codes = job.readCodes().get
+    assert(codes.count() === total, "replay across compaction duplicated rows")
+    assert(codes.select("vec_id").distinct().count() === total,
+      "vec_ids must stay unique across a post-compaction replay")
+    // a genuinely NEW batch id after the marker still appends
+    job.processBatch(Seq((999999L, embs.head._2)).toDF("vec_id", "embedding"), 4L)
+    assert(job.readCodes().get.count() === total + 1)
+  }
+
+  test("near-dedup ingest: replay across compaction re-emits candidates but never re-appends folded bands") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDedupJob
+
+    val base = "the quick brown fox jumps over the lazy dog while the rain " +
+      "falls gently on the quiet village roofs and the river keeps moving east"
+    val emitted = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val tmp = java.nio.file.Files.createTempDirectory("neardedup-replay").toString
+    val job = new StreamingNearDedupJob(spark, s"$tmp/index",
+      (cands, id) => emitted(id) = cands.select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet,
+      compactEvery = 64)
+
+    job.processBatch(Seq((1L, base), (2L, base + " tonight")).toDF("doc_id", "text"), 0L)
+    job.processBatch(Seq((10L, base + " again")).toDF("doc_id", "text"), 1L)
+    val rowsBefore = job.readIndex().get.count()
+    job.compact()
+    assert(job.compactedThrough() === 1L)
+    assert(job.readIndex().get.count() === rowsBefore,
+      "compaction must preserve the band rows exactly")
+
+    // replay batch 1 after its bands were folded into batch=0: the
+    // candidate set is re-emitted (at-least-once sink), but the index
+    // must not grow duplicate band rows
+    val firstEmit = emitted(1L)
+    emitted.remove(1L)
+    job.processBatch(Seq((10L, base + " again")).toDF("doc_id", "text"), 1L)
+    assert(emitted(1L) === firstEmit, "replay must re-emit the same candidate set")
+    assert(job.batchDirCount() === 1, "replayed folded batch must not re-append a dir")
+    assert(job.readIndex().get.count() === rowsBefore,
+      "replay across compaction duplicated band rows")
+
+    // a genuinely new batch still appends and pairs against the index
+    job.processBatch(Seq((20L, base + " anew")).toDF("doc_id", "text"), 2L)
+    assert(emitted(2L).contains((1L, 20L)))
+    assert(job.readIndex().get.count() > rowsBefore)
+  }
+
   test("streaming quantile sketch is bit-identical to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
