@@ -280,13 +280,10 @@ object Dedup {
     * frame is localCheckpoint-materialized so every consumer reads
     * shuffle output, not lineage.
     */
-  private val pairsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Double, Int), DataFrame]
-
   private def cachedJaccardPairs(spark: SparkSession, dir: String,
                                  threshold: Double = 0.5,
                                  maxDf: Int = MaxShingleDf): DataFrame =
-    pairsCache.getOrElseUpdate((dir, threshold, maxDf),
+    graft.SessionCache.getOrElseUpdate(spark, ("jaccardPairs", dir, threshold, maxDf))(
       ngramJaccardPairs(Tables.documents(spark, dir), threshold, maxDf)
         .localCheckpoint(true))
 

@@ -69,12 +69,10 @@ object Bpe {
   val DefaultThresholdFrac = 0.7
 
   /** Training is a deterministic function of (data dir, nMerges,
-    * batch) — memoized so `bpe_merges` and `bpe_compression` in one
-    * driver/bench pass share ONE training run instead of each paying
-    * the full round schedule.
+    * batch) — memoized via [[graft.SessionCache]] so `bpe_merges` and
+    * `bpe_compression` in one driver/bench pass share ONE training run
+    * instead of each paying the full round schedule.
     */
-  private val trained = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int), Seq[(String, String, Long)]]
 
   /** (syms array<string>, w long) word-frequency table: every distinct
     * token split to characters plus the end-of-word marker, weighted by
@@ -166,7 +164,7 @@ object Bpe {
     */
   def trainedMerges(spark: SparkSession, dir: String, nMerges: Int,
                     batch: Int = DefaultBatch): Seq[(String, String, Long)] =
-    trained.getOrElseUpdate((dir, nMerges, batch),
+    graft.SessionCache.getOrElseUpdate(spark, ("bpe", dir, nMerges, batch))(
       learnMerges(graft.Tables.documents(spark, dir), nMerges, batch))
 
   /** Encode the corpus with learned merges and report the compression —

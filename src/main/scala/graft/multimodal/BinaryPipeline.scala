@@ -107,10 +107,8 @@ object BinaryPipeline {
     * checkpoint also keeps the codec's single execution, which the
     * per-entry localCheckpoint calls previously re-ran per entry.
     */
-  private val rawCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   def pipelineRaw(spark: SparkSession, dir: String): DataFrame =
-    rawCache.getOrElseUpdate(dir,
+    graft.SessionCache.getOrElseUpdate(spark, ("mmRaw", dir))(
       decodeAndFeaturize(asBinaryTable(Tables.documents(spark, dir)))
         .orderBy("item_id").localCheckpoint(true))
 

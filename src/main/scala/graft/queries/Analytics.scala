@@ -184,10 +184,16 @@ object Analytics {
     * Widths are chosen so Spark never hits its precision-loss
     * rescaling: the (1±disc/tax) factors are DECIMAL(4,2), keeping the
     * triple product at (24,6) — exact in both engines. The exact sums
-    * convert to DOUBLE at the very end WITHOUT rescaling first — the
-    * unscaled values stay below 2^53, so both engines produce the
-    * identical correctly-rounded double (representation only, the
-    * arithmetic never touched floats). NO intermediate decimal
+    * convert to DOUBLE at the very end WITHOUT rescaling first. At the
+    * verified scale factors (≤ sf0.1) the unscaled values stay below
+    * 2^53, so both engines produce the identical correctly-rounded
+    * double (representation only, the arithmetic never touched
+    * floats). That bit-parity claim is scale-bound: at sf1+ the
+    * scale-6 sum_charge exceeds 2^53 unscaled, where DuckDB's
+    * int128-convert-then-divide decimal→double path may differ from
+    * Spark's correctly-rounded BigDecimal.doubleValue by an ulp — a
+    * larger-SF oracle compare would need an ulp tolerance, not a new
+    * query shape. NO intermediate decimal
     * downscale: Spark's scale-reducing cast rounds HALF_UP while
     * DuckDB's TRUNCATES (measured: 1.005→1.00, .2854→.28), so a
     * "cents" cast before the double conversion diverges by a cent.

@@ -29,20 +29,19 @@ object Ann {
 
   val Dim = 64
 
-  /** Per-(dir, tier) memo for the DRIVER faces: a verify/bench pass
-    * runs every tier standalone AND `ann_recall_report` re-runs all of
-    * them as its ground truth + candidates — without sharing, the
-    * whole family is computed twice per pass. Same discipline as the
-    * BPE shared training run and the dedup shared pair table; each
+  /** Per-(session, dir, tier) memo for the DRIVER faces: a verify/bench
+    * pass runs every tier standalone AND `ann_recall_report` re-runs
+    * all of them as its ground truth + candidates — without sharing,
+    * the whole family is computed twice per pass. Same discipline as
+    * the BPE shared training run and the dedup shared pair table; each
     * cached frame is localCheckpoint-materialized so consumers read
     * shuffle output, not lineage. The generic DataFrame faces stay
-    * uncached (they can't know their input's identity).
+    * uncached (they can't know their input's identity). Session scoping
+    * and staleness semantics live in [[graft.SessionCache]].
     */
-  private val tierCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), DataFrame]
-
-  private def cachedTier(dir: String, tier: String)(f: => DataFrame): DataFrame =
-    tierCache.getOrElseUpdate((dir, tier), f.localCheckpoint(true))
+  private def cachedTier(spark: SparkSession, dir: String, tier: String)
+                        (f: => DataFrame): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("ann", dir, tier))(f.localCheckpoint(true))
 
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries). */
   def bruteForceTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -60,7 +59,7 @@ object Ann {
   }
 
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(dir, "brute")(bruteForceTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "brute")(bruteForceTopK(Tables.embeddings(spark, dir)))
 
   val bruteForceSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -115,7 +114,7 @@ object Ann {
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(dir, "lsh")(lshTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "lsh")(lshTopK(Tables.embeddings(spark, dir)))
 
   /** IVF-style ANN, FAISS-shaped: the coarse quantizer is trained on a
     * deterministic systematic SAMPLE collected to the driver (k-means on
@@ -387,7 +386,7 @@ object Ann {
         + element_at(lo, i + 1)).cast("float"))
 
   def sqTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(dir, "sq")(sqTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "sq")(sqTopK(Tables.embeddings(spark, dir)))
 
   /** Product-quantized (PQ) ANN — the compression tier past SQ: the
     * vector splits into `nSub` subvectors, each stored as the id of its
@@ -578,7 +577,7 @@ object Ann {
   }
 
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(dir, "ivfpq")(ivfpqTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "ivfpq")(ivfpqTopK(Tables.embeddings(spark, dir)))
 
   // ------------------------------------------------------------------
   // Persisted IVF-PQ index — the amortization tier: ~1/3 of a one-shot
@@ -713,7 +712,7 @@ object Ann {
     }: _*))
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(dir, "pq")(pqTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "pq")(pqTopK(Tables.embeddings(spark, dir)))
 
   /** Driver-side Lloyd iterations over the training sample: systematic
     * seeds, `iters` assign/recompute rounds. Deterministic (no RNG);
@@ -767,7 +766,7 @@ object Ann {
       array_min(cellDistances(col("embedding"), centroids)).getField("cell").as("cell"))
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(dir, "ivf")(ivfTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "ivf")(ivfTopK(Tables.embeddings(spark, dir)))
 
   /** Index-quality evaluation: recall@k of every approximate tier
     * against the exact brute-force ground truth, in ONE report — the

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared-artifact memo ([[SessionCache]]) is keyed by the OWNING
+  * SparkSession: a frame checkpointed in one session must never be
+  * served to another (a recreated session would receive dead frames; a
+  * sibling session would silently reuse a foreign plan).
+  */
+class SessionCacheSpec extends AnyFunSuite with SparkSpec {
+
+  test("artifacts are memoized per session and never cross sessions") {
+    var builds = 0
+    def build(): String = { builds += 1; s"artifact-$builds" }
+
+    val a1 = SessionCache.getOrElseUpdate(spark, ("spec", "k1"))(build())
+    val a2 = SessionCache.getOrElseUpdate(spark, ("spec", "k1"))(build())
+    assert(a1 === a2, "same (session, key) must hit the memo")
+    assert(builds === 1, "the artifact must be built exactly once per session")
+
+    // a sibling session (same context, distinct session state) must
+    // build its OWN artifact — cached frames are session-bound
+    val sibling = spark.newSession()
+    val b1 = SessionCache.getOrElseUpdate(sibling, ("spec", "k1"))(build())
+    assert(builds === 2, "a different session must not inherit the artifact")
+    assert(b1 !== a1)
+
+    // distinct logical keys under one session stay distinct
+    SessionCache.getOrElseUpdate(spark, ("spec", "k2"))(build())
+    assert(builds === 3)
+  }
+}
