@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Named builders for the expensive shared artifacts the driver faces
+  * memoize through [[SessionCache]] (dedup pair table, BPE training,
+  * the six ANN tier tables, the mm codec output, the CDC changelog and
+  * latest-state).
+  *
+  * [[Bench]] times each builder as its own first-class line: the
+  * memoization is the right production shape (build once, serve every
+  * consumer), but without explicit attribution a regression in a shared
+  * generator lands on whichever consuming query happens to run first
+  * alphabetically and the named queries keep looking fast. Each builder
+  * forces exactly the SessionCache entry its consumers read (the cached
+  * frames are eager localCheckpoints, so the build realizes here), and
+  * after a build pass the per-query bench numbers are marginal costs.
+  *
+  * Keep the parameters in lock-step with the driver faces: a builder
+  * that warms a DIFFERENT memo key than its consumers would re-hide the
+  * build cost inside the first consumer.
+  */
+object Artifacts {
+
+  val builders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "cdc_changelog" -> ((s: SparkSession, d: String) => { cdc.CdcOps.cachedChangelog(s, d); () }),
+    "cdc_latest_state" -> ((s: SparkSession, d: String) => { cdc.CdcOps.cachedLatestState(s, d); () }),
+    "dedup_pair_table" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPairs(s, d)),
+    "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
+    "mm_codec" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.pipelineRaw(s, d); () }),
+    "ann_tier_brute" -> ((s: SparkSession, d: String) => { similarity.Ann.bruteForceTopK(s, d); () }),
+    "ann_tier_lsh" -> ((s: SparkSession, d: String) => { similarity.Ann.lshTopK(s, d); () }),
+    "ann_tier_ivf" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfTopK(s, d); () }),
+    "ann_tier_sq" -> ((s: SparkSession, d: String) => { similarity.Ann.sqTopK(s, d); () }),
+    "ann_tier_pq" -> ((s: SparkSession, d: String) => { similarity.Ann.pqTopK(s, d); () }),
+    "ann_tier_ivfpq" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfpqTopK(s, d); () }))
+}

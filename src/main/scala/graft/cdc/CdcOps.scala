@@ -43,6 +43,29 @@ object CdcOps {
 
   val userDataCols: Seq[String] = Seq("last_event_type", "last_value")
 
+  /** Memoized changelog for the DRIVER faces: nine CDC entries parse
+    * the same events table — without sharing, each re-pays the scan +
+    * projection. Same shared-artifact discipline as the dedup pair
+    * table / ANN tiers / BPE training ([[graft.SessionCache]] holds the
+    * scoping and staleness contract); the checkpoint materializes the
+    * six changelog columns once, so every consumer reads checkpoint
+    * blocks, not the parquet scan.
+    */
+  def cachedChangelog(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("cdcChangelog", dir))(
+      userChangelog(spark, dir).localCheckpoint(true))
+
+  /** Memoized latest-state (raw, un-rounded) per (session, dir): five
+    * driver entries (latest_state, state_checksum, dim_enrichment,
+    * merge_batch's oracle twin, gap audit consumers) otherwise each
+    * re-run the same key aggregation behind their own face. One key
+    * shuffle, materialized once per pass.
+    */
+  def cachedLatestState(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("cdcLatestState", dir))(
+      latestState(cachedChangelog(spark, dir), Seq("user_id"), userDataCols)
+        .localCheckpoint(true))
+
   private def imageStruct(dataCols: Seq[String]): Column =
     struct((col("op") +: dataCols.map(col)): _*)
 

@@ -36,7 +36,7 @@ object CdcQueries {
     * loop semantics) hash-mismatches.
     */
   def parseEnvelope(spark: SparkSession, dir: String): DataFrame = {
-    val ch = CdcOps.userChangelog(spark, dir)
+    val ch = CdcOps.cachedChangelog(spark, dir)
     val after = when(col("op") =!= "d",
       struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
     val before = when(col("op") === "d",
@@ -60,9 +60,12 @@ object CdcQueries {
        |  'users' AS src_table
        |FROM ch ORDER BY ts_ms, user_id""".stripMargin
 
-  /** Snapshot reconstruction — the continuous-upsert end state. */
+  /** Snapshot reconstruction — the continuous-upsert end state. Reads
+    * the memoized latest-state, so the key aggregation runs once per
+    * pass no matter how many entries consume it.
+    */
   def latestState(spark: SparkSession, dir: String): DataFrame = {
-    CdcOps.latestState(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+    CdcOps.cachedLatestState(spark, dir)
       .withColumn("last_value", round(col("last_value"), 2))
       .orderBy("user_id")
   }
@@ -111,7 +114,7 @@ object CdcQueries {
       c(floor(col("last_value") * lit(100d) + lit(0.5d)).cast("long")),
       c(col("last_ts_ms")),
       c(col("n_changes")))
-    CdcOps.latestState(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+    CdcOps.cachedLatestState(spark, dir)
       .select(conv(substring(md5(canon.cast("binary")), 1, 15), 16, 10)
         .cast("long").as("h"))
       .agg(count(lit(1)).as("n_rows"),
@@ -191,7 +194,7 @@ object CdcQueries {
 
   /** Initial load (op='r' snapshot semantics): first image per key. */
   def initialSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    CdcOps.initialSnapshot(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+    CdcOps.initialSnapshot(CdcOps.cachedChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
       .withColumnRenamed("last_event_type", "first_event_type")
       .withColumnRenamed("last_value", "first_value")
       .orderBy("user_id")
@@ -215,7 +218,7 @@ object CdcQueries {
     * warehouses typically also want this trail).
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame =
-    CdcOps.scd2History(CdcOps.userChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
+    CdcOps.scd2History(CdcOps.cachedChangelog(spark, dir), Seq("user_id"), CdcOps.userDataCols)
       .withColumn("last_value", round(col("last_value"), 2))
       .orderBy("user_id", "version_no")
 
@@ -243,7 +246,7 @@ object CdcQueries {
     * latestState.
     */
   def gapAudit(spark: SparkSession, dir: String): DataFrame =
-    gapAudit(CdcOps.userChangelog(spark, dir))
+    gapAudit(CdcOps.cachedChangelog(spark, dir))
 
   def gapAudit(changelog: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -271,7 +274,7 @@ object CdcQueries {
 
   /** Change accounting per op. */
   def changeCounts(spark: SparkSession, dir: String): DataFrame =
-    CdcOps.changeCounts(CdcOps.userChangelog(spark, dir), "user_id")
+    CdcOps.changeCounts(CdcOps.cachedChangelog(spark, dir), "user_id")
 
   val changeCountsSql: String =
     s"""WITH ch AS ($changeSql)
@@ -284,7 +287,7 @@ object CdcQueries {
     * merge is. Oracle = the full-range window query.
     */
   def mergeBatch(spark: SparkSession, dir: String): DataFrame = {
-    val ch = CdcOps.userChangelog(spark, dir)
+    val ch = CdcOps.cachedChangelog(spark, dir)
     val split = lit("2024-01-16 00:00:00").cast("timestamp")
     val splitMs = unix_millis(split)
     val base = CdcOps.latestState(ch.filter(col("ts_ms") < splitMs), Seq("user_id"), CdcOps.userDataCols)

@@ -280,6 +280,16 @@ object Dedup {
     * frame is localCheckpoint-materialized so every consumer reads
     * shuffle output, not lineage.
     */
+  /** Force the shared pair table into [[graft.SessionCache]] — the
+    * bench's artifact-attribution hook (graft.Artifacts): building it
+    * here means the per-query numbers for its three consumers are
+    * marginal costs, and a regression in pair generation shows up on
+    * the artifact line, not on whichever consumer runs first.
+    */
+  def prewarmPairs(spark: SparkSession, dir: String): Unit = {
+    cachedJaccardPairs(spark, dir); ()
+  }
+
   private def cachedJaccardPairs(spark: SparkSession, dir: String,
                                  threshold: Double = 0.5,
                                  maxDf: Int = MaxShingleDf): DataFrame =

@@ -27,7 +27,7 @@ def load(path):
     # the driver's log-tail window): merge chunk queries in order, let
     # the summary supply value/failed and override its top-slowest
     # entries. A lone full line (e.g. bench_full.json) still works.
-    merged, summary = {}, None
+    merged, artifacts, summary = {}, {}, None
     for line in text.splitlines():
         line = line.strip()
         for prefix in ("[info]", "[warn]"):
@@ -39,7 +39,13 @@ def load(path):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if "metric" not in d or "queries" not in d:
+        if "metric" not in d:
+            continue
+        if d["metric"] == "artifacts":
+            # shared-artifact build costs: their own line since r6
+            artifacts.update(d.get("artifacts", {}))
+            continue
+        if "queries" not in d:
             continue
         if d["metric"] == "chunk":
             merged.update(d["queries"])
@@ -66,13 +72,25 @@ def load(path):
         raise SystemExit(f"no bench JSON line found in {path}")
     summary = dict(summary)
     summary["queries"] = merged
+    if artifacts and "artifacts" not in summary:
+        summary["artifacts"] = artifacts
     return summary
+
+
+def flat(d):
+    """Queries plus artifact build lines (prefixed so the diff labels
+    them) — a regression in a shared generator shows on its artifact
+    line, pre-r6 files simply have no such lines."""
+    out = dict(d["queries"])
+    for k, v in d.get("artifacts", {}).items():
+        out["artifact:" + k] = v
+    return out
 
 
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    oq, nq = old["queries"], new["queries"]
+    oq, nq = flat(old), flat(new)
     regressed = []
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(oq)} -> {len(nq)} queries)")
