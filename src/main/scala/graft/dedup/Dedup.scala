@@ -179,6 +179,15 @@ object Dedup {
     */
   val MaxShingleDf = 100
 
+  /** Row cap for [[embeddingCosine]]'s driver-side corpus broadcast.
+    * 1M vectors at 64-d float ≈ 300 MB of driver heap — the most a
+    * "correctness baseline" tier should ever claim. Anything larger
+    * must go through [[semanticDedup]] or the graft.similarity
+    * candidate generators (the collect here is outside Spark's
+    * broadcast-join accounting, so the cap is the only guard).
+    */
+  val MaxExactBroadcastRows = 1000000L
+
   /** Rare-shingle posting lists, materialized because every consumer
     * (pair generation AND per-doc sizes) reads them — Spark has no
     * common-subplan elimination, so leaving this lazy re-runs the
@@ -658,13 +667,26 @@ object Dedup {
     * The 100 TB path is NOT this operator: use the LSH/IVF candidate
     * generators in graft.similarity and verify candidates only. This
     * exact tier assumes the embedding corpus fits a broadcast (it is the
-    * correctness baseline / per-bucket verifier).
+    * correctness baseline / per-bucket verifier), and it ENFORCES that
+    * assumption: the collect below bypasses Spark's broadcast-join size
+    * accounting, so without a guard a large corpus would OOM the driver
+    * before the job starts. Corpora above [[MaxExactBroadcastRows]] are
+    * refused with a pointer to the scale paths ([[semanticDedup]]'s
+    * bounded IVF cells, or LSH/IVF candidates + per-bucket verify).
     */
-  def embeddingCosine(embs: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def embeddingCosine(embs: DataFrame, threshold: Double = 0.4,
+                      maxRows: Long = MaxExactBroadcastRows): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     val e = embs.select(col("vec_id").cast("int"), col("embedding"))
       .as[(Int, Array[Float])]
+    val n = e.count()
+    require(n <= maxRows,
+      s"embeddingCosine is the EXACT all-pairs tier and materializes the corpus " +
+        s"on the driver: $n rows exceeds the $maxRows-row broadcast cap. Use the " +
+        s"scale paths instead — semanticDedup (dedup_semantic: SemDeDup-style " +
+        s"bounded IVF cells) or the graft.similarity LSH/IVF candidate " +
+        s"generators with per-bucket exact verify.")
     val corpus: Array[(Int, Array[Float], Double)] = e.collect()
       .map { case (id, v) =>
         var n = 0.0; var i = 0

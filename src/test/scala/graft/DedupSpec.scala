@@ -173,6 +173,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.filter(col("cosine") < 0.4).count() === 0)
   }
 
+  test("embedding cosine refuses corpora above its driver-broadcast cap") {
+    // the exact tier materializes the corpus on the driver, OUTSIDE
+    // Spark's broadcast-join size accounting — the row cap is the only
+    // thing standing between a large corpus and a driver OOM, and the
+    // error must name the scale path
+    val embs = graft.Tables.embeddings(spark, sfDir)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosine(embs, maxRows = 10L)
+    }
+    assert(ex.getMessage.contains("semanticDedup"),
+      s"the refusal must point at the scale path: ${ex.getMessage}")
+    assert(ex.getMessage.contains("broadcast cap"))
+    // at or under the cap the tier still runs
+    assert(Dedup.embeddingCosine(embs.limit(10), maxRows = 10L).count() >= 0)
+  }
+
   test("semantic dedup drops only true near-dups and covers most of the exact tier") {
     val out = Dedup.semanticDedup(spark, sfDir).collect()
     val embs = Tables.embeddings(spark, sfDir)
