@@ -65,6 +65,30 @@ object AsOf {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** The whole-operator face of [[purchaseAttribution]] — the SAME
+    * query routed through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]: logical node + strategy + zip-merge
+    * exec). This is the `asof_join` DRIVER entry, so the path the
+    * DuckDB oracle certifies every round is the custom operator, not
+    * only the composed formulation (which AsOfSpec keeps asserting
+    * equivalent). Same single key-shuffle + per-partition merge;
+    * purchases with no preceding view inner-drop.
+    */
+  def purchaseAttributionExec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("view_id"), max_by(col("value"), col("event_id")).as("view_value"))
+    graft.plans.AsOfJoinOps.asofJoin(purchases, views, "user_id", "ts")
+      .select(col("user_id"), col("purchase_id"), col("ts").as("p_ts"),
+        col("view_id_r").as("view_id"), col("ts_r").as("v_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("ts_r"))).as("gap_ms"),
+        round(col("view_value_r"), 2).as("view_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** FORWARD as-of: for each purchase, the EARLIEST view with
     * v_ts ≥ p_ts — "time to next engagement". Same single
     * shuffle+sort union trick as the backward join, with the sort

