@@ -36,6 +36,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no shuffle join of the corpus expected")
   }
 
+  test("IVF-PQ probe join broadcasts on cell — the corpus is encoded and scored shuffle-free") {
+    // raw scan, not Tables.embeddings: its small-file fan-out
+    // repartition is a documented no-op at scale (splits >= cores), and
+    // THIS plan is the 100 TB shape the assertion locks
+    val p = plan(Ann.ivfpqTopK(Tables.load(spark, sfDir, "embeddings")))
+    // the deployable ANN tier's contract: the probe side (query ADC
+    // tables × probed cells, driver-built) broadcasts and joins on
+    // `cell`; the corpus side is ONE scan feeding the map-side encode
+    assert("""BroadcastHashJoin \[cell""".r.findFirstIn(p).isDefined,
+      s"probe join must be broadcast-hash on cell:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never be shuffled for the probe join")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"the code table must come from exactly one corpus scan:\n$p")
+    // every shuffle Exchange sits ABOVE the join (top-k window + final
+    // sort on (query, vec, score) scalars) — none below it touches the
+    // corpus. \b keeps the probe's own BroadcastExchange (legitimately
+    // under the join) out of the match.
+    val shuffleAt = """\bExchange\b""".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(shuffleAt.nonEmpty && shuffleAt.max < p.indexOf("BroadcastHashJoin"),
+      s"no shuffle Exchange may sit under the probe join (corpus side):\n$p")
+  }
+
   test("native vector expressions appear in the plan (not HOF lambdas)") {
     val p = plan(Ann.bruteForceTopK(Tables.embeddings(spark, sfDir)))
     // The scoring projection sits above a BroadcastNestedLoopJoin (no
