@@ -210,6 +210,74 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     ch.unpersist(); encoded.unpersist()
   }
 
+  test("ingest -> exportSnapshot -> analytics equals the same analytics over latestState") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.DataFrame
+
+    // the reference's full contract is "CDC ingestion -> queryable
+    // table": not just that the exported state ROWS match, but that a
+    // downstream consumer running real analytics over the exported
+    // parquet gets exactly what it would get over the engine's own
+    // latest-state. Prove it end-to-end: file-source changelog ->
+    // streaming merge -> exportSnapshot -> aggregate + window queries
+    // over the export, vs the same queries over the batch derivation.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-analytics").toString
+    val srcDir = s"$tmp/stream-in"
+
+    val ch = CdcOps.userChangelog(spark, sfDir).cache()
+    val after = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val before = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    DebeziumEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+      after, before, "users", lsnCol = col("seq"))
+      .write.mode("append").json(srcDir)
+
+    val config = CdcJobConfig(
+      source = FileSource(srcDir),
+      checkpointLocation = s"$tmp/ckpt",
+      statePath = s"$tmp/state",
+      keyCols = Seq("user_id"),
+      pkSchema = CdcQueries.userPkSchema,
+      rowSchema = CdcQueries.userRowSchema,
+      numBuckets = 8)
+    new CdcStreamJob(spark, config).execute(Trigger.AvailableNow()).awaitTermination()
+
+    new ParquetUpsertSink(spark, s"$tmp/state", Seq("user_id"), numBuckets = 8)
+      .exportSnapshot(s"$tmp/snapshot")
+
+    // q1-style pricing summary and top-customers-style ranking, as
+    // functions of whichever state table they are pointed at
+    def pricingSummary(state: DataFrame): DataFrame = state
+      .groupBy("last_event_type")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum("last_value"), 2).as("total_value"),
+        round(avg("last_value"), 4).as("avg_value"))
+      .orderBy("last_event_type")
+    def topUsers(state: DataFrame): DataFrame = {
+      val w = Window.partitionBy("last_event_type")
+        .orderBy(col("last_value").desc, col("user_id"))
+      state.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("last_event_type", "rk", "user_id", "last_value")
+    }
+
+    // the consumer's view: plain parquet read of the export, no sink
+    val exported = spark.read.parquet(s"$tmp/snapshot")
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val batchState = CdcOps.latestState(ch, Seq("user_id"), CdcOps.userDataCols)
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+
+    for ((q, name) <- Seq(
+        (pricingSummary _, "pricing summary"), (topUsers _, "top users"))) {
+      val overExport = q(exported)
+      val overState = q(batchState)
+      assert(overExport.exceptAll(overState).count() === 0, s"$name: export minus state")
+      assert(overState.exceptAll(overExport).count() === 0, s"$name: state minus export")
+    }
+    ch.unpersist()
+  }
+
   test("Kafka reader options mirror the reference's surface") {
     val opts = CdcStreamJob.kafkaOptions(KafkaReaderConfig(
       kafkaBootstrapServers = "broker:9092",
