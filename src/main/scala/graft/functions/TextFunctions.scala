@@ -563,6 +563,97 @@ object TextFunctions {
       |SELECT doc_id, round(mass / n_toks, 4) AS tfidf_score
       |FROM mass JOIN lens USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Sparse TF-IDF cosine top-k document similarity — the SPARSE
+    * complement of the dense ANN family (graft.similarity): neighbors
+    * by lexical overlap where embeddings find them by meaning, the
+    * standard first-stage retriever / near-dup widener next to BM25.
+    *
+    * w(doc, token) = tf · ln(N/df); cosine over the sparse weight
+    * vectors; top-k per probe doc (doc_id < nQueries), ranked by
+    * (cosine desc, neighbor_id) like every ANN tier here.
+    *
+    * Plan shape (the LSH broadcast-probe discipline applied to posting
+    * lists): the (doc, token, w) weight table is computed once — tf
+    * groupBy and df join are the only corpus shuffles, both keyed —
+    * norms ride along via a doc-keyed join, and the PROBE side (the
+    * nQueries docs' weights, a few hundred rows) broadcasts, so
+    * candidate scoring is a broadcast-hash join on `token` with no
+    * corpus shuffle; the reduce to (query, neighbor) dot products
+    * shuffles scalars only. At 100 TB the scored set is bounded by the
+    * probe vocabulary's posting lists; ubiquitous tokens are naturally
+    * downweighted by idf (ln(N/df) → 0), which is what keeps the
+    * degenerate-vocabulary testdata meaningful too. Cosines round to
+    * 4dp (agg-order FP hygiene, as everywhere).
+    */
+  def docSimilarTfidf(docs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val perDocTok = docs
+      .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = perDocTok.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
+    val weights = perDocTok
+      .join(dfs, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * log(col("n_corpus") / col("df"))).as("w"))
+    val norms = weights.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val corpus = weights.join(norms, "doc_id")
+    val probes = broadcast(
+      corpus.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("token"),
+          col("w").as("qw"), col("norm").as("qnorm")))
+    val scored = corpus.join(probes, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"),
+        max(col("norm")).as("norm"), max(col("qnorm")).as("qnorm"))
+      .withColumn("cosine", round(col("dot") / (col("norm") * col("qnorm")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def docSimilarTfidf(spark: SparkSession, dir: String): DataFrame =
+    docSimilarTfidf(Tables.documents(spark, dir))
+
+  val docSimilarTfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM t
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tok GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
+      |w AS (
+      |  SELECT doc_id, token, tf * ln(n_corpus / df) AS w
+      |  FROM tok JOIN dfs USING (token) CROSS JOIN n),
+      |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+      |q AS (
+      |  SELECT w.doc_id AS query_id, token, w AS qw, norm AS qnorm
+      |  FROM w JOIN norms USING (doc_id) WHERE doc_id < 10),
+      |dots AS (
+      |  SELECT query_id, w.doc_id AS neighbor_id, sum(w.w * q.qw) AS dot,
+      |         any_value(q.qnorm) AS qnorm
+      |  FROM w JOIN q ON w.token = q.token AND w.doc_id <> q.query_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(dot / (norm * qnorm), 4) AS cosine
+      |  FROM dots JOIN norms ON dots.neighbor_id = norms.doc_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** The fixed keyword query the BM25 entry scores against — the
     * shape of a retrieval-targeted data-selection pass (score every
     * corpus doc for relevance to a domain query, keep the top slice).

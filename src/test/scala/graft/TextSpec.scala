@@ -226,6 +226,38 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) < 3 * term(1, 2) * 0.8)
   }
 
+  test("tfidf doc similarity: exact dups are perfect neighbors, disjoint vocab never appears") {
+    import spark.implicits._
+    // doc 0 == doc 5 verbatim; doc 1 shares half its vocab with doc 6;
+    // docs 7-8 are vocabulary-disjoint from every probe (doc_id < 10
+    // probes by default — keep ids of non-probes >= 5 so ranks are
+    // driven by content, not probe membership)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon"), // exact dup of 0
+      (6L, "zeta eta oak pine elm"),          // half-overlap with 1
+      (7L, "one two three four five"),
+      (8L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.docSimilarTfidf(docs, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+    assert(out.forall { case (q, n, _, _) => q != n }, "self must be excluded")
+    // the verbatim duplicate is doc 0's rank-1 neighbor at cosine 1.0
+    val top0 = out.filter(_._1 == 0L).minBy(_._3)
+    assert(top0._2 === 5L && top0._4 === 1.0, s"dup must rank first at 1.0: $top0")
+    // doc 6 appears for query 1 (shared zeta/eta), below 1.0
+    val hits1 = out.filter(_._1 == 1L)
+    assert(hits1.exists(_._2 == 6L), s"half-overlap doc must be found: ${hits1.toSeq}")
+    assert(hits1.filter(_._2 == 6L).head._4 < 1.0)
+    // vocabulary-disjoint docs share no posting list with any probe
+    assert(out.forall { case (_, n, _, _) => n != 7L && n != 8L },
+      "disjoint-vocab docs can never be neighbors")
+    // and every returned cosine is in (0, 1]
+    assert(out.forall { case (_, _, _, c) => c > 0.0 && c <= 1.0 })
+  }
+
   // serial BPE reference shared by the equality + batching specs.
   // Tie-break compares strings by CODE POINTS (= UTF-8 byte order, the
   // ordering Spark's UTF8String comparison implements) — plain Java
