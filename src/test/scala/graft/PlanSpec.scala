@@ -59,6 +59,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"no shuffle Exchange may sit under the probe join (corpus side):\n$p")
   }
 
+  test("tfidf doc-similarity probes via broadcast join on token") {
+    val p = plan(graft.functions.TextFunctions.docSimilarTfidf(
+      Tables.load(spark, sfDir, "documents")))
+    // the probe docs' weight rows broadcast; candidate scoring joins
+    // them against the corpus posting (weight) table on token — the
+    // corpus is never shuffled FOR THE PROBE (the weight-table build
+    // itself is keyed one-time work and may legitimately sort-merge at
+    // scale)
+    assert("""BroadcastHashJoin \[token""".r.findFirstIn(p).isDefined,
+      s"probe join must be broadcast-hash on token:\n$p")
+  }
+
+  test("mm IVF-PQ inherits the broadcast-probe shape over the codec frame") {
+    val p = plan(graft.multimodal.BinaryPipeline.similarTopKIvfPq(spark, sfDir))
+    assert("""BroadcastHashJoin \[cell""".r.findFirstIn(p).isDefined,
+      s"mm probe join must be broadcast-hash on cell:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the mm feature corpus must never shuffle for the probe join")
+  }
+
   test("native vector expressions appear in the plan (not HOF lambdas)") {
     val p = plan(Ann.bruteForceTopK(Tables.embeddings(spark, sfDir)))
     // The scoring projection sits above a BroadcastNestedLoopJoin (no
