@@ -435,23 +435,27 @@ object TextFunctions {
     * map-side partials; the rank window runs over the already-truncated
     * top-k, never the full vocabulary.
     */
-  def tokenVocab(docs: DataFrame, k: Int = 100): DataFrame = {
+  def tokenVocab(docs: DataFrame, k: Int = 100): DataFrame =
+    tokenVocabFrom(docTokenCounts(docs), k)
+
+  /** Over the (doc, token, tf) substrate, n = Σtf and n_docs is a plain
+    * count — the (doc, token) key is already distinct, so the former
+    * countDistinct(doc_id) Expand is gone.
+    */
+  private def tokenVocabFrom(counts: DataFrame, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
-      .select(col("doc_id"), wsTokens(trim(lower(col("text")))).as("__toks"))
-      .select(col("doc_id"), explode(col("__toks")).as("token"))
-      .filter(col("token") =!= "")
+    val top = counts
       .groupBy("token")
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum("tf").as("n"), count(lit(1)).as("n_docs"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
-    counts.withColumn("rank",
+    top.withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token"))))
       .select("rank", "token", "n", "n_docs")
   }
 
   def tokenVocab(spark: SparkSession, dir: String): DataFrame =
-    tokenVocab(Tables.documents(spark, dir))
+    tokenVocabFrom(cachedDocTokenCounts(spark, dir))
 
   val tokenVocabSql: String =
     """WITH t AS (
@@ -525,13 +529,30 @@ object TextFunctions {
     * 1-row scalar, and a per-doc sum. Two real shuffles, nothing
     * corpus²-sized.
     */
-  def tfidfScore(docs: DataFrame): DataFrame = {
-    val perDocTok = docs
-      .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+  /** (doc_id, token, tf) whitespace-token counts — the shared substrate
+    * of doc_tfidf, doc_similar_tfidf, unigram_logprob and token_vocab.
+    * One explode + one (doc, token) groupBy; everything downstream is
+    * keyed aggregation over this table.
+    */
+  def docTokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
+    .filter(col("token") =!= "")
+    .groupBy("doc_id", "token")
+    .agg(count(lit(1)).as("tf"))
+
+  /** Memoized [[docTokenCounts]] for the driver faces — four entries
+    * otherwise re-pay the same explode + groupBy per pass (scoping and
+    * staleness in [[graft.SessionCache]]; attributed as the
+    * `text_token_counts` bench artifact).
+    */
+  def cachedDocTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("docTokenCounts", dir))(
+      docTokenCounts(Tables.documents(spark, dir)).localCheckpoint(true))
+
+  def tfidfScore(docs: DataFrame): DataFrame =
+    tfidfScoreFrom(docs, docTokenCounts(docs).localCheckpoint(true))
+
+  private def tfidfScoreFrom(docs: DataFrame, perDocTok: DataFrame): DataFrame = {
     val dfs = perDocTok.groupBy("token").agg(count(lit(1)).as("df"))
     val docLens = perDocTok.groupBy("doc_id").agg(sum("tf").as("n_toks"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
@@ -546,7 +567,7 @@ object TextFunctions {
   }
 
   def tfidfScore(spark: SparkSession, dir: String): DataFrame =
-    tfidfScore(Tables.documents(spark, dir))
+    tfidfScoreFrom(Tables.documents(spark, dir), cachedDocTokenCounts(spark, dir))
 
   val tfidfSql: String =
     """WITH t AS (
@@ -585,12 +606,12 @@ object TextFunctions {
     * degenerate-vocabulary testdata meaningful too. Cosines round to
     * 4dp (agg-order FP hygiene, as everywhere).
     */
-  def docSimilarTfidf(docs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val perDocTok = docs
-      .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).cast("double").as("tf"))
+  def docSimilarTfidf(docs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    docSimilarTfidfFrom(docs, docTokenCounts(docs), nQueries, k)
+
+  private def docSimilarTfidfFrom(docs: DataFrame, counts: DataFrame,
+                                  nQueries: Int, k: Int): DataFrame = {
+    val perDocTok = counts.select(col("doc_id"), col("token"), col("tf").cast("double").as("tf"))
     val dfs = perDocTok.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
     val weights = perDocTok
@@ -620,7 +641,8 @@ object TextFunctions {
   }
 
   def docSimilarTfidf(spark: SparkSession, dir: String): DataFrame =
-    docSimilarTfidf(Tables.documents(spark, dir))
+    docSimilarTfidfFrom(Tables.documents(spark, dir),
+      cachedDocTokenCounts(spark, dir), nQueries = 10, k = 5)
 
   val docSimilarTfidfSql: String =
     """WITH t AS (
@@ -885,13 +907,11 @@ object TextFunctions {
     * Token frequencies are Zipf-skewed → AQE skew-join handles the
     * head tokens; nothing is ever collected.
     */
-  def unigramLogprob(docs: DataFrame): DataFrame = {
-    val perDocTok = docs
-      .select(col("doc_id"), explode(wsTokens(trim(lower(col("text"))))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+  def unigramLogprob(docs: DataFrame): DataFrame =
+    unigramLogprobFrom(docTokenCounts(docs).localCheckpoint(true))
+
+  private def unigramLogprobFrom(counts: DataFrame): DataFrame = {
+    val perDocTok = counts.withColumnRenamed("tf", "c")
     val model = perDocTok.groupBy("token").agg(sum("c").as("tn"))
     val total = model.agg(sum("tn").cast("double").as("tt"))
     perDocTok
@@ -905,7 +925,7 @@ object TextFunctions {
   }
 
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
-    unigramLogprob(Tables.documents(spark, dir))
+    unigramLogprobFrom(cachedDocTokenCounts(spark, dir))
 
   val unigramLogprobSql: String =
     """WITH t AS (

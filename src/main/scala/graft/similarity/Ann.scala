@@ -276,6 +276,18 @@ object Ann {
       embs.filter(col("vec_id") < 10))
   }
 
+  /** Memoized full-corpus IVF index for the driver faces that consume
+    * the SAME quantizer + assignment (corpus_buckets, balanced_sample)
+    * — without sharing, each re-trains the centroids and re-assigns the
+    * corpus per pass. Both frames checkpoint-materialize; scoping and
+    * staleness semantics in [[graft.SessionCache]].
+    */
+  def cachedIvfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark, ("ivfIndexFull", dir)) {
+      val (c, a) = ivfIndex(Tables.embeddings(spark, dir))
+      (c.localCheckpoint(true), a.localCheckpoint(true))
+    }
+
   /** Semantic corpus bucketing — the "shard the corpus by embedding
     * cluster" pass training-mix pipelines run for curriculum/domain
     * balance and per-bucket subsampling: the IVF cells double as
@@ -286,8 +298,7 @@ object Ann {
     * occupancy/dispersion invariants are spec'd.
     */
   def corpusBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    val (centroids, assigned) = ivfIndex(embs)
+    val (centroids, assigned) = cachedIvfIndex(spark, dir)
     assigned
       .join(broadcast(centroids), "cell")
       .withColumn("dist",
@@ -310,9 +321,9 @@ object Ann {
     * accounting; rows-only (centroid-specific) with invariants spec'd.
     */
   def balancedSample(spark: SparkSession, dir: String, target: Long = 100): DataFrame = {
-    val embs = Tables.embeddings(spark, dir)
-    val (_, assigned) = ivfIndex(embs)
-    val a = assigned.localCheckpoint(true) // counts + sample read it
+    // shares the memoized quantizer+assignment with corpus_buckets —
+    // the checkpoint also serves the two reads below (counts + sample)
+    val (_, a) = cachedIvfIndex(spark, dir)
     val counts = a.groupBy("cell").agg(count(lit(1)).as("n_total"))
     val fractions = counts.collect()
       .map(r => r.getInt(0) -> math.min(1.0, target.toDouble / r.getLong(1)))
