@@ -110,6 +110,47 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSet === Set(("a", 90L, 7.0)))
   }
 
+  test("AsOfJoinExec equals a serial brute-force reference on randomized adversarial inputs (seeded)") {
+    import spark.implicits._
+    // nulls on both columns, colliding timestamps across keys, keys on
+    // one side only, duplicate left rows — everything the zip-merge's
+    // buffered-match state machine has to survive. Right side is
+    // deduped per (k, t) so the winning row is well-defined (the
+    // engine's own contract: views dedup per (user, ts) before the
+    // join; with (k, t) dup right rows the tie winner is unspecified).
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val nKeys = 1 + rnd.nextInt(4)
+      def rows(n: Int): Seq[(Option[Long], Option[Long], Long)] = Seq.fill(n)((
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(nKeys).toLong),
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(15).toLong),
+        rnd.nextInt(1000).toLong))
+      val left = rows(30 + rnd.nextInt(40)).toDF("k", "t", "lv")
+      val right = rows(30 + rnd.nextInt(40)).toDF("k", "t", "rv")
+        .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("rv").as("rv"))
+
+      val got = AsOfJoinOps.asofJoin(left, right, "k", "t")
+        .select("k", "t", "lv", "t_r", "rv_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+
+      val rightRows = right.collect().map(r => (
+        Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getLong(2)))
+      val expected = left.collect().flatMap { r =>
+        val (k, t) = (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long]))
+        for {
+          kk <- k; tt <- t
+          m <- rightRows.filter(x => x._1.contains(kk) && x._2.exists(_ <= tt))
+            .sortBy(_._2.get).lastOption
+        } yield (kk, tt, r.getLong(2), m._2.get, m._3)
+      }.toSeq.sorted
+      assert(got === expected, s"trial $trial diverged from the serial reference")
+    }
+  }
+
   test("null keys/timestamps never match (no zero-key aliasing)") {
     import spark.implicits._
     val left = Seq((Option(0L), Option(100L), "zero-key"),
