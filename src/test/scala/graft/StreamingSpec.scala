@@ -370,6 +370,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(job.readCodes().get.count() === total + 1)
   }
 
+  test("streaming vocabulary equals the batch token_vocab and survives replay across compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingVocabJob
+    import graft.functions.TextFunctions
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    val job = new StreamingVocabJob(spark, s"$tmp/state", compactEvery = 64)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = job.start(stream.toDF().toDF("doc_id", "text"), s"$tmp/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val groups = docs.grouped(math.max(docs.length / 3, 1)).toSeq
+    groups.foreach { g => stream.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // the streamed sum-of-deltas vocabulary IS the batch vocabulary
+    val batch = TextFunctions.tokenVocab(Tables.documents(spark, sfDir)).collect().toSeq
+    val streamed = job.readVocab().collect().toSeq
+    assert(streamed === batch, "streamed vocab must equal the batch face")
+
+    // plain replay: batch=<id> overwrite, nothing double-counts
+    job.processBatch(groups.head.toSeq.toDF("doc_id", "text"), 0L)
+    assert(job.readVocab().collect().toSeq === batch)
+
+    // compaction folds the deltas without changing the vocabulary...
+    job.compact()
+    assert(job.batchDirCount() === 1)
+    assert(job.readVocab().collect().toSeq === batch)
+    // ...and a replay ACROSS the compaction is skipped, not re-added
+    job.processBatch(groups.head.toSeq.toDF("doc_id", "text"), 0L)
+    assert(job.batchDirCount() === 1, "folded batch must not re-append")
+    assert(job.readVocab().collect().toSeq === batch,
+      "replay across compaction must not double-count tokens")
+  }
+
   test("near-dedup ingest: replay across compaction re-emits candidates but never re-appends folded bands") {
     import spark.implicits._
     import graft.streaming.StreamingNearDedupJob
