@@ -676,6 +676,72 @@ object TextFunctions {
       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Bigram PMI collocations — pointwise mutual information of ADJACENT
+    * token pairs, ln(P(ab)/(P(a)·P(b))): the classic phrase-mining /
+    * collocation signal, and exactly the association strength BPE's
+    * merge ranking consumes (frequent-AND-informative adjacent pairs).
+    * Top-k pairs with support ≥ minPair, ranked by (pmi desc, tokens).
+    *
+    * Scale shape: bigrams come from a map-side zip of each token array
+    * with its own tail — LINEAR per document (the all-pairs-in-doc
+    * alternative is quadratic in doc length and was rejected); the only
+    * shuffles are the bigram and unigram count aggregations, both
+    * token-keyed with map-side partials, and the two corpus totals
+    * broadcast as scalars. PMI rounds to 4dp before the rank/limit so
+    * the ordering is cross-engine stable.
+    */
+  def tokenPmi(docs: DataFrame, minPair: Long = 5, k: Int = 50): DataFrame = {
+    val toked = docs.select(wsTokens(trim(lower(col("text")))).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toked
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .filter(col("bg.a") =!= "" && col("bg.b") =!= "")
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val nBg = bigrams.groupBy("a", "b").agg(count(lit(1)).cast("double").as("n_ab"))
+    val bTot = bigrams.agg(count(lit(1)).cast("double").as("bt"))
+    val uni = docs.select(explode(wsTokens(trim(lower(col("text"))))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).cast("double").as("n"))
+    val tTot = uni.agg(sum("n").as("tt"))
+    nBg.filter(col("n_ab") >= minPair)
+      .join(uni.select(col("token").as("a"), col("n").as("n_a")), "a")
+      .join(uni.select(col("token").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(bTot))
+      .crossJoin(broadcast(tTot))
+      .select(col("a").as("tok_a"), col("b").as("tok_b"),
+        col("n_ab").cast("long").as("n_pair"),
+        round(log((col("n_ab") / col("bt")) /
+          ((col("n_a") / col("tt")) * (col("n_b") / col("tt")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
+  def tokenPmi(spark: SparkSession, dir: String): DataFrame =
+    tokenPmi(Tables.documents(spark, dir))
+
+  val tokenPmiSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |z AS (
+      |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+      |  FROM toks WHERE len(t) >= 2),
+      |bg AS (SELECT p[1] AS a, p[2] AS b FROM z WHERE p[1] <> '' AND p[2] <> ''),
+      |nbg AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n_ab FROM bg GROUP BY 1, 2),
+      |btot AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM bg),
+      |uni AS (SELECT unnest(t) AS token FROM toks),
+      |u AS (SELECT token, CAST(count(*) AS DOUBLE) AS n FROM uni
+      |      WHERE token <> '' GROUP BY token),
+      |ttot AS (SELECT sum(n) AS tt FROM u)
+      |SELECT a AS tok_a, b AS tok_b, CAST(n_ab AS BIGINT) AS n_pair,
+      |  round(ln((n_ab / bt) / ((ua.n / tt) * (ub.n / tt))), 4) AS pmi
+      |FROM nbg JOIN u ua ON nbg.a = ua.token JOIN u ub ON nbg.b = ub.token
+      |CROSS JOIN btot CROSS JOIN ttot
+      |WHERE n_ab >= 5
+      |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin
+
   /** The fixed keyword query the BM25 entry scores against — the
     * shape of a retrieval-targeted data-selection pass (score every
     * corpus doc for relevance to a domain query, keep the top slice).

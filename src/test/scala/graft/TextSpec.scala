@@ -258,6 +258,31 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(out.forall { case (_, _, _, c) => c > 0.0 && c <= 1.0 })
   }
 
+  test("token PMI ranks a planted collocation above independent pairs and matches a hand computation") {
+    import spark.implicits._
+    // "spark shuffle" always co-occurs (a true collocation); "data" and
+    // "row" are frequent but never adjacent to each other in a fixed
+    // pattern — PMI must separate association from raw frequency
+    val docs = Seq.tabulate(12) { i =>
+      (i.toLong, s"spark shuffle data w$i row data w${i % 3} row")
+    }.toDF("doc_id", "text")
+    val out = TextFunctions.tokenPmi(docs, minPair = 5, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+
+    val (nSparkShuffle, pmiSparkShuffle) = out(("spark", "shuffle"))
+    assert(nSparkShuffle === 12L)
+    // hand computation: 8 tokens per doc -> 7 bigrams; 12 docs ->
+    // B = 84 bigrams, T = 96 tokens; 12 'spark', 12 'shuffle'
+    val expected = math.log((12.0 / 84.0) / ((12.0 / 96.0) * (12.0 / 96.0)))
+    assert(math.abs(pmiSparkShuffle - expected) < 1e-3,
+      s"pmi(spark,shuffle)=$pmiSparkShuffle expected $expected")
+    // the perfectly-predictive pair outranks the frequent-but-generic
+    // (row, data) adjacency: P(row)·P(data) is large, so its PMI is lower
+    assert(out.contains(("row", "data")))
+    assert(pmiSparkShuffle > out(("row", "data"))._2,
+      "collocation must outrank generic co-frequency")
+  }
+
   // serial BPE reference shared by the equality + batching specs.
   // Tie-break compares strings by CODE POINTS (= UTF-8 byte order, the
   // ordering Spark's UTF8String comparison implements) — plain Java
