@@ -408,6 +408,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "replay across compaction must not double-count tokens")
   }
 
+  test("vocab job recovers a compaction crash caught between the two renames") {
+    import spark.implicits._
+    import graft.streaming.StreamingVocabJob
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-crash").toString
+    val job = new StreamingVocabJob(spark, s"$tmp/state", compactEvery = 64)
+    job.processBatch(Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text"), 0L)
+    job.processBatch(Seq((3L, "alpha gamma")).toDF("doc_id", "text"), 1L)
+    val before = job.readVocab().collect().toSeq
+    assert(before.nonEmpty)
+
+    // simulate the crash window inside compact(): the live dir has been
+    // displaced to _pre_compact but the staged dir never published
+    val live = new java.io.File(s"$tmp/state/vocab")
+    val displaced = new java.io.File(s"$tmp/state/_pre_compact")
+    assert(live.renameTo(displaced), "test setup: displace the live dir")
+    assert(!live.exists())
+
+    // the next read must restore the displaced index — no data loss,
+    // no silently-empty vocabulary
+    assert(job.readVocab().collect().toSeq === before,
+      "recovery must restore the displaced vocabulary exactly")
+    assert(live.exists() && !displaced.exists(), "restore must be by rename")
+    // and the job keeps ingesting normally afterwards
+    job.processBatch(Seq((4L, "delta")).toDF("doc_id", "text"), 2L)
+    assert(job.readVocab().collect().map(_.getString(1)).contains("delta"))
+  }
+
   test("near-dedup ingest: replay across compaction re-emits candidates but never re-appends folded bands") {
     import spark.implicits._
     import graft.streaming.StreamingNearDedupJob
