@@ -28,6 +28,7 @@ object Artifacts {
     "dedup_pair_table" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPairs(s, d)),
     "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
     "text_token_counts" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocTokenCounts(s, d); () }),
+    "text_bigrams" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocBigrams(s, d); () }),
     "mm_codec" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.pipelineRaw(s, d); () }),
     "ann_ivf_index" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedIvfIndex(s, d); () }),
     "ann_tier_brute" -> ((s: SparkSession, d: String) => { similarity.Ann.bruteForceTopK(s, d); () }),

@@ -690,21 +690,36 @@ object TextFunctions {
     * broadcast as scalars. PMI rounds to 4dp before the rank/limit so
     * the ordering is cross-engine stable.
     */
-  def tokenPmi(docs: DataFrame, minPair: Long = 5, k: Int = 50): DataFrame = {
-    val toked = docs.select(wsTokens(trim(lower(col("text")))).as("t"))
-      .filter(size(col("t")) >= 2)
-    val bigrams = toked
-      .select(explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
-      .filter(col("bg.a") =!= "" && col("bg.b") =!= "")
-      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+  /** (doc_id, a, b) adjacent-token bigrams — the shared substrate of
+    * token_pmi and bigram_logprob: one map-side tail-zip per document,
+    * linear in doc length.
+    */
+  def docBigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), wsTokens(trim(lower(col("text")))).as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), explode(zip_with(
+      slice(col("t"), lit(1), size(col("t")) - 1),
+      slice(col("t"), lit(2), size(col("t")) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+    .filter(col("bg.a") =!= "" && col("bg.b") =!= "")
+    .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  /** Memoized [[docBigrams]] for the driver faces (attributed as the
+    * `text_bigrams` bench artifact; scoping in [[graft.SessionCache]]).
+    */
+  def cachedDocBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("docBigrams", dir))(
+      docBigrams(Tables.documents(spark, dir)).localCheckpoint(true))
+
+  def tokenPmi(docs: DataFrame, minPair: Long = 5, k: Int = 50): DataFrame =
+    tokenPmiFrom(docBigrams(docs), docTokenCounts(docs), minPair, k)
+
+  private def tokenPmiFrom(bigramRows: DataFrame, counts: DataFrame,
+                           minPair: Long, k: Int): DataFrame = {
+    val bigrams = bigramRows.select("a", "b")
     val nBg = bigrams.groupBy("a", "b").agg(count(lit(1)).cast("double").as("n_ab"))
     val bTot = bigrams.agg(count(lit(1)).cast("double").as("bt"))
-    val uni = docs.select(explode(wsTokens(trim(lower(col("text"))))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("token").agg(count(lit(1)).cast("double").as("n"))
+    val uni = counts.groupBy("token").agg(sum("tf").cast("double").as("n"))
     val tTot = uni.agg(sum("n").as("tt"))
     nBg.filter(col("n_ab") >= minPair)
       .join(uni.select(col("token").as("a"), col("n").as("n_a")), "a")
@@ -720,7 +735,65 @@ object TextFunctions {
   }
 
   def tokenPmi(spark: SparkSession, dir: String): DataFrame =
-    tokenPmi(Tables.documents(spark, dir))
+    tokenPmiFrom(cachedDocBigrams(spark, dir), cachedDocTokenCounts(spark, dir),
+      minPair = 5, k = 50)
+
+  /** Bigram language-model quality score — the stronger sibling of
+    * [[unigramLogprob]]: average per-bigram negative log conditional
+    * probability −ln P(b|a) under an add-k–smoothed bigram model
+    * trained on the corpus itself (self-scoring, like the unigram
+    * face). Predictable running text scores LOW; incoherent or
+    * boilerplate-stitched text scores HIGH — the classic LM-based
+    * quality/fluency filter, one rung below a neural perplexity model
+    * and computable inside the engine at corpus scale.
+    *
+    * P(b|a) = (c(ab) + k) / (c(a) + k·V), with c(a) the corpus unigram
+    * count and V the vocabulary size — both derived from the shared
+    * substrates, so the driver face adds NO new corpus scan: the model
+    * is two keyed count aggregations, the scalars (V) broadcast, and
+    * the per-doc score is one doc-keyed aggregation.
+    */
+  def bigramLogprob(docs: DataFrame, smoothK: Double = 0.5): DataFrame =
+    bigramLogprobFrom(docBigrams(docs), docTokenCounts(docs), smoothK)
+
+  private def bigramLogprobFrom(bigramRows: DataFrame, counts: DataFrame,
+                                smoothK: Double): DataFrame = {
+    val model = bigramRows.groupBy("a", "b").agg(count(lit(1)).cast("double").as("c_ab"))
+    val uni = counts.groupBy("token").agg(sum("tf").cast("double").as("c_a"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    bigramRows
+      .join(model, Seq("a", "b"))
+      .join(uni.withColumnRenamed("token", "a"), "a")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(-log((col("c_ab") + lit(smoothK)) / (col("c_a") + lit(smoothK) * col("v"))))
+          / count(lit(1)), 4).as("avg_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobFrom(cachedDocBigrams(spark, dir), cachedDocTokenCounts(spark, dir),
+      smoothK = 0.5)
+
+  val bigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |z AS (
+      |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+      |  FROM toks WHERE len(t) >= 2),
+      |bg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM z
+      |       WHERE p[1] <> '' AND p[2] <> ''),
+      |model AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c_ab FROM bg GROUP BY 1, 2),
+      |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+      |u AS (SELECT token, CAST(count(*) AS DOUBLE) AS c_a FROM tok
+      |      WHERE token <> '' GROUP BY token),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM u)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(sum(-ln((c_ab + 0.5) / (c_a + 0.5 * v))) / count(*), 4) AS avg_neg_logprob
+      |FROM bg JOIN model USING (a, b) JOIN u ON bg.a = u.token CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val tokenPmiSql: String =
     """WITH toks AS (

@@ -283,6 +283,29 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       "collocation must outrank generic co-frequency")
   }
 
+  test("bigram logprob scores predictable text below shuffled text") {
+    import spark.implicits._
+    // corpus: many copies of a fixed sentence + one doc with the same
+    // TOKENS in scrambled order. Unigram stats are identical for both,
+    // so only a bigram-aware score can separate them: the fixed-order
+    // docs follow high-probability transitions, the scramble does not.
+    val sentence = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox the brown jumps"
+    val docs = (Seq.tabulate(10)(i => (i.toLong, sentence)) :+ (99L, scrambled))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(out.size === 11, "every doc with >= 2 tokens gets a score")
+    assert(out(0L)._1 === 8L, "9 tokens -> 8 bigrams")
+    val fluent = out(0L)._2
+    assert(out.filterKeys(_ < 10).values.forall(_._2 == fluent),
+      "identical docs score identically")
+    assert(out(99L)._2 > fluent,
+      s"scrambled (${out(99L)._2}) must score above fluent ($fluent) — " +
+        "unigram stats are identical, so the separation is purely bigram")
+  }
+
   // serial BPE reference shared by the equality + batching specs.
   // Tie-break compares strings by CODE POINTS (= UTF-8 byte order, the
   // ordering Spark's UTF8String comparison implements) — plain Java
