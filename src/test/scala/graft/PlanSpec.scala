@@ -26,6 +26,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("Window"), "no window operator expected")
   }
 
+  test("mergeChangeSet collapses the change-set per key before its single full-outer join") {
+    val ch = CdcOps.userChangelog(spark, sfDir)
+    val split = org.apache.spark.sql.functions.unix_millis(
+      org.apache.spark.sql.functions.lit("2024-01-16 00:00:00").cast("timestamp"))
+    val base = CdcOps.latestState(ch.filter(org.apache.spark.sql.functions.col("ts_ms") < split),
+      Seq("user_id"), CdcOps.userDataCols).drop("n_changes")
+    val p = plan(CdcOps.mergeChangeSet(base,
+      ch.filter(org.apache.spark.sql.functions.col("ts_ms") >= split),
+      Seq("user_id"), CdcOps.userDataCols))
+    // the scaladoc's scale claim: map-side partial max_by collapses the
+    // batch per key BEFORE the shuffle, and the merge itself is ONE
+    // full-outer join — no window, no second join
+    assert(p.contains("partial_max_by"), "change-set must partially aggregate map-side")
+    assert("FullOuter".r.findAllIn(p).size === 1, s"exactly one full-outer join expected:\n$p")
+    assert(!p.contains("Window"), "no window operator in the merge path")
+  }
+
   // NOTE: these two tests build through the generic DataFrame faces —
   // the (spark, dir) driver faces serve a per-(dir, tier) memoized
   // checkpoint, whose plan is just a Scan and would make plan
