@@ -31,6 +31,39 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       .count() === 0)
   }
 
+  test("mergeChangeSet folds over random tranche boundaries to the same state (seeded)") {
+    // associativity under ANY batching: folding merge over 3-6 random
+    // time tranches must equal one-shot latestState — the property that
+    // makes micro-batch size/alignment semantically irrelevant for the
+    // continuous upsert path (a batch boundary can land anywhere,
+    // including mid-millisecond between same-ms changes)
+    val ch = CdcOps.userChangelog(spark, sfDir).cache()
+    val bounds = ch.agg(min("ts_ms"), max("ts_ms")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val expected = CdcOps.latestState(ch, Seq("user_id"), CdcOps.userDataCols)
+      .drop("n_changes")
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val rnd = new scala.util.Random(42L)
+    for (trial <- 1 to 3) {
+      val cuts = (lo +: Seq.fill(rnd.nextInt(4) + 2)(
+        lo + math.abs(rnd.nextLong()) % math.max(hi - lo, 1L)).sorted :+ (hi + 1))
+      val tranches = cuts.zip(cuts.tail).filter(c => c._1 < c._2)
+      val first = CdcOps.latestState(
+        ch.filter(col("ts_ms") >= tranches.head._1 && col("ts_ms") < tranches.head._2),
+        Seq("user_id"), CdcOps.userDataCols).drop("n_changes")
+      val folded = tranches.tail.foldLeft(first) { case (state, (a, b)) =>
+        CdcOps.mergeChangeSet(state,
+          ch.filter(col("ts_ms") >= a && col("ts_ms") < b),
+          Seq("user_id"), CdcOps.userDataCols)
+      }.select("user_id", "last_event_type", "last_value", "last_ts_ms")
+      assert(folded.exceptAll(expected).count() === 0,
+        s"trial $trial (${tranches.size} tranches): folded minus one-shot")
+      assert(expected.exceptAll(folded).count() === 0,
+        s"trial $trial (${tranches.size} tranches): one-shot minus folded")
+    }
+    ch.unpersist()
+  }
+
   test("mergeChangeSet: an update that nulls a column wins (no resurrection)") {
     import spark.implicits._
     val base = Seq((1L, "signup", 1.0, 10L))
