@@ -10,11 +10,38 @@ import org.apache.spark.sql.SparkSession
   * carrying all ~80 query timings overflowed it two rounds running
   * (BENCH_r02/r03 `parsed:null`), so the output is sized to survive
   * tail truncation — the summary line is printed LAST (always inside
-  * the window) and chunk lines are small enough that at most the first
-  * can be clipped. `tools/bench_compare.py` stitches chunks + summary
-  * back together and diffs artifacts across rounds.
+  * the window), the artifacts line sits just above it (r6's
+  * first-position artifacts line occupied the most-clippable slot), and
+  * chunk lines are small enough that at most the first can be clipped.
+  * `tools/bench_compare.py` stitches chunks + summary back together and
+  * diffs artifacts across rounds.
+  *
+  * Noise discipline (r6 lesson: a single unguarded run showed 3–5×
+  * phantom regressions on unchanged source during a box-load window):
+  * every query is timed TWICE and the minimum is reported — the warm
+  * second trial costs little and the min is far less load-sensitive —
+  * and the machine's 1-/5-min load averages at bench start and end are
+  * recorded in bench_full.json (`load` field) so a cross-round diff can
+  * tell "code got slower" from "box was busy". Artifact builds stay
+  * single-run (they memoize — a second trial would time a cache hit),
+  * which is why the load context matters most for their lines.
   */
 object Bench {
+
+  /** (1-min, 5-min) system load averages; JMX fallback carries only the
+    * 1-min figure.
+    */
+  private def loadAvg(): Seq[Double] =
+    try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+").take(2).map(_.toDouble).toSeq
+    } catch {
+      case _: Throwable =>
+        Seq(java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,6 +63,7 @@ object Bench {
       }
     }
     var failed = List.empty[String]
+    val loadStart = loadAvg()
     // Shared-artifact builds FIRST, each timed as its own line: the
     // memoized generators (pair table, BPE training, ANN tiers, mm
     // codec, CDC state) serve many queries, and without explicit
@@ -51,15 +79,29 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Min-of-2 per query: trial 1 pays any residual compilation/cache
+    // cost, trial 2 is pure-warm; min(t1, t2) is the least
+    // load-sensitive point statistic available at this budget.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def trial(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times =
+        try { val t1 = trial(); Seq(t1, trial()) }
+        catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Seq(Double.NaN)
+        }
+      name -> times
     }
+    val results = runs.map { case (name, ts) =>
+      name -> (if (ts.exists(_.isNaN)) 0.0 else ts.min)
+    }
+    val loadEnd = loadAvg()
     def fmt(v: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     def qJson(qs: Seq[(String, Double)], dec: Int): String =
       qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }.mkString("{", ",", "}")
@@ -69,24 +111,35 @@ object Bench {
     val total = artifacts.map(_._2).sum + results.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    def loadJson(l: Seq[Double]): String =
+      l.map(fmt(_, 2)).mkString("[", ",", "]")
+    val loadField =
+      s""""load":{"start":${loadJson(loadStart)},"end":${loadJson(loadEnd)}}"""
+    // both trials per query, full precision, for post-hoc noise analysis
+    val runsJson = runs.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.filterNot(_.isNaN).map(fmt(_, 3)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
     // Complete full-precision record → file (survives regardless of log tail).
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","artifacts":${qJson(artifacts, 3)},"queries":${qJson(results, 3)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","trials":2,$loadField,"artifacts":${qJson(artifacts, 3)},"queries":${qJson(results, 3)},"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
 
-    // Artifact build costs on their own (small) stdout line.
-    println(s"""{"metric":"artifacts","artifacts":${qJson(artifacts, 2)}}""")
     // Chunk lines: ~20 queries each at 2 decimals keeps every line < ~700 B.
     val chunks = results.grouped(20).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       println(s"""{"metric":"chunk","part":${i + 1},"of":${chunks.size},"queries":${qJson(chunk, 2)}}""")
     }
+    // Artifact build costs AFTER the chunks (just above the summary) so
+    // they stay inside the driver's log-tail window — first position was
+    // the most-clippable slot.
+    println(s"""{"metric":"artifacts","artifacts":${qJson(artifacts, 2)},$loadField}""")
     // Summary LAST so the driver's tail window always contains it whole;
     // carries the headline value plus the top-12 slowest for a quick read.
     val slowest = results.sortBy(-_._2).take(12)
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"queries":${qJson(slowest, 3)},"failed":$failedJson,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n":${results.size},"trials":2,"queries":${qJson(slowest, 3)},"failed":$failedJson,"sf":"$sfDir","full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

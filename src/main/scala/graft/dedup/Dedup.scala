@@ -680,10 +680,13 @@ object Dedup {
     import spark.implicits._
     val e = embs.select(col("vec_id").cast("int"), col("embedding"))
       .as[(Int, Array[Float])]
-    val n = e.count()
-    require(n <= maxRows,
+    // bounded cap probe: scanning maxRows+1 rows answers "over the cap?"
+    // without a second full pass over the upstream plan (limit short-
+    // circuits per partition and stops the collect at the cap)
+    val capProbe = e.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(capProbe <= maxRows,
       s"embeddingCosine is the EXACT all-pairs tier and materializes the corpus " +
-        s"on the driver: $n rows exceeds the $maxRows-row broadcast cap. Use the " +
+        s"on the driver: more than $maxRows rows exceeds the broadcast cap. Use the " +
         s"scale paths instead — semanticDedup (dedup_semantic: SemDeDup-style " +
         s"bounded IVF cells) or the graft.similarity LSH/IVF candidate " +
         s"generators with per-bucket exact verify.")

@@ -619,6 +619,13 @@ object TextFunctions {
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         (col("tf") * log(col("n_corpus") / col("df"))).as("w"))
+      // w = 0 (df == N) contributes nothing to any dot or norm, but a
+      // doc holding ONLY such tokens would have norm 0 and its cosine
+      // would be 0/0 = NaN — which Spark sorts first under desc while
+      // DuckDB orders NULL/NaN differently. Dropping zero weights keeps
+      // every retained doc's norm strictly positive, so NaN is
+      // unrepresentable (and ubiquitous-token posting lists never join)
+      .filter(col("w") =!= 0.0)
     val norms = weights.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val corpus = weights.join(norms, "doc_id")
     val probes = broadcast(
@@ -655,7 +662,8 @@ object TextFunctions {
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
       |w AS (
       |  SELECT doc_id, token, tf * ln(n_corpus / df) AS w
-      |  FROM tok JOIN dfs USING (token) CROSS JOIN n),
+      |  FROM tok JOIN dfs USING (token) CROSS JOIN n
+      |  WHERE tf * ln(n_corpus / df) <> 0),
       |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
       |q AS (
       |  SELECT w.doc_id AS query_id, token, w AS qw, norm AS qnorm
@@ -752,6 +760,13 @@ object TextFunctions {
     * substrates, so the driver face adds NO new corpus scan: the model
     * is two keyed count aggregations, the scalars (V) broadcast, and
     * the per-doc score is one doc-keyed aggregation.
+    *
+    * Skew shape: the scored side pre-aggregates to (doc, a, b, n)
+    * BEFORE joining the model, so the model join carries one row per
+    * distinct bigram per doc — the per-doc repetition factor never
+    * reaches the join and a Zipf-hot key ("of the") is capped at one
+    * row per document rather than one per occurrence. The per-bigram
+    * −ln P is then weighted by n in the final doc-keyed aggregation.
     */
   def bigramLogprob(docs: DataFrame, smoothK: Double = 0.5): DataFrame =
     bigramLogprobFrom(docBigrams(docs), docTokenCounts(docs), smoothK)
@@ -761,14 +776,17 @@ object TextFunctions {
     val model = bigramRows.groupBy("a", "b").agg(count(lit(1)).cast("double").as("c_ab"))
     val uni = counts.groupBy("token").agg(sum("tf").cast("double").as("c_a"))
     val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
-    bigramRows
+    val perDocBigram = bigramRows.groupBy("doc_id", "a", "b")
+      .agg(count(lit(1)).cast("double").as("n_occ"))
+    perDocBigram
       .join(model, Seq("a", "b"))
       .join(uni.withColumnRenamed("token", "a"), "a")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(-log((col("c_ab") + lit(smoothK)) / (col("c_a") + lit(smoothK) * col("v"))))
-          / count(lit(1)), 4).as("avg_neg_logprob"))
+      .agg(sum(col("n_occ")).cast("long").as("n_bigrams"),
+        round(sum(col("n_occ") *
+          -log((col("c_ab") + lit(smoothK)) / (col("c_a") + lit(smoothK) * col("v"))))
+          / sum(col("n_occ")), 4).as("avg_neg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -789,10 +807,12 @@ object TextFunctions {
       |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
       |u AS (SELECT token, CAST(count(*) AS DOUBLE) AS c_a FROM tok
       |      WHERE token <> '' GROUP BY token),
-      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM u)
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(sum(-ln((c_ab + 0.5) / (c_a + 0.5 * v))) / count(*), 4) AS avg_neg_logprob
-      |FROM bg JOIN model USING (a, b) JOIN u ON bg.a = u.token CROSS JOIN v
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM u),
+      |bgc AS (SELECT doc_id, a, b, CAST(count(*) AS DOUBLE) AS n_occ
+      |        FROM bg GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+      |  round(sum(n_occ * -ln((c_ab + 0.5) / (c_a + 0.5 * v))) / sum(n_occ), 4) AS avg_neg_logprob
+      |FROM bgc JOIN model USING (a, b) JOIN u ON bgc.a = u.token CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val tokenPmiSql: String =

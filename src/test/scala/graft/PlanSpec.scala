@@ -88,6 +88,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"probe join must be broadcast-hash on token:\n$p")
   }
 
+  test("bigram_logprob pre-aggregates (doc,a,b) below the model join") {
+    val p = plan(graft.functions.TextFunctions.bigramLogprob(
+      Tables.load(spark, sfDir, "documents")))
+    // the skew claim: per-occurrence rows collapse to one row per
+    // (doc, bigram) BEFORE the model join, so a Zipf-hot bigram is
+    // capped at one joined row per doc. Physical plans print top-down,
+    // so "below the join" = the agg matches later in the string.
+    val agg = """HashAggregate\(keys=\[doc_id#\d+L?, a#\d+, b#\d+\]""".r.findFirstMatchIn(p)
+    assert(agg.isDefined, s"(doc,a,b) pre-aggregation expected in plan:\n$p")
+    val firstJoin = p.indexOf("Join")
+    assert(firstJoin >= 0 && agg.get.start > firstJoin,
+      s"the (doc,a,b) aggregation must sit BELOW the model join:\n$p")
+  }
+
   test("mm IVF-PQ inherits the broadcast-probe shape over the codec frame") {
     val p = plan(graft.multimodal.BinaryPipeline.similarTopKIvfPq(spark, sfDir))
     assert("""BroadcastHashJoin \[cell""".r.findFirstIn(p).isDefined,

@@ -29,4 +29,29 @@ class SessionCacheSpec extends AnyFunSuite with SparkSpec {
     SessionCache.getOrElseUpdate(spark, ("spec", "k2"))(build())
     assert(builds === 3)
   }
+
+  test("concurrent first access runs the builder exactly once") {
+    // a raced-and-lost builder would leak its localCheckpoint in real
+    // use; the cell indirection must force only the published builder
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            start.await()
+            SessionCache.getOrElseUpdate(spark, ("spec", "race")) {
+              builds.incrementAndGet(); "raced-artifact"
+            }
+          }
+        })
+      }
+      start.countDown()
+      val results = futures.map(_.get()).toSet
+      assert(results === Set("raced-artifact"))
+      assert(builds.get() === 1,
+        "all racers must observe the one published builder result")
+    } finally pool.shutdown()
+  }
 }

@@ -27,7 +27,7 @@ def load(path):
     # the driver's log-tail window): merge chunk queries in order, let
     # the summary supply value/failed and override its top-slowest
     # entries. A lone full line (e.g. bench_full.json) still works.
-    merged, artifacts, summary = {}, {}, None
+    merged, artifacts, summary, load = {}, {}, None, None
     for line in text.splitlines():
         line = line.strip()
         for prefix in ("[info]", "[warn]"):
@@ -44,6 +44,8 @@ def load(path):
         if d["metric"] == "artifacts":
             # shared-artifact build costs: their own line since r6
             artifacts.update(d.get("artifacts", {}))
+            if "load" in d:
+                load = d["load"]
             continue
         if "queries" not in d:
             continue
@@ -74,7 +76,19 @@ def load(path):
     summary["queries"] = merged
     if artifacts and "artifacts" not in summary:
         summary["artifacts"] = artifacts
+    if load is not None and "load" not in summary:
+        summary["load"] = load
     return summary
+
+
+def load1(d):
+    """Representative 1-min load for a run: max of start/end (a spike at
+    either edge is enough to distrust the middle). None pre-r7."""
+    ld = d.get("load")
+    if not ld:
+        return None
+    vals = [v[0] for v in (ld.get("start"), ld.get("end")) if v]
+    return max(vals) if vals else None
 
 
 def flat(d):
@@ -91,9 +105,21 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     oq, nq = flat(old), flat(new)
+    # r6's driver bench showed 4x phantom regressions under box load:
+    # when the two runs' recorded load averages differ >2x, every diff is
+    # suspect and each slow line is tagged, not trusted.
+    ol1, nl1 = load1(old), load1(new)
+    load_skew = (ol1 is not None and nl1 is not None
+                 and max(ol1, nl1) > 2 * max(min(ol1, nl1), 0.5))
     regressed = []
     print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
           f"({len(oq)} -> {len(nq)} queries)")
+    if ol1 is not None or nl1 is not None:
+        def fmt_l(v):
+            return "n/a" if v is None else f"{v:.1f}"
+        note = "  ** LOAD SKEW: timing diffs unreliable **" if load_skew else ""
+        print(f"load (1-min, max of start/end): {fmt_l(ol1)} -> {fmt_l(nl1)}{note}")
+    tag = " [load-skewed]" if load_skew else ""
     for name in sorted(set(oq) | set(nq)):
         if name not in oq:
             print(f"  NEW      {name}: {nq[name]:.2f}s")
@@ -103,11 +129,12 @@ def main():
             ratio = nq[name] / max(oq[name], 1e-9)
             if ratio > thr:
                 regressed.append(name)
-                print(f"  REGRESS  {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.1f}x)")
+                print(f"  REGRESS  {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.1f}x){tag}")
             elif ratio < 1 / thr:
-                print(f"  faster   {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.1f}x)")
+                print(f"  faster   {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.1f}x){tag}")
     if regressed:
-        print(f"REGRESSIONS: {', '.join(regressed)}")
+        print(f"REGRESSIONS: {', '.join(regressed)}"
+              + (" — load skew detected; re-measure before acting" if load_skew else ""))
         sys.exit(1)
     print("no regressions above threshold")
 
