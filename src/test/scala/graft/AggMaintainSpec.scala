@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+
+/** The maintained aggregate ([[AggMaintain]]) must equal a from-scratch
+  * recompute of the grouped aggregate AT EVERY EPOCH — the defining
+  * invariant of incremental view maintenance. Deltas are exact integer
+  * cents, so equality is bit-equality, not tolerance.
+  */
+class AggMaintainSpec extends AnyFunSuite with SparkSpec {
+
+  private val keyCols = Seq("user_id")
+  private val grp = "last_event_type"
+  private val value = "last_value"
+
+  private def aggMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => Option(r.getString(r.fieldIndex("grp"))).getOrElse("∅") ->
+      (r.getLong(r.fieldIndex("n_rows")), r.getLong(r.fieldIndex("sum_cents")))).toMap
+
+  test("maintained == recomputed at every epoch over random tranche boundaries (seeded)") {
+    val ch = CdcOps.userChangelog(spark, sfDir).cache()
+    val bounds = ch.agg(min("ts_ms"), max("ts_ms")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 2) {
+      val cuts = (lo +: Seq.fill(rnd.nextInt(3) + 2)(
+        lo + math.abs(rnd.nextLong()) % math.max(hi - lo, 1L)).sorted :+ (hi + 1))
+      val tranches = cuts.zip(cuts.tail).filter(c => c._1 < c._2)
+      var state = CdcOps.latestState(
+        ch.filter(col("ts_ms") >= tranches.head._1 && col("ts_ms") < tranches.head._2),
+        keyCols, CdcOps.userDataCols).drop("n_changes").localCheckpoint(true)
+      var agg = AggMaintain.groupAgg(state, grp, value).localCheckpoint(true)
+      tranches.tail.zipWithIndex.foreach { case ((a, b), i) =>
+        val batch = ch.filter(col("ts_ms") >= a && col("ts_ms") < b)
+        agg = AggMaintain.applyDelta(agg,
+          AggMaintain.epochDelta(state, batch, keyCols, grp, value)).localCheckpoint(true)
+        state = CdcOps.mergeChangeSet(state, batch, keyCols, CdcOps.userDataCols)
+          .localCheckpoint(true)
+        assert(aggMap(agg) === aggMap(AggMaintain.groupAgg(state, grp, value)),
+          s"trial $trial epoch ${i + 1}: maintained aggregate diverged from recompute")
+      }
+    }
+    ch.unpersist()
+  }
+
+  test("delete, re-insert and group moves maintain exactly (hand-built epochs)") {
+    import spark.implicits._
+    def changes(rows: (Long, String, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "op", "ts_ms", "seq", grp, value)
+    // epoch 1: three keys in two groups
+    val e1 = changes((1L, "c", 10L, 1L, "a", 1.0), (2L, "c", 11L, 2L, "a", 2.0),
+      (3L, "c", 12L, 3L, "b", 3.0))
+    // epoch 2: delete key 2; move key 3 from group b to a (empties b);
+    // key 4 created AND deleted within the epoch (must net to nothing)
+    val e2 = changes((2L, "d", 20L, 4L, "x", 0.0), (3L, "u", 21L, 5L, "a", 3.5),
+      (4L, "c", 22L, 6L, "c", 9.0), (4L, "d", 23L, 7L, "c", 9.0))
+    // epoch 3: re-insert deleted key 2 into a NEW group; update key 1 in place
+    val e3 = changes((2L, "c", 30L, 8L, "b", 4.25), (1L, "u", 31L, 9L, "a", 1.75))
+    var state = CdcOps.latestState(e1, keyCols, Seq(grp, value)).drop("n_changes")
+    var agg = AggMaintain.groupAgg(state, grp, value)
+    Seq(e2, e3).zipWithIndex.foreach { case (batch, i) =>
+      agg = AggMaintain.applyDelta(agg,
+        AggMaintain.epochDelta(state, batch, keyCols, grp, value))
+      state = CdcOps.mergeChangeSet(state, batch, keyCols, Seq(grp, value))
+      assert(aggMap(agg) === aggMap(AggMaintain.groupAgg(state, grp, value)),
+        s"epoch ${i + 2}: maintained diverged")
+    }
+    // final state: keys 1(a,1.75), 2(b,4.25), 3(a,3.5) — group b was
+    // emptied in epoch 2 and must have REAPPEARED via the re-insert,
+    // group c (created+deleted intra-epoch) must never appear
+    assert(aggMap(agg) === Map("a" -> ((2L, 525L)), "b" -> ((1L, 425L))))
+  }
+
+  test("maintained aggregate tracks ParquetUpsertSink epochs (incl. deletes)") {
+    // the production shape: each committed sink epoch contributes one
+    // delta, computed from the PRE-epoch committed state + the batch —
+    // maintained equals groupAgg(readStateAt(e)) at every retained epoch
+    val dir = java.nio.file.Files.createTempDirectory("agg-maintain-sink").toString
+    val sink = new ParquetUpsertSink(spark, dir, keyCols, numBuckets = 4,
+      retainEpochs = 10)
+    val ch = CdcOps.userChangelog(spark, sfDir)
+    val bounds = ch.agg(min("ts_ms"), max("ts_ms")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max((hi - lo) / 3, 1L)
+    val batches = (0 until 3).map { i =>
+      val a = lo + i * step
+      val b = if (i == 2) hi + 1 else lo + (i + 1) * step
+      ch.filter(col("ts_ms") >= a && col("ts_ms") < b)
+    }
+    sink.merge(batches.head, 0L)
+    var agg = AggMaintain.groupAgg(sink.readState(), grp, value).localCheckpoint(true)
+    batches.tail.zipWithIndex.foreach { case (batch, i) =>
+      val pre = sink.readState()
+      sink.merge(batch, i + 1L)
+      agg = AggMaintain.applyDelta(agg,
+        AggMaintain.epochDelta(pre, batch, keyCols, grp, value)).localCheckpoint(true)
+      assert(aggMap(agg) ===
+        aggMap(AggMaintain.groupAgg(sink.readStateAt(i + 1L), grp, value)),
+        s"sink epoch ${i + 1}: maintained diverged from committed state")
+    }
+  }
+}
