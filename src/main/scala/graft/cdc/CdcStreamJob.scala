@@ -27,6 +27,17 @@ final case class KafkaSource(config: KafkaReaderConfig) extends CdcSource
 final case class FileSource(path: String) extends CdcSource
 final case class MemorySource(raw: DataFrame) extends CdcSource
 
+/** One table's binding in a multi-table CDC stream: which envelope
+  * `source.table` it claims, where its state lives, and its shapes.
+  */
+final case class TableRoute(
+    table: String,
+    statePath: String,
+    keyCols: Seq[String],
+    pkSchema: StructType,
+    rowSchema: StructType,
+    numBuckets: Int = 64)
+
 final case class CdcJobConfig(
     source: CdcSource,
     checkpointLocation: String,
@@ -51,20 +62,7 @@ final case class CdcJobConfig(
   */
 class CdcStreamJob(spark: SparkSession, config: CdcJobConfig) {
 
-  def readRaw(): DataFrame = config.source match {
-    case KafkaSource(k) =>
-      spark.readStream
-        .format(CdcStreamJob.KafkaFormat)
-        .options(CdcStreamJob.kafkaOptions(k))
-        .load()
-        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
-          "topic", "offset")
-    case FileSource(path) =>
-      spark.readStream
-        .schema("key STRING, value STRING, topic STRING")
-        .json(path)
-    case MemorySource(raw) => raw
-  }
+  def readRaw(): DataFrame = CdcStreamJob.readRaw(spark, config.source)
 
   def parsed(): DataFrame =
     DebeziumEnvelope.parse(readRaw(), config.pkSchema, config.rowSchema)
@@ -103,21 +101,47 @@ class CdcStreamJob(spark: SparkSession, config: CdcJobConfig) {
     * heterogeneous connectors into one state table without normalizing
     * seq first.
     */
-  def flattenAfterImage(parsed: DataFrame): DataFrame = {
-    val dataCols = config.rowSchema.fieldNames.filterNot(config.keyCols.contains)
+  def flattenAfterImage(parsed: DataFrame): DataFrame =
+    CdcStreamJob.flattenAfterImage(parsed, config.keyCols, config.rowSchema)
+}
+
+object CdcStreamJob {
+  val KafkaFormat = "kafka"
+
+  /** Source → raw Kafka-shaped frame (string key/value [+ topic,
+    * offset]) — shared by the single-table and multi-table jobs.
+    */
+  def readRaw(spark: SparkSession, source: CdcSource): DataFrame = source match {
+    case KafkaSource(k) =>
+      spark.readStream
+        .format(KafkaFormat)
+        .options(kafkaOptions(k))
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
+          "topic", "offset")
+    case FileSource(path) =>
+      spark.readStream
+        .schema("key STRING, value STRING, topic STRING")
+        .json(path)
+    case MemorySource(raw) => raw
+  }
+
+  /** Static face of [[CdcStreamJob.flattenAfterImage]] (same contract —
+    * see the instance scaladoc for the seq-domain discipline), usable
+    * per route by the multi-table job.
+    */
+  def flattenAfterImage(parsed: DataFrame, keyCols: Seq[String],
+                        rowSchema: StructType): DataFrame = {
+    val dataCols = rowSchema.fieldNames.filterNot(keyCols.contains)
     val seqSources =
       Seq(col("src_lsn")) ++
         (if (parsed.columns.contains("offset")) Seq(col("offset")) else Seq.empty) ++
         Seq(col("ts_ms"), lit(0L))
     parsed.select(
-      config.keyCols.map(col) ++ Seq(col("op"), col("ts_ms"),
+      keyCols.map(col) ++ Seq(col("op"), col("ts_ms"),
         coalesce(seqSources: _*).as("seq")) ++
         dataCols.map(f => col(s"after.$f").as(f)): _*)
   }
-}
-
-object CdcStreamJob {
-  val KafkaFormat = "kafka"
 
   /** Reader options for the Kafka source — the reference's
     * StreamingJobExecutor.read surface
@@ -129,6 +153,64 @@ object CdcStreamJob {
     "subscribe" -> k.topics,
     "startingOffsets" -> k.startingOffsets,
     "failOnDataLoss" -> "false")
+}
+
+/** Multi-table CDC routing: ONE Debezium stream carrying N tables,
+  * fanned to per-table [[ParquetUpsertSink]] state dirs inside a single
+  * foreachBatch / checkpoint.
+  *
+  * The reference binds one topic to one table
+  * (/root/reference/src/main/scala/com/sg/job/streaming/StreamingJobExecutor.scala:36-46);
+  * real Debezium connectors deliver MANY tables per connector (topic
+  * per table, or one routed topic), and the envelope's `source.table`
+  * field (parsed by [[DebeziumEnvelope]]) carries exactly what routing
+  * needs. Each route has its own pk/row schema — heterogeneous tables
+  * share the stream.
+  *
+  * Execution shape per micro-batch: the raw batch is persisted ONCE,
+  * then each route filters on a cheap pre-parse `get_json_object` of
+  * `source.table` (no full from_json for rows bound elsewhere), parses
+  * with ITS schema, flattens, and merges into its own sink. Tables
+  * silent in a batch skip their merge entirely (no spurious empty
+  * epochs), so per-table epoch counts are independent. Envelopes whose
+  * table matches no route are dropped — add a catch-all route if the
+  * deployment must quarantine them instead.
+  *
+  * Recovery contract is the single-table job's: one checkpoint governs
+  * the whole fan-out, foreachBatch replays are idempotent per sink
+  * (same latest-image per key), and a crash mid-fan-out is safe because
+  * each sink's commit is atomic — a replayed batch re-merges into
+  * whichever sinks committed and whichever didn't, converging to the
+  * same state either way.
+  */
+class CdcMultiTableStreamJob(spark: SparkSession, source: CdcSource,
+                             checkpointLocation: String, routes: Seq[TableRoute]) {
+  require(routes.nonEmpty, "at least one table route required")
+  require(routes.map(_.table).distinct.size == routes.size,
+    s"duplicate table routes: ${routes.map(_.table).mkString(", ")}")
+  require(routes.map(_.statePath).distinct.size == routes.size,
+    "routes must not share a statePath (sinks are single-writer)")
+
+  def execute(trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val sinks = routes.map(r =>
+      r.table -> new ParquetUpsertSink(spark, r.statePath, r.keyCols, r.numBuckets)).toMap
+    CdcStreamJob.readRaw(spark, source).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val raw = batch.persist()
+        try routes.foreach { r =>
+          val routed = raw.filter(
+            get_json_object(col("value"), "$.payload.source.table") === r.table)
+          val flat = CdcStreamJob.flattenAfterImage(
+            DebeziumEnvelope.parse(routed, r.pkSchema, r.rowSchema),
+            r.keyCols, r.rowSchema)
+          if (!flat.isEmpty) sinks(r.table).merge(flat, batchId)
+        } finally { raw.unpersist(); () }
+      }
+      .start()
+  }
 }
 
 /** Initial-load job (the reference's StreamingJobInitialExecutor,

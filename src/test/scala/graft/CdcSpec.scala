@@ -243,6 +243,81 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     ch.unpersist(); encoded.unpersist()
   }
 
+  test("multi-table routing: one stream fans N tables to their own state dirs, replay-idempotent") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-multi").toString
+    val srcDir = s"$tmp/stream-in"
+
+    // table 1: the real user changelog (collision-grade ts_ms, deletes)
+    val usersCh = CdcOps.userChangelog(spark, sfDir).cache()
+    val uAfter = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val uBefore = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    DebeziumEnvelope.encode(usersCh, Seq("user_id"), col("op"), col("ts_ms"),
+      uAfter, uBefore, "users", lsnCol = col("seq"))
+      .write.mode("append").json(srcDir)
+
+    // table 2: a DIFFERENT schema — update chains, a delete, a survivor
+    val ordersCh = Seq(
+      (1001L, "c", 100L, 1L, "new", 10.0), (1001L, "u", 200L, 2L, "paid", 10.0),
+      (1002L, "c", 150L, 3L, "new", 5.0), (1002L, "d", 250L, 4L, "new", 5.0),
+      (1003L, "c", 300L, 5L, "new", 7.5), (1001L, "u", 350L, 6L, "shipped", 10.0))
+      .toDF("order_id", "op", "ts_ms", "seq", "status", "amount")
+    val oAfter = when(col("op") =!= "d",
+      struct(col("order_id"), col("status"), col("amount"))).otherwise(lit(null))
+    val oBefore = when(col("op") === "d",
+      struct(col("order_id"), col("status"), col("amount"))).otherwise(lit(null))
+    DebeziumEnvelope.encode(ordersCh, Seq("order_id"), col("op"), col("ts_ms"),
+      oAfter, oBefore, "orders", lsnCol = col("seq"))
+      .write.mode("append").json(srcDir)
+
+    val ordersPk = StructType(Seq(StructField("order_id", LongType)))
+    val ordersRow = StructType(Seq(StructField("order_id", LongType),
+      StructField("status", StringType), StructField("amount", DoubleType)))
+    val routes = Seq(
+      TableRoute("users", s"$tmp/state-users", Seq("user_id"),
+        CdcQueries.userPkSchema, CdcQueries.userRowSchema, numBuckets = 8),
+      TableRoute("orders", s"$tmp/state-orders", Seq("order_id"),
+        ordersPk, ordersRow, numBuckets = 4))
+
+    def runOnce(ckpt: String): Unit = {
+      val q = new CdcMultiTableStreamJob(spark, FileSource(srcDir), ckpt, routes)
+        .execute(Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce(s"$tmp/ckpt1")
+
+    // each table's exported snapshot == its own batch latestState
+    def assertTable(statePath: String, expected: org.apache.spark.sql.DataFrame,
+                    cols: Seq[String], label: String): Unit = {
+      val sink = new ParquetUpsertSink(spark, statePath,
+        routes.find(r => statePath.endsWith(r.statePath.split('/').last)).get.keyCols)
+      val export = s"$statePath-export"
+      sink.exportSnapshot(export)
+      val got = spark.read.parquet(export).select(cols.map(col): _*)
+      assert(got.exceptAll(expected).count() === 0, s"$label: snapshot minus expected")
+      assert(expected.exceptAll(got).count() === 0, s"$label: expected minus snapshot")
+    }
+    val usersCols = Seq("user_id", "last_event_type", "last_value", "last_ts_ms")
+    val usersExpected = CdcOps.latestState(usersCh, Seq("user_id"), CdcOps.userDataCols)
+      .select(usersCols.map(col): _*)
+    val ordersCols = Seq("order_id", "status", "amount", "last_ts_ms")
+    val ordersExpected = CdcOps.latestState(ordersCh, Seq("order_id"), Seq("status", "amount"))
+      .select(ordersCols.map(col): _*)
+    assertTable(s"$tmp/state-users", usersExpected, usersCols, "users (first run)")
+    assertTable(s"$tmp/state-orders", ordersExpected, ordersCols, "orders (first run)")
+
+    // at-least-once replay: a FRESH checkpoint re-merges every envelope
+    // into the SAME state dirs — latest-image reapplication must leave
+    // both tables' content unchanged
+    runOnce(s"$tmp/ckpt2")
+    assertTable(s"$tmp/state-users", usersExpected, usersCols, "users (replay)")
+    assertTable(s"$tmp/state-orders", ordersExpected, ordersCols, "orders (replay)")
+    usersCh.unpersist()
+  }
+
   test("ingest -> exportSnapshot -> analytics equals the same analytics over latestState") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.expressions.Window
