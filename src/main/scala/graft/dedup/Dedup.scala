@@ -1119,4 +1119,112 @@ object Dedup {
       |SELECT labels.doc_id, labels.cluster_id, csize.cluster_size
       |FROM labels JOIN csize USING (cluster_id)
       |ORDER BY labels.doc_id""".stripMargin
+
+  /** Bounded edit-distance near-dup join over a SHORT string field
+    * (titles, URLs, keys — here a fixed text prefix): all pairs with
+    * levenshtein ≤ τ, found via pigeonhole segment blocking, verified
+    * with Spark's bounded-threshold `levenshtein` expression (O(τ·len)
+    * per candidate, no UDF).
+    *
+    * Blocking (the PassJoin pigeonhole, Li et al., VLDB 2011 — public
+    * algorithm): split each string into τ+1 contiguous segments; τ
+    * edits can disturb at most τ of them, so for any true pair at least
+    * one segment of either member survives VERBATIM as a substring of
+    * the other. Candidates are therefore the join of each doc's τ+1
+    * segment keys against every other doc's enumerated substrings of
+    * the matching lengths — an inverted-substring-index join, the same
+    * keyed candidate-generation shape as the LSH band join (never an
+    * all-pairs pass). The substring side emits O(len·τ) short keys per
+    * doc (len≈40, τ=2 → ~120 keys), linear per doc.
+    *
+    * The pigeonhole needs τ+1 NON-empty segments, so strings shorter
+    * than τ+1 chars take a separate tiny bucket (their partners are ≤2τ
+    * chars by the length filter — all-pairs inside that bucket is
+    * bounded by the distinct near-empty strings in the corpus, a
+    * handful in any real dataset).
+    *
+    * Candidate volume is substring-selectivity-bounded: a Zipf-hot
+    * phrase fattens its bucket the way a hot LSH band does, and the
+    * bounded-threshold verify (not full DP) keeps per-candidate cost
+    * at O(τ·len). The length filter |len(a)−len(b)| ≤ τ prunes before
+    * the verify.
+    */
+  def editDistPairs(docs: DataFrame, field: Column, tau: Int = 2): DataFrame = {
+    require(tau >= 1 && tau <= 4, s"tau must be in [1,4], got $tau (the segment" +
+      " fan-out is (tau+1) keys and (2tau+1)-ish substring lengths per doc)")
+    val nSeg = tau + 1
+    val s = docs.select(col("doc_id"), field.as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+    val l = length(col("s"))
+    // pigeonhole segments of the probe side (valid when l >= tau+1):
+    // first (l % nSeg) segments get an extra char — standard even split
+    val base = floor(l / nSeg).cast("int")
+    val rem = (l % nSeg).cast("int")
+    val segs = (0 until nSeg).map { i =>
+      val start = lit(i) * base + least(lit(i), rem) + lit(1) // 1-based
+      val len = base + when(lit(i) < rem, 1).otherwise(0)
+      col("s").substr(start, len)
+    }
+    val segSide = s.filter(l >= nSeg)
+      .select(col("doc_id").as("seg_id"), col("s").as("seg_s"),
+        explode(array(segs: _*)).as("key"))
+    // candidate side: every substring whose length could be a partner's
+    // segment length — partners differ by <= tau chars, so lengths span
+    // [floor((l-tau)/nSeg), ceil((l+tau)/nSeg)]
+    val minLen = greatest(floor((l - lit(tau)) / nSeg).cast("int"), lit(1))
+    val maxLen = floor((l + lit(tau) + lit(nSeg - 1)) / nSeg).cast("int")
+    val subSide = s
+      .select(col("doc_id").as("sub_id"), col("s").as("sub_s"),
+        explode(sequence(minLen, maxLen)).as("sublen"))
+      .filter(col("sublen") <= length(col("sub_s")))
+      .select(col("sub_id"), col("sub_s"), col("sublen"),
+        explode(sequence(lit(1), length(col("sub_s")) - col("sublen") + 1)).as("pos"))
+      .select(col("sub_id"), col("sub_s"),
+        col("sub_s").substr(col("pos"), col("sublen")).as("key"))
+    val mainCand = segSide.join(subSide, "key")
+      .filter(col("seg_id") =!= col("sub_id") &&
+        abs(length(col("seg_s")) - length(col("sub_s"))) <= tau)
+      .select(
+        when(col("seg_id") < col("sub_id"),
+          struct(col("seg_id").as("id_a"), col("seg_s").as("s_a"),
+            col("sub_id").as("id_b"), col("sub_s").as("s_b")))
+          .otherwise(
+            struct(col("sub_id").as("id_a"), col("sub_s").as("s_a"),
+              col("seg_id").as("id_b"), col("seg_s").as("s_b"))).as("p"))
+      .select(col("p.id_a"), col("p.s_a"), col("p.id_b"), col("p.s_b"))
+    // strings shorter than tau+1 can lose every segment to edits; their
+    // partners are <= 2*tau chars (length filter), so all-pairs the
+    // near-empty bucket
+    val shorts = s.filter(l <= lit(2 * tau))
+      .select(col("doc_id"), col("s"))
+    val shortCand = shorts.alias("x").join(shorts.alias("y"),
+        col("x.doc_id") < col("y.doc_id") &&
+          abs(length(col("x.s")) - length(col("y.s"))) <= tau &&
+          (length(col("x.s")) < nSeg || length(col("y.s")) < nSeg))
+      .select(col("x.doc_id").as("id_a"), col("x.s").as("s_a"),
+        col("y.doc_id").as("id_b"), col("y.s").as("s_b"))
+    mainCand.unionByName(shortCand)
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), tau))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Driver face: near-dup pairs of the documents' 40-char text prefix
+    * (the corpus's stand-in for a short title field) within 2 edits.
+    */
+  def editDistPairs(spark: SparkSession, dir: String): DataFrame =
+    editDistPairs(Tables.documents(spark, dir), substring(col("text"), 1, 40), tau = 2)
+
+  val editDistPairsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+      |  WHERE text IS NOT NULL AND length(substr(text, 1, 40)) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+      |WHERE levenshtein(a.s, b.s) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
 }

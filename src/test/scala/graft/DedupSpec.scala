@@ -236,4 +236,54 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(c.getDouble(3) > 0.0 && c.getDouble(3) <= 1.0)
     }
   }
+
+  test("editdist blocking never drops a true pair within tau (seeded fuzz vs brute force)") {
+    import spark.implicits._
+    // adversarial corpus: seeded random strings over a TINY alphabet
+    // (maximizes accidental near-matches), mutated copies at exactly
+    // <= tau edits, plus the degenerate shorties the pigeonhole can't
+    // cover (len < tau+1) — the separate short bucket must catch those
+    val tau = 2
+    val rnd = new scala.util.Random(1234L)
+    val alpha = "abc"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val pos = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(pos, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cur.substring(0, pos) + alpha(rnd.nextInt(alpha.length)) + cur.substring(pos)
+          case _ if cur.nonEmpty => cur.substring(0, pos) + cur.substring(pos + 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    val bases = (0 until 60).map(_ => randStr(rnd.nextInt(12) + 4))
+    val shorts = (0 until 15).map(_ => randStr(rnd.nextInt(2) + 1)) // len 1-2 < tau+1
+    val all = (bases ++ bases.map(mutate(_, rnd.nextInt(tau) + 1)) ++ shorts)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val docs = all.toDF("doc_id", "s").withColumn("text", col("s"))
+    val got = Dedup.editDistPairs(docs, col("s"), tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over the same strings on the driver
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && lev(sa, sb) <= tau
+    } yield (ia, ib)).toSet
+    assert((expected -- got).isEmpty,
+      s"blocking dropped true pairs: ${(expected -- got).take(5)}")
+    assert((got -- expected).isEmpty,
+      s"verify passed false pairs: ${(got -- expected).take(5)}")
+  }
 }
