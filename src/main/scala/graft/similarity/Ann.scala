@@ -553,6 +553,23 @@ object Ann {
   private def ivfpqScore(codes: DataFrame, refined: Array[(Int, Array[Double])],
                          books: Array[Array[Array[Double]]], queries: DataFrame,
                          k: Int, nProbe: Int): DataFrame = {
+    val scored = ivfpqAdcScored(codes, refined, books, queries, nProbe)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared ADC probe pipeline: broadcast (query, probed-cell, ADC
+    * LUT) rows, broadcast-hash join on `cell`, per-row table-lookup
+    * cosine. Returns the scored candidate frame (query_id, vec_id,
+    * cosine) for a consumer's own ranking step.
+    */
+  private def ivfpqAdcScored(codes: DataFrame, refined: Array[(Int, Array[Double])],
+                             books: Array[Array[Array[Double]]], queries: DataFrame,
+                             nProbe: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val subDim = books.head.head.length
@@ -571,7 +588,7 @@ object Ann {
       }.toSeq
     val probes = broadcast(probeRows.toDF("query_id", "qnorm", "dot_lut", "cell"))
 
-    val scored = codes.join(probes, Seq("cell"))
+    codes.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot",
         aggregate(zip_with(col("dot_lut"), col("codes"),
@@ -579,16 +596,77 @@ object Ann {
       .withColumn("cosine",
         round(when(col("qnorm") === 0.0 || col("dnorm2") === 0.0, 0.0)
           .otherwise(col("dot") / (col("qnorm") * sqrt(col("dnorm2")))), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
   }
 
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
     cachedTier(spark, dir, "ivfpq")(ivfpqTopK(Tables.embeddings(spark, dir)))
+
+  /** IVF-PQ with an exact re-rank tier — the standard FAISS refine step
+    * (`IndexRefineFlat`; Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011, §V): ADC-score the probed
+    * cells as usual, keep the top k′ = refineFactor·k CANDIDATES per
+    * query by ADC score, re-rank only those k′ by exact cosine from the
+    * raw vectors, emit the exact-ranked top k.
+    *
+    * This closes most of the code-quantization recall gap at bounded
+    * extra cost: k′ exact distances per query — not |probed cells| —
+    * so the compressed scan still does the heavy lifting and the exact
+    * math touches a constant-sized survivor set. Candidate recall is
+    * LIMITED by the probe set (a true neighbor in an unprobed cell
+    * stays lost — same as plain IVF-PQ); what refine fixes is the
+    * ADC-ordering error WITHIN the probed set, which is where most of
+    * the loss at small k comes from.
+    *
+    * Plan shape: the ADC stage is the shared broadcast-probe pipeline
+    * (one corpus scan, broadcast-hash join on `cell`); the survivor set
+    * (nQueries·k′ ids) broadcasts back against the raw-vector table, so
+    * the re-rank is a second corpus SCAN filtered by a broadcast hash
+    * join — no shuffle of the corpus. A serving deployment would fetch
+    * the k′ raw vectors from keyed storage instead of rescanning; the
+    * scan form is the batch-engine equivalent (and what the driver
+    * entry measures).
+    */
+  def ivfpqRefineTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+                      nCells: Int = 16, nProbe: Int = 6,
+                      nSub: Int = 16, nCodes: Int = 16, trainSize: Int = 4096,
+                      refineFactor: Int = 4): DataFrame = {
+    val emptyOut = embs.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+      lit(1).as("rank"), lit(0.0).as("cosine")).limit(0)
+    trainFromCorpus(embs, nCells, trainSize) match {
+      case None => emptyOut
+      case Some(refined) =>
+        val books = pqCodebooks(embs, nSub, nCodes, trainSize)
+        if (books.isEmpty) emptyOut
+        else {
+          val queries = embs.filter(col("vec_id") < nQueries)
+          val adc = ivfpqAdcScored(ivfpqEncode(embs, refined, books), refined, books,
+            queries, nProbe)
+          val kPrime = refineFactor * k
+          val wAdc = Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("vec_id"))
+          val survivors = adc
+            .withColumn("r", row_number().over(wAdc))
+            .filter(col("r") <= kPrime)
+            .select("query_id", "vec_id")
+          val qVecs = broadcast(queries
+            .select(col("vec_id").as("query_id"), col("embedding").as("q")))
+          val exact = embs.select(col("vec_id"), col("embedding"))
+            .join(broadcast(survivors), "vec_id")
+            .join(qVecs, "query_id")
+            .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
+          val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+          exact
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              col("rank"), col("cosine"))
+            .orderBy("query_id", "rank")
+        }
+    }
+  }
+
+  def ivfpqRefineTopK(spark: SparkSession, dir: String): DataFrame =
+    cachedTier(spark, dir, "ivfpq_refine")(ivfpqRefineTopK(Tables.embeddings(spark, dir)))
 
   // ------------------------------------------------------------------
   // Persisted IVF-PQ index — the amortization tier: ~1/3 of a one-shot

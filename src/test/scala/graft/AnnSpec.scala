@@ -59,6 +59,39 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(Ann.ivfpqTopK(empty).count() === 0)
   }
 
+  test("IVF-PQ refine: exact re-rank holds the flat-IVF floor at EQUAL nProbe and never trails plain IVF-PQ") {
+    val refine = Ann.ivfpqRefineTopK(spark, sfDir)
+    assert(refine.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    assert(refine.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    val rRefine = recallVsBrute(refine)
+    val rPlain = recallVsBrute(Ann.ivfpqTopK(spark, sfDir))
+    info(f"IVF-PQ refine recall@5 = $rRefine%.2f (plain ADC $rPlain%.2f)")
+    // refine exists to fix ADC ordering error inside the probed set —
+    // a true neighbor in ADC's top-k stays in the (larger) survivor set
+    // and exact scoring can only rank it HIGHER, so >= is a theorem,
+    // not a measurement
+    assert(rRefine >= rPlain, "exact re-rank must not lose to ADC ranking")
+    assert(rRefine >= 0.3, "refined tier holds the family recall floor")
+    // at equal nProbe with a COVERING k' (>= probed population) the
+    // survivor cut disappears and refine IS flat IVF over the probed
+    // cells — row-for-row, same ranks and 4dp cosines. This pins the
+    // ADC->exact plumbing (LUTs, joins, rounding) deterministically;
+    // at bounded k' the floor is probabilistic (ADC can bury a true
+    // neighbor below any fixed cut), which is why the contract is
+    // stated at covering k'.
+    val embs = Tables.embeddings(spark, sfDir)
+    val covering = Ann.ivfpqRefineTopK(embs, nProbe = 4, refineFactor = 10000)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    val flat = Ann.ivfTopK(spark, sfDir) // flat tier, same nProbe=4, same quantizer seed
+      .select("query_id", "neighbor_id", "rank", "cosine")
+    assert(covering.exceptAll(flat).count() === 0, "covering-k' refine minus flat IVF")
+    assert(flat.exceptAll(covering).count() === 0, "flat IVF minus covering-k' refine")
+    // empty-corpus contract matches the other tiers
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ann.ivfpqRefineTopK(empty).count() === 0)
+  }
+
   test("int8 scalar quantization keeps high recall and tight reconstruction") {
     val sq = Ann.sqTopK(spark, sfDir)
     assert(sq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)

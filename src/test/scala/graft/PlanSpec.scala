@@ -76,6 +76,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"no shuffle Exchange may sit under the probe join (corpus side):\n$p")
   }
 
+  test("IVF-PQ refine keeps every join broadcast — ADC probe on cell, survivor re-rank on vec_id") {
+    val p = plan(Ann.ivfpqRefineTopK(Tables.load(spark, sfDir, "embeddings")))
+    assert("""BroadcastHashJoin \[cell""".r.findFirstIn(p).isDefined,
+      s"ADC probe join must be broadcast-hash on cell:\n$p")
+    // the exact re-rank fetches raw vectors for the k' survivors via a
+    // broadcast of the survivor ids — the corpus must never shuffle for
+    // either stage
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never shuffle for probe or re-rank:\n$p")
+  }
+
   test("tfidf doc-similarity probes via broadcast join on token") {
     val p = plan(graft.functions.TextFunctions.docSimilarTfidf(
       Tables.load(spark, sfDir, "documents")))
