@@ -36,5 +36,7 @@ object Artifacts {
     "ann_tier_ivf" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfTopK(s, d); () }),
     "ann_tier_sq" -> ((s: SparkSession, d: String) => { similarity.Ann.sqTopK(s, d); () }),
     "ann_tier_pq" -> ((s: SparkSession, d: String) => { similarity.Ann.pqTopK(s, d); () }),
-    "ann_tier_ivfpq" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfpqTopK(s, d); () }))
+    "ann_tier_ivfpq" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfpqTopK(s, d); () }),
+    "ann_tier_ivfpq_refine" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfpqRefineTopK(s, d); () }),
+    "layout_bucketed" -> ((s: SparkSession, d: String) => { sources.Layout.bucketedTables(s, d); () }))
 }

@@ -40,16 +40,62 @@ object Layout {
 
   /** Persist a DataFrame as a bucketed+sorted table (hash(keyCols) %
     * nBuckets file layout recorded in the catalog), so key-equi joins
-    * between co-bucketed tables read pre-shuffled data.
+    * between co-bucketed tables read pre-shuffled data. An explicit
+    * `path` makes it an external table (files land there instead of the
+    * warehouse dir).
     */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-                    nBuckets: Int = 8): Unit =
-    df.write
+                    nBuckets: Int = 8, path: Option[String] = None): Unit = {
+    val w = df.write
       .bucketBy(nBuckets, keyCol)
       .sortBy(keyCol)
       .mode("overwrite")
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Memoized bucketed layout for the driver face: orders and customer
+    * bucketed on custkey (8 buckets each) written ONCE per (session,
+    * dir) as external tables under java.io.tmpdir — the write-once
+    * investment whose cost Bench attributes as the `layout_bucketed`
+    * artifact line. Returns (ordersTable, customerTable).
+    */
+  def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    graft.SessionCache.getOrElseUpdate(spark, ("layoutBucketed", dir)) {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag"
+      val ordersT = s"graft_bucketed_orders_$tag"
+      val custT = s"graft_bucketed_customer_$tag"
+      writeBucketed(graft.Tables.load(spark, dir, "orders"), ordersT,
+        "o_custkey", nBuckets = 8, path = Some(s"$base/orders"))
+      writeBucketed(graft.Tables.load(spark, dir, "customer"), custT,
+        "c_custkey", nBuckets = 8, path = Some(s"$base/customer"))
+      (ordersT, custT)
+    }
+
+  /** Driver face over the bucketed layout: the customer⋈orders join
+    * reads co-bucketed files, so the join itself needs NO Exchange —
+    * the one shuffle in the plan is the per-segment aggregation above
+    * it (asserted in LayoutSpec). The oracle runs the identical query
+    * over the RAW parquet, so the layout must be a pure physical
+    * optimization: any row lost or duplicated by the bucketed
+    * write/read round-trip hash-mismatches.
+    */
+  def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (ordersT, custT) = bucketedTables(spark, dir)
+    spark.table(ordersT)
+      .join(spark.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val bucketedAggSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** 32-bit Morton (Z-order) key over two numeric columns, each
     * normalized to a 16-bit rank in its [min, max] span and

@@ -58,6 +58,25 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("layout_bucketed_agg: the driver face joins co-bucketed tables with no shuffle below the join") {
+    // disable auto-broadcast to surface the at-scale shape — on 100 TB
+    // neither side broadcasts, and the bucketed layout is what keeps
+    // the join exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Layout.bucketedAgg(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"bucketed equi-join should sort-merge over co-bucketed files:\n$plan")
+      // every shuffle sits ABOVE the join (the segment agg + final
+      // order) — plans print top-down, so above = earlier index
+      val exchanges = """\bExchange\b""".r.findAllMatchIn(plan).map(_.start).toSeq
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(exchanges.nonEmpty && exchanges.forall(_ < joinAt),
+        s"no Exchange may sit below the bucketed join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("z-ordering tightens per-file stats on BOTH dims; linear sort only on one") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-z").toString
     val orders = Tables.orders(spark, sfDir)
