@@ -408,6 +408,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "replay across compaction must not double-count tokens")
   }
 
+  test("streaming bigram substrates serve token_pmi and bigram_logprob exactly, across compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingBigramJob
+    import graft.functions.TextFunctions
+
+    val docsDf = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docs = docsDf.as[(Long, String)].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    val job = new StreamingBigramJob(spark, s"$tmp/state", compactEvery = 64)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = job.start(stream.toDF().toDF("doc_id", "text"), s"$tmp/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val groups = docs.grouped(math.max(docs.length / 3, 1)).toSeq
+    groups.foreach { g => stream.addData(g.toSeq); q.processAllAvailable() }
+    q.stop()
+
+    // both consumers read the maintained counts and must equal the
+    // batch faces EXACTLY (integer substrates -> identical doubles)
+    val batchPmi = TextFunctions.tokenPmi(docsDf).collect().toSeq
+    val batchLp = TextFunctions.bigramLogprob(docsDf).collect().toSeq
+    assert(job.readPmi().collect().toSeq === batchPmi,
+      "streamed PMI must equal the batch face")
+    assert(job.scoreDocs(docsDf).collect().toSeq === batchLp,
+      "scoring under the maintained model must equal the batch face")
+
+    // plain replay: batch=<id> overwrite on BOTH states, nothing doubles
+    job.processBatch(groups.head.toSeq.toDF("doc_id", "text"), 0L)
+    assert(job.readPmi().collect().toSeq === batchPmi)
+
+    // compaction folds both states without changing either consumer...
+    job.compact()
+    assert(job.tokens.batchDirCount() === 1 && job.bigrams.batchDirCount() === 1)
+    assert(job.readPmi().collect().toSeq === batchPmi)
+    assert(job.scoreDocs(docsDf).collect().toSeq === batchLp)
+    // ...and a replay ACROSS the compaction is skipped on both states
+    job.processBatch(groups.head.toSeq.toDF("doc_id", "text"), 0L)
+    assert(job.tokens.batchDirCount() === 1 && job.bigrams.batchDirCount() === 1,
+      "folded batch must not re-append to either state")
+    assert(job.readPmi().collect().toSeq === batchPmi,
+      "replay across compaction must not double-count pairs")
+    assert(job.scoreDocs(docsDf).collect().toSeq === batchLp,
+      "replay across compaction must not perturb the model")
+  }
+
   test("vocab job recovers a compaction crash caught between the two renames") {
     import spark.implicits._
     import graft.streaming.StreamingVocabJob
