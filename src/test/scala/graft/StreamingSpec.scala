@@ -466,9 +466,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(before.nonEmpty)
 
     // simulate the crash window inside compact(): the live dir has been
-    // displaced to _pre_compact but the staged dir never published
+    // displaced to its _pre_compact_<name> slot but the staged dir
+    // never published
     val live = new java.io.File(s"$tmp/state/vocab")
-    val displaced = new java.io.File(s"$tmp/state/_pre_compact")
+    val displaced = new java.io.File(s"$tmp/state/_pre_compact_vocab")
     assert(live.renameTo(displaced), "test setup: displace the live dir")
     assert(!live.exists())
 
