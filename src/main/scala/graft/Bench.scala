@@ -81,26 +81,28 @@ object Bench {
     }
     // Min-of-2 per query: trial 1 pays any residual compilation/cache
     // cost, trial 2 is pure-warm; min(t1, t2) is the least
-    // load-sensitive point statistic available at this budget.
+    // load-sensitive point statistic available at this budget. Each
+    // trial is guarded independently, so a trial-2 failure still keeps
+    // trial 1's real measurement (the query is flaky, not free).
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def trial(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times =
-        try { val t1 = trial(); Seq(t1, trial()) }
-        catch {
+      def trial(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            Seq(Double.NaN)
+            None
         }
+      val t1 = trial()
+      val times = (t1.toSeq ++ (if (t1.isDefined) trial().toSeq else Seq.empty))
       name -> times
     }
-    val results = runs.map { case (name, ts) =>
-      name -> (if (ts.exists(_.isNaN)) 0.0 else ts.min)
-    }
+    // a query with NO successful trial is reported ONLY in `failed` —
+    // a fake 0.0s timing would read as "infinitely fast" downstream
+    val results = runs.collect { case (name, ts) if ts.nonEmpty => name -> ts.min }
     val loadEnd = loadAvg()
     def fmt(v: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     def qJson(qs: Seq[(String, Double)], dec: Int): String =

@@ -53,10 +53,14 @@ object ScalingProbe {
       }
       // shared artifacts first, as their own lines (the bench
       // discipline): pair table + BPE training dominate this family
-      Seq(
+      try Seq(
         "artifact:dedup_pair_table" -> t(dedup.Dedup.prewarmPairs(s, dir)),
         "artifact:bpe_training" -> t { functions.Bpe.trainedMerges(s, dir, nMerges = 20); () }) ++
         DocQueries.map(q => q -> t { SparkEntry.queries(q)(s, dir).count(); () })
+      // the retired sibling session shares the live context, so the
+      // stopped-context eviction never fires for it — release its
+      // checkpointed artifacts explicitly
+      finally SessionCache.invalidate(s)
     }
     val (a, b) = (timedPass(dirA), timedPass(dirB))
     println(f"""${"query"}%-28s ${dirA.split('/').last}%12s ${dirB.split('/').last}%12s ratio""")

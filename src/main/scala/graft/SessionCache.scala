@@ -13,16 +13,17 @@ import org.apache.spark.sql.SparkSession
   * same JVM must rebuild its artifacts, never inherit another session's
   * dead (or, worse, silently foreign) frames.
   *
-  * Lifetime of an entry = lifetime of its owning session, enforced two
-  * ways: sessions whose SparkContext is stopped are evicted on the next
-  * cache access, and the session key itself is held WEAKLY, so sibling
-  * sessions created via `newSession()` (which share a live context and
-  * would never trip the stopped-context check) release their artifacts
-  * as soon as the session itself is unreachable. A long-lived service
-  * that churns through sessions therefore does not accumulate
-  * checkpointed frames — but note the reclaim is GC-timed, not
-  * deterministic; a service that needs prompt artifact release should
-  * prefer the uncached DataFrame faces.
+  * Lifetime: entries owned by a session whose SparkContext is stopped
+  * are evicted on the next cache access. Sibling sessions created via
+  * `newSession()` share a LIVE context, so that check never fires for
+  * them — and weak keying cannot help either (a cached DataFrame
+  * strongly references its owning session, so a weak-keyed entry would
+  * never be reclaimed; tried in r7 and reverted as inert). A long-lived
+  * service that churns through sessions must therefore either release a
+  * session's artifacts EXPLICITLY via [[invalidate]] when it retires
+  * the session (what [[ScalingProbe]] does per timed pass), or use the
+  * uncached DataFrame faces. The one-shot verify/bench driver needs
+  * neither.
   *
   * The per-key builder runs EXACTLY ONCE even under concurrent first
   * access: the map stores cheap lazy cells, so two racing callers may
@@ -45,38 +46,30 @@ private[graft] object SessionCache {
     */
   private final class Cell(f: () => Any) { lazy val value: Any = f() }
 
-  private type PerSession = scala.collection.concurrent.TrieMap[Any, Cell]
-
-  // weak session keys: an unreachable session's artifacts become
-  // collectable with it, covering newSession() siblings that share a
-  // live (so never "stopped") SparkContext
   private val cache =
-    new java.util.WeakHashMap[SparkSession, PerSession]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Any), Cell]
 
   /** Memoize `f` under (spark, key). `key` should carry a
     * family-unique discriminator (e.g. `("ann", dir, tier)`) so
     * different callers can never collide on a bare dir string.
     */
   def getOrElseUpdate[T](spark: SparkSession, key: Any)(f: => T): T = {
-    val perSession = cache.synchronized {
-      // frames owned by a stopped session can never be read again, and
-      // a recreated session must rebuild, not inherit
-      val it = cache.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      var m = cache.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; cache.put(spark, m) }
-      m
-    }
+    // frames owned by a stopped session can never be read again, and a
+    // recreated session must rebuild, not inherit
+    cache.keysIterator.filter(_._1.sparkContext.isStopped).toList
+      .foreach(cache.remove)
     // TrieMap.getOrElseUpdate may allocate a losing Cell under a race,
     // but only the published cell is ever forced — single evaluation
-    perSession.getOrElseUpdate(key, new Cell(() => f)).value.asInstanceOf[T]
+    cache.getOrElseUpdate((spark, key), new Cell(() => f)).value.asInstanceOf[T]
   }
 
-  /** Test hook: number of live entries across live sessions. */
-  private[graft] def size: Int = cache.synchronized {
-    var n = 0
-    val it = cache.values().iterator()
-    while (it.hasNext) n += it.next().size
-    n
-  }
+  /** Drop every entry owned by `spark` — the explicit release for
+    * retired `newSession()` siblings, whose live shared context keeps
+    * the stopped-context eviction from ever firing.
+    */
+  def invalidate(spark: SparkSession): Unit =
+    cache.keysIterator.filter(_._1 eq spark).toList.foreach(cache.remove)
+
+  /** Test hook: number of live entries. */
+  private[graft] def size: Int = cache.size
 }

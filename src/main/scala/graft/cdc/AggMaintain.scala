@@ -86,7 +86,13 @@ object AggMaintain {
     val before = state.select(keyCols.map(col) :+
       col(groupCol).as("__b_grp") :+ col(valueCol).as("__b_val") :+
       lit(true).as("__b_present"): _*)
-    val joined = latest.join(before, keyCols, "left")
+    // null-safe key match, like mergeChangeSet's join: latestState
+    // groups null keys into a real state row, so a plain equi-join
+    // would miss its before-image and never retract it
+    val l = latest.alias("l")
+    val b = before.alias("b")
+    val joined = l.join(b,
+      keyCols.map(k => col(s"l.$k") <=> col(s"b.$k")).reduce(_ && _), "left")
     // two delta rows per touched key (retract, add), each guarded by
     // presence; union keeps it one pass over the joined frame
     val retract = joined.filter(col("__b_present").isNotNull)

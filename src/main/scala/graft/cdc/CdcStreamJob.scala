@@ -203,10 +203,14 @@ class CdcMultiTableStreamJob(spark: SparkSession, source: CdcSource,
         try routes.foreach { r =>
           val routed = raw.filter(
             get_json_object(col("value"), "$.payload.source.table") === r.table)
+          // persist the PARSED route too: the emptiness probe and the
+          // merge would otherwise each run the filter+from_json+flatten
+          // pipeline — 2N parse jobs per batch instead of N
           val flat = CdcStreamJob.flattenAfterImage(
             DebeziumEnvelope.parse(routed, r.pkSchema, r.rowSchema),
-            r.keyCols, r.rowSchema)
-          if (!flat.isEmpty) sinks(r.table).merge(flat, batchId)
+            r.keyCols, r.rowSchema).persist()
+          try { if (!flat.isEmpty) sinks(r.table).merge(flat, batchId) }
+          finally { flat.unpersist(); () }
         } finally { raw.unpersist(); () }
       }
       .start()

@@ -59,10 +59,17 @@ object Layout {
     * dir) as external tables under java.io.tmpdir — the write-once
     * investment whose cost Bench attributes as the `layout_bucketed`
     * artifact line. Returns (ordersTable, customerTable).
+    *
+    * The table/path tag is an md5 prefix of the dir (hashCode would
+    * let two dirs collide onto one table and silently serve each
+    * other's rows). Single-writer per (dir, box) contract, like the
+    * bench itself: two JVMs benching the SAME dir concurrently would
+    * race the overwrite of one shared external path.
     */
   def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     graft.SessionCache.getOrElseUpdate(spark, ("layoutBucketed", dir)) {
-      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag"
       val ordersT = s"graft_bucketed_orders_$tag"
       val custT = s"graft_bucketed_customer_$tag"

@@ -31,6 +31,21 @@ import graft.functions.TextFunctions
 class StreamingVocabJob(spark: SparkSession, statePath: String,
                         compactEvery: Int = 16) {
 
+  // pre-r7 layouts used the unsuffixed crash-recovery slot
+  // `_pre_compact`: a state dir left in the mid-compaction crash window
+  // by the old code must be restored, not silently abandoned (which
+  // would reset the vocabulary to empty with no error)
+  locally {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new org.apache.hadoop.fs.Path(s"$statePath/_pre_compact")
+    val live = new org.apache.hadoop.fs.Path(s"$statePath/vocab")
+    if (fs.exists(legacy) && !fs.exists(live)) {
+      if (!fs.rename(legacy, live)) throw new IllegalStateException(
+        s"could not restore legacy $legacy to $live")
+    }
+  }
+
   private[graft] val state = new AdditiveDeltaState(spark, statePath,
     "vocab", Seq("token"), Seq("n", "n_docs"), compactEvery)
 

@@ -73,6 +73,26 @@ class AggMaintainSpec extends AnyFunSuite with SparkSpec {
     assert(aggMap(agg) === Map("a" -> ((2L, 525L)), "b" -> ((1L, 425L))))
   }
 
+  test("a null-keyed row retracts like any other key (null-safe before-image join)") {
+    import spark.implicits._
+    // latestState groups null keys into a real state row, so the delta
+    // join must match it null-safely — a plain equi-join would emit
+    // +after with no retraction and inflate the old group forever
+    def changes(rows: (Option[Long], String, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "op", "ts_ms", "seq", grp, value)
+    val e1 = changes((None, "c", 10L, 1L, "a", 2.0), (Some(1L), "c", 11L, 2L, "a", 1.0))
+    val e2 = changes((None, "u", 20L, 3L, "b", 3.0)) // null key MOVES group
+    var state = CdcOps.latestState(e1, keyCols, Seq(grp, value)).drop("n_changes")
+    var agg = AggMaintain.groupAgg(state, grp, value)
+    agg = AggMaintain.applyDelta(agg,
+      AggMaintain.epochDelta(state, e2, keyCols, grp, value))
+    state = CdcOps.mergeChangeSet(state, e2, keyCols, Seq(grp, value))
+    assert(aggMap(agg) === aggMap(AggMaintain.groupAgg(state, grp, value)),
+      "maintained diverged on the null-keyed update")
+    assert(aggMap(agg) === Map("a" -> ((1L, 100L)), "b" -> ((1L, 300L))),
+      "group a must have retracted the null key's old image")
+  }
+
   test("maintained aggregate tracks ParquetUpsertSink epochs (incl. deletes)") {
     // the production shape: each committed sink epoch contributes one
     // delta, computed from the PRE-epoch committed state + the batch —

@@ -30,6 +30,23 @@ class SessionCacheSpec extends AnyFunSuite with SparkSpec {
     assert(builds === 3)
   }
 
+  test("invalidate releases a retired sibling session's entries, others stay") {
+    val sizeBefore = SessionCache.size
+    val sibling = spark.newSession()
+    SessionCache.getOrElseUpdate(sibling, ("spec", "inv1"))("a")
+    SessionCache.getOrElseUpdate(sibling, ("spec", "inv2"))("b")
+    SessionCache.getOrElseUpdate(spark, ("spec", "inv-keep"))("c")
+    assert(SessionCache.size === sizeBefore + 3)
+    // the sibling shares a LIVE context, so only the explicit release
+    // can drop its artifacts (the stopped-context eviction never fires)
+    SessionCache.invalidate(sibling)
+    assert(SessionCache.size === sizeBefore + 1,
+      "the sibling's entries must go; the main session's must stay")
+    var rebuilt = false
+    SessionCache.getOrElseUpdate(sibling, ("spec", "inv1")) { rebuilt = true; "a2" }
+    assert(rebuilt, "an invalidated entry must rebuild on next access")
+  }
+
   test("concurrent first access runs the builder exactly once") {
     // a raced-and-lost builder would leak its localCheckpoint in real
     // use; the cell indirection must force only the published builder

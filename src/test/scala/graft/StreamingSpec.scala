@@ -481,6 +481,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // and the job keeps ingesting normally afterwards
     job.processBatch(Seq((4L, "delta")).toDF("doc_id", "text"), 2L)
     assert(job.readVocab().collect().map(_.getString(1)).contains("delta"))
+
+    // pre-r7 layouts displaced to the UNSUFFIXED `_pre_compact` slot: a
+    // fresh job over such a state dir must restore it, not silently
+    // reset the vocabulary to empty
+    val withDelta = job.readVocab().collect().toSeq
+    assert(live.renameTo(new java.io.File(s"$tmp/state/_pre_compact")),
+      "test setup: displace to the legacy slot")
+    val upgraded = new StreamingVocabJob(spark, s"$tmp/state", compactEvery = 64)
+    assert(upgraded.readVocab().collect().toSeq === withDelta,
+      "a legacy crash-window state dir must survive the upgrade")
   }
 
   test("near-dedup ingest: replay across compaction re-emits candidates but never re-appends folded bands") {

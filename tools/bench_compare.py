@@ -83,11 +83,12 @@ def load(path):
 
 def load1(d):
     """Representative 1-min load for a run: max of start/end (a spike at
-    either edge is enough to distrust the middle). None pre-r7."""
+    either edge is enough to distrust the middle). None pre-r7, and the
+    JMX fallback's -1.0 "unavailable" sentinel is not a measurement."""
     ld = d.get("load")
     if not ld:
         return None
-    vals = [v[0] for v in (ld.get("start"), ld.get("end")) if v]
+    vals = [v[0] for v in (ld.get("start"), ld.get("end")) if v and v[0] >= 0]
     return max(vals) if vals else None
 
 
