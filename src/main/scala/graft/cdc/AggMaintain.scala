@@ -57,35 +57,38 @@ object AggMaintain {
       .agg(count(lit(1)).as("n_rows"),
         sum(cents(col(valueCol))).as("sum_cents"))
 
-  /** Per-group delta of one changelog epoch against the pre-epoch
-    * state, computed WITHOUT scanning state for untouched keys:
+  /** Signed ±image rows of one changelog epoch against the pre-epoch
+    * state — the primitive every view-maintenance consumer shares
+    * (grouped aggregates here, the two-sided join view in
+    * [[JoinMaintain]]):
     *
     *  1. collapse the epoch to its latest image per key (same partial
     *     agg as the merge path);
     *  2. left-join those keys against the state (at scale: the dirty
     *     buckets the merge reads anyway) for before-images;
-    *  3. emit −before for every key that had one, +after for every key
-    *     whose final op isn't a delete, and aggregate per group.
+    *  3. emit sign=−1 with the BEFORE attributes for every key that had
+    *     a state row, and sign=+1 with the AFTER attributes for every
+    *     key whose final op isn't a delete.
     *
-    * A key updated into a different group retracts from the old group
-    * and adds to the new one; a delete retracts only; a delete followed
-    * by re-insert within one epoch nets to its final image (the
-    * collapse in step 1 makes the intra-epoch history irrelevant, which
-    * is exactly the merge's semantics).
+    * A key updated into a different attribute value retracts the old
+    * image and adds the new one; a delete retracts only; a delete
+    * followed by re-insert within one epoch nets to its final image
+    * (the collapse in step 1 makes the intra-epoch history irrelevant,
+    * which is exactly the merge's semantics).
     *
-    * Output: (grp, d_n, d_cents), one row per touched group.
+    * Output: keyCols ++ attrCols ++ (sign: long), ≤2 rows per touched
+    * key — batch-sized, never state-sized.
     */
-  def epochDelta(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
-                 groupCol: String, valueCol: String): DataFrame = {
+  def signedImages(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                   attrCols: Seq[String]): DataFrame = {
     val latest = batch
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(col("op"), col(groupCol), col(valueCol)),
+      .agg(max_by(struct((col("op") +: attrCols.map(col)): _*),
         struct(col("ts_ms"), col("seq"))).as("s"))
-      .select(keyCols.map(col) :+ col("s.op").as("__op") :+
-        col(s"s.$groupCol").as("__a_grp") :+ col(s"s.$valueCol").as("__a_val"): _*)
-    val before = state.select(keyCols.map(col) :+
-      col(groupCol).as("__b_grp") :+ col(valueCol).as("__b_val") :+
-      lit(true).as("__b_present"): _*)
+      .select(keyCols.map(col) ++ (col("s.op").as("__op") +:
+        attrCols.map(f => col(s"s.$f").as(s"__a_$f"))): _*)
+    val before = state.select(keyCols.map(col) ++
+      attrCols.map(f => col(f).as(s"__b_$f")) :+ lit(true).as("__b_present"): _*)
     // null-safe key match, like mergeChangeSet's join: latestState
     // groups null keys into a real state row, so a plain equi-join
     // would miss its before-image and never retract it
@@ -93,18 +96,30 @@ object AggMaintain {
     val b = before.alias("b")
     val joined = l.join(b,
       keyCols.map(k => col(s"l.$k") <=> col(s"b.$k")).reduce(_ && _), "left")
-    // two delta rows per touched key (retract, add), each guarded by
+    // two signed rows per touched key (retract, add), each guarded by
     // presence; union keeps it one pass over the joined frame
     val retract = joined.filter(col("__b_present").isNotNull)
-      .select(col("__b_grp").as("grp"), lit(-1L).as("dn"),
-        (-cents(col("__b_val"))).as("dc"))
+      .select(keyCols.map(k => col(s"l.$k").as(k)) ++
+        attrCols.map(f => col(s"__b_$f").as(f)) :+ lit(-1L).as("sign"): _*)
     val add = joined.filter(col("__op") =!= "d")
-      .select(col("__a_grp").as("grp"), lit(1L).as("dn"),
-        cents(col("__a_val")).as("dc"))
+      .select(keyCols.map(k => col(s"l.$k").as(k)) ++
+        attrCols.map(f => col(s"__a_$f").as(f)) :+ lit(1L).as("sign"): _*)
     retract.unionByName(add)
-      .groupBy("grp")
-      .agg(sum("dn").as("d_n"), sum("dc").as("d_cents"))
   }
+
+  /** Per-group delta of one changelog epoch against the pre-epoch
+    * state: the signed image rows of [[signedImages]] aggregated per
+    * group — sign carries the retraction, `sign·cents(value)` the sum
+    * delta.
+    *
+    * Output: (grp, d_n, d_cents), one row per touched group.
+    */
+  def epochDelta(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                 groupCol: String, valueCol: String): DataFrame =
+    signedImages(state, batch, keyCols, Seq(groupCol, valueCol))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sum(col("sign")).as("d_n"),
+        sum(col("sign") * cents(col(valueCol))).as("d_cents"))
 
   /** Apply a per-group delta to the maintained aggregate: full-outer
     * join on the group, add counts and cents, drop groups whose count
