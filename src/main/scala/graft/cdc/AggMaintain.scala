@@ -172,6 +172,77 @@ object AggMaintain {
       .orderBy("last_event_type")
   }
 
+  /** COUNT(DISTINCT) is not an abelian-group aggregate — a retraction
+    * can't tell whether the retracted value was the group's last
+    * occurrence — so it cannot ride [[epochDelta]] directly. The
+    * standard fix is the SUPPORT-COUNT construction: maintain
+    * n_rows per (group, value) — which IS abelian, so the existing
+    * delta machinery applies verbatim with the composite struct as the
+    * group — and read the distinct count as the number of surviving
+    * support rows per group ([[applyDelta]] already drops rows whose
+    * support reaches zero). The maintained support table is
+    * |distinct (g,v)|-sized, not state-sized, and the read-side
+    * projection scans only it.
+    */
+  private def withBucket(df: DataFrame, grpCol: String, valueCol: String): DataFrame =
+    df.withColumn("gv", struct(col(grpCol).as("g"),
+      floor(col(valueCol)).cast("long").as("v")))
+
+  /** Driver face: maintain count(DISTINCT floor(value)) per event type
+    * — "how many distinct whole-currency spend levels are live per
+    * type" — across the same four weekly epochs as [[aggMaintain]].
+    * The oracle recomputes COUNT(DISTINCT) from the full-range latest
+    * state, so a support count that fails to hit zero (phantom bucket)
+    * or hits it early (lost bucket) changes the result and
+    * hash-mismatches.
+    */
+  def distinctMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val ch = CdcOps.cachedChangelog(spark, dir)
+    val keyCols = Seq("user_id")
+    val boundsMs = Seq("2024-01-08", "2024-01-16", "2024-01-24")
+      .map(d => unix_millis(lit(s"$d 00:00:00").cast("timestamp")))
+    val epochs: Seq[DataFrame] = {
+      val lows = lit(Long.MinValue) +: boundsMs
+      val highs = boundsMs :+ lit(Long.MaxValue)
+      lows.zip(highs).map { case (lo, hi) =>
+        ch.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+      }
+    }
+    var state = CdcOps.latestState(epochs.head, keyCols, CdcOps.userDataCols)
+      .drop("n_changes")
+    var support = groupAgg(withBucket(state, "last_event_type", "last_value"),
+      "gv", "last_value")
+    epochs.tail.foreach { batch =>
+      support = applyDelta(support, epochDelta(
+        withBucket(state, "last_event_type", "last_value"),
+        withBucket(batch, "last_event_type", "last_value"),
+        keyCols, "gv", "last_value"))
+      state = CdcOps.mergeChangeSet(state, batch, keyCols, CdcOps.userDataCols)
+    }
+    support
+      .filter(col("grp.v").isNotNull) // COUNT(DISTINCT) ignores NULLs
+      .groupBy(col("grp.g").as("last_event_type"))
+      .agg(count(lit(1)).as("n_value_levels"))
+      .orderBy("last_event_type")
+  }
+
+  /** The recompute the maintained distinct count must equal. */
+  val distinctMaintainSql: String =
+    """WITH ch AS (SELECT user_id,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id AS seq,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM events),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn
+      |  FROM ch),
+      |state AS (
+      |  SELECT user_id, last_event_type, last_value
+      |  FROM r WHERE rn = 1 AND op <> 'd')
+      |SELECT last_event_type,
+      |  count(DISTINCT CAST(floor(last_value) AS BIGINT)) AS n_value_levels
+      |FROM state GROUP BY last_event_type ORDER BY last_event_type""".stripMargin
+
   /** The recompute the maintained aggregate must equal: group the
     * full-range latest state, with the identical cents canonicalization.
     */

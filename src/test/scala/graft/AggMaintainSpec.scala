@@ -16,7 +16,7 @@ class AggMaintainSpec extends AnyFunSuite with SparkSpec {
   private val value = "last_value"
 
   private def aggMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
-    df.collect().map(r => Option(r.getString(r.fieldIndex("grp"))).getOrElse("∅") ->
+    df.collect().map(r => Option(r.get(r.fieldIndex("grp"))).map(_.toString).getOrElse("∅") ->
       (r.getLong(r.fieldIndex("n_rows")), r.getLong(r.fieldIndex("sum_cents")))).toMap
 
   test("maintained == recomputed at every epoch over random tranche boundaries (seeded)") {
@@ -91,6 +91,49 @@ class AggMaintainSpec extends AnyFunSuite with SparkSpec {
       "maintained diverged on the null-keyed update")
     assert(aggMap(agg) === Map("a" -> ((1L, 100L)), "b" -> ((1L, 300L))),
       "group a must have retracted the null key's old image")
+  }
+
+  test("support-count DISTINCT: shared buckets collapse and revive exactly (hand-built epochs)") {
+    import spark.implicits._
+    def gv = struct(col(grp).as("g"), floor(col(value)).cast("long").as("v"))
+    def changes(rows: (Long, String, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "op", "ts_ms", "seq", grp, value)
+    def distinctMap(support: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      support.filter(col("grp.v").isNotNull)
+        .groupBy(col("grp.g").as("g")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u1 and u2 SHARE bucket 5 in group a; u3 holds bucket 7
+    val e1 = changes((1L, "c", 10L, 1L, "a", 5.2), (2L, "c", 11L, 2L, "a", 5.7),
+      (3L, "c", 12L, 3L, "a", 7.0))
+    // u1 leaves bucket 5 (still supported by u2 — distinct must NOT
+    // drop) into new bucket 9; u3 deleted (bucket 7's last supporter)
+    val e2 = changes((1L, "u", 20L, 4L, "a", 9.1), (3L, "d", 21L, 5L, "a", 7.0))
+    // u2 moves to group b (a loses bucket 5); u4 lands on a's existing
+    // bucket 9 (support 2, distinct unchanged)
+    val e3 = changes((2L, "u", 30L, 6L, "b", 5.7), (4L, "c", 31L, 7L, "a", 9.9))
+    var state = CdcOps.latestState(e1, keyCols, Seq(grp, value)).drop("n_changes")
+    var support = AggMaintain.groupAgg(state.withColumn("gv", gv), "gv", value)
+    val expected = Seq(Map("a" -> 2L), Map("a" -> 2L), Map("a" -> 1L, "b" -> 1L))
+    assert(distinctMap(support) === expected.head)
+    Seq(e2, e3).zipWithIndex.foreach { case (batch, i) =>
+      support = AggMaintain.applyDelta(support, AggMaintain.epochDelta(
+        state.withColumn("gv", gv), batch.withColumn("gv", gv), keyCols, "gv", value))
+      state = CdcOps.mergeChangeSet(state, batch, keyCols, Seq(grp, value))
+      assert(distinctMap(support) === expected(i + 1), s"epoch ${i + 2}: wrong distinct view")
+      assert(aggMap(support) ===
+        aggMap(AggMaintain.groupAgg(state.withColumn("gv", gv), "gv", value)),
+        s"epoch ${i + 2}: support table diverged from recompute")
+    }
+  }
+
+  test("distinctMaintain driver face equals COUNT(DISTINCT) recomputed from full latest state") {
+    val maintained = AggMaintain.distinctMaintain(spark, sfDir)
+    val state = CdcOps.latestState(CdcOps.userChangelog(spark, sfDir), keyCols,
+      CdcOps.userDataCols)
+    val recomputed = state.groupBy(col(grp))
+      .agg(countDistinct(floor(col(value)).cast("long")).as("n_value_levels"))
+      .orderBy(grp)
+    assert(maintained.collect().toSeq === recomputed.collect().toSeq)
   }
 
   test("maintained aggregate tracks ParquetUpsertSink epochs (incl. deletes)") {
