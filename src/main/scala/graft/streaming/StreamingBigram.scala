@@ -82,6 +82,22 @@ private[graft] class AdditiveDeltaState(
     if (batchDirCount() >= compactEvery) compact()
   }
 
+  /** Append with at-most-once COMPUTATION: if `batchId` is already
+    * folded (marker) or already durably written (`_SUCCESS` present —
+    * a crash mid-write leaves no `_SUCCESS`, so a partial dir is
+    * rewritten), the by-name `delta` is never evaluated. This is what
+    * a NON-additive producer needs: a delta computed against pre-batch
+    * state would be recomputed WRONG on a replay that runs after the
+    * state has already advanced, so the first durable write must win.
+    */
+  def appendOnce(delta: => DataFrame, batchId: Long): Unit = {
+    recoverIfNeeded()
+    if (batchId <= compactedThrough()) return
+    if (fs.exists(new Path(s"$root/$name/batch=$batchId/_SUCCESS"))) return
+    delta.write.mode("overwrite").parquet(s"$root/$name/batch=$batchId")
+    if (batchDirCount() >= compactEvery) compact()
+  }
+
   def compact(): Unit = readDeltas().foreach { d =>
     val foldedThrough = (compactedThrough() +: fs.listStatus(liveDir).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch="))

@@ -155,6 +155,92 @@ class JoinMaintainSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- streaming face ----
+
+  private def trancheBounds(n: Int): Seq[(DataFrame => DataFrame, DataFrame => DataFrame)] = {
+    // n equal-width ts tranches of each changelog, as (filterA, filterB)
+    def cutsOf(ch: DataFrame): Seq[DataFrame => DataFrame] = {
+      val r = ch.agg(min("ts_ms"), max("ts_ms")).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val step = math.max((hi - lo) / n, 1L)
+      (0 until n).map { i =>
+        val a = if (i == 0) Long.MinValue else lo + i * step
+        val b = if (i == n - 1) Long.MaxValue else lo + (i + 1) * step
+        (df: DataFrame) => df.filter(col("ts_ms") >= a && col("ts_ms") < b)
+      }
+    }
+    val chA = CdcOps.userChangelog(spark, sfDir)
+    val chB = JoinMaintain.ordersChangelog(spark, sfDir)
+    cutsOf(chA).zip(cutsOf(chB))
+  }
+
+  private def streamRecompute(upToEpoch: Int, n: Int): DataFrame = {
+    val cuts = trancheBounds(n)
+    val chA = CdcOps.userChangelog(spark, sfDir)
+    val chB = JoinMaintain.ordersChangelog(spark, sfDir)
+    val aPrefix = (0 to upToEpoch).map(i => cuts(i)._1(chA)).reduce(_ unionByName _)
+    val bPrefix = (0 to upToEpoch).map(i => cuts(i)._2(chB)).reduce(_ unionByName _)
+    JoinMaintain.joinAgg(
+      CdcOps.latestState(aPrefix, Seq(aKey), CdcOps.userDataCols).drop("n_changes"),
+      CdcOps.latestState(bPrefix, Seq(bKey), JoinMaintain.ordersDataCols).drop("n_changes"),
+      aKey, "last_event_type", fkCol, valCol)
+  }
+
+  test("streaming job: maintained view equals batch recompute after every micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("sjm").toString
+    val job = new graft.streaming.StreamingJoinMaintainJob(spark, dir)
+    val chA = CdcOps.userChangelog(spark, sfDir)
+    val chB = JoinMaintain.ordersChangelog(spark, sfDir)
+    val cuts = trancheBounds(3)
+    cuts.zipWithIndex.foreach { case ((fa, fb), i) =>
+      job.processBatch(fa(chA), fb(chB), i.toLong)
+      assert(viewMap(job.readView()) === viewMap(streamRecompute(i, 3)),
+        s"after batch $i: streamed view diverged from batch recompute")
+    }
+    // tail replay of the last committed batch must be a no-op
+    val before = viewMap(job.readView())
+    job.processBatch(cuts.last._1(chA), cuts.last._2(chB), (cuts.size - 1).toLong)
+    assert(viewMap(job.readView()) === before, "tail replay changed the view")
+  }
+
+  test("streaming job: a crash after any step converges on replay") {
+    val chA = CdcOps.userChangelog(spark, sfDir)
+    val chB = JoinMaintain.ordersChangelog(spark, sfDir)
+    val cuts = trancheBounds(2)
+    val want = viewMap(streamRecompute(1, 2))
+    (1 to 4).foreach { stopAfter =>
+      val dir = java.nio.file.Files.createTempDirectory(s"sjm-crash$stopAfter").toString
+      val job = new graft.streaming.StreamingJoinMaintainJob(spark, dir)
+      job.processBatch(cuts(0)._1(chA), cuts(0)._2(chB), 0L)
+      // crash mid-batch-1 ...
+      job.processBatchSteps(cuts(1)._1(chA), cuts(1)._2(chB), 1L, stopAfter)
+      // ... then the stream replays the batch in full
+      job.processBatch(cuts(1)._1(chA), cuts(1)._2(chB), 1L)
+      assert(viewMap(job.readView()) === want,
+        s"crash after step $stopAfter did not converge on replay")
+    }
+  }
+
+  test("streaming job: fresh-checkpoint full replay (with compaction) leaves the view unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("sjm-replay").toString
+    // compactEvery=2 so the folds compact mid-run — replayed batch ids
+    // must be skipped by the marker even after their dirs are folded away
+    val job = new graft.streaming.StreamingJoinMaintainJob(spark, dir, compactEvery = 2)
+    val chA = CdcOps.userChangelog(spark, sfDir)
+    val chB = JoinMaintain.ordersChangelog(spark, sfDir)
+    val cuts = trancheBounds(3)
+    cuts.zipWithIndex.foreach { case ((fa, fb), i) =>
+      job.processBatch(fa(chA), fb(chB), i.toLong)
+    }
+    val before = viewMap(job.readView())
+    assert(before === viewMap(streamRecompute(2, 3)))
+    cuts.zipWithIndex.foreach { case ((fa, fb), i) =>
+      job.processBatch(fa(chA), fb(chB), i.toLong)
+    }
+    assert(viewMap(job.readView()) === before,
+      "full replay from a fresh checkpoint changed the view")
+  }
+
   test("driver face equals the from-scratch recompute on full latest states") {
     val maintained = JoinMaintain.joinMaintain(spark, sfDir)
     val aFull = CdcOps.latestState(CdcOps.userChangelog(spark, sfDir), Seq(aKey),
