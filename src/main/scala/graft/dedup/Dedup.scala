@@ -378,6 +378,99 @@ object Dedup {
       |FROM g JOIN d USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Span-level duplicate REMOVAL — the rewrite face of
+    * [[dupSpanStats]] (which only measures): drop from every document
+    * the `n`-token spans that also appear in an EARLIER document,
+    * keeping the first occurrence. This is the passage-granular exact
+    * dedup a training corpus needs when whole-document dedup passes
+    * but boilerplate passages are copied across documents — the
+    * measured signal becomes an applied transformation.
+    *
+    * Semantics (deterministic, oracle-checkable):
+    *   - spans are sliding windows of `n` normalized tokens (stride 1,
+    *     ALL positions, not per-doc distinct — every occurrence in a
+    *     non-keeper doc is removed); docs shorter than `n` tokens are
+    *     one whole-doc span;
+    *   - the KEEPER of a span text is the minimum doc_id containing it;
+    *     keepers keep all their occurrences (a span duplicated only
+    *     within one doc is untouched);
+    *   - a non-keeper doc drops the union of its removed spans' token
+    *     ranges; surviving tokens re-join in order.
+    *
+    * Plan: one positional span explode, one span-keyed aggregation
+    * (keeper, df), one join back for removal intervals, interval →
+    * index explode + distinct (coverage union), one anti-join against
+    * the positional tokens, one per-doc reassembly — every shuffle is
+    * keyed by span text, doc, or (doc, idx). At 100 TB the span key
+    * would be a 128-bit hash instead of the raw string (the string is
+    * only needed here so the DuckDB oracle can reproduce the exact
+    * grouping); everything else is unchanged.
+    */
+  def scrubDupSpans(docs: DataFrame, n: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("l"))
+      .localCheckpoint(true) // feeds spans AND reconstruction
+    val spans = toks.select(col("doc_id"), size(col("l")).as("sz"),
+        posexplode(when(size(col("l")) >= n,
+          expr(s"transform(sequence(0, size(l) - $n), i -> array_join(slice(l, i + 1, $n), ' '))"))
+          .otherwise(array(array_join(col("l"), " "))))
+          .as(Seq("pos", "g")))
+      .filter(col("g") =!= "")
+    val keep = spans.groupBy("g")
+      .agg(min("doc_id").as("keeper"), countDistinct(col("doc_id")).as("df"))
+    val rem = spans.join(keep, "g")
+      .filter(col("df") >= 2 && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos").as("st"),
+        least(col("pos") + lit(n), col("sz")).as("e"))
+    val cov = rem.select(col("doc_id"),
+      explode(sequence(col("st"), col("e") - 1)).as("idx")).distinct()
+    val toksIdx = toks.select(col("doc_id"), posexplode(col("l")).as(Seq("idx", "t")))
+    val reb = toksIdx.join(cov, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("t")))),
+        x => x.getField("t")), " ").as("scrubbed"))
+    val nrem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_removed"))
+    toks.select(col("doc_id"), size(col("l")).cast("long").as("n_tokens"))
+      .join(nrem, Seq("doc_id"), "left")
+      .join(reb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  def scrubDupSpans(spark: SparkSession, dir: String): DataFrame =
+    scrubDupSpans(Tables.documents(spark, dir))
+
+  val scrubDupSpansSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, len(l) AS sz,
+      |  unnest(CASE WHEN len(l) >= 20 THEN
+      |      [{'g': array_to_string(l[i:i+19], ' '), 'pos': i - 1} FOR i IN range(1, len(l) - 18)]
+      |    ELSE [{'g': array_to_string(l, ' '), 'pos': 0}] END) AS s
+      |  FROM l),
+      |g AS (SELECT doc_id, sz, s.g AS g, s.pos AS pos FROM g0 WHERE s.g <> ''),
+      |k AS (SELECT g, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
+      |rem AS (SELECT doc_id, pos AS st, least(pos + 20, sz) AS e FROM g JOIN k USING (g)
+      |        WHERE df >= 2 AND doc_id <> keeper),
+      |cov AS (SELECT DISTINCT doc_id, idx
+      |        FROM (SELECT doc_id, unnest(range(st, e)) AS idx FROM rem)),
+      |tok AS (SELECT doc_id, s.idx AS idx, s.t AS t FROM
+      |  (SELECT doc_id, unnest([{'t': l[i], 'idx': i - 1} FOR i IN range(1, len(l) + 1)]) AS s FROM l)),
+      |kept AS (SELECT t.doc_id, t.idx, t.t FROM tok t LEFT JOIN cov c
+      |         ON t.doc_id = c.doc_id AND t.idx = c.idx WHERE c.idx IS NULL),
+      |reb AS (SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS scrubbed FROM kept GROUP BY doc_id),
+      |nrem AS (SELECT doc_id, count(*) AS n_tokens_removed FROM cov GROUP BY doc_id)
+      |SELECT l.doc_id, len(l.l) AS n_tokens,
+      |  COALESCE(nrem.n_tokens_removed, 0) AS n_tokens_removed,
+      |  COALESCE(reb.scrubbed, '') AS scrubbed
+      |FROM l LEFT JOIN nrem USING (doc_id) LEFT JOIN reb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------
   // 3. MinHash + LSH banding (the scale path for near-dup).
   // ------------------------------------------------------------------

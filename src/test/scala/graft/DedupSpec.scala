@@ -237,6 +237,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("scrub_dup_spans removes copied passages from later docs only, conserving token counts") {
+    import spark.implicits._
+    def words(prefix: String, k: Int): String =
+      (1 to k).map(i => s"$prefix$i").mkString(" ")
+    val passage = words("shared", 25) // 25 tokens → 6 overlapping 20-spans
+    val docs = Seq(
+      (1L, s"${words("alpha", 10)} $passage ${words("omega", 5)}"), // keeper
+      (2L, s"${words("beta", 7)} $passage"),                        // copies the passage
+      (3L, words("unique", 30))                                     // untouched
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.scrubDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // keeper and unique docs keep every token
+    assert(out(1L)._2 === 0L, "keeper must not be scrubbed")
+    assert(out(3L)._2 === 0L, "doc with unique text must not be scrubbed")
+    // doc 2 loses exactly the copied passage (its 7 own tokens survive)
+    assert(out(2L)._1 === 32L && out(2L)._2 === 25L)
+    assert(out(2L)._3 === words("beta", 7))
+    // conservation: n_tokens − removed == tokens surviving in scrubbed
+    out.values.foreach { case (nTok, nRem, scrubbed) =>
+      val kept = if (scrubbed.isEmpty) 0 else scrubbed.split(" ").length
+      assert(nTok - nRem === kept.toLong, "token accounting must balance")
+    }
+  }
+
+  test("scrub_dup_spans keep-first is positional-global: every occurrence outside the keeper goes") {
+    import spark.implicits._
+    val p = (1 to 20).map(i => s"w$i").mkString(" ")
+    // doc 2 contains the passage TWICE; doc 1 (keeper) once
+    val docs = Seq((1L, s"$p"), (2L, s"start $p middle $p end")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.scrubDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === p, "keeper keeps its single occurrence")
+    assert(out(2L) === "start middle end", "both later occurrences are removed")
+  }
+
   test("editdist blocking never drops a true pair within tau (seeded fuzz vs brute force)") {
     import spark.implicits._
     // adversarial corpus: seeded random strings over a TINY alphabet
