@@ -25,6 +25,8 @@ object Artifacts {
   val builders: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "cdc_changelog" -> ((s: SparkSession, d: String) => { cdc.CdcOps.cachedChangelog(s, d); () }),
     "cdc_latest_state" -> ((s: SparkSession, d: String) => { cdc.CdcOps.cachedLatestState(s, d); () }),
+    "cdc_user_epochs" -> ((s: SparkSession, d: String) => { cdc.AggMaintain.cachedUserEpochs(s, d); () }),
+    "cdc_orders_epochs" -> ((s: SparkSession, d: String) => { cdc.JoinMaintain.cachedOrdersEpochs(s, d); () }),
     "dedup_pair_table" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPairs(s, d)),
     "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
     "text_token_counts" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocTokenCounts(s, d); () }),

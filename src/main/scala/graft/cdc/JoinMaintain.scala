@@ -159,48 +159,61 @@ object JoinMaintain {
     (aNew, bNew, bByFkNew, vNew)
   }
 
+  /** Per-epoch batches + cumulative committed states of the orders
+    * changelog (multi-year tranches), mirroring
+    * [[AggMaintain.cachedUserEpochs]]. Attributed as the
+    * `cdc_orders_epochs` bench artifact.
+    */
+  def cachedOrdersEpochs(spark: SparkSession, dir: String): (Seq[DataFrame], Seq[DataFrame]) =
+    graft.SessionCache.getOrElseUpdate(spark, ("ordersEpochs", dir)) {
+      val ch = graft.SessionCache.getOrElseUpdate(spark, ("ordersChangelog", dir))(
+        ordersChangelog(spark, dir).localCheckpoint(true))
+      val batches = AggMaintain.tranches(ch,
+        Seq("1996-09-01", "1998-05-01", "2000-01-01"))
+      val s0 = CdcOps.latestState(batches.head, Seq("o_orderkey"), ordersDataCols)
+        .drop("n_changes").localCheckpoint(true)
+      val states = batches.tail.scanLeft(s0)((st, b) =>
+        CdcOps.mergeChangeSet(st, b, Seq("o_orderkey"), ordersDataCols)
+          .localCheckpoint(true))
+      (batches, states)
+    }
+
   /** Driver face: maintain the per-event-type (n_pairs, order_value)
     * join view of the user CDC state against the orders CDC state,
     * BOTH streams delivered in four epochs (weekly tranches of the
     * user feed interleaved with multi-year tranches of the orders
     * feed — epoching is delivery order, not wall-clock alignment).
-    * Everything starts EMPTY and flows through the delta path, so all
-    * four epochs exercise maintenance; states localCheckpoint per
-    * epoch, mirroring the per-batch materialization boundary a real
-    * sink commit already is. The oracle recomputes the view from both
-    * full-range latest states, so a missed fk-move retraction, a
-    * double-counted both-sides epoch, or a user delete that strands
-    * order mass all hash-mismatch.
+    * The committed state chains are the shared epoch substrates (the
+    * cost a real sink already pays, paid once per session here); the
+    * view and the per-fk index flow ONLY through the delta path —
+    * per-epoch signed images against the pre-epoch states, never a
+    * rescan. The oracle recomputes the view from both full-range
+    * latest states, so a missed fk-move retraction, a double-counted
+    * both-sides epoch, or a user delete that strands order mass all
+    * hash-mismatch.
     */
   def joinMaintain(spark: SparkSession, dir: String): DataFrame = {
     val (aKey, grpCol) = ("user_id", "last_event_type")
     val (bKey, fkCol, valCol) = ("o_orderkey", "cust", "val")
-    val chA = CdcOps.cachedChangelog(spark, dir)
-    // materialized once: each epoch reads its tranche twice (signed
-    // images + merge); without this the orders scan+explode re-runs 8×
-    val chB = graft.SessionCache.getOrElseUpdate(spark, ("ordersChangelog", dir))(
-      ordersChangelog(spark, dir).localCheckpoint(true))
-    def cuts(ch: DataFrame, bounds: Seq[String]): Seq[DataFrame] = {
-      val ms = bounds.map(d => unix_millis(lit(s"$d 00:00:00").cast("timestamp")))
-      val lows = lit(Long.MinValue) +: ms
-      val highs = ms :+ lit(Long.MaxValue)
-      lows.zip(highs).map { case (lo, hi) =>
-        ch.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
-      }
-    }
-    val aEpochs = cuts(chA, Seq("2024-01-08", "2024-01-16", "2024-01-24"))
-    val bEpochs = cuts(chB, Seq("1996-09-01", "1998-05-01", "2000-01-01"))
-    var aState = CdcOps.latestState(chA.filter(lit(false)), Seq(aKey), CdcOps.userDataCols)
-      .drop("n_changes")
-    var bState = CdcOps.latestState(chB.filter(lit(false)), Seq(bKey), ordersDataCols)
-      .drop("n_changes")
-    var bByFk = AggMaintain.groupAgg(bState, fkCol, valCol)
-    var view = joinAgg(aState, bState, aKey, grpCol, fkCol, valCol)
-    aEpochs.zip(bEpochs).foreach { case (aBatch, bBatch) =>
-      val (a2, b2, idx2, v2) = maintainEpoch(aState, bState, bByFk, view,
-        aBatch, bBatch, aKey, grpCol, CdcOps.userDataCols, bKey, fkCol, valCol)
-      aState = a2.localCheckpoint(true); bState = b2.localCheckpoint(true)
-      bByFk = idx2.localCheckpoint(true); view = v2.localCheckpoint(true)
+    val (aBatches, aStates) = AggMaintain.cachedUserEpochs(spark, dir)
+    val (bBatches, bStates) = cachedOrdersEpochs(spark, dir)
+    // pre-epoch state for epoch i (empty before epoch 0); post-epoch
+    // state is aStates(i)/bStates(i) — ΔB joins the POST-ΔA user state,
+    // which for whole-epoch sequencing is the committed aStates(i)
+    val aPres = aStates.head.filter(lit(false)) +: aStates.init
+    val bPres = bStates.head.filter(lit(false)) +: bStates.init
+    var bByFk = AggMaintain.groupAgg(bPres.head, fkCol, valCol)
+    var view = joinAgg(aPres.head, bPres.head, aKey, grpCol, fkCol, valCol)
+    aBatches.indices.foreach { i =>
+      val dA = deltaFromA(aPres(i), aBatches(i), bByFk, aKey, grpCol)
+      val dB = deltaFromB(bPres(i), bBatches(i), aStates(i), bKey, fkCol, valCol, aKey, grpCol)
+      view = AggMaintain.applyDelta(
+        view.withColumnRenamed("n_pairs", "n_rows"),
+        dA.unionByName(dB).groupBy("grp")
+          .agg(sum("dn").as("d_n"), sum("dc").as("d_cents")))
+        .withColumnRenamed("n_rows", "n_pairs")
+      bByFk = AggMaintain.applyDelta(bByFk,
+        AggMaintain.epochDelta(bPres(i), bBatches(i), Seq(bKey), fkCol, valCol))
     }
     view.select(col("grp").as("last_event_type"), col("n_pairs"),
         (col("sum_cents").cast("double") / 100d).as("order_value"))
