@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance over a CDC changelog: keep a
@@ -21,8 +22,13 @@ import org.apache.spark.sql.functions._
   * delete: count and sum are (they form an abelian group — apply the
   * inverse to retract), so count / sum / avg(=sum/count) ship here.
   * min/max are NOT (retracting the current max needs a rescan of the
-  * group — the classic materialized-view maintenance limit); a min/max
-  * consumer keeps the per-group top-k or re-reads affected groups.
+  * group — the classic materialized-view maintenance limit) — but the
+  * support-count relation of [[distinctMaintain]] restores them:
+  * maintain n_rows per (group, value) — abelian, so the same delta
+  * machinery applies — and read min / max / any exact quantile as
+  * ordered-statistic projections over the support table
+  * ([[minmaxMaintain]]). The rescan never happens because the support
+  * table IS the per-group value multiset, kept current by ±deltas.
   *
   * Numeric discipline: values are canonicalized to exact integer cents
   * (`floor(v·100 + 0.5)` on the raw double — exact IEEE-754 ops, the
@@ -254,6 +260,92 @@ object AggMaintain {
       |SELECT last_event_type,
       |  count(DISTINCT CAST(floor(last_value) AS BIGINT)) AS n_value_levels
       |FROM state GROUP BY last_event_type ORDER BY last_event_type""".stripMargin
+
+  /** Cents-granular support bucket: [[distinctMaintain]]'s support
+    * construction at the exact integer-cents granularity the sum path
+    * uses, so ordered statistics read off it EXACTLY (no whole-unit
+    * rounding between maintained and recomputed).
+    */
+  private def withCentsBucket(df: DataFrame, grpCol: String, valueCol: String): DataFrame =
+    df.withColumn("gv", struct(col(grpCol).as("g"), cents(col(valueCol)).as("v")))
+
+  /** Ordered-statistic read over a maintained (group, value) support
+    * relation: per-group MIN, MAX, and the exact discrete median (the
+    * smallest value whose cumulative support reaches ⌈N/2⌉). Scans
+    * ONLY the ¦distinct (g,v)¦-sized support table — never the state —
+    * and the window partitions by group, so each group's ordered pass
+    * is local to its partition.
+    */
+  def readExtrema(support: DataFrame): DataFrame = {
+    val s = support.filter(col("grp.v").isNotNull)
+      .select(col("grp.g").as("g"), col("grp.v").as("v"), col("n_rows").as("n"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(Window.partitionBy("g")))
+      .groupBy(col("g").as("last_event_type"))
+      .agg(
+        (min("v").cast("double") / 100d).as("min_value"),
+        (max("v").cast("double") / 100d).as("max_value"),
+        (min(when(col("cum") >= ceil(col("total") * lit(0.5)).cast("long"), col("v")))
+          .cast("double") / 100d).as("median_value"))
+      .orderBy("last_event_type")
+  }
+
+  /** Driver face: maintain per-event-type MIN / MAX / exact discrete
+    * MEDIAN of the user CDC state across the same four weekly epochs —
+    * the aggregates the object scaladoc calls non-self-maintainable,
+    * made maintainable by keeping the cents-granular support relation
+    * current ([[withCentsBucket]] + the unchanged delta machinery) and
+    * reading extrema as projections over it ([[readExtrema]]). The
+    * oracle recomputes all three from the full-range latest state, so
+    * a support count that strands a retracted extremum (max stuck
+    * high), loses a revived one, or shifts the cumulative median rank
+    * hash-mismatches.
+    */
+  def minmaxMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val keyCols = Seq("user_id")
+    val (batches, states) = cachedUserEpochs(spark, dir)
+    var support = groupAgg(withCentsBucket(states.head, "last_event_type", "last_value"),
+      "gv", "last_value")
+    batches.tail.zipWithIndex.foreach { case (batch, i) =>
+      support = applyDelta(support, epochDelta(
+        withCentsBucket(states(i), "last_event_type", "last_value"),
+        withCentsBucket(batch, "last_event_type", "last_value"),
+        keyCols, "gv", "last_value"))
+    }
+    readExtrema(support)
+  }
+
+  /** The recompute the maintained extrema must equal — same cents
+    * canonicalization, same discrete-median rank rule (smallest value
+    * with cumulative count ≥ ⌈N/2⌉).
+    */
+  val minmaxMaintainSql: String =
+    """WITH ch AS (SELECT user_id,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id AS seq,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM events),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn
+      |  FROM ch),
+      |state AS (
+      |  SELECT user_id, last_event_type, last_value
+      |  FROM r WHERE rn = 1 AND op <> 'd'),
+      |vals AS (SELECT last_event_type AS g,
+      |  CAST(floor(last_value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM state WHERE last_value IS NOT NULL),
+      |sup AS (SELECT g, v, count(*) AS n FROM vals GROUP BY g, v),
+      |c AS (SELECT g, v, n,
+      |  sum(n) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |  sum(n) OVER (PARTITION BY g) AS total FROM sup)
+      |SELECT g AS last_event_type,
+      |  CAST(min(v) AS DOUBLE) / 100 AS min_value,
+      |  CAST(max(v) AS DOUBLE) / 100 AS max_value,
+      |  CAST(min(CASE WHEN cum >= CAST(ceil(total * 0.5) AS BIGINT) THEN v END) AS DOUBLE) / 100
+      |    AS median_value
+      |FROM c GROUP BY g ORDER BY g""".stripMargin
 
   /** The recompute the maintained aggregate must equal: group the
     * full-range latest state, with the identical cents canonicalization.

@@ -164,4 +164,55 @@ class AggMaintainSpec extends AnyFunSuite with SparkSpec {
         s"sink epoch ${i + 1}: maintained diverged from committed state")
     }
   }
+
+  test("min/max/median survive extremum retraction (hand-built epochs)") {
+    import spark.implicits._
+    // the case plain min/max maintenance cannot do: delete the row
+    // HOLDING the group max — the maintained view must fall back to
+    // the next value, because the support relation still has it
+    def gv = struct(col(grp).as("g"),
+      floor(col(value) * 100d + 0.5d).cast("long").as("v"))
+    def changes(rows: (Long, String, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "op", "ts_ms", "seq", grp, value)
+    def extremaMap(support: org.apache.spark.sql.DataFrame): Map[String, (Double, Double, Double)] =
+      AggMaintain.readExtrema(support).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // group a: {1.00, 2.00, 9.00} → min 1, max 9, median 2
+    val e1 = changes((1L, "c", 10L, 1L, "a", 1.0), (2L, "c", 11L, 2L, "a", 2.0),
+      (3L, "c", 12L, 3L, "a", 9.0))
+    // delete the max holder; min holder moves UP past the survivor →
+    // {2.00, 5.00}: min 2, max 5, median(⌈2/2⌉=1st) 2
+    val e2 = changes((3L, "d", 20L, 4L, "a", 9.0), (1L, "u", 21L, 5L, "a", 5.0))
+    // re-insert a new global max and a new global min in one epoch →
+    // {0.50, 2.00, 5.00, 7.25}: min 0.5, max 7.25, median(2nd) 2
+    val e3 = changes((3L, "c", 30L, 6L, "a", 7.25), (4L, "c", 31L, 7L, "a", 0.5))
+    val expected = Seq(
+      Map("a" -> ((1.0, 9.0, 2.0))),
+      Map("a" -> ((2.0, 5.0, 2.0))),
+      Map("a" -> ((0.5, 7.25, 2.0))))
+    var state = CdcOps.latestState(e1, keyCols, Seq(grp, value)).drop("n_changes")
+    var support = AggMaintain.groupAgg(state.withColumn("gv", gv), "gv", value)
+    assert(extremaMap(support) === expected.head)
+    Seq(e2, e3).zipWithIndex.foreach { case (batch, i) =>
+      support = AggMaintain.applyDelta(support, AggMaintain.epochDelta(
+        state.withColumn("gv", gv), batch.withColumn("gv", gv), keyCols, "gv", value))
+      state = CdcOps.mergeChangeSet(state, batch, keyCols, Seq(grp, value))
+      assert(extremaMap(support) === expected(i + 1),
+        s"epoch ${i + 2}: wrong maintained extrema")
+      assert(extremaMap(support) ===
+        extremaMap(AggMaintain.groupAgg(state.withColumn("gv", gv), "gv", value)),
+        s"epoch ${i + 2}: maintained support diverged from recompute")
+    }
+  }
+
+  test("minmaxMaintain driver face equals extrema recomputed from full latest state") {
+    val maintained = AggMaintain.minmaxMaintain(spark, sfDir)
+    val state = CdcOps.latestState(CdcOps.userChangelog(spark, sfDir), keyCols,
+      CdcOps.userDataCols)
+    val freshSupport = AggMaintain.groupAgg(
+      state.withColumn("gv", struct(col(grp).as("g"),
+        floor(col(value) * 100d + 0.5d).cast("long").as("v"))), "gv", value)
+    assert(maintained.collect().toSeq ===
+      AggMaintain.readExtrema(freshSupport).collect().toSeq)
+  }
 }
