@@ -237,6 +237,31 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
   private def dirtyOf(batch: DataFrame): Seq[Int] =
     batch.select(bucketCol).distinct().collect().map(_.getInt(0)).toSeq
 
+  /** The committed state restricted to the buckets this batch touches —
+    * the before-image substrate an incremental-view-maintenance
+    * consumer needs ([[AggMaintain.epochDelta]] joins the batch's keys
+    * against state, and every batch key hashes into a dirty bucket, so
+    * the delta computed against this frame equals one computed against
+    * the full state — spec-held). Cost is ¦dirty buckets¦ × bucket
+    * size, independent of total state size once buckets are sized to a
+    * fixed row target; [[readState]] by contrast reads everything.
+    * Returns an empty frame when no state is committed yet.
+    */
+  def readDirtyState(batch: DataFrame): DataFrame =
+    readManifest() match {
+      case None => emptyLike(batch, dataColsOf(batch))
+      case Some((_, entries, schema)) =>
+        val withData = dirtyOf(batch).filter(entries.contains)
+        if (withData.isEmpty) emptyLike(batch, dataColsOf(batch))
+        else {
+          val paths = withData.map(b => s"$statePath/${entries(b)}")
+          schema match {
+            case Some(s) => spark.read.schema(s).parquet(paths: _*)
+            case None    => spark.read.parquet(paths: _*)
+          }
+        }
+    }
+
   /** Zero-row frame with the base-state schema (keys ++ data ++ last_ts_ms)
     * for the first merge that touches only previously-unseen buckets.
     */
