@@ -292,6 +292,30 @@ object AggMaintain {
       .orderBy("last_event_type")
   }
 
+  /** The maintained cents-granular (group, value) support relation
+    * after all four epochs — the shared substrate of every
+    * ordered-statistic read face ([[minmaxMaintain]],
+    * [[topkMaintain]]): one maintained relation, many projections, the
+    * way a production IVM deployment amortizes its support tables.
+    * Built once per session (attributed as the `cdc_cents_support`
+    * bench artifact); each read face then costs only its own
+    * group-partitioned window over the ¦distinct (g,v)¦-sized table.
+    */
+  def cachedCentsSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("cdcCentsSupport", dir)) {
+      val keyCols = Seq("user_id")
+      val (batches, states) = cachedUserEpochs(spark, dir)
+      var support = groupAgg(withCentsBucket(states.head, "last_event_type", "last_value"),
+        "gv", "last_value")
+      batches.tail.zipWithIndex.foreach { case (batch, i) =>
+        support = applyDelta(support, epochDelta(
+          withCentsBucket(states(i), "last_event_type", "last_value"),
+          withCentsBucket(batch, "last_event_type", "last_value"),
+          keyCols, "gv", "last_value"))
+      }
+      support.localCheckpoint(true)
+    }
+
   /** Driver face: maintain per-event-type MIN / MAX / exact discrete
     * MEDIAN of the user CDC state across the same four weekly epochs —
     * the aggregates the object scaladoc calls non-self-maintainable,
@@ -303,19 +327,67 @@ object AggMaintain {
     * high), loses a revived one, or shifts the cumulative median rank
     * hash-mismatches.
     */
-  def minmaxMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val keyCols = Seq("user_id")
-    val (batches, states) = cachedUserEpochs(spark, dir)
-    var support = groupAgg(withCentsBucket(states.head, "last_event_type", "last_value"),
-      "gv", "last_value")
-    batches.tail.zipWithIndex.foreach { case (batch, i) =>
-      support = applyDelta(support, epochDelta(
-        withCentsBucket(states(i), "last_event_type", "last_value"),
-        withCentsBucket(batch, "last_event_type", "last_value"),
-        keyCols, "gv", "last_value"))
-    }
-    readExtrema(support)
+  def minmaxMaintain(spark: SparkSession, dir: String): DataFrame =
+    readExtrema(cachedCentsSupport(spark, dir))
+
+  /** Top-k read over the maintained support relation: the k highest
+    * live value levels per group, each with its holder count — the
+    * maintained leaderboard. Classic IVM treats top-k like min/max
+    * (non-self-maintainable: deleting a leader forces a group rescan
+    * to find the successor); over the support relation the successor
+    * is just the next surviving row in value order, so the read is one
+    * group-partitioned window over the ¦distinct (g,v)¦-sized table —
+    * never the state. Ranks are dense in DISTINCT value levels (ties
+    * in value are one level with n_holders > 1), which keeps the
+    * output deterministic under the hash-ordered driver compare.
+    */
+  def readTopK(support: DataFrame, k: Int): DataFrame = {
+    val s = support.filter(col("grp.v").isNotNull)
+      .select(col("grp.g").as("g"), col("grp.v").as("v"), col("n_rows").as("n"))
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    s.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("g").as("last_event_type"), col("rk"),
+        (col("v").cast("double") / 100d).as("value"), col("n").as("n_holders"))
+      .orderBy("last_event_type", "rk")
   }
+
+  /** Driver face: maintained per-event-type top-3 spend levels (value,
+    * holder count) across the same four weekly epochs. The oracle
+    * recomputes the leaderboard from the full-range latest state, so a
+    * support row that strands a retracted leader (stuck entry), drops
+    * a revived one, or miscounts holders at a level hash-mismatches.
+    * Deleting the sole holder of the current #1 must promote the
+    * runner-up — the retraction rescan classic top-k maintenance
+    * needs, answered here by the support relation itself
+    * (AggMaintainSpec pins that case explicitly).
+    */
+  def topkMaintain(spark: SparkSession, dir: String): DataFrame =
+    readTopK(cachedCentsSupport(spark, dir), 3)
+
+  /** The recompute the maintained top-k must equal — same cents
+    * canonicalization, distinct value levels ranked descending.
+    */
+  val topkMaintainSql: String =
+    """WITH ch AS (SELECT user_id,
+      |  CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id AS seq,
+      |  event_type AS last_event_type, value AS last_value
+      |FROM events),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn
+      |  FROM ch),
+      |state AS (
+      |  SELECT user_id, last_event_type, last_value
+      |  FROM r WHERE rn = 1 AND op <> 'd'),
+      |sup AS (SELECT last_event_type AS g,
+      |  CAST(floor(last_value * 100 + 0.5) AS BIGINT) AS v, count(*) AS n
+      |  FROM state WHERE last_value IS NOT NULL GROUP BY 1, 2),
+      |rk AS (SELECT g, v, n,
+      |  row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rk FROM sup)
+      |SELECT g AS last_event_type, rk, CAST(v AS DOUBLE) / 100 AS value,
+      |  n AS n_holders
+      |FROM rk WHERE rk <= 3 ORDER BY g, rk""".stripMargin
 
   /** The recompute the maintained extrema must equal — same cents
     * canonicalization, same discrete-median rank rule (smallest value

@@ -215,4 +215,50 @@ class AggMaintainSpec extends AnyFunSuite with SparkSpec {
     assert(maintained.collect().toSeq ===
       AggMaintain.readExtrema(freshSupport).collect().toSeq)
   }
+
+  test("top-k leaderboard survives leader retraction and promotes the runner-up") {
+    import spark.implicits._
+    // the top-k face of the extremum-retraction case: delete the SOLE
+    // holder of the #1 value level — the maintained leaderboard must
+    // promote the runner-up, with ties collapsing into one level
+    def gv = struct(col(grp).as("g"),
+      floor(col(value) * 100d + 0.5d).cast("long").as("v"))
+    def changes(rows: (Long, String, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "op", "ts_ms", "seq", grp, value)
+    def board(support: org.apache.spark.sql.DataFrame): Seq[(String, Long, Double, Long)] =
+      AggMaintain.readTopK(support, 3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // levels: 9.00 (u3 alone), 5.00 (u1, u2 — one level, 2 holders), 1.00 (u4)
+    val e1 = changes((1L, "c", 10L, 1L, "a", 5.0), (2L, "c", 11L, 2L, "a", 5.0),
+      (3L, "c", 12L, 3L, "a", 9.0), (4L, "c", 13L, 4L, "a", 1.0))
+    // delete the sole #1 holder → 5.00 promotes to rank 1 (2 holders)
+    val e2 = changes((3L, "d", 20L, 5L, "a", 9.0))
+    // one 5.00 holder moves to a NEW top level → ranks reshuffle again
+    val e3 = changes((1L, "u", 30L, 6L, "a", 12.0))
+    val expected = Seq(
+      Seq(("a", 1L, 9.0, 1L), ("a", 2L, 5.0, 2L), ("a", 3L, 1.0, 1L)),
+      Seq(("a", 1L, 5.0, 2L), ("a", 2L, 1.0, 1L)),
+      Seq(("a", 1L, 12.0, 1L), ("a", 2L, 5.0, 1L), ("a", 3L, 1.0, 1L)))
+    var state = CdcOps.latestState(e1, keyCols, Seq(grp, value)).drop("n_changes")
+    var support = AggMaintain.groupAgg(state.withColumn("gv", gv), "gv", value)
+    assert(board(support) === expected.head)
+    Seq(e2, e3).zipWithIndex.foreach { case (batch, i) =>
+      support = AggMaintain.applyDelta(support, AggMaintain.epochDelta(
+        state.withColumn("gv", gv), batch.withColumn("gv", gv), keyCols, "gv", value))
+      state = CdcOps.mergeChangeSet(state, batch, keyCols, Seq(grp, value))
+      assert(board(support) === expected(i + 1),
+        s"epoch ${i + 2}: wrong maintained leaderboard")
+    }
+  }
+
+  test("topkMaintain driver face equals leaderboard recomputed from full latest state") {
+    val maintained = AggMaintain.topkMaintain(spark, sfDir)
+    val state = CdcOps.latestState(CdcOps.userChangelog(spark, sfDir), keyCols,
+      CdcOps.userDataCols)
+    val freshSupport = AggMaintain.groupAgg(
+      state.withColumn("gv", struct(col(grp).as("g"),
+        floor(col(value) * 100d + 0.5d).cast("long").as("v"))), "gv", value)
+    assert(maintained.collect().toSeq ===
+      AggMaintain.readTopK(freshSupport, 3).collect().toSeq)
+  }
 }
