@@ -23,15 +23,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * proper µs timestamp (testdata has no sub-µs components).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (older
+    * generator runs) and plain timestamp[us] (current runs), so adapt to
+    * whatever is on disk instead of hard-coding one layout.  With
+    * `nanosAsLong=true` set up front, a NANOS file surfaces as LongType
+    * (convert: nanos → µs timestamp; testdata has no sub-µs components)
+    * while a µs file is unaffected and surfaces as TIMESTAMP_NTZ (cast to
+    * session-zone TimestampType — sessions run UTC, so values are
+    * unchanged and all downstream time functions see one type).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   /** Spread a small scan across all cores. The text/vector tables feed
     * CPU-bound per-row work (shingling, minhash, simhash, vector math);
