@@ -52,6 +52,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaGate.assertClean(spark, sfDir)
     // Warm codegen + JIT on the smallest SF: each query's generated code
     // is identical across SFs, so one tiny pass compiles it all and the
     // timed pass below measures the engine, not janino/C2. Set
