@@ -269,6 +269,26 @@ object AggMaintain {
   private def withCentsBucket(df: DataFrame, grpCol: String, valueCol: String): DataFrame =
     df.withColumn("gv", struct(col(grpCol).as("g"), cents(col(valueCol)).as("v")))
 
+  /** From-scratch cents-granular support relation of a keyed state
+    * frame — the recompute face the maintained support must equal, and
+    * the seed of [[cachedCentsSupport]]. Shape: (grp: struct(g, v),
+    * n_rows, sum_cents), as [[readExtrema]] / [[readTopK]] consume.
+    */
+  def centsSupport(state: DataFrame, grpCol: String, valueCol: String): DataFrame =
+    groupAgg(withCentsBucket(state, grpCol, valueCol), "gv", valueCol)
+
+  /** Per-(group, value-level) support delta of one changelog epoch
+    * against the pre-epoch state, flattened for a keyed delta store:
+    * (g, v, d_n), one row per touched value level. The streaming face
+    * ([[graft.streaming.StreamingTopKMaintainJob]]) folds these;
+    * the batch face applies them via [[applyDelta]] on the struct key.
+    */
+  def centsSupportDelta(state: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                        grpCol: String, valueCol: String): DataFrame =
+    epochDelta(withCentsBucket(state, grpCol, valueCol),
+      withCentsBucket(batch, grpCol, valueCol), keyCols, "gv", valueCol)
+      .select(col("grp.g").as("g"), col("grp.v").as("v"), col("d_n"))
+
   /** Ordered-statistic read over a maintained (group, value) support
     * relation: per-group MIN, MAX, and the exact discrete median (the
     * smallest value whose cumulative support reaches ⌈N/2⌉). Scans
@@ -305,8 +325,7 @@ object AggMaintain {
     graft.SessionCache.getOrElseUpdate(spark, ("cdcCentsSupport", dir)) {
       val keyCols = Seq("user_id")
       val (batches, states) = cachedUserEpochs(spark, dir)
-      var support = groupAgg(withCentsBucket(states.head, "last_event_type", "last_value"),
-        "gv", "last_value")
+      var support = centsSupport(states.head, "last_event_type", "last_value")
       batches.tail.zipWithIndex.foreach { case (batch, i) =>
         support = applyDelta(support, epochDelta(
           withCentsBucket(states(i), "last_event_type", "last_value"),
