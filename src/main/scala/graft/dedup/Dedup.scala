@@ -201,18 +201,36 @@ object Dedup {
     * per-key state) and an anti-join BEFORE any posting list is
     * collected — grouping sets first and filtering on size would
     * accumulate an unbounded array for exactly the boilerplate mega-df
-    * shingle the cap exists to bound; only then does collect_set build
-    * the (≤ maxDf)-bounded lists. The join strategy for the hot-list
-    * prune is left to AQE: on clean corpora the hot list is tiny and
-    * broadcasts, but its size is bounded only by Σrows/maxDf, so a
-    * boilerplate-heavy corpus legitimately shuffle-joins it.
+    * shingle the cap exists to bound; only then are the bounded lists
+    * built. The join strategy for the hot-list prune is left to AQE:
+    * on clean corpora the hot list is tiny and broadcasts, but its
+    * size is bounded only by Σrows/maxDf, so a boilerplate-heavy
+    * corpus legitimately shuffle-joins it.
+    *
+    * Posting elements carry the owning doc's rare-set SIZE
+    * (struct(doc_id, sz)), attached by a doc-keyed groupBy BEFORE the
+    * per-shingle grouping — so the pair stage downstream aggregates
+    * the exploded pairs and is DONE: no join, and critically no
+    * broadcast, after the Θ(Σ min(df,cap)²) explosion. (The previous
+    * join-back-sizes formulation died at 10× scale: with every
+    * partition's execution memory held by the pair aggregation, the
+    * concurrent broadcast build of the sizes side had nothing left to
+    * allocate from and the whole family failed with a broadcast OOM —
+    * and on a real cluster the per-doc sizes table is corpus-sized,
+    * which is not broadcast material in the first place.)
     */
   private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh = explodedShingles(docs).localCheckpoint(true)
+    // df counts RAW postings (intra-doc repeats included) — the same
+    // accounting the oracle's HAVING applies; keep it bit-identical
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     sh.join(hot, Seq("sh"), "left_anti")
-      .groupBy("sh").agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+      .select(explode(col("shs")).as("sh"),
+        struct(col("doc_id"), col("sz")).as("e"))
+      .groupBy("sh").agg(sort_array(collect_set(col("e"))).as("ids"))
       .select("ids")
       .localCheckpoint(true)
   }
@@ -234,7 +252,7 @@ object Dedup {
     rarePostings(docs, maxDf)
       .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("p.id_a.doc_id").as("id_a"), col("p.id_b.doc_id").as("id_b"))
       .distinct()
 
   /** All pairs with 3-shingle Jaccard ≥ threshold over the RARE
@@ -262,22 +280,21 @@ object Dedup {
     * to downstream consumers (clustering) that don't need ordering.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
-                        maxDf: Int = MaxShingleDf): DataFrame = {
-    val posts = rarePostings(docs, maxDf)
-    val sizes = posts.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = posts.filter(size(col("ids")) >= 2)
+                        maxDf: Int = MaxShingleDf): DataFrame =
+    rarePostings(docs, maxDf)
+      .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // the set sizes ride in the posting elements, so the union size
+      // is in hand the moment the pair count lands — one aggregation
+      // and the family is done (sz_a/sz_b are functionally dependent
+      // on id_a/id_b; grouping on them adds no cardinality)
+      .groupBy(col("p.id_a.doc_id").as("id_a"), col("p.id_b.doc_id").as("id_b"),
+        col("p.id_a.sz").as("sz_a"), col("p.id_b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id"), col("sz").as("sz_a")), col("id_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("sz").as("sz_b")), col("id_b") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Near-dup pair table memoized per (dir, threshold, maxDf) — the
     * three driver entries that consume it (`dedup_ngram_jaccard`,

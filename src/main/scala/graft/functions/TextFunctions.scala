@@ -945,9 +945,12 @@ object TextFunctions {
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace
-    * stopwords); argmax wins. Deterministic; rows-only checked (a
-    * heuristic has no SQL oracle) with accuracy measured against the
-    * testdata's ground-truth `lang` column in the spec.
+    * stopwords); argmax wins. Deterministic, and since r9 fully
+    * SQL-oracled ([[langIdSql]] re-expresses the profile vote with
+    * regexp_extract_all + a ranked window; Spark's struct-ordered
+    * `array_max` tie-break — higher score, then lexicographically
+    * greater language — maps to ORDER BY score DESC, lang DESC);
+    * accuracy against the ground-truth `lang` column stays spec-held.
     */
   def langId(docs: DataFrame): DataFrame = {
     val profiles: Seq[(String, String)] = Seq(
@@ -980,6 +983,38 @@ object TextFunctions {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     langId(Tables.documents(spark, dir))
+
+  /** The same profile vote in ANSI SQL: per-language stopword (or
+    * ideograph) densities via regexp_extract_all, argmax via a ranked
+    * window whose ordering reproduces Spark's struct-ordered
+    * `array_max` exactly (score, then language, both descending).
+    */
+  val langIdSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, lower(text) AS lt,
+      |    greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS toks,
+      |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS chars
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id, 'en' AS lang, round(len(regexp_extract_all(lt, '\b(the|and|of|to|is|in|that|it|for|with)\b')) / toks, 6) AS score FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'de', round(len(regexp_extract_all(lt, '\b(der|die|das|und|ist|nicht|ein|eine|zu|den)\b')) / toks, 6) FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'fr', round(len(regexp_extract_all(lt, '\b(le|la|les|et|est|une|des|que|pour|dans)\b')) / toks, 6) FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'es', round(len(regexp_extract_all(lt, '\b(el|la|los|las|es|una|que|por|para|con)\b')) / toks, 6) FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'pt', round(len(regexp_extract_all(lt, '\b(o|os|um|uma|que|para|com|não|por|mais)\b')) / toks, 6) FROM base
+      |  UNION ALL
+      |  SELECT doc_id, 'zh', round(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) / chars, 6) FROM base),
+      |best AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      |  FROM scores)
+      |SELECT doc_id,
+      |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+      |  score AS pred_score
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Fixed-token-window document chunking with overlap — the upstream
     * of sequence packing: every doc becomes ⌈n/step⌉ rows of at most

@@ -106,16 +106,16 @@ write("lineitem", {
 print("lineitem rows:", n_li)
 
 # ---- events: increasing ts over ~30 days ----
-# the driver testdata stores ts as parquet TIMESTAMP(NANOS), which
-# Tables.events reads via the nanosAsLong legacy conf — mirror that
-# exactly (a [us] column would load as TIMESTAMP_NTZ and break the
-# `ts div 1000` conversion)
-e0 = np.datetime64("2024-01-01T00:00:00", "ns")
+# the regenerated driver testdata (r8+) stores ts as plain parquet
+# timestamp[us] — mirror that (Tables.events is schema-adaptive and
+# SchemaGate allows both layouts, but the scaling comparison should
+# read the same physical type the driver data uses)
+e0 = np.datetime64("2024-01-01T00:00:00", "us")
 steps_us = rng.exponential(30 * 86400e6 / N_EVENTS, N_EVENTS)
-ts = e0 + (np.cumsum(steps_us) * 1000).astype("timedelta64[ns]")
+ts = e0 + np.cumsum(steps_us).astype("timedelta64[us]")
 write("events", {
     "event_id": np.arange(N_EVENTS, dtype=np.int64),
-    "ts": pa.array(ts, type=pa.timestamp("ns")),
+    "ts": pa.array(ts, type=pa.timestamp("us")),
     "user_id": rng.integers(0, N_USERS, N_EVENTS),
     "event_type": rng.choice(["signup", "click", "error", "view", "purchase"], N_EVENTS),
     "value": np.round(rng.exponential(50.0, N_EVENTS).clip(0, 600), 2),
