@@ -284,6 +284,15 @@ object Dedup {
     rarePostings(docs, maxDf)
       .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
+      // size-ratio prune (PPJoin-style), map-side BEFORE the pair
+      // shuffle: jaccard ≤ min(sz)/max(sz) (intersection is at most
+      // the smaller set), so a pair whose size ratio can't reach the
+      // threshold can't survive the final filter — drop it before it
+      // costs shuffle bytes and aggregation state. The 1e-4 slack
+      // keeps pairs whose true jaccard rounds UP to the threshold at
+      // the 4dp presentation rounding (provably no result change).
+      .filter(least(col("p.id_a.sz"), col("p.id_b.sz")) >=
+        (greatest(col("p.id_a.sz"), col("p.id_b.sz")) * lit(threshold - 1e-4)))
       // the set sizes ride in the posting elements, so the union size
       // is in hand the moment the pair count lands — one aggregation
       // and the family is done (sz_a/sz_b are functionally dependent
