@@ -49,6 +49,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // pinned like Verify/TimeOne/SparkSpec: Tables.events' NTZ cast
+      // is session-zone dependent, and bench numbers must measure the
+      // same row sets the correctness gate verifies
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,7 +22,6 @@ object SchemaGate {
   private val L = Set("bigint")
   private val D = Set("double")
   private val S = Set("string")
-  private val F = Set("float")
   // date-ish columns: generator has emitted plain DATE and µs timestamps
   private val dateLike = Set("date", "timestamp", "timestamp_ntz")
   // events.ts variants Tables.events adapts to (bigint = NANOS read under
@@ -56,12 +55,19 @@ object SchemaGate {
     * handle. Never throws — unreadable tables become diff lines too.
     */
   def diffs(spark: SparkSession, dir: String): Seq[String] = {
-    // so a NANOS events file surfaces as bigint instead of a read error
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    expected.flatMap { case (table, cols) =>
+    // so a NANOS events file surfaces as bigint instead of a read error;
+    // restored after the probe — a read-only gate must not leak a
+    // legacy-decode conf into the rest of the session
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try expected.flatMap { case (table, cols) =>
       val read =
         try Right(spark.read.parquet(s"$dir/$table.parquet").schema)
-        catch { case e: Throwable => Left(e.toString.linesIterator.next()) }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(e.toString.linesIterator.next())
+        }
       read match {
         case Left(err) => Seq(s"$table: UNREADABLE: $err")
         case Right(schema) =>
@@ -79,6 +85,9 @@ object SchemaGate {
             .map(c => s"$table.$c: UNEXPECTED new column (${actual(c)})")
           missing ++ wrong ++ extra
       }
+    } finally nanosPrev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
     }
   }
 

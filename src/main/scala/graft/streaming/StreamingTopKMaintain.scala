@@ -56,8 +56,15 @@ class StreamingTopKMaintainJob(
   private[graft] val support = new AdditiveDeltaState(spark, statePath,
     "support", Seq("g", "v"), Seq("d_n"), compactEvery)
 
+  /** Before-image substrate for the delta: the committed state
+    * RESTRICTED to the batch's dirty buckets ([[ParquetUpsertSink
+    * .readDirtyState]] — every batch key hashes into a dirty bucket,
+    * so the delta equals one computed against the full state,
+    * spec-held there). This is what keeps per-batch cost batch-sized:
+    * ¦dirty buckets¦ × bucket size, never the whole state.
+    */
   private def pre(batch: DataFrame): DataFrame =
-    if (sink.stateExists) sink.readState()
+    if (sink.stateExists) sink.readDirtyState(batch)
     else CdcOps.latestState(batch.filter(lit(false)), Seq(key), Seq(grpCol, valCol))
       .drop("n_changes")
 
@@ -85,7 +92,7 @@ class StreamingTopKMaintainJob(
   def readSupport(): DataFrame = support.state() match {
     case None => spark.emptyDataFrame.select(
       struct(lit("").as("g"), lit(0L).as("v")).as("grp"),
-      lit(0L).as("n_rows")).limit(0)
+      lit(0L).as("n_rows"))
     case Some(s) => s.filter(col("d_n") > 0)
       .select(struct(col("g"), col("v")).as("grp"), col("d_n").as("n_rows"))
   }

@@ -172,13 +172,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan(graft.dedup.Dedup.ngramJaccardPairs(
       Tables.documents(spark, sfDir)).orderBy("id_a", "id_b"))
     assert(p.contains("Scan ExistingRDD"), "grouped postings must be materialized once")
-    assert("Join \\[sh".r.findFirstIn(p).isEmpty, s"no shingle self-join expected:\n$p")
-    assert(!p.contains("LeftAnti"), "df-cap is a size filter on the grouped postings")
     // r9 de-join: the set sizes ride in the posting elements, so after
-    // the pair explosion there is NO join (and so no broadcast to
-    // build while the pair aggregation holds all execution memory —
-    // the sf1 OOM this shape exists to prevent), just the single pair
-    // aggregation's exchange plus the presentation sort's.
+    // the pair explosion there is NO join of any kind (subsumes the
+    // earlier no-shingle-self-join and no-anti-join asserts; the
+    // df-cap anti-join lives above the materialized postings) — and so
+    // no broadcast to build while the pair aggregation holds all
+    // execution memory, the sf1 OOM this shape exists to prevent.
     assert(!p.contains("Join"), s"no join of any kind after the explosion:\n$p")
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"pair agg + presentation sort only:\n$p")
