@@ -65,13 +65,29 @@ class StreamingJoinMaintainJob(
                          dataCols: Seq[String]): DataFrame =
     CdcOps.latestState(batch.filter(lit(false)), keyCols, dataCols).drop("n_changes")
 
+  /** Before-image substrates for the two signed-image deltas: the
+    * committed state restricted to the batch's dirty buckets
+    * ([[ParquetUpsertSink.readDirtyState]] — every batch key hashes
+    * into a dirty bucket, so the delta equals one computed against the
+    * full state, spec-held there). Batch-sized, never state-sized.
+    */
   private def aPre(aBatch: DataFrame): DataFrame =
-    if (aSink.stateExists) aSink.readState()
+    if (aSink.stateExists) aSink.readDirtyState(aBatch)
     else emptyState(aBatch, Seq(aKey), Seq(grpCol))
 
   private def bPre(bBatch: DataFrame): DataFrame =
-    if (bSink.stateExists) bSink.readState()
+    if (bSink.stateExists) bSink.readDirtyState(bBatch)
     else emptyState(bBatch, Seq(bKey), Seq(fkCol, valCol))
+
+  /** FULL post-merge A state for the B-side delta's enrichment join —
+    * a B row's fk can point at ANY A key, not just this batch's dirty
+    * buckets, so this one read legitimately spans the state (on a real
+    * cluster: the bucketed-join side of a co-partitioned probe, not a
+    * scan the maintenance path could avoid).
+    */
+  private def aFull(aBatch: DataFrame): DataFrame =
+    if (aSink.stateExists) aSink.readState()
+    else emptyState(aBatch, Seq(aKey), Seq(grpCol))
 
   /** The maintained per-fk aggregate of B, in [[AggMaintain.groupAgg]]
     * shape (grp, n_rows, sum_cents) — zero-support groups dropped, as
@@ -103,7 +119,7 @@ class StreamingJoinMaintainJob(
     if (stopAfterStep < 3) return
     if (!aBatch.isEmpty) aSink.merge(aBatch, batchId)
     if (stopAfterStep < 4) return
-    val aNew = aPre(aBatch)
+    val aNew = aFull(aBatch)
     viewB.appendOnce(aggSigned(
       JoinMaintain.deltaFromB(b0, bBatch, aNew, bKey, fkCol, valCol, aKey, grpCol)), batchId)
     if (stopAfterStep < 5) return
