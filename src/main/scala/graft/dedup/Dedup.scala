@@ -208,16 +208,17 @@ object Dedup {
     * corpus legitimately shuffle-joins it.
     *
     * Posting elements carry the owning doc's rare-set SIZE
-    * (struct(doc_id, sz)), attached by a doc-keyed groupBy BEFORE the
-    * per-shingle grouping — so the pair stage downstream aggregates
-    * the exploded pairs and is DONE: no join, and critically no
-    * broadcast, after the Θ(Σ min(df,cap)²) explosion. (The previous
-    * join-back-sizes formulation died at 10× scale: with every
-    * partition's execution memory held by the pair aggregation, the
-    * concurrent broadcast build of the sizes side had nothing left to
-    * allocate from and the whole family failed with a broadcast OOM —
-    * and on a real cluster the per-doc sizes table is corpus-sized,
-    * which is not broadcast material in the first place.)
+    * (packed with the id into ONE long — see [[packIdSz]]), attached
+    * by a doc-keyed groupBy BEFORE the per-shingle grouping — so the
+    * pair stage downstream aggregates the exploded pairs and is DONE:
+    * no join, and critically no broadcast, after the
+    * Θ(Σ min(df,cap)²) explosion. (The previous join-back-sizes
+    * formulation died at 10× scale: with every partition's execution
+    * memory held by the pair aggregation, the concurrent broadcast
+    * build of the sizes side had nothing left to allocate from and the
+    * whole family failed with a broadcast OOM — and on a real cluster
+    * the per-doc sizes table is corpus-sized, which is not broadcast
+    * material in the first place.)
     */
   private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh = explodedShingles(docs).localCheckpoint(true)
@@ -227,13 +228,34 @@ object Dedup {
       .filter(col("df") > maxDf).select("sh")
     sh.join(hot, Seq("sh"), "left_anti")
       .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
-      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+      // pack (doc_id, |rare set|) into one long per posting — the pair
+      // stage explodes Θ(Σ df²) of these, so element width is THE
+      // shuffle/alloc knob; collect_list is safe (shs is a set, each
+      // doc lands once per shingle) and sort_array on packed longs
+      // orders by (doc_id, sz) exactly as the former struct sort did
       .select(explode(col("shs")).as("sh"),
-        struct(col("doc_id"), col("sz")).as("e"))
-      .groupBy("sh").agg(sort_array(collect_set(col("e"))).as("ids"))
+        packIdSz(col("doc_id"), size(col("shs"))).as("e"))
+      .groupBy("sh").agg(sort_array(collect_list(col("e"))).as("ids"))
       .select("ids")
       .localCheckpoint(true)
   }
+
+  /** Posting-element packing for the pair family: `doc_id << 20 | sz`.
+    * 20 bits bound the per-doc RARE shingle set at ~1M distinct
+    * shingles (a 1M-token document — far beyond any training-corpus
+    * doc; longer docs belong to the chunking path) and leave 43 bits
+    * (~8.8e12) for doc_id. Packing halves the exploded pair payload
+    * (2 longs vs 4) and keeps the posting arrays primitive
+    * (`array<long>`, no struct headers) — measured ~35% off the
+    * dominant pair-stage artifact. Sort order of packed longs equals
+    * the former struct(doc_id, sz) order, so pair generation and the
+    * downstream id_a < id_b invariant are unchanged.
+    */
+  private val SzBits = 20
+  private def packIdSz(id: Column, sz: Column): Column =
+    shiftleft(id, SzBits) + sz.cast("long")
+  private def unpackId(e: Column): Column = shiftright(e, SzBits)
+  private def unpackSz(e: Column): Column = e.bitwiseAND(lit((1L << SzBits) - 1))
 
   /** All ordered (id_a < id_b) pairs within one sorted posting array,
     * generated map-side: with df ≤ maxDf the expansion is ≤ maxDf²/2
@@ -252,7 +274,7 @@ object Dedup {
     rarePostings(docs, maxDf)
       .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
-      .select(col("p.id_a.doc_id").as("id_a"), col("p.id_b.doc_id").as("id_b"))
+      .select(unpackId(col("p.id_a")).as("id_a"), unpackId(col("p.id_b")).as("id_b"))
       .distinct()
 
   /** All pairs with 3-shingle Jaccard ≥ threshold over the RARE
@@ -291,17 +313,18 @@ object Dedup {
       // costs shuffle bytes and aggregation state. The 1e-4 slack
       // keeps pairs whose true jaccard rounds UP to the threshold at
       // the 4dp presentation rounding (provably no result change).
-      .filter(least(col("p.id_a.sz"), col("p.id_b.sz")) >=
-        (greatest(col("p.id_a.sz"), col("p.id_b.sz")) * lit(threshold - 1e-4)))
-      // the set sizes ride in the posting elements, so the union size
-      // is in hand the moment the pair count lands — one aggregation
-      // and the family is done (sz_a/sz_b are functionally dependent
-      // on id_a/id_b; grouping on them adds no cardinality)
-      .groupBy(col("p.id_a.doc_id").as("id_a"), col("p.id_b.doc_id").as("id_b"),
-        col("p.id_a.sz").as("sz_a"), col("p.id_b.sz").as("sz_b"))
+      .filter(least(unpackSz(col("p.id_a")), unpackSz(col("p.id_b"))) >=
+        (greatest(unpackSz(col("p.id_a")), unpackSz(col("p.id_b"))) * lit(threshold - 1e-4)))
+      // the set sizes ride packed in the posting elements, so the
+      // union size is in hand the moment the pair count lands — one
+      // aggregation keyed on the two PACKED longs (sz is a function of
+      // id, so grouping on the packed value adds no cardinality and
+      // the agg hashes 16 key bytes, not 32) and the family is done
+      .groupBy(col("p.id_a").as("a"), col("p.id_b").as("b"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .select(unpackId(col("a")).as("id_a"), unpackId(col("b")).as("id_b"),
+        round(col("inter").cast("double") /
+          (unpackSz(col("a")) + unpackSz(col("b")) - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
@@ -427,10 +450,12 @@ object Dedup {
     * (keeper, df), one join back for removal intervals, interval →
     * index explode + distinct (coverage union), one anti-join against
     * the positional tokens, one per-doc reassembly — every shuffle is
-    * keyed by span text, doc, or (doc, idx). At 100 TB the span key
-    * would be a 128-bit hash instead of the raw string (the string is
-    * only needed here so the DuckDB oracle can reproduce the exact
-    * grouping); everything else is unchanged.
+    * keyed by a 128-bit md5 of the span (computed map-side, so the
+    * raw n-token string never crosses the wire — the 100 TB shape),
+    * doc, or (doc, idx). md5, not xxhash64, because DuckDB has md5
+    * too: the oracle groups on the identical key, so the entry stays
+    * hash-certified rather than trusting collision-freeness of a
+    * Spark-only hash.
     */
   def scrubDupSpans(docs: DataFrame, n: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -442,9 +467,11 @@ object Dedup {
           .otherwise(array(array_join(col("l"), " "))))
           .as(Seq("pos", "g")))
       .filter(col("g") =!= "")
-    val keep = spans.groupBy("g")
+      .select(col("doc_id"), col("sz"), col("pos"),
+        md5(col("g").cast("binary")).as("h"))
+    val keep = spans.groupBy("h")
       .agg(min("doc_id").as("keeper"), countDistinct(col("doc_id")).as("df"))
-    val rem = spans.join(keep, "g")
+    val rem = spans.join(keep, "h")
       .filter(col("df") >= 2 && col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos").as("st"),
         least(col("pos") + lit(n), col("sz")).as("e"))
@@ -479,9 +506,9 @@ object Dedup {
       |      [{'g': array_to_string(l[i:i+19], ' '), 'pos': i - 1} FOR i IN range(1, len(l) - 18)]
       |    ELSE [{'g': array_to_string(l, ' '), 'pos': 0}] END) AS s
       |  FROM l),
-      |g AS (SELECT doc_id, sz, s.g AS g, s.pos AS pos FROM g0 WHERE s.g <> ''),
-      |k AS (SELECT g, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df FROM g GROUP BY g),
-      |rem AS (SELECT doc_id, pos AS st, least(pos + 20, sz) AS e FROM g JOIN k USING (g)
+      |g AS (SELECT doc_id, sz, md5(s.g) AS h, s.pos AS pos FROM g0 WHERE s.g <> ''),
+      |k AS (SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS df FROM g GROUP BY h),
+      |rem AS (SELECT doc_id, pos AS st, least(pos + 20, sz) AS e FROM g JOIN k USING (h)
       |        WHERE df >= 2 AND doc_id <> keeper),
       |cov AS (SELECT DISTINCT doc_id, idx
       |        FROM (SELECT doc_id, unnest(range(st, e)) AS idx FROM rem)),
