@@ -801,67 +801,48 @@ object Dedup {
   /** Exact cosine near-dup pairs over the embeddings table.
     *
     * All-pairs similarity is inherently O(n²) in comparisons — the
-    * question is only the constant. A Catalyst `zip_with`/`aggregate`
-    * pair evaluation allocates per pair (~50µs/pair measured); here the
-    * corpus (with precomputed norms) is broadcast once and each task
-    * streams its slice against it in a primitive float loop — the one
-    * genuinely imperative per-partition kernel in the engine. Arithmetic
+    * question is only the constant. The corpus side is a Spark-managed
+    * `broadcast()` build (BroadcastExchange in the plan, so the payload
+    * lives in executor-accounted memory — no driver-side collect
+    * anywhere) and the non-equi `id_a < id_b` condition makes it a
+    * BroadcastNestedLoopJoin: each task streams its slice against the
+    * broadcast relation, scoring with the codegen'd fused-loop
+    * [[graft.functions.VectorExpressions.cosine]] (single pass for
+    * dot/‖a‖/‖b‖ — no per-pair lambda allocation). Arithmetic
     * (per-element double accumulation in array order, dot/(‖a‖·‖b‖),
-    * HALF_UP round to 4dp) matches `VectorFunctions.cosine` +
-    * `functions.round` bit-for-bit, so the DuckDB oracle still agrees.
+    * HALF_UP round to 4dp via `functions.round`) matches the DuckDB
+    * oracle bit-for-bit.
     *
     * The 100 TB path is NOT this operator: use the LSH/IVF candidate
     * generators in graft.similarity and verify candidates only. This
-    * exact tier assumes the embedding corpus fits a broadcast (it is the
-    * correctness baseline / per-bucket verifier), and it ENFORCES that
-    * assumption: the collect below bypasses Spark's broadcast-join size
-    * accounting, so without a guard a large corpus would OOM the driver
-    * before the job starts. Corpora above [[MaxExactBroadcastRows]] are
-    * refused with a pointer to the scale paths ([[semanticDedup]]'s
-    * bounded IVF cells, or LSH/IVF candidates + per-bucket verify).
+    * exact tier assumes the embedding corpus fits a broadcast (it is
+    * the correctness baseline / per-bucket verifier), and it ENFORCES
+    * that assumption up front: corpora above [[MaxExactBroadcastRows]]
+    * are refused with a pointer to the scale paths ([[semanticDedup]]'s
+    * bounded IVF cells, or LSH/IVF candidates + per-bucket verify)
+    * instead of timing out the broadcast build on an n² the operator
+    * was never meant to run.
     */
   def embeddingCosine(embs: DataFrame, threshold: Double = 0.4,
                       maxRows: Long = MaxExactBroadcastRows): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val e = embs.select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Array[Float])]
+    val e = embs.select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
     // bounded cap probe: scanning maxRows+1 rows answers "over the cap?"
-    // without a second full pass over the upstream plan (limit short-
-    // circuits per partition and stops the collect at the cap)
+    // without a full pass over the upstream plan (limit short-circuits
+    // per partition)
     val capProbe = e.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
     require(capProbe <= maxRows,
-      s"embeddingCosine is the EXACT all-pairs tier and materializes the corpus " +
-        s"on the driver: more than $maxRows rows exceeds the broadcast cap. Use the " +
+      s"embeddingCosine is the EXACT all-pairs tier and broadcasts the corpus " +
+        s"to every executor: more than $maxRows rows exceeds the broadcast cap. Use the " +
         s"scale paths instead — semanticDedup (dedup_semantic: SemDeDup-style " +
         s"bounded IVF cells) or the graft.similarity LSH/IVF candidate " +
         s"generators with per-bucket exact verify.")
-    val corpus: Array[(Int, Array[Float], Double)] = e.collect()
-      .map { case (id, v) =>
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        (id, v, math.sqrt(n))
-      }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    val nPart = spark.sparkContext.defaultParallelism
-    e.repartition(nPart)
-      .flatMap { case (ida, va) =>
-        val all = bc.value
-        var na = 0.0; var i = 0
-        while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
-        val normA = math.sqrt(na)
-        all.iterator
-          .filter(_._1 > ida)
-          .flatMap { case (idb, vb, normB) =>
-            var dot = 0.0; var j = 0
-            while (j < va.length) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
-            val denom = normA * normB
-            val cos = if (denom == 0.0) 0.0 else dot / denom
-            val r = BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (r >= threshold) Iterator.single((ida, idb, r)) else Iterator.empty
-          }
-      }
-      .toDF("id_a", "id_b", "cosine")
+    val lhs = e.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
+    val rhs = broadcast(e.select(col("vec_id").as("id_b"), col("embedding").as("__eb")))
+    lhs.join(rhs, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExpressions.cosine(col("__ea"), col("__eb")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }
 

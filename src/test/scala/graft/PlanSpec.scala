@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"the corpus must never shuffle for probe or re-rank:\n$p")
   }
 
+  test("embedding cosine exact tier broadcasts via Spark (executor-accounted), fused-loop scored") {
+    val p = plan(graft.dedup.Dedup.embeddingCosine(Tables.embeddings(spark, sfDir)))
+    // the corpus side must be a Spark-managed broadcast build — the
+    // payload sits in executor-accounted memory (BroadcastExchange),
+    // not a hand-rolled sparkContext.broadcast of a driver collect
+    assert(p.contains("BroadcastExchange"), s"corpus must be a Spark broadcast build:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), "non-equi id_a < id_b pair join expected")
+    assert(p.contains("vec_cosine"), "scoring must be the native fused-loop expression")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for the pair join")
+  }
+
   test("tfidf doc-similarity probes via broadcast join on token") {
     val p = plan(graft.functions.TextFunctions.docSimilarTfidf(
       Tables.load(spark, sfDir, "documents")))
