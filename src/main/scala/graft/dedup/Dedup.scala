@@ -1290,11 +1290,13 @@ object Dedup {
     val segs = (0 until nSeg).map { i =>
       val start = lit(i) * base + least(lit(i), rem) + lit(1) // 1-based
       val len = base + when(lit(i) < rem, 1).otherwise(0)
-      col("s").substr(start, len)
+      struct(col("s").substr(start, len).as("key"), start.as("st"))
     }
     val segSide = s.filter(l >= nSeg)
       .select(col("doc_id").as("seg_id"), col("s").as("seg_s"),
-        explode(array(segs: _*)).as("key"))
+        explode(array(segs: _*)).as("seg"))
+      .select(col("seg_id"), col("seg_s"),
+        col("seg.key").as("key"), col("seg.st").as("seg_st"))
     // candidate side: every substring whose length could be a partner's
     // segment length — partners differ by <= tau chars, so lengths span
     // [floor((l-tau)/nSeg), ceil((l+tau)/nSeg)]
@@ -1306,11 +1308,21 @@ object Dedup {
       .filter(col("sublen") <= length(col("sub_s")))
       .select(col("sub_id"), col("sub_s"), col("sublen"),
         explode(sequence(lit(1), length(col("sub_s")) - col("sublen") + 1)).as("pos"))
-      .select(col("sub_id"), col("sub_s"),
+      .select(col("sub_id"), col("sub_s"), col("pos"),
         col("sub_s").substr(col("pos"), col("sublen")).as("key"))
+    // position filter (the PassJoin multi-match refinement): each of
+    // the <= tau edits shifts a surviving segment's start by at most
+    // one position, so a segment starting at seg_st in one member can
+    // only match a substring within tau positions of it in the other —
+    // a same-text match further away implies > tau edits, provably not
+    // a pair. Sound (never drops a true pair; the seeded fuzz spec
+    // cross-checks vs brute force) and cuts the candidate-verify
+    // volume on repetitive corpora where one hot segment text recurs
+    // at many unrelated positions.
     val mainCand = segSide.join(subSide, "key")
       .filter(col("seg_id") =!= col("sub_id") &&
-        abs(length(col("seg_s")) - length(col("sub_s"))) <= tau)
+        abs(length(col("seg_s")) - length(col("sub_s"))) <= tau &&
+        abs(col("pos") - col("seg_st")) <= tau)
       .select(
         when(col("seg_id") < col("sub_id"),
           struct(col("seg_id").as("id_a"), col("seg_s").as("s_a"),
