@@ -159,4 +159,103 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Where a layout's persisted skipping index lives (sibling of the
+    * data directory, not inside it — a plain `read.parquet(path)` of
+    * the data must never pick up index rows).
+    */
+  def statsPath(path: String): String = s"$path.__stats"
+
+  /** [[writeZOrdered]] plus a PERSISTED skipping index: after the
+    * Z-order rewrite, per-file min/max for the two layout dims are
+    * computed and written as a tiny sibling parquet
+    * ([[statsPath]]) — the Delta/Iceberg data-skipping pattern
+    * (stats collected once at write time, consumed by the read
+    * planner on every query). The stats job re-scans only the two
+    * indexed columns of the freshly written files; at 100 TB that is
+    * a column-pruned metadata-class pass paid once per rewrite, and
+    * it is what lets every subsequent read open a FRACTION of the
+    * files instead of all of them.
+    */
+  def writeZOrderedIndexed(df: DataFrame, path: String, xCol: String, yCol: String,
+                           nFiles: Int = 8): Unit = {
+    writeZOrdered(df, path, xCol, yCol, nFiles)
+    skippingStats(df.sparkSession, path, Seq(xCol, yCol))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Stats-pruned scan — the read half of the Z-order loop: evaluate a
+    * two-dim range predicate against the persisted per-file index and
+    * plan a scan over ONLY the files whose [min, max] box intersects
+    * it, then apply the predicate row-level as the residual (stats
+    * prune files, not rows). The file-list decision reads the tiny
+    * index table on the driver — bounded by file count, the same
+    * metadata-scale work any catalog-backed scan planner
+    * (Delta/Iceberg) does before launching tasks; the data files
+    * excluded here are never opened, which on a Z-ordered layout means
+    * a selective two-dim predicate reads O(matching tiles), not the
+    * whole table (the span-halving property LayoutSpec proves).
+    *
+    * Soundness of the null edge: parquet min/max ignore nulls, so a
+    * file whose indexed column is entirely null has null bounds and is
+    * pruned — correct, because a range predicate never matches null
+    * rows; files with a mix keep non-null bounds and survive pruning,
+    * and their null rows fall to the residual filter.
+    */
+  def readSkipping(spark: SparkSession, path: String,
+                   xCol: String, xLo: Double, xHi: Double,
+                   yCol: String, yLo: Double, yHi: Double): DataFrame = {
+    val pred = col(xCol).cast("double").between(xLo, xHi) &&
+      col(yCol).cast("double").between(yLo, yHi)
+    val files = plannedFiles(spark, path, xCol, xLo, xHi, yCol, yLo, yHi)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
+  }
+
+  /** The pruned file list [[readSkipping]] plans — public so the spec
+    * asserts on files PLANNED (the skipping claim), not merely files
+    * that happened to produce output rows.
+    */
+  def plannedFiles(spark: SparkSession, path: String,
+                   xCol: String, xLo: Double, xHi: Double,
+                   yCol: String, yLo: Double, yHi: Double): Array[String] =
+    spark.read.parquet(statsPath(path))
+      .filter(col(s"${xCol}__mx") >= xLo && col(s"${xCol}__mn") <= xHi &&
+        col(s"${yCol}__mx") >= yLo && col(s"${yCol}__mn") <= yHi)
+      .select("file").collect().map(_.getString(0))
+
+  /** Memoized Z-ordered events layout for the driver face: events
+    * rewritten Z-ordered on (user_id, value) with the persisted
+    * skipping index, written once per (session, dir) under
+    * java.io.tmpdir (same tag/single-writer contract as
+    * [[bucketedTables]]). Bench attributes the write as the
+    * `layout_zordered` artifact line, so the driver entry's number is
+    * the READ-side cost — the amortized shape a real deployment pays.
+    */
+  def zorderedEvents(spark: SparkSession, dir: String): String =
+    graft.SessionCache.getOrElseUpdate(spark, ("layoutZordered", dir)) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-zordered-$tag/events"
+      writeZOrderedIndexed(graft.Tables.load(spark, dir, "events"), path,
+        "user_id", "value")
+      path
+    }
+
+  /** Driver face: a selective two-dim range slice of events served by
+    * the stats-pruned scan over the Z-ordered layout. The oracle runs
+    * the identical predicate over the RAW parquet, so any row a pruned
+    * file should have contributed (or any spurious row) hash-
+    * mismatches — file skipping must be a pure physical optimization.
+    */
+  def zorderSkipRead(spark: SparkSession, dir: String): DataFrame =
+    readSkipping(spark, zorderedEvents(spark, dir),
+      "user_id", 0, 5, "value", 50, 150)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+
+  val zorderSkipReadSql: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE user_id BETWEEN 0 AND 5 AND value BETWEEN 50 AND 150
+      |ORDER BY event_id""".stripMargin
 }

@@ -116,4 +116,34 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(zPrice < linPrice / 2,
       s"z-order must at least halve the second dim's span: $zPrice vs $linPrice")
   }
+
+  test("stats-pruned scan skips most files on a selective two-dim predicate, losing no rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeZOrderedIndexed(orders, s"$tmp/z", "o_custkey", "o_totalprice")
+
+    val b = orders.agg(min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+      min("o_totalprice").cast("double"), max("o_totalprice").cast("double")).head()
+    // a ~1/4 × 1/4 box in the two-dim domain — selective in both dims
+    val (xLo, xHi) = (b.getDouble(0), b.getDouble(0) + (b.getDouble(1) - b.getDouble(0)) / 4)
+    val (yLo, yHi) = (b.getDouble(2), b.getDouble(2) + (b.getDouble(3) - b.getDouble(2)) / 4)
+
+    val pruned = Layout.readSkipping(spark, s"$tmp/z",
+      "o_custkey", xLo, xHi, "o_totalprice", yLo, yHi)
+    // correctness: the pruned scan returns exactly the raw filtered rows
+    val raw = spark.read.parquet(s"$tmp/z")
+      .filter(col("o_custkey").cast("double").between(xLo, xHi) &&
+        col("o_totalprice").cast("double").between(yLo, yHi))
+    assert(pruned.exceptAll(raw).count() === 0 && raw.exceptAll(pruned).count() === 0,
+      "file skipping must be a pure physical optimization")
+
+    // skipping: the planner must open at most half the files
+    val nTotal = spark.read.parquet(Layout.statsPath(s"$tmp/z")).count()
+    val nRead = Layout.plannedFiles(spark, s"$tmp/z",
+      "o_custkey", xLo, xHi, "o_totalprice", yLo, yHi).length
+    assert(nTotal >= 8, s"layout should have written several files, got $nTotal")
+    assert(nRead <= nTotal / 2,
+      s"selective two-dim predicate must skip at least half the files: read $nRead of $nTotal")
+  }
 }
