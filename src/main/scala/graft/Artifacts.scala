@@ -28,6 +28,7 @@ object Artifacts {
     "cdc_user_epochs" -> ((s: SparkSession, d: String) => { cdc.AggMaintain.cachedUserEpochs(s, d); () }),
     "cdc_orders_epochs" -> ((s: SparkSession, d: String) => { cdc.JoinMaintain.cachedOrdersEpochs(s, d); () }),
     "cdc_cents_support" -> ((s: SparkSession, d: String) => { cdc.AggMaintain.cachedCentsSupport(s, d); () }),
+    "cdc_upsert_sink" -> ((s: SparkSession, d: String) => { cdc.CdcQueries.cachedUpsertSink(s, d); () }),
     "dedup_pair_table" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPairs(s, d)),
     "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
     "text_token_counts" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocTokenCounts(s, d); () }),

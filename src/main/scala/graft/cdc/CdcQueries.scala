@@ -307,4 +307,76 @@ object CdcQueries {
        |SELECT user_id, last_event_type, round(last_value, 2) AS last_value, last_ts_ms
        |FROM r WHERE rn = 1 AND op <> 'd'
        |ORDER BY user_id""".stripMargin
+
+  /** A REAL committed [[ParquetUpsertSink]] state chain, memoized per
+    * (session, dir): the four canonical weekly epochs of the user
+    * changelog merged through the sink's actual commit protocol
+    * (manifest epochs 0–3, all retained) into a tmpdir state store —
+    * the substrate that turns the sink's time-travel/CDF faces into
+    * driver-checkable entries instead of spec-only ones. Same
+    * tmpdir tag + single-writer contract as Layout.bucketedTables;
+    * the build cost is attributed as the `cdc_upsert_sink` artifact.
+    */
+  def cachedUpsertSink(spark: SparkSession, dir: String): ParquetUpsertSink =
+    graft.SessionCache.getOrElseUpdate(spark, ("cdcUpsertSink", dir)) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-cdcsink-$tag"
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true) // stale state from a previous JVM
+      val sink = new ParquetUpsertSink(spark, path, Seq("user_id"),
+        numBuckets = 16, retainEpochs = 8)
+      AggMaintain.tranches(CdcOps.cachedChangelog(spark, dir), AggMaintain.userEpochBounds)
+        .zipWithIndex.foreach { case (b, i) => sink.merge(b, i.toLong) }
+      sink
+    }
+
+  /** Driver face for the change data feed: the keyed diff the sink's
+    * [[ParquetUpsertSink.changesBetween]] computes between committed
+    * epoch 1 (batches through 2024-01-16) and epoch 3 (all batches) —
+    * which keys the last two epochs added, removed, or changed, with
+    * after-images. The oracle reconstructs both states relationally
+    * from the raw changelog and diffs them, so the whole committed
+    * path — bucketed merges, manifest time travel, the diff itself —
+    * must agree with the declarative definition row-for-row. Change
+    * classification compares RAW values (a rounding collision must not
+    * mask a change); rounding is presentation-only.
+    */
+  def changesBetween(spark: SparkSession, dir: String): DataFrame =
+    cachedUpsertSink(spark, dir).changesBetween(1L, 3L)
+      .select(col("user_id"), col("change"), col("last_event_type"),
+        round(col("last_value"), 2).as("last_value"), col("last_ts_ms"))
+      .orderBy("user_id")
+
+  val changesBetweenSql: String =
+    s"""WITH ch AS ($changeSql),
+       |sb AS (
+       |  SELECT user_id, last_event_type, last_value, last_ts_ms FROM (
+       |    SELECT user_id, op, last_event_type, last_value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn,
+       |      max(ts_ms) OVER (PARTITION BY user_id) AS last_ts_ms
+       |    FROM ch
+       |    WHERE ts_ms < CAST(epoch_ms(TIMESTAMP '2024-01-16 00:00:00') AS BIGINT))
+       |  WHERE rn = 1 AND op <> 'd'),
+       |sa AS (
+       |  SELECT user_id, last_event_type, last_value, last_ts_ms FROM (
+       |    SELECT user_id, op, last_event_type, last_value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn,
+       |      max(ts_ms) OVER (PARTITION BY user_id) AS last_ts_ms
+       |    FROM ch)
+       |  WHERE rn = 1 AND op <> 'd'),
+       |d AS (
+       |  SELECT COALESCE(sa.user_id, sb.user_id) AS user_id,
+       |    CASE WHEN sb.user_id IS NULL THEN 'added'
+       |         WHEN sa.user_id IS NULL THEN 'removed'
+       |         WHEN sa.last_event_type IS DISTINCT FROM sb.last_event_type
+       |           OR sa.last_value IS DISTINCT FROM sb.last_value
+       |           OR sa.last_ts_ms IS DISTINCT FROM sb.last_ts_ms THEN 'changed'
+       |         ELSE 'unchanged' END AS change,
+       |    sa.last_event_type AS last_event_type,
+       |    round(sa.last_value, 2) AS last_value,
+       |    sa.last_ts_ms AS last_ts_ms
+       |  FROM sb FULL OUTER JOIN sa ON sb.user_id = sa.user_id)
+       |SELECT * FROM d WHERE change <> 'unchanged' ORDER BY user_id""".stripMargin
 }
