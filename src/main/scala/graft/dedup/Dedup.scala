@@ -679,9 +679,16 @@ object Dedup {
     minhashLsh(Tables.documents(spark, dir))
 
   /** Driver entry for the incremental pattern: even doc_ids play the
-    * already-indexed corpus, odd ids the new batch; report candidate
-    * pair counts by origin. Hash-specific → rows-only checked; the
-    * decomposition (full == within-old ∪ incremental) is spec-asserted.
+    * already-indexed corpus, odd ids the new batch; LSH candidates
+    * (batch-vs-corpus band join + within-batch self-join — nothing old
+    * re-signed) are VERIFIED with exact shingle Jaccard before the
+    * rollup, exactly as [[minhashLsh]] verifies. That turns the output
+    * from hash-function-specific candidate counts into the TRUE
+    * incremental near-dup pair counts, which the DuckDB oracle
+    * reproduces relationally (same recall ≈ 1 premise as
+    * `dedup_minhash_lsh`'s oracle, spec-held: candidates ⊇ true pairs
+    * at this threshold) — the batch-vs-corpus composition is now
+    * hash-certified, not merely spec-trusted.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -690,7 +697,13 @@ object Dedup {
     val bands = lshBandIndex(docs).localCheckpoint(true)
     val oldIndex = bands.filter(pmod(col("doc_id"), lit(2L)) === 0)
     val newBands = bands.filter(pmod(col("doc_id"), lit(2L)) === 1)
+    val sh = shingled(docs).select(col("doc_id"), col("__sh").as("shingles"))
     incrementalCandidatesFromBands(oldIndex, newBands)
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4) >= 0.5)
       .withColumn("origin",
         when(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)), "batch_vs_corpus")
           .otherwise("within_batch"))
@@ -698,6 +711,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_docs_b"))
       .orderBy("origin")
   }
+
+  /** The relational definition of the incremental rollup: every true
+    * Jaccard-≥0.5 pair touching the odd-id batch, classified by
+    * parity origin.
+    */
+  val incrementalDedupSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT id_a, id_b
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5),
+      |inc AS (
+      |  SELECT id_a, id_b,
+      |    CASE WHEN id_a % 2 <> id_b % 2 THEN 'batch_vs_corpus'
+      |         ELSE 'within_batch' END AS origin
+      |  FROM verified WHERE NOT (id_a % 2 = 0 AND id_b % 2 = 0))
+      |SELECT origin, count(*) AS n_pairs, count(DISTINCT id_b) AS n_docs_b
+      |FROM inc GROUP BY origin ORDER BY origin""".stripMargin
 
   /** Oracle for the ROLLUP shape of minhashLsh, computable exactly in
     * SQL because at threshold ≥ 0.5 LSH with 16 bands × 4 rows has
