@@ -63,6 +63,19 @@ object Bench {
     // SPARK_GRAFT_WARMUP_DIR=none to skip.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if (warmupDir != "none" && warmupDir != sfDir) {
+      // gate the warm-up dir too, LOUDLY but non-fatally: the per-query
+      // try/catch below swallows exceptions by design (a warm-up miss
+      // must not kill the bench), which would otherwise silently skip
+      // codegen/JIT warm-up on a drifted dir and skew every timed
+      // number with compilation cost — the diagnostic names the drift
+      // so a slow round is attributable.
+      val warmDrift = SchemaGate.diffs(spark, warmupDir)
+      if (warmDrift.nonEmpty) {
+        System.err.println(s"[bench] WARNING: warm-up dir $warmupDir has schema " +
+          s"drift (${warmDrift.size} diffs) — warm-up will likely no-op and " +
+          "timed numbers include codegen/JIT cost:")
+        warmDrift.foreach(l => System.err.println(s"[bench]   $l"))
+      }
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }

@@ -988,6 +988,18 @@ object TextFunctions {
     * ideograph) densities via regexp_extract_all, argmax via a ranked
     * window whose ordering reproduces Spark's struct-ordered
     * `array_max` exactly (score, then language, both descending).
+    *
+    * Dialect assumption (same contract as the PII patterns at
+    * [[EmailPattern]]): the stopword patterns stay in the common
+    * RE2/Java regex subset — literal word alternations inside `\b`
+    * anchors, `\s+` tokenization, ASCII `lower` — where DuckDB's RE2
+    * and Spark's java.util.regex agree. The engines DO diverge outside
+    * it (RE2's `\s` excludes `\x0B`, Java pre-18 includes it; Unicode
+    * case folding differs under non-ASCII), so equality is guaranteed
+    * by construction only while the corpus generator emits ASCII
+    * whitespace and the patterns avoid non-ASCII case classes; a
+    * future pattern edit must keep both sides inside the subset or
+    * pre-normalize whitespace/case identically on both sides first.
     */
   val langIdSql: String =
     """WITH base AS (

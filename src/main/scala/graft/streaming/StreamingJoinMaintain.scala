@@ -109,8 +109,12 @@ class StreamingJoinMaintainJob(
     */
   private[graft] def processBatchSteps(aBatch: DataFrame, bBatch: DataFrame,
                                        batchId: Long, stopAfterStep: Int): Unit = {
-    val a0 = aPre(aBatch)
-    val b0 = bPre(bBatch)
+    // lazy: aPre/bPre collect dirty-bucket ids driver-side, and
+    // appendOnce takes its delta BY NAME — on a replayed batch every
+    // appendOnce returns before forcing its argument, so neither
+    // before-image read happens (two avoided batch scans per replay)
+    lazy val a0 = aPre(aBatch)
+    lazy val b0 = bPre(bBatch)
     viewA.appendOnce(aggSigned(
       JoinMaintain.deltaFromA(a0, aBatch, idxFold(bBatch), aKey, grpCol)), batchId)
     if (stopAfterStep < 2) return
