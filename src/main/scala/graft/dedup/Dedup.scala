@@ -382,6 +382,59 @@ object Dedup {
       |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-document n-gram NOVELTY — the redundancy-ordering curation
+    * signal: scanning the corpus in doc_id order, which fraction of
+    * each document's distinct 3-gram shingles appears here FIRST
+    * (min-doc_id attribution)? Early docs score high, boilerplate-heavy
+    * late docs low; dedup-aware sampling pipelines rank ingestion order
+    * by exactly this curve, and a corpus-wide novelty collapse is the
+    * classic crawl-loop symptom.
+    *
+    * Plan: the corpus shingles once into hashed (doc_id, sh) postings
+    * (materialized — both the first-occurrence aggregate and the
+    * attribution join read them); first occurrence is a MIN aggregation
+    * on the gram key (O(1) state per key — never a sort or window over
+    * the corpus), and the attribution join co-partitions on the same
+    * gram key, so the exchange is reused. The final per-doc rollup
+    * partials map-side. Shuffle payload is (long, long) rows — the
+    * hashed-key discipline of the pair family; the oracle groups the
+    * gram STRINGS, equivalent up to 64-bit hash collisions (the same
+    * accounting equivalence every hashed-substrate oracle here relies
+    * on).
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = explodedShingles(docs).localCheckpoint(true)
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir))
+
+  val ngramNoveltySql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |flt AS (SELECT doc_id, sh FROM sh WHERE sh <> ''),
+      |f AS (SELECT sh, min(doc_id) AS first_doc FROM flt GROUP BY sh)
+      |SELECT s.doc_id, count(*) AS n_grams,
+      |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+      |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
+      |    / count(*), 4) AS novelty
+      |FROM flt s JOIN f USING (sh)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   /** Span-level duplication accounting — the "duplicate text fraction"
     * curation signal: for each document, how many of its distinct
     * `n`-token spans also appear in at least one OTHER document. High

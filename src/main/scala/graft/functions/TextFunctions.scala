@@ -469,6 +469,69 @@ object TextFunctions {
       |  token, n, n_docs
       |FROM c ORDER BY rank""".stripMargin
 
+  /** Vocabulary-growth (Heaps-law) curve — the corpus diagnostic that
+    * separates natural heavy-tailed text from degenerate/templated
+    * corpora: the corpus is cut into `nBuckets` equal doc_id-range
+    * slices in ingestion order, and each bucket reports how many
+    * NEW token types it introduces (first-occurrence attribution) plus
+    * the cumulative vocabulary. Natural text grows ~N^β (β≈0.5–0.8);
+    * a flat curve is the saturated-vocabulary signature SURVEY §6's
+    * pair-family analysis keeps diagnosing by hand.
+    *
+    * Plan: first occurrence is a MIN aggregation over the shared
+    * (doc_id, token, tf) substrate (the memoized `text_token_counts`
+    * artifact — no new corpus scan); bucket assignment is map-side
+    * integer arithmetic against two broadcast scalars (min/max id), so
+    * no global window/ntile ever runs (a rank-based decile would funnel
+    * the corpus through one partition at 100 TB; the id-range slice is
+    * the partition-friendly semantics). Everything after the
+    * vocabulary-keyed MIN is ≤|vocab| rows, and the cumulative window
+    * runs over `nBuckets` rows.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val Seq(mn, mx) = docs.agg(min("doc_id"), max("doc_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val span = mx - mn + 1
+    // exact in double: doc_id·nBuckets ≪ 2^53, so floor is the true
+    // integer-range bucket on both engines
+    def bucketOf(id: Column): Column =
+      floor((id - lit(mn)) * lit(nBuckets.toDouble) / lit(span.toDouble)).cast("int")
+    val perBucketDocs = docs.select(bucketOf(col("doc_id")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val firstDocs = cachedDocTokenCounts(spark, dir)
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+      .select(bucketOf(col("first_doc")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_tokens"))
+    perBucketDocs.join(firstDocs, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .withColumn("vocab_size",
+        sum(col("n_new_tokens")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, min(doc_id) AS first_doc
+      |      FROM t WHERE token <> '' GROUP BY token),
+      |b AS (SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span
+      |      FROM documents),
+      |nd AS (SELECT CAST(floor((doc_id - mn) * 10.0 / span) AS INTEGER) AS bucket,
+      |              count(*) AS n_docs
+      |       FROM documents, b GROUP BY 1),
+      |nt AS (SELECT CAST(floor((first_doc - mn) * 10.0 / span) AS INTEGER) AS bucket,
+      |              count(*) AS n_new_tokens
+      |       FROM f, b GROUP BY 1)
+      |SELECT bucket, n_docs, coalesce(n_new_tokens, 0) AS n_new_tokens,
+      |  sum(coalesce(n_new_tokens, 0)) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+      |FROM nd LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin
+
   /** Per-source quality-percentile gating — "keep the best (1-p)
     * quantile of each source" corpus curation: an exact interpolated
     * per-source threshold (scale path: percentile_approx, same plan),

@@ -916,6 +916,47 @@ object Analytics {
       |                AND l.l_shipdate > o.o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q12 shape — priority accounting of LATE lines by a
+    * low-cardinality lineitem attribute (the schema's stand-in for
+    * shipmode; reference Q12's commit/receipt ordering becomes a
+    * ship-lag threshold against the order date). Completes the 22-query
+    * TPC-H shape roster.
+    *
+    * The shape's point at scale: both CASE-sums ride ONE pass over the
+    * joined slice (no per-priority re-scan), the date window and flag
+    * filter prune lineitem BEFORE the join (min/max-pruned scan at
+    * warehouse scale), and the non-equi lateness residual rides the
+    * equi-join on orderkey rather than forcing a range join. The
+    * aggregate is |flags| rows — partials collapse map-side.
+    */
+  def q12LinePriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(
+      col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A','R')
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q13 shape — customer count distribution by orders placed.
     * Orders aggregate per customer BEFORE the outer join (the
     * aggregate-then-join form: the join carries one row per customer,

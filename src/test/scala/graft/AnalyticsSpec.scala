@@ -374,4 +374,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // densification must not invent or lose events
     assert(grid.map(_.getLong(2)).sum === ev.count())
   }
+
+  test("q12 priority accounting equals independent per-class counts") {
+    val out = Analytics.q12LinePriority(spark, sfDir).collect()
+    val joined = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        expr("l_shipdate >= o_orderdate + INTERVAL 60 DAYS"))
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val high = joined.filter(col("l_returnflag") === flag &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+      val low = joined.filter(col("l_returnflag") === flag &&
+        !col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+      assert(r.getLong(1) === high && r.getLong(2) === low, s"mismatch for $flag")
+    }
+    // one CASE-sum pass, not a per-class re-scan: both sums share one aggregate
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === joined.count())
+  }
 }

@@ -322,4 +322,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert((got -- expected).isEmpty,
       s"verify passed false pairs: ${(got -- expected).take(5)}")
   }
+
+  test("ngram novelty: bounded, first-doc-complete, and every distinct gram credited once") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Dedup.ngramNovelty(docs).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (grams, novel, nov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel <= grams && nov >= 0.0 && nov <= 1.0, s"bounds violated: $r")
+    }
+    // the earliest doc sees everything first
+    assert(out.minBy(_.getLong(0)).getDouble(3) == 1.0,
+      "the min-doc_id document must be fully novel")
+    // first-occurrence attribution credits each distinct gram exactly once
+    val distinctGrams = docs
+      .select(explode(Dedup.shingles(col("text"))).as("s"))
+      .filter(col("s") =!= "").distinct().count()
+    assert(out.map(_.getLong(2)).sum === distinctGrams,
+      "sum of novel counts must equal the corpus's distinct gram count")
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Graph
+
+/** Graph family: PageRank invariants + plan locks, and triangle counts
+  * cross-checked against an independent id-oriented formulation.
+  */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("pagerank conserves probability mass and respects the (1-d)/N floor") {
+    val ranks = Graph.pageRankRanks(spark, sfDir).collect()
+    val n = ranks.length.toDouble
+    val mass = ranks.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass drifted: $mass over $n nodes")
+    val floor = 0.15 / n
+    assert(ranks.forall(_.getAs[Double]("rank") >= floor - 1e-15),
+      "every rank must clear the teleport floor")
+  }
+
+  test("pagerank top slice is ordered, bounded, and consistent with the full vector") {
+    val top = Graph.pageRank(spark, sfDir, k = 10).collect()
+    assert(top.length == 10)
+    val ratios = top.map(_.getAs[Double]("rank_ratio"))
+    assert(ratios.sameElements(ratios.sorted(Ordering[Double].reverse)),
+      "slice must be rank-descending")
+    // the mean ratio is 1.0 by construction, so the max must reach it
+    assert(ratios.head >= 1.0, s"top ratio ${ratios.head} below the uniform mean")
+  }
+
+  test("pagerank iteration broadcasts the rank table and partially aggregates — one shuffle") {
+    val (edges, deg, n) = Graph.cachedGraph(spark, sfDir)
+    val p = plan(Graph.pageRankIter(
+      edges, deg.select(col("node"), lit(1.0 / n).as("rank")), n))
+    assert(p.contains("BroadcastHashJoin"), s"rank table should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join of the adjacency")
+    assert(p.contains("partial_sum"), "contributions must partially aggregate map-side")
+    // BroadcastExchange is the point; exactly one SHUFFLE exchange allowed
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"exactly one (dst-keyed) shuffle expected:\n$p")
+  }
+
+  test("triangle counts equal an independent id-oriented 3-way-join formulation") {
+    val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
+    val u = edges.filter(col("src") < col("dst")).select("src", "dst")
+      .localCheckpoint(true)
+    val tri = u.as("e1")
+      .join(u.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(u.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"), "left_semi")
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val brute = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part_id"))
+      .limit(20).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fast = Graph.triangleCounts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sameElements(brute),
+      s"degree-oriented counts diverge from brute force:\nfast=${fast.toSeq}\nbrute=${brute.toSeq}")
+  }
+
+  test("triangle closing check is a broadcast semi join — the wedge stream is never shuffle-joined") {
+    val p = plan(Graph.triangleCounts(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"closing-edge check should broadcast-semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join anywhere in the triangle path")
+  }
+}

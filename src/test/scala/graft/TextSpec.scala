@@ -431,4 +431,19 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     val expected = math.pow(u, 1.0 / math.log(1.0 + 10.0))
     assert(math.abs(kLight - expected) < 1e-6, s"$kLight vs $expected")
   }
+
+  test("vocab growth: buckets partition the corpus and the curve accumulates to the full vocabulary") {
+    val rows = TextFunctions.vocabGrowth(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 10), "all ten buckets, in order")
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum === docs.count(), "buckets must partition the docs")
+    // vocab_size is the running sum of n_new_tokens…
+    val cum = rows.map(_.getLong(2)).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getLong(3)).toSeq == cum.toSeq, "cumulative column must match")
+    // …and ends at the true distinct-token count (independent recount)
+    val vocab = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "").distinct().count()
+    assert(rows.last.getLong(3) === vocab, "curve must end at the full vocabulary size")
+  }
 }
