@@ -202,6 +202,74 @@ object Graph {
       .limit(k)
   }
 
+  /** Incrementally MAINTAINED degree table — the IVM discipline of the
+    * cdc_*_maintain family applied to graph topology, where the
+    * maintained object is a SET (the edge list), not an additive count:
+    * order history arrives as four order-date epochs, each epoch's
+    * basket pairs are deduplicated against the maintained edge set with
+    * an anti-join (the novelty check — set union, not blind addition),
+    * and ONLY the genuinely-new edges' endpoints fold into the degree
+    * state via the same full-outer merge the CDC aggregates use.
+    *
+    * Per-epoch cost is Θ(new baskets + |ΔE|) plus one keyed probe of
+    * the maintained set (the anti-join — an index lookup at scale,
+    * co-partitioned on the canonical (src, dst) key); the fold NEVER
+    * rescans history or recomputes a degree from scratch. The oracle
+    * computes the batch degrees straight from the full fact table, so
+    * the four-epoch incremental composition must land on exactly the
+    * recompute-from-scratch answer — the maintained == batch
+    * certification every *_maintain entry carries.
+    */
+  def degreeMaintain(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val ordYear = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"))
+    val epochs: Seq[Column] = Seq(
+      col("y") <= 1996, col("y") === 1997, col("y") === 1998, col("y") >= 1999)
+    def epochPairs(cond: Column): DataFrame = li
+      .join(ordYear.filter(cond), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+      .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      .distinct()
+    def degOf(delta: DataFrame): DataFrame = delta
+      .select(col("src").as("node"))
+      .union(delta.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var edges = epochPairs(epochs.head).localCheckpoint(true)
+    var deg = degOf(edges).localCheckpoint(true)
+    for (cond <- epochs.tail) {
+      // novelty check: an edge seen in an earlier epoch must not count again
+      val delta = epochPairs(cond)
+        .join(edges, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      edges = edges.union(delta).localCheckpoint(true)
+      // the CDC merge shape: full-outer on the key, coalesced addition
+      deg = deg.select(col("node"), col("deg"))
+        .join(degOf(delta).select(col("node"), col("deg").as("d2")),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("deg"), lit(0L)) + coalesce(col("d2"), lit(0L))).as("deg"))
+        .localCheckpoint(true)
+    }
+    deg.select(col("node").as("part_id"), col("deg").as("degree"))
+      .orderBy(col("degree").desc, col("part_id"))
+      .limit(k)
+  }
+
+  val degreeMaintainSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |d AS (SELECT node, count(*) AS degree FROM (
+      |        SELECT src AS node FROM u UNION ALL SELECT dst FROM u)
+      |      GROUP BY node)
+      |SELECT node AS part_id, degree
+      |FROM d ORDER BY degree DESC, part_id LIMIT 20""".stripMargin
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

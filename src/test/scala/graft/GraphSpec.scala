@@ -64,6 +64,24 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"degree-oriented counts diverge from brute force:\nfast=${fast.toSeq}\nbrute=${brute.toSeq}")
   }
 
+  test("maintained degrees equal a from-scratch recompute, and the fold is genuinely incremental") {
+    val maintained = Graph.degreeMaintain(spark, sfDir, k = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // from-scratch recompute off the shared edge table
+    val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
+    val batch = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(maintained === batch,
+      s"incremental fold diverged: ${maintained.size} vs ${batch.size} nodes")
+    // epochs must actually split the data — otherwise the novelty
+    // anti-join is vacuous and the test proves nothing
+    val years = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(years.exists(_ <= 1996) && years.contains(1997) &&
+      years.exists(_ >= 1999), s"degenerate epoch split: $years")
+  }
+
   test("triangle closing check is a broadcast semi join — the wedge stream is never shuffle-joined") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
