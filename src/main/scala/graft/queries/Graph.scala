@@ -53,6 +53,46 @@ object Graph {
   private val NodeBits = 32
   private val NodeMask = (1L << NodeBits) - 1
 
+  /** Canonical (src < dst) co-purchase pairs with their co-occurrence
+    * weight `w` = number of distinct orders carrying both parts —
+    * memoized (`graph_wpairs` bench artifact). This is the ROOT of the
+    * graph family: the unweighted edge set is its projection (the
+    * grouping key IS the distinct pair set, so deriving `src, dst` from
+    * it costs nothing extra over the old `distinct()`), and the
+    * weight-thresholded graph the components/link-prediction entries
+    * consume is a filter over it. Pairs expand map-side from per-order
+    * sorted baskets; the count groupBy on (src, dst) is the same
+    * shuffle the plain distinct paid.
+    */
+  def cachedWeightedPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("graph_wpairs", dir)) {
+      Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+    }
+
+  /** Noise-thresholded graph: only edges whose endpoints co-occur in at
+    * least `minW` distinct orders. One co-occurrence in a basket is
+    * coincidence; repeated co-occurrence is signal — thresholding is
+    * what fragments the (otherwise single-component) co-purchase giant
+    * into meaningful clusters, the standard first step of a
+    * recommendation / substitutes pipeline.
+    */
+  def thresholdedEdges(spark: SparkSession, dir: String, minW: Int = MinCoOrders): DataFrame =
+    cachedWeightedPairs(spark, dir).filter(col("w") >= minW).select("src", "dst")
+
+  /** Edges must repeat in this many distinct orders to survive the
+    * threshold — 2 keeps the signal graph non-degenerate at every SF
+    * (sf0.01: one 1860-part core + satellites; sf0.1: 2350 components).
+    */
+  val MinCoOrders = 2
+
   /** (directed edge table `src, dst, sdeg`, degree table `node, deg`,
     * |V|) — memoized per (session, dir) and checkpointed: every
     * consumer reads the same materialized adjacency, and the builders
@@ -62,13 +102,7 @@ object Graph {
     */
   def cachedGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
     graft.SessionCache.getOrElseUpdate(spark, ("graph", dir)) {
-      val u = Tables.lineitem(spark, dir)
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .filter(size(col("parts")) >= 2)
-        .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-        .distinct()
+      val u = cachedWeightedPairs(spark, dir).select("src", "dst")
       val both = u.union(u.select(col("dst").as("src"), col("src").as("dst")))
       val deg = both.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -269,6 +303,122 @@ object Graph {
       |      GROUP BY node)
       |SELECT node AS part_id, degree
       |FROM d ORDER BY degree DESC, part_id LIMIT 20""".stripMargin
+
+  /** Connected components of the weight-thresholded co-purchase graph:
+    * every part labeled with the smallest part id reachable through
+    * ≥[[MinCoOrders]]-co-order edges, plus the component size — the
+    * cluster assignment a substitutes/recommendation pipeline runs
+    * after thresholding away coincidence edges (the unthresholded
+    * graph is a single giant component at every SF, so the threshold
+    * is what makes components informative).
+    *
+    * Reuses the dedup family's adaptive component machinery
+    * ([[graft.dedup.Dedup.dedupClusters]]): a signal-edge set within
+    * the broadcast bound is labeled with one driver-side union-find +
+    * a single broadcast join over the node universe (zero iterative
+    * jobs — any distributed scheme would re-ship exactly these edges
+    * per round); beyond the bound it switches to the alternating
+    * large-star/small-star contraction (O(log²) rounds regardless of
+    * diameter, plain hash-agg + co-partitioned joins over the edge
+    * set). Parts with no surviving edge are their own singleton
+    * components. The oracle recomputes the same labeling as a
+    * transitive closure (recursive CTE), so a component split or merge
+    * anywhere hash-mismatches.
+    */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.part(spark, dir).select(col("p_partkey").as("doc_id"))
+    val pairs = thresholdedEdges(spark, dir)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    graft.dedup.Dedup.dedupClusters(nodes, pairs)
+      .select(col("doc_id").as("part_id"),
+        col("cluster_id").as("component_id"),
+        col("cluster_size").as("component_size"))
+  }
+
+  val connectedComponentsSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |w AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+      |reach(n, r) AS (
+      |  SELECT p_partkey, p_partkey FROM part
+      |  UNION
+      |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+      |labels AS (SELECT n AS part_id, min(r) AS component_id FROM reach GROUP BY n),
+      |cs AS (SELECT component_id, count(*) AS component_size
+      |       FROM labels GROUP BY component_id)
+      |SELECT part_id, component_id, component_size
+      |FROM labels JOIN cs USING (component_id)
+      |ORDER BY part_id""".stripMargin
+
+  /** Link prediction by neighborhood Jaccard over the thresholded
+    * graph: for every non-adjacent part pair sharing at least two
+    * common neighbors, |N(b)∩N(c)| / |N(b)∪N(c)| — the classic "parts
+    * bought with the same things are substitutes" score; top `k` by
+    * (score, pair). The two-witness support floor mirrors the edge
+    * threshold: one shared partner is coincidence, not signal.
+    *
+    * Plan shape is the triangle family's: common-neighbor candidates
+    * expand MAP-SIDE as wedge pairs from sorted adjacency arrays
+    * (never an edge self-join shuffle), the only post-expansion
+    * exchange is the (b, c) count aggregation with map-side partials;
+    * degrees and the adjacency-exclusion set are |V|- and |E|-sized
+    * broadcasts. At 100 TB the wedge mass is bounded the same way
+    * triangles bound it (degree-ordered orientation caps out-degrees
+    * near O(√E)); here the thresholded graph is sparse by construction
+    * so plain adjacency suffices.
+    */
+  def neighborhoodJaccard(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val e = thresholdedEdges(spark, dir).localCheckpoint(true)
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = both
+      .groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .filter(size(col("nbrs")) >= 2)
+      .select(explode(graft.dedup.Dedup.postingPairs(col("nbrs"))).as("pr"))
+      .select(col("pr.id_a").as("b"), col("pr.id_b").as("c"))
+      .groupBy("b", "c")
+      .agg(count(lit(1)).as("n_common"))
+      // one shared partner is the same coincidence the edge threshold
+      // removes; demand two independent witnesses before scoring
+      .filter(col("n_common") >= 2)
+    val adjacent = e.select((shiftleft(col("src"), NodeBits) + col("dst")).as("bc"))
+    wedges
+      .join(broadcast(adjacent),
+        shiftleft(col("b"), NodeBits) + col("c") === col("bc"), "left_anti")
+      .join(broadcast(deg), col("b") === col("node"))
+      .select(col("b"), col("c"), col("n_common"), col("deg").as("deg_b"))
+      .join(broadcast(deg), col("c") === col("node"))
+      .select(col("b").as("part_a"), col("c").as("part_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("deg_b") + col("deg") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
+  val neighborhoodJaccardSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |w AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+      |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+      |wed AS (SELECT e1.b AS b, e2.b AS c, count(*) AS n_common
+      |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      |        GROUP BY 1, 2),
+      |nonadj AS (
+      |  SELECT wed.* FROM wed LEFT JOIN w ON w.s = wed.b AND w.d = wed.c
+      |  WHERE w.s IS NULL AND wed.n_common >= 2)
+      |SELECT b AS part_a, c AS part_b, n_common,
+      |  round(CAST(n_common AS DOUBLE) / CAST(db.deg + dc.deg - n_common AS DOUBLE), 6) AS jaccard
+      |FROM nonadj JOIN deg db ON db.node = b JOIN deg dc ON dc.node = c
+      |ORDER BY jaccard DESC, part_a, part_b LIMIT 50""".stripMargin
 
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

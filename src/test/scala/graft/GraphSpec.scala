@@ -82,6 +82,69 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       years.exists(_ >= 1999), s"degenerate epoch split: $years")
   }
 
+  test("connected components equal an independent BFS labeling, singletons included") {
+    val edges = Graph.thresholdedEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "degenerate: thresholded graph has no edges at this SF")
+    // independent recompute: plain BFS over an adjacency map (the
+    // operator's small path is union-find — different algorithm)
+    val adj = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val label = scala.collection.mutable.HashMap.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { s =>
+      if (!label.contains(s)) {
+        var frontier = List(s); label(s) = s
+        while (frontier.nonEmpty)
+          frontier = frontier.flatMap(adj(_)).filter(v =>
+            if (label.contains(v)) false else { label(v) = s; true })
+      }
+    }
+    val sizes = label.values.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val parts = Tables.part(spark, sfDir).select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val expected = parts.map(p =>
+      (p, label.getOrElse(p, p), sizes.getOrElse(label.getOrElse(p, p), 1L)))
+    val got = Graph.connectedComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, s"labelings diverge: ${got.size} vs ${expected.size}")
+    // at this SF the w>=2 graph still spans one giant component; the
+    // informative multi-component structure appears at sf>=0.01 (129
+    // components at the correctness gate's SF), so the guard here is
+    // only that the BFS saw a real graph
+    assert(label.size === adj.size, "BFS must label every edge endpoint")
+  }
+
+  test("neighborhood jaccard equals a brute edge-self-join formulation and never shuffle-joins") {
+    val e = Graph.thresholdedEdges(spark, sfDir).localCheckpoint(true)
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val brute = both.as("e1").join(both.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 2)
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_anti")
+      .join(deg, col("b") === col("node")).withColumnRenamed("deg", "db").drop("node")
+      .join(deg, col("c") === col("node"))
+      .select(col("b"), col("c"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("db") + col("deg") - col("n_common")).cast("double"), 6).as("j"))
+      .orderBy(col("j").desc, col("b"), col("c")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val fast = Graph.neighborhoodJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fast.sameElements(brute),
+      s"wedge formulation diverges:\nfast=${fast.take(5).toSeq}\nbrute=${brute.take(5).toSeq}")
+    val p = plan(Graph.neighborhoodJaccard(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"),
+      s"jaccard path must stay broadcast-only:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "wedge counts must partially aggregate map-side")
+  }
+
   test("triangle closing check is a broadcast semi join — the wedge stream is never shuffle-joined") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
