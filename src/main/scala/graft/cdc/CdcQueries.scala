@@ -379,4 +379,42 @@ object CdcQueries {
        |    sa.last_ts_ms AS last_ts_ms
        |  FROM sb FULL OUTER JOIN sa ON sb.user_id = sa.user_id)
        |SELECT * FROM d WHERE change <> 'unchanged' ORDER BY user_id""".stripMargin
+
+  /** Driver face for [[ParquetUpsertSink.exportSnapshot]] — the
+    * reference's "materialized table is directly queryable by external
+    * engines" property, hash-certified: the four-epoch committed sink
+    * (the shared `cdc_upsert_sink` artifact) is published as PLAIN
+    * parquet + `_SUCCESS`, and the entry returns what an external
+    * reader (here: a fresh `spark.read.parquet` with no manifest
+    * knowledge; driver-side: DuckDB itself) sees. The oracle
+    * reconstructs the latest state relationally from the raw
+    * changelog, so bucketed merges → manifest commit → export →
+    * plain-directory read must all agree row-for-row.
+    */
+  def snapshotExport(spark: SparkSession, dir: String): DataFrame = {
+    val sink = cachedUpsertSink(spark, dir)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-cdcsnap-$tag"
+    sink.exportSnapshot(out)
+    val ok = new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")
+    require(ok.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ok),
+      s"exportSnapshot published no _SUCCESS completeness marker at $out")
+    spark.read.parquet(out)
+      .select(col("user_id"), col("last_event_type"),
+        round(col("last_value"), 2).as("last_value"), col("last_ts_ms"))
+      .orderBy("user_id")
+  }
+
+  val snapshotExportSql: String =
+    s"""WITH ch AS ($changeSql)
+       |SELECT user_id, last_event_type, round(last_value, 2) AS last_value,
+       |  last_ts_ms
+       |FROM (
+       |  SELECT user_id, op, last_event_type, last_value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, seq DESC) AS rn,
+       |    max(ts_ms) OVER (PARTITION BY user_id) AS last_ts_ms
+       |  FROM ch)
+       |WHERE rn = 1 AND op <> 'd'
+       |ORDER BY user_id""".stripMargin
 }
