@@ -420,6 +420,140 @@ object Graph {
       |FROM nonadj JOIN deg db ON db.node = b JOIN deg dc ON dc.node = c
       |ORDER BY jaccard DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  /** Incrementally MAINTAINED connected components of the thresholded
+    * graph — three IVM layers composed, each reusing a discipline the
+    * engine already certifies:
+    *
+    *  1. co-occurrence WEIGHTS are additive state: per-epoch pair
+    *     counts fold into the maintained weight table via the CDC
+    *     full-outer coalesced merge (the `cdc_agg_maintain` shape);
+    *  2. the qualified edge SET is a monotone threshold view over the
+    *     weights: an edge enters when its cumulative count crosses
+    *     [[MinCoOrders]] — ΔE is computable from the EPOCH's touched
+    *     keys alone (old weight < threshold ≤ new weight), the
+    *     keyed-probe novelty check of `graph_degree_maintain`;
+    *  3. component LABELS only ever merge (weights never decrease, so
+    *     edges never leave): ΔE contracts through the current labeling
+    *     to super-edges — bounded by ¦ΔE¦, never by ¦V¦ — and the
+    *     union-find over THOSE yields a relabel map (old label → new
+    *     min) that broadcasts back over the label table. Every node
+    *     enters self-labeled, and merges take the min, so the
+    *     maintained label is the component min — exactly the batch
+    *     labeling, which is why [[connectedComponentsSql]] certifies
+    *     this entry verbatim (maintained == batch, hash-checked).
+    *
+    * Per-epoch cost: Θ(epoch pairs) + one keyed probe of the weight
+    * table + a ¦ΔE¦-bounded contraction + one broadcast relabel join.
+    * No epoch ever reruns CC on the full graph or rescans edge
+    * history. At 100 TB the weight table lives in a bucketed sink and
+    * the probe touches dirty buckets only (the
+    * [[graft.streaming.StreamingDegreeMaintainJob]] machinery); the
+    * contracted super-edge set stays ¦ΔE¦-bounded regardless of graph
+    * size because it rides the labeling, not the topology.
+    */
+  def ccMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val ordYear = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"))
+    val epochs: Seq[Column] = Seq(
+      col("y") <= 1996, col("y") === 1997, col("y") === 1998, col("y") >= 1999)
+    def epochCounts(cond: Column): DataFrame = li
+      .join(ordYear.filter(cond), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+      .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("dw"))
+    ccMaintainFold(spark, epochs.map(epochCounts),
+      Tables.part(spark, dir).select(col("p_partkey").as("part_id")))
+  }
+
+  /** The three-layer epoch fold — takes per-epoch (src, dst, dw) delta
+    * frames and the node universe so the spec can drive hand-built
+    * epoch sequences through the REAL maintenance path.
+    */
+  private[graft] def ccMaintainFold(spark: SparkSession,
+      epochFrames: Seq[DataFrame], universe: DataFrame): DataFrame = {
+    // ---- epoch 0: initialize all three state layers
+    var w = epochFrames.head
+      .select(col("src"), col("dst"), col("dw").as("w"))
+      .localCheckpoint(true)
+    def ufMerge(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x); parent(x) = parent.getOrElse(p, p); x = parent(x)
+        }
+        x
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(x => (x, find(x))).filter { case (x, r) => x != r }.toMap
+    }
+    import spark.implicits._
+    def relabel(labels: DataFrame, superEdges: Array[(Long, Long)]): DataFrame = {
+      val moves = ufMerge(superEdges)
+      if (moves.isEmpty) labels
+      else labels.join(
+        broadcast(moves.toSeq.toDF("comp", "to")), Seq("comp"), "left")
+        .select(col("node"), coalesce(col("to"), col("comp")).as("comp"))
+    }
+    val e0 = w.filter(col("w") >= MinCoOrders).localCheckpoint(true)
+    var labels = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("comp"))
+    labels = relabel(labels,
+      e0.collect().map(r => (r.getLong(0), r.getLong(1)))).localCheckpoint(true)
+    // ---- epochs 1..n: fold deltas through the three layers
+    for (df <- epochFrames.tail) {
+      val d = df.localCheckpoint(true)
+      // layer 2: edges whose cumulative weight crosses the threshold
+      // THIS epoch — touched keys only (d is the probe set)
+      val crossed = d.join(w, Seq("src", "dst"), "left")
+        .filter(coalesce(col("w"), lit(0L)) < MinCoOrders &&
+          coalesce(col("w"), lit(0L)) + col("dw") >= MinCoOrders)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      // layer 1: additive weight merge (CDC full-outer shape)
+      w = w.join(d.select(col("src"), col("dst"), col("dw")),
+          Seq("src", "dst"), "full_outer")
+        .select(col("src"), col("dst"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+        .localCheckpoint(true)
+      // layer 3: self-label new endpoints, contract ΔE through the
+      // labeling, merge — bounded by ¦ΔE¦
+      val ends = crossed.select(col("src").as("node"))
+        .union(crossed.select(col("dst").as("node"))).distinct()
+      val fresh = ends.join(labels, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("comp"))
+      labels = labels.unionByName(fresh)
+      val la = labels.withColumnRenamed("node", "src").withColumnRenamed("comp", "ca")
+      val lb = labels.withColumnRenamed("node", "dst").withColumnRenamed("comp", "cb")
+      val superEdges = crossed.join(broadcast(la), "src").join(broadcast(lb), "dst")
+        .select("ca", "cb").filter(col("ca") =!= col("cb")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      labels = relabel(labels, superEdges).localCheckpoint(true)
+    }
+    // universe join: every part, singletons self-labeled (graph_cc contract)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
+    universe
+      .join(labels.select(col("node").as("part_id"), col("comp")), Seq("part_id"), "left")
+      .join(broadcast(sizes), Seq("comp"), "left")
+      .select(col("part_id"),
+        coalesce(col("comp"), col("part_id")).as("component_id"),
+        coalesce(col("csize"), lit(1L)).as("component_size"))
+      .orderBy("part_id")
+  }
+
+  /** Maintained == batch: the same transitive-closure oracle as
+    * [[connectedComponentsSql]] certifies the epoch fold verbatim. */
+  val ccMaintainSql: String = connectedComponentsSql
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

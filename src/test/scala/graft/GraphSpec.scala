@@ -145,6 +145,56 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       "wedge counts must partially aggregate map-side")
   }
 
+  test("maintained components equal the batch labeling, and epochs genuinely stage the threshold") {
+    val batch = Graph.connectedComponents(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val maintained = Graph.ccMaintain(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained === batch,
+      s"epoch fold diverged from batch CC: ${maintained.size} vs ${batch.size}")
+    // the fold is only a real test if later epochs push edges across
+    // the threshold: count pairs whose cumulative weight first reaches
+    // 2 strictly after the initial epoch
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val ordYear = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"))
+    val pairs = li.join(ordYear, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "y")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(col("y"), explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+      .select(col("y"), col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+    val lateCrossers = pairs
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("y") <= 1996, 1L).otherwise(0L)).as("w0"))
+      .filter(col("w") >= 2 && col("w0") < 2)
+      .count()
+    assert(lateCrossers > 0,
+      "degenerate epoch split: every qualified edge qualifies in epoch 0")
+  }
+
+  test("cc maintenance: threshold staging and cross-epoch component merging (hand-built epochs)") {
+    import spark.implicits._
+    def ep(rows: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("src", "dst", "dw")
+    val universe = (1L to 6L).toDF("part_id")
+    // epoch 0: {1,2} and {3,4} qualify (dw=2); (2,3) is seen ONCE —
+    // below threshold, so the components stay separate
+    // epoch 1: (2,3) arrives again -> crosses threshold -> the two
+    // established components must merge to min label 1; (5,6) appears
+    // once only and must never qualify
+    val out = Graph.ccMaintainFold(spark,
+      Seq(ep((1L, 2L, 2L), (3L, 4L, 2L), (2L, 3L, 1L)),
+        ep((2L, 3L, 1L), (5L, 6L, 1L))),
+      universe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (5L, 5L, 1L), (6L, 6L, 1L)),
+      s"cross-epoch merge wrong: $out")
+  }
+
   test("triangle closing check is a broadcast semi join — the wedge stream is never shuffle-joined") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
