@@ -60,20 +60,18 @@ object Graph {
     * grouping key IS the distinct pair set, so deriving `src, dst` from
     * it costs nothing extra over the old `distinct()`), and the
     * weight-thresholded graph the components/link-prediction entries
-    * consume is a filter over it. Pairs expand map-side from per-order
-    * sorted baskets; the count groupBy on (src, dst) is the same
-    * shuffle the plain distinct paid.
+    * consume is a filter over it. The basket pass itself lives in
+    * [[cachedEpochPairs]] (pairs expand map-side from per-order sorted
+    * baskets, once, epoch-tagged); this is its epoch-sum projection.
     */
   def cachedWeightedPairs(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("graph_wpairs", dir)) {
-      Tables.lineitem(spark, dir)
-        .groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .filter(size(col("parts")) >= 2)
-        .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
-        .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      // every order belongs to exactly one epoch, so summing the
+      // epoch-tagged counts equals counting over the whole fact table —
+      // one pair-table-sized re-agg instead of a second basket pass
+      cachedEpochPairs(spark, dir)
         .groupBy("src", "dst")
-        .agg(count(lit(1)).as("w"))
+        .agg(sum(col("dw")).as("w"))
         .localCheckpoint(true)
     }
 
@@ -236,6 +234,39 @@ object Graph {
       .limit(k)
   }
 
+  /** Per-epoch canonical pair counts (epoch, src, dst, dw) — the shared
+    * substrate of the graph *_maintain entries (`graph_epochs` bench
+    * artifact): each order belongs to exactly one order-date epoch, so
+    * ONE basket pass tags orders with their epoch, pairs expand
+    * map-side once, and every epoch's delta frame is a filter over the
+    * checkpointed result. Without this the two maintain entries each
+    * re-derived all four epoch pair tables from the fact join —
+    * measured 4× the substrate cost per entry at sf0.1.
+    */
+  def cachedEpochPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("graph_epochs", dir)) {
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      val ordEpoch = Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          when(year(col("o_orderdate")) <= 1996, 0)
+            .when(year(col("o_orderdate")) === 1997, 1)
+            .when(year(col("o_orderdate")) === 1998, 2)
+            .otherwise(3).as("epoch"))
+      li.join(ordEpoch, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(first(col("epoch")).as("epoch"),
+          sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(col("epoch"),
+          explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+        .select(col("epoch"), col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+        .groupBy("epoch", "src", "dst").agg(count(lit(1)).as("dw"))
+        .localCheckpoint(true)
+    }
+
+  /** The four epoch boundaries both maintain entries fold over. */
+  val NumEpochs = 4
+
   /** Incrementally MAINTAINED degree table — the IVM discipline of the
     * cdc_*_maintain family applied to graph topology, where the
     * maintained object is a SET (the edge list), not an additive count:
@@ -255,28 +286,18 @@ object Graph {
     * certification every *_maintain entry carries.
     */
   def degreeMaintain(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val ordYear = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"))
-    val epochs: Seq[Column] = Seq(
-      col("y") <= 1996, col("y") === 1997, col("y") === 1998, col("y") >= 1999)
-    def epochPairs(cond: Column): DataFrame = li
-      .join(ordYear.filter(cond), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
-      .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
-      .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      .distinct()
+    val all = cachedEpochPairs(spark, dir)
+    def epochPairs(i: Int): DataFrame =
+      all.filter(col("epoch") === i).select("src", "dst")
     def degOf(delta: DataFrame): DataFrame = delta
       .select(col("src").as("node"))
       .union(delta.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    var edges = epochPairs(epochs.head).localCheckpoint(true)
+    var edges = epochPairs(0).localCheckpoint(true)
     var deg = degOf(edges).localCheckpoint(true)
-    for (cond <- epochs.tail) {
+    for (i <- 1 until NumEpochs) {
       // novelty check: an edge seen in an earlier epoch must not count again
-      val delta = epochPairs(cond)
+      val delta = epochPairs(i)
         .join(edges, Seq("src", "dst"), "left_anti")
         .localCheckpoint(true)
       edges = edges.union(delta).localCheckpoint(true)
@@ -452,20 +473,10 @@ object Graph {
     * size because it rides the labeling, not the topology.
     */
   def ccMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val ordYear = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"))
-    val epochs: Seq[Column] = Seq(
-      col("y") <= 1996, col("y") === 1997, col("y") === 1998, col("y") >= 1999)
-    def epochCounts(cond: Column): DataFrame = li
-      .join(ordYear.filter(cond), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) >= 2)
-      .select(explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
-      .select(col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("dw"))
-    ccMaintainFold(spark, epochs.map(epochCounts),
+    val all = cachedEpochPairs(spark, dir)
+    ccMaintainFold(spark,
+      (0 until NumEpochs).map(i =>
+        all.filter(col("epoch") === i).select("src", "dst", "dw")),
       Tables.part(spark, dir).select(col("p_partkey").as("part_id")))
   }
 
@@ -510,8 +521,10 @@ object Graph {
     labels = relabel(labels,
       e0.collect().map(r => (r.getLong(0), r.getLong(1)))).localCheckpoint(true)
     // ---- epochs 1..n: fold deltas through the three layers
-    for (df <- epochFrames.tail) {
-      val d = df.localCheckpoint(true)
+    for (d <- epochFrames.tail) {
+      // no checkpoint: epoch frames are trivial filters over the
+      // already-checkpointed substrate (re-reading one is cheaper than
+      // the extra materialization job)
       // layer 2: edges whose cumulative weight crosses the threshold
       // THIS epoch — touched keys only (d is the probe set)
       val crossed = d.join(w, Seq("src", "dst"), "left")

@@ -399,6 +399,53 @@ object Ann {
   def sqTopK(spark: SparkSession, dir: String): DataFrame =
     cachedTier(spark, dir, "sq")(sqTopK(Tables.embeddings(spark, dir)))
 
+  /** PCA-prefilter ANN — the dimensionality-reduction tier: corpus and
+    * queries project into the top-`q` principal subspace (the [[Pca]]
+    * moment pass + declarative projection), candidates rank by
+    * REDUCED-space cosine (q/Dim of the scoring flops, and by
+    * Eckart–Young the variance-optimal q-dim screen), and only the top
+    * k·`candFactor` candidates per query pay the full-dimension exact
+    * cosine rerank (tiny candidate set → broadcast into the corpus
+    * scan, same refine shape as [[ivfpqRefineTopK]]). Approximate →
+    * rows-only; recall vs brute spec-held.
+    *
+    * Defaults are sized for the SYNTHETIC corpus, whose spectrum is
+    * near-flat (isotropic random vectors — top-32/64 components carry
+    * only ~half the variance, the worst case for any spectral screen);
+    * real embedding spectra decay fast, where q can drop to d/8 at the
+    * same recall. The spectrum face (`embedding_pca`) is exactly the
+    * diagnostic that picks q.
+    */
+  def pcaTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              q: Int = 32, candFactor: Int = 8): DataFrame =
+    cachedTier(spark, dir, "pca") {
+      val packed = Pca.pcaProject(spark, dir, q)
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("pc"), col("score")))).as("ps"))
+        .select(col("vec_id"),
+          transform(col("ps"), p => p.getField("score")).as("rvec"))
+        .localCheckpoint(true)
+      val rq = broadcast(packed.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("rvec").as("qr")))
+      val wc = Window.partitionBy("query_id").orderBy(col("rscore").desc, col("vec_id"))
+      val cands = packed.join(rq, col("vec_id") =!= col("query_id"))
+        .withColumn("rscore", cosine(col("qr"), col("rvec")))
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= k * candFactor)
+        .select("query_id", "vec_id")
+      val embs = Tables.embeddings(spark, dir)
+      val qfull = broadcast(embs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val wr = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      embs.join(broadcast(cands), "vec_id")
+        .join(qfull, "query_id")
+        .withColumn("cosine", round(cosine(col("qv"), col("embedding")), 4))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+        .orderBy("query_id", "rank")
+    }
+
   /** Product-quantized (PQ) ANN — the compression tier past SQ: the
     * vector splits into `nSub` subvectors, each stored as the id of its
     * nearest per-subspace codebook centroid, so Dim float32s become
@@ -959,7 +1006,7 @@ object Ann {
     recallReportFrom(bruteForceTopK(spark, dir), Seq(
       "lsh" -> lshTopK(spark, dir), "ivf" -> ivfTopK(spark, dir),
       "sq" -> sqTopK(spark, dir), "pq" -> pqTopK(spark, dir),
-      "ivfpq" -> ivfpqTopK(spark, dir)))
+      "ivfpq" -> ivfpqTopK(spark, dir), "pca" -> pcaTopK(spark, dir)))
 
   /** Per-label embedding health stats: count, L2-norm spread — the
     * sanity sweep before any similarity work (zero vectors, norm drift

@@ -44,6 +44,25 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(r >= 0.3, "IVF with 1/4 of cells probed recalls a meaningful fraction")
   }
 
+  test("PCA-prefilter ANN: exact rerank cosines, high recall from the variance-optimal screen") {
+    val pca = Ann.pcaTopK(spark, sfDir)
+    assert(pca.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    // the rerank is EXACT full-dimension cosine, so every (query,
+    // neighbor) pair the tier shares with brute must carry the same
+    // score — the approximation lives only in candidate selection
+    val brute = Ann.bruteForceTopK(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bc"))
+    val joined = pca.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("cosine") =!= col("bc")).count() === 0,
+      "rerank cosine must be bit-identical to brute on shared pairs")
+    val r = recallVsBrute(pca)
+    info(f"PCA-prefilter recall@5 = $r%.2f")
+    // the synthetic spectrum is near-flat (isotropic vectors), the worst
+    // case for a spectral screen — the floor reflects that; real
+    // embedding spectra decay fast and recall approaches 1 at q = d/4
+    assert(r >= 0.6, "a 32-dim variance-optimal screen at 8x candidates should recall well")
+  }
+
   test("IVF-PQ composes cell probing with ADC codes: sane ranks, recall holds the IVF floor") {
     val ivfpq = Ann.ivfpqTopK(spark, sfDir)
     assert(ivfpq.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
@@ -251,7 +270,7 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))
       .toMap
-    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq", "ivfpq"))
+    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq", "ivfpq", "pca"))
     rep.foreach { case (m, (ret, hits, rec)) =>
       assert(ret > 0 && hits <= ret, s"$m: hits must not exceed returned")
       assert(rec >= 0.0 && rec <= 1.0, s"$m: recall $rec out of range")
