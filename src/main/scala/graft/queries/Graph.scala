@@ -490,36 +490,21 @@ object Graph {
     var w = epochFrames.head
       .select(col("src"), col("dst"), col("dw").as("w"))
       .localCheckpoint(true)
-    def ufMerge(pairs: Array[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x); parent(x) = parent.getOrElse(p, p); x = parent(x)
-        }
-        x
-      }
-      pairs.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      parent.keys.map(x => (x, find(x))).filter { case (x, r) => x != r }.toMap
+    // component-label a pair frame WITHOUT any unconditional driver
+    // materialization: [[graft.dedup.Dedup.dedupClusters]] collects
+    // only within its broadcast bound and star-contracts beyond it, so
+    // an adversarially large edge set (epoch 0 at 100 TB) stays
+    // distributed
+    def ccLabels(pairs: DataFrame): DataFrame = {
+      val nodes = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+      graft.dedup.Dedup.dedupClusters(nodes, pairs)
+        .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
     }
-    import spark.implicits._
-    def relabel(labels: DataFrame, superEdges: Array[(Long, Long)]): DataFrame = {
-      val moves = ufMerge(superEdges)
-      if (moves.isEmpty) labels
-      else labels.join(
-        broadcast(moves.toSeq.toDF("comp", "to")), Seq("comp"), "left")
-        .select(col("node"), coalesce(col("to"), col("comp")).as("comp"))
-    }
-    val e0 = w.filter(col("w") >= MinCoOrders).localCheckpoint(true)
-    var labels = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-      .select(col("node"), col("node").as("comp"))
-    labels = relabel(labels,
-      e0.collect().map(r => (r.getLong(0), r.getLong(1)))).localCheckpoint(true)
+    val e0 = w.filter(col("w") >= MinCoOrders)
+    var labels = ccLabels(
+      e0.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .localCheckpoint(true)
     // ---- epochs 1..n: fold deltas through the three layers
     for (d <- epochFrames.tail) {
       // no checkpoint: epoch frames are trivial filters over the
@@ -545,12 +530,22 @@ object Graph {
       val fresh = ends.join(labels, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("comp"))
       labels = labels.unionByName(fresh)
+      // contract ΔE through the labeling (keyed joins — AQE broadcasts
+      // the small crossed side; at scale the labels side is the big one
+      // and must NOT be hinted into a broadcast)
       val la = labels.withColumnRenamed("node", "src").withColumnRenamed("comp", "ca")
       val lb = labels.withColumnRenamed("node", "dst").withColumnRenamed("comp", "cb")
-      val superEdges = crossed.join(broadcast(la), "src").join(broadcast(lb), "dst")
-        .select("ca", "cb").filter(col("ca") =!= col("cb")).distinct()
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      labels = relabel(labels, superEdges).localCheckpoint(true)
+      val contracted = crossed.join(la, "src").join(lb, "dst")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca").as("id_a"), col("cb").as("id_b"))
+      // the super-node merge rides the same gated machinery as epoch 0;
+      // the relabel map is component-count-sized (≤ ¦ΔE¦) → broadcast
+      val moves = ccLabels(contracted)
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as("comp"), col("comp").as("to"))
+      labels = labels.join(broadcast(moves), Seq("comp"), "left")
+        .select(col("node"), coalesce(col("to"), col("comp")).as("comp"))
+        .localCheckpoint(true)
     }
     // universe join: every part, singletons self-labeled (graph_cc contract)
     val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
