@@ -111,6 +111,72 @@ object Pca {
       (mean, cov, n)
     }
 
+  /** The moment pass as an ADDITIVE row encoding — the substrate of
+    * the streaming face ([[graft.streaming.StreamingPcaMomentsJob]]):
+    * (i, j, s) rows where (-1, -1) carries the count, (i, -1) the
+    * per-dim sums, and (i ≤ j) the packed upper Gram entries. Moments
+    * are sums over rows, so per-batch rows are a pure function of the
+    * batch and fold by addition — the same mergeable-state property
+    * the vocabulary and bigram streams exploit, here for second-order
+    * statistics. One `mapPartitions` accumulator pass + a d²-bounded
+    * batch-local sum.
+    */
+  private[graft] def momentRows(embs: DataFrame): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select("embedding").rdd.mapPartitions { it =>
+      var n = 0L
+      var sums: Array[Double] = null
+      var gram: Array[Double] = null
+      var d = 0
+      it.foreach { r =>
+        val v = r.getSeq[Float](0)
+        if (sums == null) { d = v.length; sums = new Array[Double](d); gram = new Array[Double](d * (d + 1) / 2) }
+        n += 1
+        var i = 0; var k = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          sums(i) += xi
+          var j = i
+          while (j < d) { gram(k) += xi * v(j).toDouble; j += 1; k += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+        out += ((-1, -1, n.toDouble))
+        var i = 0; var k = 0
+        while (i < d) {
+          out += ((i, -1, sums(i)))
+          var j = i
+          while (j < d) { out += ((i, j, gram(k))); j += 1; k += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("i", "j", "s")
+      .groupBy("i", "j").agg(sum(col("s")).as("s"))
+  }
+
+  /** Inverse of [[momentRows]]' encoding: collected (i, j, s) rows —
+    * d²-bounded by construction — back to (mean, cov, n). */
+  private[graft] def momentsOf(rows: Array[(Int, Int, Double)]): (Array[Double], Array[Array[Double]], Long) = {
+    val n = rows.collectFirst { case (-1, -1, s) => s.toLong }
+      .getOrElse(throw new IllegalStateException("moment rows carry no count"))
+    val d = rows.iterator.map(_._1).max + 1
+    val mean = new Array[Double](d)
+    rows.foreach { case (i, -1, s) if i >= 0 => mean(i) = s / n; case _ => () }
+    val cov = Array.ofDim[Double](d, d)
+    rows.foreach {
+      case (i, j, s) if i >= 0 && j >= 0 =>
+        val c = s / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      case _ => ()
+    }
+    (mean, cov, n)
+  }
+
   /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi
     * rotations — deterministic (fixed (p,q) sweep order, convergence on
     * off-diagonal Frobenius mass), O(d³) per sweep on a d×d DRIVER
@@ -195,8 +261,12 @@ object Pca {
     * canonicalization never touches them) but not SQL-expressible, so
     * rows-only with the spectral invariants spec-held.
     */
-  def pcaSpectrum(spark: SparkSession, dir: String, q: Int = 8): DataFrame = {
-    val (vals, _, _, _) = cachedEigen(spark, dir)
+  def pcaSpectrum(spark: SparkSession, dir: String, q: Int = 8): DataFrame =
+    spectrumFrom(spark, cachedEigen(spark, dir)._1, q)
+
+  /** Spectrum table from an eigenvalue vector — shared by the batch
+    * face above and the streaming read face. */
+  private[graft] def spectrumFrom(spark: SparkSession, vals: Array[Double], q: Int): DataFrame = {
     val trace = vals.sum
     val rows = vals.take(q).zipWithIndex.scanLeft((0, 0.0, 0.0, 0.0)) {
       case ((_, _, _, cum), (l, i)) => (i, l, l / trace, cum + l / trace)
