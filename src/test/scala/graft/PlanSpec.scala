@@ -447,4 +447,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "the dims-only scaffold must broadcast, never shuffle the grid")
   }
+
+  test("graph epoch substrate: map-side pair expansion, two shuffles, fact join broadcast") {
+    // the plan BEFORE checkpointing (cachedEpochPairs materializes);
+    // rebuild the declaration to lock the shape
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val ordEpoch = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), lit(0).as("epoch"))
+    val q = li.join(ordEpoch, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(first(col("epoch")).as("epoch"),
+        sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(col("epoch"),
+        explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
+      .select(col("epoch"), col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
+      .groupBy("epoch", "src", "dst").agg(count(lit(1)).as("dw"))
+    val p = plan(q)
+    assert(p.contains("Generate explode"), "pairs must expand map-side from baskets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the orders epoch map must broadcast into the fact scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"exactly two shuffles expected (basket groupBy, pair count):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "pair counts must partially aggregate map-side")
+  }
+
+  test("pca projection stays declarative: broadcast component join + partial agg, no corpus collect") {
+    val p = plan(graft.similarity.Pca.pcaProject(spark, sfDir, q = 4))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d×q component table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join in the projection")
+    assert(p.contains("partial_sum"),
+      "per-(vec, pc) scores must partially aggregate map-side")
+  }
 }
