@@ -258,4 +258,64 @@ object Layout {
     """SELECT event_id, user_id, value FROM events
       |WHERE user_id BETWEEN 0 AND 5 AND value BETWEEN 50 AND 150
       |ORDER BY event_id""".stripMargin
+
+  /** Small-file compaction — the OPTIMIZE / rewriteDataFiles analog.
+    * At 100 TB it is the FILE COUNT, not the byte count, that degrades
+    * a table (driver listing + planning memory, a task per tiny file,
+    * open/footer overhead per scan); high-parallelism streaming writes
+    * produce exactly that fragmentation. The rewrite needs NO shuffle:
+    * Spark's file-source scan already bin-packs small files into
+    * read splits of `spark.sql.files.maxPartitionBytes` (+ openCost
+    * per file), so reading the fragmented directory and writing it
+    * back emits one healthy file per packed split — compaction rides
+    * the scan's own packing instead of a round-robin exchange.
+    * Returns (files before, files after).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String): (Int, Int) = {
+    def parquetFiles(p: String): Int = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    spark.read.parquet(inPath).write.mode("overwrite").parquet(outPath)
+    (parquetFiles(inPath), parquetFiles(outPath))
+  }
+
+  /** Memoized fragment-then-compact of the events table (the
+    * `layout_compacted` artifact): 64-way fragmented write (the
+    * streaming-job spray this operator exists to repair), then one
+    * shuffle-free compaction pass. Returns the compacted path.
+    */
+  def compactedEvents(spark: SparkSession, dir: String): String =
+    graft.SessionCache.getOrElseUpdate(spark, ("layoutCompacted", dir)) {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft-compact-$tag"
+      val frag = s"$root/frag"
+      val out = s"$root/events"
+      graft.Tables.load(spark, dir, "events").repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      val (before, after) = compact(spark, frag, out)
+      require(after < before,
+        s"compaction did not reduce the file count ($before -> $after)")
+      out
+    }
+
+  /** Driver face: a per-day accounting of the compacted table. The
+    * oracle computes the identical accounting from the RAW parquet, so
+    * a row lost or duplicated anywhere in the fragment → compact →
+    * read chain hash-mismatches — compaction must be a pure physical
+    * rewrite.
+    */
+  def compactionRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(compactedEvents(spark, dir))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("day")
+
+  val compactionReadSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 }

@@ -146,4 +146,21 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(nRead <= nTotal / 2,
       s"selective two-dim predicate must skip at least half the files: read $nRead of $nTotal")
   }
+
+  test("compaction collapses a 64-file spray without a shuffle and preserves every row") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val raw = Tables.load(spark, sfDir, "events")
+    raw.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+    val (before, after) = graft.sources.Layout.compact(spark, s"$tmp/frag", s"$tmp/out")
+    assert(before == 64, s"fragmented write should spray 64 files, got $before")
+    assert(after <= 4, s"compaction should pack into a handful of files, got $after")
+    // pure physical rewrite: row multiset unchanged
+    val a = spark.read.parquet(s"$tmp/out")
+    assert(a.count() === raw.count())
+    assert(a.exceptAll(raw).isEmpty && raw.exceptAll(a).isEmpty,
+      "compacted content must equal the source multiset")
+    // the rewrite rides the scan's file packing — no exchange anywhere
+    val p = spark.read.parquet(s"$tmp/frag").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"compaction read must not shuffle:\n$p")
+  }
 }
