@@ -60,4 +60,36 @@ object GraftExtensions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+
+  /** Driver face for the SQL surface itself — the path a spark-sql /
+    * notebook user takes: [[register]] injects the native expressions
+    * into the live session's registry, the embeddings table registers
+    * as a view, and the query text below runs through the PARSER (not
+    * the DataFrame DSL), so name resolution → builder arity → codegen
+    * all execute exactly as they would for an external SQL user. The
+    * oracle recomputes both scores relationally in DuckDB, hash-
+    * certifying the registered `vec_cosine` / `vec_l2sq` against an
+    * independent engine's list arithmetic.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT a.vec_id,
+        |  round(vec_cosine(a.embedding, b.embedding), 4) AS cos_q,
+        |  round(vec_l2sq(a.embedding, b.embedding), 4) AS l2sq_q
+        |FROM graft_embeddings a JOIN graft_embeddings b ON b.vec_id = 0
+        |WHERE a.vec_id BETWEEN 1 AND 200
+        |ORDER BY a.vec_id""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(list_cosine_similarity(e.v, q.qv), 4) AS cos_q,
+      |  round(list_sum(list_transform(list_zip(e.v, q.qv),
+      |    p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS l2sq_q
+      |FROM e, q WHERE e.vec_id BETWEEN 1 AND 200
+      |ORDER BY e.vec_id""".stripMargin
 }
