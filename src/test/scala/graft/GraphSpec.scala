@@ -195,10 +195,14 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"cross-epoch merge wrong: $out")
   }
 
-  test("triangle closing check is a broadcast semi join — the wedge stream is never shuffle-joined") {
+  test("triangle adjacency fetches broadcast; the intersection never rides a shuffle") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"closing-edge check should broadcast-semi-join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both adjacency fetches should broadcast-hash-join:\n$p")
     assert(!p.contains("SortMergeJoin"), "no sort-merge join anywhere in the triangle path")
+    // the only row-exchanges are the adjacency build and the credit
+    // count — the Θ(wedge-mass) intersection work is inside a projection
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"intersection output must go straight to the credit aggregation:\n$p")
   }
 }
