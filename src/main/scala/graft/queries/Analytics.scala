@@ -1905,4 +1905,131 @@ object Analytics {
       |SELECT event_type, next_type, n_trans,
       |  round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY event_type), 4) AS p_next
       |FROM t ORDER BY event_type, next_type""".stripMargin
+
+  /** Referential-integrity audit across the star schema: for every
+    * foreign-key relation, the fact-side row count and the number of
+    * orphans (rows whose key has no match in the dimension — a NULL
+    * key counts as an orphan too, since it joins nothing). The data-
+    * quality gate an ingestion pipeline runs before promoting a new
+    * snapshot: non-zero orphans mean a partial load or an out-of-order
+    * CDC apply.
+    *
+    * Plan: each relation is ONE pass over its fact side — a left join
+    * whose null-probe IS the orphan test, counted in the same
+    * aggregate as the row count (no second scan, no anti-join pass).
+    * Dimension sides broadcast (nation/region always; orders/part/
+    * supplier fit at these SFs, and at 100 TB the same left join runs
+    * co-partitioned — the audit is still one fact scan + one keyed
+    * probe per relation). The seven one-row results union into a
+    * dims-only frame.
+    */
+  def fkIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(broadcast(dim.select(col(pk).as("__pk"))),
+          col(fk) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("__pk").isNull, 1)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_orphans"))
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    audit("customer.nation", cust, "c_nationkey", nat, "n_nationkey")
+      .unionByName(audit("lineitem.orders", li, "l_orderkey", ord, "o_orderkey"))
+      .unionByName(audit("lineitem.part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"))
+      .unionByName(audit("lineitem.supplier", li, "l_suppkey", supp, "s_suppkey"))
+      .unionByName(audit("nation.region", nat, "n_regionkey", Tables.region(spark, dir), "r_regionkey"))
+      .unionByName(audit("orders.customer", ord, "o_custkey", cust, "c_custkey"))
+      .unionByName(audit("supplier.nation", supp, "s_nationkey", nat, "n_nationkey"))
+      .orderBy("relation")
+  }
+
+  val fkIntegrityAuditSql: String =
+    """SELECT 'customer.nation' AS relation, count(*) AS n_rows,
+      |  count(*) FILTER (WHERE n.n_nationkey IS NULL) AS n_orphans
+      |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |UNION ALL
+      |SELECT 'lineitem.orders', count(*),
+      |  count(*) FILTER (WHERE o.o_orderkey IS NULL)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem.part', count(*),
+      |  count(*) FILTER (WHERE p.p_partkey IS NULL)
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |UNION ALL
+      |SELECT 'lineitem.supplier', count(*),
+      |  count(*) FILTER (WHERE s.s_suppkey IS NULL)
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |UNION ALL
+      |SELECT 'nation.region', count(*),
+      |  count(*) FILTER (WHERE r.r_regionkey IS NULL)
+      |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+      |UNION ALL
+      |SELECT 'orders.customer', count(*),
+      |  count(*) FILTER (WHERE c.c_custkey IS NULL)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'supplier.nation', count(*),
+      |  count(*) FILTER (WHERE n.n_nationkey IS NULL)
+      |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |ORDER BY relation""".stripMargin
+
+  /** Exponentially-weighted moving average of each user's `value`
+    * stream over their most recent [[EwmaWindow]] events (α =
+    * [[EwmaAlpha]]) — the recency-weighted activity score a
+    * personalization or anomaly layer reads per entity. The recursion
+    * s_i = α·v_i + (1−α)·s_{i−1} (seeded s_1 = v_1) unrolls to a
+    * CLOSED-FORM weighted sum over the retained window: weight
+    * α·(1−α)^(j) for the event j steps before the newest, and
+    * (1−α)^(w−1) — no leading α — for the oldest retained event.
+    * Bounding the window keeps every exponent ≥ (1−α)^19, so the
+    * closed form is numerically exact and both engines land on
+    * bit-identical 6-dp roundings (an unbounded backward recursion
+    * would push (1−α)^−i past double range on long histories).
+    *
+    * Plan: ONE shuffle partitions events by user (the sessionizer's
+    * exchange); the rank and the weighted sum are per-partition window
+    * + aggregate work with map-side partials on the |users|-row
+    * output. At 100 TB per-user history is bounded by the window cap
+    * before any aggregation state builds.
+    */
+  def ewmaEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val alpha = EwmaAlpha
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= EwmaWindow)
+      .withColumn("w", max(col("rn")).over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent"),
+        round(sum(
+          when(col("rn") === col("w"),
+            pow(lit(1 - alpha), col("rn") - 1) * col("value"))
+            .otherwise(lit(alpha) * pow(lit(1 - alpha), col("rn") - 1) * col("value"))),
+          6).as("ewma_value"))
+      .orderBy("user_id")
+  }
+
+  val EwmaAlpha = 0.25
+  val EwmaWindow = 20
+
+  val ewmaEventsSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |recent AS (
+      |  SELECT user_id, value, rn,
+      |    max(rn) OVER (PARTITION BY user_id) AS w
+      |  FROM ranked WHERE rn <= 20)
+      |SELECT user_id, count(*) AS n_recent,
+      |  round(sum(CASE WHEN rn = w THEN power(0.75, rn - 1) * value
+      |                 ELSE 0.25 * power(0.75, rn - 1) * value END), 6) AS ewma_value
+      |FROM recent GROUP BY user_id ORDER BY user_id""".stripMargin
 }

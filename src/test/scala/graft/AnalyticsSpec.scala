@@ -394,4 +394,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // one CASE-sum pass, not a per-class re-scan: both sums share one aggregate
     assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === joined.count())
   }
+
+  test("ewma closed form equals the recursive definition per user") {
+    val out = Analytics.ewmaEvents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // recompute a sample of users with the literal recursion
+    // s_1 = v_1; s_i = α v_i + (1−α) s_{i−1} over the last-20 window
+    val sample = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1).take(25)
+    assert(sample.nonEmpty)
+    sample.foreach { case (uid, rows) =>
+      val vs = rows.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+        .takeRight(Analytics.EwmaWindow)
+      val rec = vs.tail.foldLeft(vs.head)((s, v) =>
+        Analytics.EwmaAlpha * v + (1 - Analytics.EwmaAlpha) * s)
+      val (n, got) = out(uid)
+      assert(n === vs.length, s"user $uid window size")
+      assert(math.abs(got - rec) < 1e-6,
+        s"user $uid: closed form $got vs recursion $rec")
+    }
+    // one exchange: the user partition serves the rank, the window max,
+    // and the final aggregate
+    val p = Analytics.ewmaEvents(spark, sfDir).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"ewma should reuse the single user-keyed exchange:\n$p")
+  }
+
+  test("fk audit covers every relation with full row counts and finds no orphans in consistent data") {
+    val rows = Analytics.fkIntegrityAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set("customer.nation", "lineitem.orders",
+      "lineitem.part", "lineitem.supplier", "nation.region",
+      "orders.customer", "supplier.nation"))
+    val li = Tables.lineitem(spark, sfDir).count()
+    assert(rows("lineitem.orders")._1 === li)
+    assert(rows("lineitem.part")._1 === li)
+    assert(rows("orders.customer")._1 === Tables.orders(spark, sfDir).count())
+    // the generated star schema is referentially consistent
+    rows.foreach { case (rel, (_, orphans)) =>
+      assert(orphans === 0L, s"$rel reported $orphans orphans on consistent data")
+    }
+    // dimension probes must broadcast — the audit is one scan per fact side
+    val p = Analytics.fkIntegrityAudit(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"fk probes should broadcast:\n$p")
+  }
 }
