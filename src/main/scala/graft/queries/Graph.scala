@@ -575,6 +575,75 @@ object Graph {
     * [[connectedComponentsSql]] certifies the epoch fold verbatim. */
   val ccMaintainSql: String = connectedComponentsSql
 
+  /** BFS levels capped at this many hops — both engines cap
+    * identically, so the histogram is deterministic. 6 covers the
+    * thresholded giant component's useful neighborhood at every SF
+    * while keeping the level fold at a fixed job count.
+    */
+  val MaxBfsHops = 6
+
+  /** Breadth-first hop-distance histogram from the graph's hub (the
+    * highest-degree node of the weight-thresholded graph, ties to the
+    * smallest id): for each hop level 0..[[MaxBfsHops]], how many
+    * parts are first reached at that level, with min/max part id as
+    * the level fingerprint. The "how local is the catalog around its
+    * hub" diagnostic a recommendation pipeline reads before choosing
+    * walk lengths; unreached parts (other components / beyond the cap)
+    * are excluded by construction.
+    *
+    * Plan: classic synchronous frontier expansion — the level-h
+    * frontier is a FILTER over the checkpointed visited table (one
+    * materialization per level, nothing recomputed), expanded through
+    * the edge list with one keyed join + distinct, then anti-joined
+    * against visited (the novelty probe). Every per-level job is
+    * Θ(frontier ∪ neighbors), bounded by ¦E¦; the cap fixes the job
+    * count. At 100 TB visited/edges co-partition on node so the
+    * expand+probe is a local shuffle-join pipeline; the histogram is a
+    * ¦levels¦-row aggregate. The oracle recomputes levels as min-hop
+    * over a capped recursive closure.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e = thresholdedEdges(spark, dir)
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var visited = deg.orderBy(col("deg").desc, col("node")).limit(1)
+      .select(col("node"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    for (h <- 1 to MaxBfsHops) {
+      val next = visited.filter(col("hop") === h - 1).select("node")
+        .join(both, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+      visited = visited
+        .unionByName(next.select(col("node"), lit(h).as("hop")))
+        .localCheckpoint(true)
+    }
+    visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_parts"),
+        min("node").as("min_part"), max("node").as("max_part"))
+      .orderBy("hop")
+  }
+
+  val bfsHopsSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |w AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+      |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+      |hub AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1),
+      |reach(node, hop) AS (
+      |  SELECT node, 0 FROM hub
+      |  UNION
+      |  SELECT e.b, reach.hop + 1 FROM reach JOIN e ON e.a = reach.node
+      |  WHERE reach.hop < 6),
+      |lab AS (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+      |SELECT hop, count(*) AS n_parts, min(node) AS min_part, max(node) AS max_part
+      |FROM lab GROUP BY hop ORDER BY hop""".stripMargin
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

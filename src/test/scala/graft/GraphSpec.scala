@@ -195,6 +195,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"cross-epoch merge wrong: $out")
   }
 
+  test("bfs levels are a valid breadth-first layering of the thresholded graph") {
+    val levels = Graph.bfsHops(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // level 0 is exactly the hub
+    assert(levels(0)._1 === 1L, s"hop 0 must hold one node: ${levels(0)}")
+    assert(levels.keySet === (0 to levels.keySet.max).toSet, "levels have no holes")
+    // recompute per-node hops with a driver-side BFS and compare the histogram
+    val e = Graph.thresholdedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val hub = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .sortBy { case (n, d) => (-d, n) }.head._1
+    var hops = Map(hub -> 0)
+    var frontier = Set(hub)
+    for (h <- 1 to Graph.MaxBfsHops) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- hops.keySet
+      hops ++= frontier.map(_ -> h)
+    }
+    val expect = hops.groupBy(_._2).map { case (h, m) =>
+      h -> ((m.size.toLong, m.keys.min, m.keys.max)) }
+    assert(levels === expect, s"histogram diverges:\n$levels\nvs\n$expect")
+  }
+
   test("triangle adjacency fetches broadcast; the intersection never rides a shuffle") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
