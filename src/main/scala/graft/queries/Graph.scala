@@ -307,20 +307,26 @@ object Graph {
       .union(delta.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     var edges = epochPairs(0).localCheckpoint(true)
-    var deg = degOf(edges).localCheckpoint(true)
+    var deg = degOf(edges)
     for (i <- 1 until NumEpochs) {
-      // novelty check: an edge seen in an earlier epoch must not count again
+      // novelty check: an edge seen in an earlier epoch must not count
+      // again. Checkpointed: delta feeds BOTH the edge-set union and
+      // the degree increment — measured at sf0.1, re-deriving the
+      // anti-join for the second consumer costs more than the
+      // materialization job it would save
       val delta = epochPairs(i)
         .join(edges, Seq("src", "dst"), "left_anti")
         .localCheckpoint(true)
       edges = edges.union(delta).localCheckpoint(true)
-      // the CDC merge shape: full-outer on the key, coalesced addition
+      // the CDC merge shape: full-outer on the key, coalesced addition.
+      // deg folds forward linearly (each epoch references the previous
+      // exactly once), so the un-checkpointed lineage stays a
+      // NumEpochs-deep join chain over checkpointed frames
       deg = deg.select(col("node"), col("deg"))
         .join(degOf(delta).select(col("node"), col("deg").as("d2")),
           Seq("node"), "full_outer")
         .select(col("node"),
           (coalesce(col("deg"), lit(0L)) + coalesce(col("d2"), lit(0L))).as("deg"))
-        .localCheckpoint(true)
     }
     deg.select(col("node").as("part_id"), col("deg").as("degree"))
       .orderBy(col("degree").desc, col("part_id"))
