@@ -47,25 +47,32 @@ object KMeans {
     * rounds, dist = squared L2 to the winning centroid, 4 dp.
     */
   def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = corpus(spark, dir)
-    var cents = initCentroids(emb)
-    for (_ <- 1 to Iters)
-      cents = updateCentroids(assign(emb, cents)).localCheckpoint(true)
-    assign(emb, cents)
+    val emb = widen(Tables.embeddings(spark, dir)).localCheckpoint(true)
+    assign(emb, train(emb))
       .select(col("vec_id"), col("cluster_id"),
         round(col("dist"), 4).as("dist"))
       .orderBy("vec_id")
   }
 
-  /** Embeddings widened to double ONCE (float→double is exact, and it
-    * keeps every downstream arithmetic in one type on both engines),
-    * checkpointed because every iteration scans it twice.
+  /** (vec_id, embedding) → (vec_id, v): embeddings widened to double
+    * ONCE (float→double is exact, and it keeps every downstream
+    * arithmetic in one type on both engines). Callers checkpoint —
+    * every Lloyd iteration scans the corpus twice.
     */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint(true)
+  private[graft] def widen(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** The trained k-row centroid table (cid, c) after [[Iters]] Lloyd
+    * rounds over a widened corpus — the model artifact the streaming
+    * assignment face persists and serves against.
+    */
+  private[graft] def train(emb: DataFrame): DataFrame = {
+    var cents = initCentroids(emb)
+    for (_ <- 1 to Iters)
+      cents = updateCentroids(assign(emb, cents)).localCheckpoint(true)
+    cents
+  }
 
   /** Seeds: the k smallest vec_ids, cid in vec_id order, coordinates
     * rounded like every later centroid (one quantization rule
@@ -82,7 +89,7 @@ object KMeans {
     * to the smaller cid via the struct-min ordering. The min partially
     * aggregates map-side, so the exchange never carries the k-fanout.
     */
-  private[similarity] def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
         VectorExpressions.l2sq(col("v"), col("c")).as("dist"))
