@@ -1906,6 +1906,82 @@ object Analytics {
       |  round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY event_type), 4) AS p_next
       |FROM t ORDER BY event_type, next_type""".stripMargin
 
+  /** CUSUM change-point detection over each event type's daily count
+    * series — the drift detector a pipeline-health monitor runs on the
+    * dense grid [[gapFillDaily]] produces (zero-filled days are load-
+    * bearing: a silent outage IS the change-point, and a sparse grid
+    * would hide it). For each type, the cumulative sum of deviations
+    * from the type's mean S_d = Σ_{i≤d}(x_i − μ) peaks at the most
+    * likely change-point; the reported stat normalizes ¦S¦ by σ√n so
+    * types of different volumes compare on one scale. Ties break to
+    * the earliest day; a zero-variance series reports stat 0.
+    *
+    * Plan: the event-volume work is [[gapFillDaily]]'s single daily
+    * aggregate; everything here runs on the dims-only (type × day)
+    * grid — per-type mean/σ in one pass, one ordered window for the
+    * cumulative sum, and a struct-min argmax. Both engines walk the
+    * identical FP sequence (ordered cumulative adds over integer
+    * counts minus one shared mean), so the 4-dp stat is
+    * hash-certifiable.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = gapFillDaily(spark, dir).select("event_type", "day", "n_events")
+    // ISO day strings order chronologically, so the string sort IS the
+    // time order on both engines
+    val stats = g.groupBy("event_type")
+      .agg(avg(col("n_events")).as("mu"),
+        stddev_samp(col("n_events")).as("sigma"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.join(broadcast(stats), Seq("event_type"))
+      .withColumn("s", sum(col("n_events") - col("mu")).over(w))
+      .groupBy("event_type")
+      .agg(min(struct((-abs(col("s"))).as("neg"), col("day"))).as("m"),
+        first(col("sigma")).as("sigma"), first(col("n_days")).as("n_days"))
+      .select(col("event_type"), col("m.day").as("change_day"),
+        round(when(col("sigma") === 0.0, 0.0)
+          .otherwise(-col("m.neg") / (col("sigma") * sqrt(col("n_days").cast("double")))),
+          4).as("cusum_stat"),
+        col("n_days"))
+      .orderBy("event_type")
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (
+      |  SELECT t.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+      |    coalesce(daily.n_events, 0) AS n_events
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+      |st AS (
+      |  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sigma,
+      |    count(*) AS n_days
+      |  FROM grid GROUP BY 1),
+      |cum AS (
+      |  SELECT g.event_type, g.day, st.sigma, st.n_days,
+      |    sum(g.n_events - st.mu) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM grid g JOIN st USING (event_type)),
+      |pick AS (
+      |  SELECT event_type, day, s, sigma, n_days,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, day) AS rk
+      |  FROM cum)
+      |SELECT event_type, day AS change_day,
+      |  round(CASE WHEN sigma = 0 THEN 0
+      |        ELSE abs(s) / (sigma * sqrt(CAST(n_days AS DOUBLE))) END, 4) AS cusum_stat,
+      |  n_days
+      |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   /** Referential-integrity audit across the star schema: for every
     * foreign-key relation, the fact-side row count and the number of
     * orphans (rows whose key has no match in the dimension — a NULL

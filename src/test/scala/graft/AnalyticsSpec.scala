@@ -422,6 +422,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"ewma should reuse the single user-keyed exchange:\n$p")
   }
 
+  test("cusum change-point equals a driver-side replay over the dense grid") {
+    val grid = Analytics.gapFillDaily(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = Analytics.cusumChangepoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    val byType = grid.groupBy(_._1)
+    assert(out.keySet === byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3.toDouble))
+      val n = series.length
+      val mu = series.map(_._2).sum / n
+      val sigma = math.sqrt(series.map(x => (x._2 - mu) * (x._2 - mu)).sum / (n - 1))
+      var s = 0.0
+      val cums = series.map { case (d, x) => s += x - mu; (d, s) }
+      val (wantDay, wantS) = cums.sortBy { case (d, v) => (-math.abs(v), d) }.head
+      val (gotDay, gotStat, gotN) = out(t)
+      assert(gotN === n.toLong, s"$t n_days")
+      assert(gotDay === wantDay, s"$t change day: got $gotDay want $wantDay")
+      val wantStat = if (sigma == 0) 0.0 else math.abs(wantS) / (sigma * math.sqrt(n.toDouble))
+      assert(math.abs(gotStat - wantStat) < 1e-3, s"$t stat: $gotStat vs $wantStat")
+    }
+  }
+
   test("fk audit covers every relation with full row counts and finds no orphans in consistent data") {
     val rows = Analytics.fkIntegrityAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
