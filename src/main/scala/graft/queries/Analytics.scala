@@ -1982,6 +1982,71 @@ object Analytics {
       |  n_days
       |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  /** Pearson correlation between every pair of event types' daily
+    * count series over the dense shared day spine — the co-movement
+    * matrix a capacity planner or anomaly correlator reads (types that
+    * spike together share a cause; a correlation that flips sign is an
+    * incident signature). Computed from the five sufficient sums
+    * (Σx, Σy, Σxy, Σx², n) so the inputs are exact INTEGER arithmetic
+    * on both engines — the only FP ops are the final normalization,
+    * which makes the 4-dp value bit-stable across engines. Degenerate
+    * (zero-variance) series report NULL, matching SQL corr semantics.
+    *
+    * Plan: event-volume work is the one daily aggregate behind
+    * [[gapFillDaily]]; the pair join runs on the dims-only grid
+    * (¦types¦·¦days¦ rows self-joined on day — ¦types¦² ·¦days¦
+    * intermediate, still dims-only), and the sufficient sums partially
+    * aggregate map-side into a ¦types¦²-row matrix.
+    */
+  def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val g = gapFillDaily(spark, dir).select(
+      col("event_type"), col("day"), col("n_events"))
+    val a = g.select(col("event_type").as("type_a"), col("day"), col("n_events").as("x"))
+    val b = g.select(col("event_type").as("type_b"), col("day"), col("n_events").as("y"))
+    a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"),
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double"))),
+          4).as("pearson_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val seriesCorrelationSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (
+      |  SELECT t.event_type, d.day, coalesce(daily.n_events, 0) AS n_events
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n, sum(a.n_events) AS sx, sum(b.n_events) AS sy,
+      |    sum(a.n_events * b.n_events) AS sxy,
+      |    sum(a.n_events * a.n_events) AS sxx,
+      |    sum(b.n_events * b.n_events) AS syy
+      |  FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b,
+      |  round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)) END, 4) AS pearson_r
+      |FROM pairs ORDER BY type_a, type_b""".stripMargin
+
   /** Referential-integrity audit across the star schema: for every
     * foreign-key relation, the fact-side row count and the number of
     * orphans (rows whose key has no match in the dimension — a NULL

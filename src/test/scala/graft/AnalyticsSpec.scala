@@ -445,6 +445,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("series correlation equals a driver-side Pearson over the dense grid") {
+    val grid = Analytics.gapFillDaily(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val series = grid.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.sortBy(_._2).map(_._3.toDouble)
+    }
+    val out = Analytics.seriesCorrelation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val types = series.keys.toSeq.sorted
+    val wantPairs = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    assert(out.keySet === wantPairs.toSet)
+    wantPairs.foreach { case (ta, tb) =>
+      val (x, y) = (series(ta), series(tb))
+      val n = x.length
+      val mx = x.sum / n; val my = y.sum / n
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = x.map(a => (a - mx) * (a - mx)).sum
+      val vy = y.map(b => (b - my) * (b - my)).sum
+      val want = cov / math.sqrt(vx * vy)
+      assert(math.abs(out((ta, tb)) - want) < 1e-3,
+        s"($ta,$tb): got ${out((ta, tb))} want $want")
+      assert(out((ta, tb)).abs <= 1.0 + 1e-9)
+    }
+  }
+
   test("fk audit covers every relation with full row counts and finds no orphans in consistent data") {
     val rows = Analytics.fkIntegrityAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
