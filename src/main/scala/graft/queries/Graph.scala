@@ -650,6 +650,74 @@ object Graph {
       |SELECT hop, count(*) AS n_parts, min(node) AS min_part, max(node) AS max_part
       |FROM lab GROUP BY hop ORDER BY hop""".stripMargin
 
+  /** Peeling parameters for [[kcore]]: nodes need ≥ [[KCoreK]]
+    * surviving neighbors, and both engines run EXACTLY [[KCoreRounds]]
+    * synchronous peel rounds (converged rounds are no-ops, so the
+    * fixed count is deterministic without a driver-side convergence
+    * probe; measured across all three SFs the 2-core settles within 6
+    * rounds — the thresholded graph's tree fringe is shallow). k = 2
+    * is the cycle core: the sf0.1 threshold graph is sparse enough
+    * that its 3-core is empty, so 2 keeps the entry non-degenerate at
+    * every SF while still peeling every tree and chain.
+    */
+  val KCoreK = 2
+  val KCoreRounds = 6
+
+  /** The k-core of the thresholded co-purchase graph: the maximal
+    * subgraph where every part retains ≥ k signal-edge neighbors,
+    * computed by synchronous peeling (drop all sub-k nodes, recount,
+    * repeat) — the dense-cluster extractor a recommendation pipeline
+    * runs to separate stable substitute groups from chains and
+    * satellites that the plain connected components keep. Output is
+    * every surviving part with its within-core degree.
+    *
+    * Plan: each round is one degree aggregation (map-side partials)
+    * plus two semi-joins of the edge list against the ¦V¦-row
+    * survivor set (broadcast here; co-partitioned at scale), with the
+    * shrinking edge set checkpointed per round — cost is Θ(current
+    * edges) per round and the round count is fixed. The oracle unrolls
+    * the identical rounds as chained CTEs, so one node peeled or kept
+    * wrongly in any round hash-mismatches the final core.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val e = thresholdedEdges(spark, dir)
+    var edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to KCoreRounds) {
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select("node")
+      edges = edges
+        .join(broadcast(keep), col("src") === col("node"), "left_semi")
+        .join(broadcast(keep), col("dst") === col("node"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.groupBy(col("src").as("part_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("part_id")
+  }
+
+  val kcoreSql: String = {
+    // every e_i is referenced twice (degree count + edge filter of the
+    // next round) — MATERIALIZED stops the oracle's inliner from
+    // re-deriving the whole peel chain exponentially
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT a AS node FROM e${i - 1} GROUP BY a HAVING count(*) >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN k$i ka ON e.a = ka.node JOIN k$i kb ON e.b = kb.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |w AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+       |$rounds
+       |SELECT a AS part_id, count(*) AS core_degree
+       |FROM e$KCoreRounds GROUP BY a ORDER BY part_id""".stripMargin
+  }
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -219,6 +219,26 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(levels === expect, s"histogram diverges:\n$levels\nvs\n$expect")
   }
 
+  test("k-core equals a driver-side peel to fixpoint") {
+    val e = Graph.thresholdedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var adj = (e ++ e.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // peel to fixpoint (the fixed 6 rounds must have converged)
+    var changed = true
+    while (changed) {
+      val dead = adj.collect { case (n, ns) if ns.size < Graph.KCoreK => n }.toSet
+      changed = dead.nonEmpty
+      adj = adj.collect { case (n, ns) if !dead(n) => n -> (ns -- dead) }
+        .filter(_._2.nonEmpty)
+    }
+    val want = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val got = Graph.kcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, s"core mismatch: got ${got.size} nodes, want ${want.size}")
+    assert(got.values.forall(_ >= Graph.KCoreK), "every core member keeps >= k neighbors")
+  }
+
   test("triangle adjacency fetches broadcast; the intersection never rides a shuffle") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
