@@ -2047,6 +2047,107 @@ object Analytics {
       |      sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)) END, 4) AS pearson_r
       |FROM pairs ORDER BY type_a, type_b""".stripMargin
 
+  /** Benford leading-digit audit over line-item extended prices — the
+    * fraud/synthetic-data screen an ingestion pipeline runs on any
+    * naturally-multiplicative amount column: organic amounts follow
+    * log10(1+1/d), fabricated ones rarely do. Output per digit 1–9:
+    * observed count, expected count under Benford, and the χ²
+    * contribution (whose sum is the audit statistic; each row rounded
+    * so both engines agree bit-for-bit — counts are exact integers,
+    * the expectation is one log10 per digit).
+    *
+    * Plan: ONE scan computes the digit histogram (map-side partials
+    * into 9 groups); the expectation join and χ² arithmetic run on the
+    * 9-row result. The leading digit is extracted arithmetically
+    * (value / 10^floor(log10 v)) — no string round-trip in the scan.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v"))
+      .filter(col("v") > 0)
+      .select(floor(col("v") / pow(lit(10.0), floor(log10(col("v"))))).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    import org.apache.spark.sql.expressions.Window
+    val total = Window.partitionBy()
+    digits
+      .withColumn("n_total", sum(col("n_obs")).over(total))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit")), 2).as("n_expected"),
+        round(pow(col("n_obs") - col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+          (col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(floor(l_extendedprice / power(10.0, floor(log10(l_extendedprice)))) AS INT) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0),
+      |h AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+      |t AS (SELECT digit, n_obs, sum(n_obs) OVER () AS n_total FROM h)
+      |SELECT digit, n_obs,
+      |  round(n_total * log10(1.0 + 1.0 / digit), 2) AS n_expected,
+      |  round(power(n_obs - n_total * log10(1.0 + 1.0 / digit), 2) /
+      |    (n_total * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+      |FROM t ORDER BY digit""".stripMargin
+
+  /** RFM customer segmentation — the classic marketing cut: per
+    * customer, Recency (days since last order, against the corpus'
+    * newest order date), Frequency (order count) and Monetary (total
+    * spend) are each quartiled (1 = best), and customers land in one
+    * of ≤64 "rfm" segments. Output is the segment roster: count,
+    * average spend, average recency — what a campaign planner reads.
+    * Every ntile runs over a TOTAL order (metric, then custkey), so
+    * the quartile boundaries are deterministic on both engines.
+    *
+    * Plan: one orders scan aggregates the per-customer triple
+    * (map-side partials); the three ntiles are global ranks over the
+    * |customers|-row aggregate — at 100 TB that is the standard
+    * range-partitioned global sort (the ntile_quartiles entry's
+    * shape), paid on dims-scale data, never on the fact table; the
+    * segment rollup is ≤64 rows.
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice")).as("monetary"))
+      .withColumn("ref_day", max(col("last_day")).over(Window.partitionBy()))
+      .withColumn("r_days", datediff(col("ref_day"), col("last_day")))
+    val scored = perCust
+      .withColumn("r", ntile(4).over(Window.orderBy(col("r_days"), col("custkey"))))
+      .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("custkey"))))
+      .withColumn("m", ntile(4).over(Window.orderBy(col("monetary").desc, col("custkey"))))
+    scored
+      .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("monetary")), 2).as("avg_spend"),
+        round(avg(col("r_days")), 2).as("avg_recency_days"))
+      .orderBy("segment")
+  }
+
+  val ordersRfmSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey AS custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_day,
+      |    count(*) AS freq, sum(o_totalprice) AS monetary
+      |  FROM orders GROUP BY 1),
+      |rd AS (
+      |  SELECT *, date_diff('day', last_day, max(last_day) OVER ()) AS r_days
+      |  FROM pc),
+      |sc AS (
+      |  SELECT custkey, monetary, r_days,
+      |    ntile(4) OVER (ORDER BY r_days, custkey) AS r,
+      |    ntile(4) OVER (ORDER BY freq DESC, custkey) AS f,
+      |    ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m
+      |  FROM rd)
+      |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+      |  count(*) AS n_customers,
+      |  round(avg(monetary), 2) AS avg_spend,
+      |  round(avg(r_days), 2) AS avg_recency_days
+      |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin
+
   /** Referential-integrity audit across the star schema: for every
     * foreign-key relation, the fact-side row count and the number of
     * orphans (rows whose key has no match in the dimension — a NULL

@@ -472,6 +472,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("benford audit partitions every priced row and its chi-square terms are consistent") {
+    val rows = Analytics.benfordAudit(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet.subsetOf((1 to 9).toSet))
+    val priced = Tables.lineitem(spark, sfDir).filter(col("l_extendedprice") > 0).count()
+    assert(rows.map(_._2).sum === priced, "every priced row lands in exactly one digit bin")
+    // expectations are a probability split of the same total
+    assert(math.abs(rows.map(_._3).sum - priced.toDouble) < 1.0)
+    rows.foreach { case (d, n, e, chi) =>
+      assert(e > 0 && chi >= 0)
+      assert(math.abs(chi - (n - e) * (n - e) / e) < 0.05,
+        s"digit $d chi2 term inconsistent with its own (n, e)")
+    }
+  }
+
+  test("rfm segments partition the ordering customers into valid quartile codes") {
+    val segs = Analytics.ordersRfm(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(segs.forall(_._1.matches("[1-4]{3}")), "segment codes are three quartile digits")
+    val nCust = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(segs.map(_._2).sum === nCust, "every ordering customer lands in one segment")
+    assert(segs.forall(_._3 > 0), "average spend positive")
+    // best-recency segments must exist: quartile 1 is always populated
+    assert(segs.exists(_._1.startsWith("1")))
+  }
+
   test("fk audit covers every relation with full row counts and finds no orphans in consistent data") {
     val rows = Analytics.fkIntegrityAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
