@@ -718,6 +718,64 @@ object Graph {
        |FROM e$KCoreRounds GROUP BY a ORDER BY part_id""".stripMargin
   }
 
+  /** Degree assortativity of the thresholded graph: the Pearson
+    * correlation between the degrees at the two ends of every edge —
+    * positive means hubs buy with hubs (a "popular bundle" catalog),
+    * negative means hub-and-spoke. One number with its edge count, the
+    * standard first summary of a graph's mixing structure. Computed
+    * over both directions of every undirected edge (the standard
+    * symmetrization), from the five sufficient sums — all exact
+    * INTEGER arithmetic until the final normalization, so the 4-dp
+    * value is bit-stable across engines; a degenerate (zero-variance)
+    * degree sequence reports NULL.
+    *
+    * Plan: degrees are one partial-agg count; both endpoint fetches
+    * broadcast that ¦V¦-row table onto the edge list; the sufficient
+    * sums partially aggregate into a single row. Nothing here exceeds
+    * the edge list's own scale.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = thresholdedEdges(spark, dir)
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    both
+      .join(broadcast(deg), col("src") === col("node"))
+      .select(col("dst"), col("deg").as("dx"))
+      .join(broadcast(deg), col("dst") === col("node"))
+      .select(col("dx"), col("deg").as("dy"))
+      .agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n").as("n_directed_edges"),
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))),
+          4).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |w AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+      |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+      |p AS (SELECT da.deg AS dx, db.deg AS dy
+      |      FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+      |su AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+      |        sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy
+      |       FROM p)
+      |SELECT n AS n_directed_edges,
+      |  round(CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+      |    ELSE CAST(n*sxy - sx*sy AS DOUBLE) /
+      |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END,
+      |    4) AS assortativity
+      |FROM su""".stripMargin
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

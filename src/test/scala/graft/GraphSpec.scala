@@ -239,6 +239,26 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(_ >= Graph.KCoreK), "every core member keeps >= k neighbors")
   }
 
+  test("assortativity equals a driver-side Pearson over edge-endpoint degrees") {
+    val e = Graph.thresholdedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val both = e ++ e.map(p => (p._2, p._1))
+    val deg = both.groupBy(_._1).map { case (n, v) => n -> v.length }
+    val xs = both.map(p => deg(p._1).toDouble)
+    val ys = both.map(p => deg(p._2).toDouble)
+    val n = xs.length
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum
+    val vy = ys.map(b => (b - my) * (b - my)).sum
+    val want = cov / math.sqrt(vx * vy)
+    val row = Graph.assortativity(spark, sfDir).collect().head
+    assert(row.getLong(0) === n.toLong)
+    assert(math.abs(row.getDouble(1) - want) < 1e-3,
+      s"assortativity ${row.getDouble(1)} vs replay $want")
+    assert(row.getDouble(1).abs <= 1.0 + 1e-9)
+  }
+
   test("triangle adjacency fetches broadcast; the intersection never rides a shuffle") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
