@@ -1865,12 +1865,23 @@ object Analytics {
     */
   def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val daily = ev
+    densifyDaily(ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
-    val days = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      .agg(count(lit(1)).as("n_events")))
+  }
+
+  /** The densification step shared by the batch face above and the
+    * streaming maintained-counts read face
+    * ([[graft.streaming.StreamingDailyCountsJob]]): a sparse
+    * (event_type, day, n_events) frame → the zero-filled full
+    * (type × day-spine) grid. The scaffold is dims-only — span scalars
+    * exploded into the spine, crossed with the distinct type set.
+    */
+  private[graft] def densifyDaily(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(true) // scanned thrice: span, types, join
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val types = ev.select("event_type").distinct()
+    val types = daily.select("event_type").distinct()
     types.crossJoin(days)
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("n_events"))
@@ -1924,9 +1935,15 @@ object Analytics {
     * counts minus one shared mean), so the 4-dp stat is
     * hash-certifiable.
     */
-  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumOver(gapFillDaily(spark, dir))
+
+  /** The detector over ANY dense (event_type, day, n_events) grid —
+    * shared by the batch entry above and the streaming maintained-
+    * counts read face. */
+  private[graft] def cusumOver(grid: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = gapFillDaily(spark, dir).select("event_type", "day", "n_events")
+    val g = grid.select("event_type", "day", "n_events")
     // ISO day strings order chronologically, so the string sort IS the
     // time order on both engines
     val stats = g.groupBy("event_type")
