@@ -985,4 +985,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1, 100L, 200L), (2, 200L, 300L), (3, 400L, 500L)),
       "delete must close v2 and the re-insert must continue at v3")
   }
+  test("streaming daily counts: a live ingest reproduces the batch monitoring faces") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDailyCountsJob
+    import graft.queries.Analytics
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"))
+      .as[(String, java.sql.Timestamp)].collect()
+
+    val job = new StreamingDailyCountsJob(spark, s"$tmp/state")
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val q = job.start(stream.toDF().toDF("event_type", "ts"), s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    rows.grouped(math.max(rows.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = job.readGrid().collect().map(_.toSeq.toList).sortBy(_.toString)
+    val want = Analytics.gapFillDaily(spark, sfDir)
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(got.toSeq === want.toSeq, "live-ingested grid must equal the batch gap-fill")
+  }
 }
