@@ -647,6 +647,58 @@ object TextFunctions {
       |SELECT doc_id, round(mass / n_toks, 4) AS tfidf_score
       |FROM mass JOIN lens USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Top-[[DocKeywordsK]] TF-IDF terms per document — the per-doc
+    * keyword extraction a retrieval index or faceted browser stores
+    * next to each document (doc_tfidf scores the document as a whole;
+    * this names WHICH terms carry the mass). Weight = tf · ln(N/df),
+    * ranked (weight desc, token asc) — both engines derive the weight
+    * from identical integer inputs through one ln, so the rank order
+    * and the 4-dp value are bit-stable.
+    *
+    * Plan: rides the shared per-doc token-count substrate (ONE
+    * tokenization for the whole text family); the df table is
+    * vocabulary-bound (broadcastable at scale), and the only new
+    * exchanges are the token-keyed df join and the doc-keyed top-k
+    * window — no full sort, the rank filter truncates per partition.
+    */
+  def docKeywords(spark: SparkSession, dir: String, k: Int = DocKeywordsK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = cachedDocTokenCounts(spark, dir)
+    val dfs = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_corpus"))
+    val w = Window.partitionBy("doc_id").orderBy(col("w").desc, col("token"))
+    tok.join(dfs, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * log(col("n_corpus") / col("df"))).as("w"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token").as("keyword"),
+        round(col("w"), 4).as("weight"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val DocKeywordsK = 3
+
+  val docKeywordsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM t WHERE token <> '' GROUP BY 1, 2),
+      |dfs AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
+      |wt AS (
+      |  SELECT doc_id, token, tf * ln(n_corpus / df) AS w
+      |  FROM tok JOIN dfs USING (token) CROSS JOIN n),
+      |rk AS (
+      |  SELECT doc_id, token, w,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, token) AS rank
+      |  FROM wt)
+      |SELECT doc_id, rank, token AS keyword, round(w, 4) AS weight
+      |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Sparse TF-IDF cosine top-k document similarity — the SPARSE
     * complement of the dense ANN family (graft.similarity): neighbors
     * by lexical overlap where embeddings find them by meaning, the

@@ -446,4 +446,33 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .filter(col("t") =!= "").distinct().count()
     assert(rows.last.getLong(3) === vocab, "curve must end at the full vocabulary size")
   }
+  test("doc keywords are the per-doc argmax of the tf-idf weights") {
+    val out = TextFunctions.docKeywords(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (d, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks.sameElements(1 to rows.length), s"doc $d ranks $ranks")
+      assert(rows.map(_._3).distinct.length === rows.length, s"doc $d repeats a keyword")
+      // weights must be non-increasing in rank
+      val ws = rows.sortBy(_._2).map(_._4)
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b - 1e-9 }, s"doc $d weights $ws")
+    }
+    // independent replay for a sample of docs: the rank-1 keyword must
+    // carry the maximal tf*ln(N/df) weight among the doc's tokens
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tok = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, v) => w -> v.length } }
+    val df = tok.flatMap(_._2.keys).groupBy(identity).map { case (w, v) => w -> v.length }
+    tok.take(20).foreach { case (id, tf) =>
+      val best = tf.toSeq.map { case (w, f) => (f * math.log(n / df(w)), w) }
+        .sortBy { case (wt, w) => (-wt, w) }.head
+      val got = byDoc(id).minBy(_._2)
+      assert(got._3 === best._2, s"doc $id top keyword ${got._3} vs replay ${best._2}")
+      assert(math.abs(got._4 - best._1) < 1e-3, s"doc $id weight")
+    }
+  }
 }
