@@ -1143,6 +1143,45 @@ object TextFunctions {
       |  score AS pred_score
       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Language confusion matrix: the corpus' labeled `lang` column
+    * against [[langId]]'s n-gram-profile prediction, with per-cell doc
+    * counts — the curation diagnostic that tells you WHERE the cheap
+    * heuristic disagrees with upstream labels (off-diagonal mass =
+    * docs to re-route or re-label) before a mislabeled slice poisons a
+    * per-language training mix.
+    *
+    * Plan: the per-doc scoring is [[langId]]'s single projection pass;
+    * the label join is doc-keyed and the matrix aggregate is
+    * ≤ ¦langs¦²+1 rows with map-side partials.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang").as("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
+  /** [[langIdSql]] with its per-doc tail swapped for the matrix
+    * aggregate — one scoring definition, two certified faces. */
+  val langConfusionSql: String = {
+    val perDocTail =
+      """SELECT doc_id,
+        |  CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+        |  score AS pred_score
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    val matrixTail =
+      """SELECT d.lang AS actual_lang,
+        |  CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+        |  count(*) AS n_docs
+        |FROM best b JOIN documents d USING (doc_id)
+        |WHERE b.rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    require(langIdSql.contains(perDocTail), "langIdSql tail drifted — update langConfusionSql")
+    langIdSql.replace(perDocTail, matrixTail)
+  }
+
   /** Fixed-token-window document chunking with overlap — the upstream
     * of sequence packing: every doc becomes ⌈n/step⌉ rows of at most
     * `chunk` tokens, consecutive chunks sharing `overlap` tokens so no

@@ -475,4 +475,17 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(got._4 - best._1) < 1e-3, s"doc $id weight")
     }
   }
+  test("lang confusion matrix is a complete partition consistent with per-doc predictions") {
+    val cm = TextFunctions.langConfusion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cm.values.sum === docs.size.toLong, "every doc lands in one cell")
+    // cells must equal a join of the per-doc face with the labels
+    val perDoc = TextFunctions.langId(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = perDoc.groupBy { case (id, p) => (docs(id), p) }
+      .map { case (k, v) => k -> v.length.toLong }
+    assert(cm === want)
+  }
 }
