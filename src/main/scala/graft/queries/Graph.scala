@@ -529,19 +529,23 @@ object Graph {
       // no checkpoint: epoch frames are trivial filters over the
       // already-checkpointed substrate (re-reading one is cheaper than
       // the extra materialization job)
-      // layer 2: edges whose cumulative weight crosses the threshold
-      // THIS epoch — touched keys only (d is the probe set)
-      val crossed = d.join(w, Seq("src", "dst"), "left")
-        .filter(coalesce(col("w"), lit(0L)) < MinCoOrders &&
-          coalesce(col("w"), lit(0L)) + col("dw") >= MinCoOrders)
-        .select("src", "dst")
-        .localCheckpoint(true)
-      // layer 1: additive weight merge (CDC full-outer shape)
-      w = w.join(d.select(col("src"), col("dst"), col("dw")),
+      // layers 1+2 FUSED: one full-outer probe of the weight table
+      // serves BOTH the threshold-crossing test (old w < thr ≤ old
+      // w + dw — touched keys only, dw null elsewhere) and the
+      // additive merge — one keyed join + one materialization per
+      // epoch instead of two of each. At bench scale the saving sits
+      // inside box noise (A/B measured); at 100 TB halving the probes
+      // of the weight table is the point
+      val joined = w.join(d.select(col("src"), col("dst"), col("dw")),
           Seq("src", "dst"), "full_outer")
         .select(col("src"), col("dst"),
-          (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+          coalesce(col("w"), lit(0L)).as("w0"),
+          coalesce(col("dw"), lit(0L)).as("dw"))
         .localCheckpoint(true)
+      val crossed = joined
+        .filter(col("w0") < MinCoOrders && col("w0") + col("dw") >= MinCoOrders)
+        .select("src", "dst")
+      w = joined.select(col("src"), col("dst"), (col("w0") + col("dw")).as("w"))
       // layer 3: self-label new endpoints, contract ΔE through the
       // labeling, merge — bounded by ¦ΔE¦
       val ends = crossed.select(col("src").as("node"))
