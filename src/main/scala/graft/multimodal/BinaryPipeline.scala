@@ -287,6 +287,28 @@ object BinaryPipeline {
     graft.similarity.Ann.ivfpqTopK(feats, nSub = 8)
   }
 
+  /** Media clustering: Lloyd's k-means ([[graft.similarity.KMeans]] —
+    * the same trainer the embedding entry certifies against DuckDB)
+    * over the stub feature vectors, rolled up per cluster — the
+    * "group my corpus into visual/audio buckets" pass a multimodal
+    * curation pipeline runs for stratified sampling and mix control.
+    * Rows-only (the features are codec-specific); the k-means
+    * machinery itself is hash-certified by `embedding_kmeans`, so
+    * this entry only adds the composition, spec-held deterministic.
+    */
+  def mediaKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.KMeans
+    val feats = KMeans.widen(pipelineRaw(spark, dir)
+      .select(col("item_id").as("vec_id"), col("features").as("embedding")))
+      .localCheckpoint(true)
+    KMeans.assign(feats, KMeans.train(feats))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("vec_id")).as("min_item"), max(col("vec_id")).as("max_item"),
+        round(avg(col("dist")), 4).as("mean_dist"))
+      .orderBy("cluster_id")
+  }
+
   /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions

@@ -92,4 +92,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .filter(length(col("payload")) =!= length(encode(col("text"), "UTF-8")))
     assert(joined.count() === 0)
   }
+  test("media k-means partitions every item deterministically into multiple clusters") {
+    import graft.multimodal.BinaryPipeline
+    val a = BinaryPipeline.mediaKmeans(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val b = BinaryPipeline.mediaKmeans(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(a.sameElements(b), "clustering must be deterministic")
+    val nItems = Tables.documents(spark, sfDir).count()
+    assert(a.map(_._2).sum === nItems, "every media item lands in one cluster")
+    assert(a.length > 1, "the stub features must split into multiple clusters")
+    a.foreach { case (c, n, lo, hi, md) =>
+      assert(n > 0 && lo <= hi && md >= 0, s"cluster $c roll-up invalid")
+    }
+  }
 }
