@@ -854,8 +854,14 @@ object Dedup {
         graft.functions.SimHashExpression.simhash64(array_distinct(col("__t"))).as("simhash"))
 
   /** SimHash near-dup: candidates from 4×16-bit band pigeonhole
-    * (hamming ≤ 3 ⇒ one band identical), verified with bit_count(xor).
-    * Rows-only checked (hash-function-specific); property-spec'd.
+    * (hamming ≤ 3 ⇒ one band identical, so the banded candidate set
+    * EQUALS the plain hamming filter — the bands are pure pruning),
+    * verified with bit_count(xor). Hash-certified (r10): the token
+    * hash is md5-derived ([[graft.functions.SimHashKernel]]), so the
+    * oracle recomputes the identical signature bits and classifies
+    * every pair by brute-force hamming — feasible on its side because
+    * the oracle corpus is bounded, while the Spark side keeps the
+    * banded plan that scales.
     */
   def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
@@ -889,6 +895,42 @@ object Dedup {
 
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     simhashDedup(Tables.documents(spark, dir))
+
+  /** The identical signature arithmetic in SQL: md5-derived token
+    * hashes, ±1 bit votes, bit_or-assembled signature, brute-force
+    * hamming pairs (== the banded candidates by pigeonhole).
+    */
+  val simhashSql: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, t AS token FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |th AS MATERIALIZED (
+      |  SELECT doc_id, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM tok),
+      |bits AS (SELECT CAST(range AS INT) AS b FROM range(0, 64)),
+      |votes AS MATERIALIZED (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN bits GROUP BY 1, 2),
+      |rawsig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b)
+      |           ELSE CAST(0 AS UBIGINT) END) AS sh
+      |  FROM votes GROUP BY doc_id),
+      |sig AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(r.sh, CAST(0 AS UBIGINT)) AS sh
+      |  FROM documents d LEFT JOIN rawsig r USING (doc_id)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      |sym AS (SELECT id_a AS doc_id, id_b AS other FROM pairs
+      |        UNION ALL SELECT id_b, id_a FROM pairs)
+      |SELECT s.doc_id, lower(lpad(hex(s.sh), 16, '0')) AS simhash_hex,
+      |  count(sym.other) AS n_near, min(sym.other) AS nearest_id
+      |FROM sig s LEFT JOIN sym USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY s.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // 5. Embedding cosine near-dup.

@@ -4,17 +4,33 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Kernel shared by interpreted eval and generated code (the generated
   * code calls it through a ctx reference object): 64-bit SimHash over a
-  * token array. Token hash = xxhash64 (Spark's own, seed 42) so the
-  * bits match the declarative `xxhash64(tok)` formulation; each bit
-  * votes ±1, the sign of the vote sum sets the output bit.
+  * token array. Token hash = the FIRST 8 BYTES of MD5(utf8), read
+  * big-endian — the pair-family key discipline (SURVEY §2 #32i): md5
+  * is the one 64-bit-quality hash BOTH engines expose, which is what
+  * lets the DuckDB oracle reproduce the signature bits exactly
+  * (`('0x' ¦¦ substr(md5(tok), 1, 16))::UBIGINT`) and certify the
+  * whole near-dup entry instead of a rows-only check. Each bit votes
+  * ±1; the sign of the vote sum sets the output bit (ties → 0).
   */
 class SimHashKernel extends Serializable {
+  // MessageDigest is stateful — one instance per executor thread
+  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def tokenHash(bytes: Array[Byte]): Long = {
+    val d = md5.get(); d.reset()
+    val dig = d.digest(bytes)
+    java.nio.ByteBuffer.wrap(dig, 0, 8).getLong // big-endian first half
+  }
+
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
@@ -22,7 +38,7 @@ class SimHashKernel extends Serializable {
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null && s.numBytes() > 0) {
-        val h = XxHash64Function.hash(s, StringType, 42L)
+        val h = tokenHash(s.getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

