@@ -409,17 +409,28 @@ object Analytics {
     * the rest. Hash-threshold sampling is a pure map-side filter — no
     * sampler state, no stratum enumeration, and (unlike a sampleBy
     * whose fractions map needs a driver-side distinct+collect first)
-    * ONE pass over the corpus. Reproducible across runs and engines.
-    * Rows-only (sampling has no SQL oracle); proportions spec-asserted.
+    * ONE pass over the corpus. Reproducible across runs AND engines:
+    * the per-row coin is a 32-bit md5 prefix of the doc id (r10 —
+    * previously an engine-private hash, which forced a rows-only
+    * check; the md5 coin lets the oracle replay the exact sample, so
+    * the entry is hash-certified like weighted_sample).
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .filter(col("lang") =!= "en" ||
-        pmod(xxhash64(col("doc_id"), lit(42L)), lit(100L)) < 50)
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100 < 50)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), round(avg("n_chars"), 4).as("avg_chars"))
       .orderBy("lang")
   }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars
+      |FROM documents
+      |WHERE lang <> 'en'
+      |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 50
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Salted skew join: the fact side's hot keys are spread over SALTS
     * sub-keys; the build side is replicated SALTS×. Result must be
