@@ -842,11 +842,13 @@ object Dedup {
   // 4. SimHash (hamming-space near-dup).
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
-    * sign of the vote sum sets the bit. One fused map-side pass via the
-    * native [[graft.functions.SimHash64]] expression — a pure
-    * projection with ZERO shuffle (the previous formulation exploded
-    * tokens and shuffled them through a 64-conditional-sum groupBy).
+  /** 64-bit SimHash per doc: per-token md5-derived 64-bit hash (the
+    * oracle-reproducible key — see [[graft.functions.SimHashKernel]]),
+    * each bit votes ±1, sign of the vote sum sets the bit. One fused
+    * map-side pass via the native [[graft.functions.SimHash64]]
+    * expression — a pure projection with ZERO shuffle (the previous
+    * formulation exploded tokens and shuffled them through a
+    * 64-conditional-sum groupBy).
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("__t"))
