@@ -2176,6 +2176,62 @@ object Analytics {
       |  round(avg(r_days), 2) AS avg_recency_days
       |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** Least-squares daily trend per event type over the dense grid —
+    * the monotone-drift complement of [[cusumChangepoint]]'s
+    * level-shift detector: slope (events/day) of the OLS fit through
+    * the zero-filled daily counts. Computed from the four sufficient
+    * sums with the day INDEX as x — n, Σy exact integers and Σi, Σi²
+    * closed-form, so the only FP is the final division (bit-stable
+    * 6-dp across engines).
+    *
+    * Plan: event-volume work is the grid's single daily aggregate; the
+    * rank index is one per-type ordered window over dims-only rows and
+    * the sums partial-aggregate into ¦types¦ rows.
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    gapFillDaily(spark, dir)
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("sy"),
+        sum(col("i") * col("n_events")).as("siy"),
+        sum(col("i")).as("si"),
+        sum(col("i") * col("i")).as("sii"))
+      .select(col("event_type"), col("n_days"),
+        round((col("n_days") * col("siy") - col("si") * col("sy")).cast("double") /
+          (col("n_days") * col("sii") - col("si") * col("si")).cast("double"),
+          6).as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  val trendSlopeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (
+      |  SELECT t.event_type, d.day, coalesce(daily.n_events, 0) AS n_events
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+      |ix AS (
+      |  SELECT event_type, n_events,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+      |  FROM grid),
+      |su AS (
+      |  SELECT event_type, count(*) AS n_days, sum(n_events) AS sy,
+      |    sum(i * n_events) AS siy, sum(i) AS si, sum(i * i) AS sii
+      |  FROM ix GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  round(CAST(n_days * siy - si * sy AS DOUBLE) /
+      |    CAST(n_days * sii - si * si AS DOUBLE), 6) AS slope_per_day
+      |FROM su ORDER BY event_type""".stripMargin
+
   /** Referential-integrity audit across the star schema: for every
     * foreign-key relation, the fact-side row count and the number of
     * orphans (rows whose key has no match in the dimension — a NULL

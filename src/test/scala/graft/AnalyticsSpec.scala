@@ -498,6 +498,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(segs.exists(_._1.startsWith("1")))
   }
 
+  test("trend slope equals a driver-side least-squares fit over the dense grid") {
+    val grid = Analytics.gapFillDaily(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = Analytics.trendSlope(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    grid.groupBy(_._1).foreach { case (t, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      val n = ys.length
+      val xs = (0 until n).map(_.toDouble)
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        xs.map(x => (x - mx) * (x - mx)).sum
+      val (gotN, gotS) = out(t)
+      assert(gotN === n.toLong)
+      assert(math.abs(gotS - slope) < 1e-4, s"$t slope $gotS vs fit $slope")
+    }
+  }
+
   test("fk audit covers every relation with full row counts and finds no orphans in consistent data") {
     val rows = Analytics.fkIntegrityAudit(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

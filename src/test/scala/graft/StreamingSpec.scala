@@ -1011,4 +1011,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.toSeq.toList).sortBy(_.toString)
     assert(got.toSeq === want.toSeq, "live-ingested grid must equal the batch gap-fill")
   }
+  test("streaming k-means assignment: a live ingest serves the bootstrap model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingKMeansAssignJob
+    import graft.similarity.KMeans
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skm").toString
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+
+    val job = new StreamingKMeansAssignJob(spark, s"$tmp/model")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = job.start(stream.toDF().toDF("vec_id", "embedding"), s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    embs.grouped(math.max(embs.length / 3, 1)).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // every vector assigned exactly once, to its argmin under the
+    // persisted (bootstrap-trained, immutable) model
+    val assigned = job.readAssignments().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.size === embs.length)
+    val direct = KMeans.assign(
+        KMeans.widen(Tables.embeddings(spark, sfDir)).localCheckpoint(true),
+        job.readCentroids().get)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned === direct, "live assignments must equal the direct argmin")
+    assert(job.readStats().collect().map(_.getLong(1)).sum === embs.length.toLong)
+  }
 }
