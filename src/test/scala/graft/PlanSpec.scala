@@ -440,6 +440,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "no full range-partitioned sort for a k-row result")
   }
 
+  test("benford audit pushes the positivity filter into a single-column scan") {
+    val p = graft.queries.Analytics.benfordAudit(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThan(l_extendedprice,0.0)"),
+      s"positivity filter must reach the parquet scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"the scan must read exactly one column:\n$p")
+  }
+
   test("gap-fill shuffles events once (the daily agg); the scaffold joins broadcast") {
     // the daily aggregate is checkpoint-materialized inside
     // densifyDaily (r10: shared with the streaming maintained-counts
