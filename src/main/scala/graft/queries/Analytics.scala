@@ -2358,4 +2358,72 @@ object Analytics {
       |  round(sum(CASE WHEN rn = w THEN power(0.75, rn - 1) * value
       |                 ELSE 0.25 * power(0.75, rn - 1) * value END), 6) AS ewma_value
       |FROM recent GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** 2-D skyline (Pareto front) of the part catalog: the
+    * (p_retailprice, p_size) points for which no other part is both
+    * cheaper-or-equal and larger-or-equal with at least one strict —
+    * minimize price, maximize size. The classic "best tradeoff"
+    * query a catalog/offer engine runs; the reference has no skyline
+    * operator, so this is pure Spark-first composition.
+    *
+    * A naive skyline is the quadratic NOT-EXISTS self-join (the
+    * oracle's formulation — fine for DuckDB at sf0.01, fatal at
+    * 100 TB). Skylines are DISTRIBUTIVE: a point dominated inside any
+    * subset is dominated globally, so the scale plan is
+    * local-skyline → global-skyline:
+    *
+    *  1. group to distinct (price, size) pairs (one shuffle, map-side
+    *     combine; also removes exact ties so the window predicate
+    *     below needs no tie special-case),
+    *  2. hash the pairs into [[ParetoBuckets]] buckets and run a
+    *     per-bucket running-max window: ordered by (price asc, size
+    *     desc), a pair survives iff its size strictly exceeds every
+    *     preceding size — each bucket's survivors form a
+    *     strictly-INCREASING size chain, so the count is bounded by
+    *     the number of DISTINCT SIZES, ≤50 rows/bucket on
+    *     TPC-H-shaped data regardless of SF,
+    *  3. one final window over the ≤ buckets·|sizes| survivors
+    *     applies the same predicate globally (single-partition, but
+    *     over a provably tiny frame).
+    *
+    * No comparison is arithmetic — prices flow from parquet to the
+    * predicate untouched in both engines, so double equality is exact.
+    */
+  def paretoFront(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.part(spark, dir)
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("first_partkey"))
+    val localW = Window.partitionBy(col("bucket"))
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = pairs
+      .withColumn("bucket", pmod(hash(col("price"), col("size")), lit(ParetoBuckets)))
+      .withColumn("run_max", max("size").over(localW))
+      .filter(col("run_max").isNull || col("size") > col("run_max"))
+      .drop("bucket", "run_max")
+    val globalW = Window.orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("run_max", max("size").over(globalW))
+      .filter(col("run_max").isNull || col("size") > col("run_max"))
+      .select(col("price").as("p_retailprice"), col("size").as("p_size"),
+        col("n_parts"), col("first_partkey"))
+      .orderBy("p_retailprice")
+  }
+
+  val ParetoBuckets = 32
+
+  val paretoFrontSql: String =
+    """WITH pairs AS (
+      |  SELECT p_retailprice AS price, p_size AS size,
+      |    count(*) AS n_parts, min(p_partkey) AS first_partkey
+      |  FROM part GROUP BY 1, 2)
+      |SELECT price AS p_retailprice, size AS p_size, n_parts, first_partkey
+      |FROM pairs p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pairs q
+      |  WHERE q.price <= p.price AND q.size >= p.size
+      |    AND (q.price < p.price OR q.size > p.size))
+      |ORDER BY p_retailprice""".stripMargin
 }

@@ -535,4 +535,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"fk probes should broadcast:\n$p")
   }
+
+  test("pareto_front equals the brute-force dominance skyline") {
+    val got = Analytics.paretoFront(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val parts = Tables.part(spark, sfDir)
+      .select("p_retailprice", "p_size", "p_partkey").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+    val pairs = parts.groupBy(p => (p._1, p._2)).map { case ((pr, sz), ps) =>
+      (pr, sz, ps.length.toLong, ps.map(_._3).min)
+    }.toSeq
+    val want = pairs.filter { case (pr, sz, _, _) =>
+      !pairs.exists { case (qr, qz, _, _) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq === want, s"skyline mismatch: got ${got.length}, want ${want.length}")
+    // antichain shape: ordered by price, sizes strictly increase (a
+    // pricier front point must buy strictly more size)
+    got.sliding(2).foreach {
+      case Array((p1, s1, _, _), (p2, s2, _, _)) =>
+        assert(p1 < p2 && s1 < s2, s"front not an antichain at ($p1,$s1)→($p2,$s2)")
+      case _ => ()
+    }
+  }
 }
