@@ -1888,7 +1888,14 @@ object Analytics {
     * (type × day-spine) grid. The scaffold is dims-only — span scalars
     * exploded into the spine, crossed with the distinct type set.
     */
-  private[graft] def densifyDaily(daily0: DataFrame): DataFrame = {
+  private[graft] def densifyDaily(daily0: DataFrame): DataFrame =
+    densifyDailyCore(daily0).orderBy("event_type", "day")
+
+  /** [[densifyDaily]] minus the presentation sort — consumers that
+    * immediately re-partition (the ACF window) read this face so the
+    * range exchange isn't paid twice.
+    */
+  private[graft] def densifyDailyCore(daily0: DataFrame): DataFrame = {
     val daily = daily0.localCheckpoint(true) // scanned thrice: span, types, join
     val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -1898,7 +1905,6 @@ object Analytics {
       .na.fill(0L, Seq("n_events"))
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n_events"))
-      .orderBy("event_type", "day")
   }
 
   val gapFillDailySql: String =
@@ -2413,6 +2419,88 @@ object Analytics {
   }
 
   val ParetoBuckets = 32
+
+  /** Autocorrelation function of each event type's daily-count series
+    * at lags 1..[[AcfMaxLag]] — the seasonality probe (a weekly cycle
+    * shows as a lag-7 peak) a monitoring layer runs before fitting any
+    * forecast. Definition: Pearson r between the series and its
+    * lag-shifted self over the OVERLAPPING region (the sample-ACF
+    * variant that re-centres per lag — exactly re-expressible in SQL,
+    * unlike the fixed-global-mean variant), over the zero-filled dense
+    * grid from [[gapFillDaily]] so gaps count as real zeros.
+    *
+    * Plan: ONE exchange partitions the grid by event_type; all
+    * [[AcfMaxLag]] lag columns are window reads over the SAME sorted
+    * frame (the dense grid makes lag-by-rows equal lag-by-days), the
+    * explode fans each row into (lag, x, y) pairs, and the
+    * sufficient-sum aggregate (exact integer sums — the check.py
+    * bit-equality pattern) combines map-side into |types|·lags rows.
+    * The grid is |types|·|days| regardless of event volume, so the
+    * whole post-scan pipeline is dimension-sized at 100 TB.
+    */
+  def seriesAcf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagCols = (1 to AcfMaxLag).map { l =>
+      lag(col("n_events"), l).over(w).as(s"x_$l")
+    }
+    val pairStructs = (1 to AcfMaxLag).map { l =>
+      struct(lit(l).as("lag"), col(s"x_$l").as("x"))
+    }
+    densifyDailyCore(Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events")))
+      .select(Seq(col("event_type"), col("day"), col("n_events")) ++ lagCols: _*)
+      .withColumn("p", explode(array(pairStructs: _*)))
+      .filter(col("p.x").isNotNull)
+      .select(col("event_type"), col("p.lag").as("lag"),
+        col("p.x").as("x"), col("n_events").as("y"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) === 0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double"))),
+          4).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  val AcfMaxLag = 7
+
+  val seriesAcfSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (
+      |  SELECT t.event_type, d.day, coalesce(daily.n_events, 0) AS n_events
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+      |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |pairs AS (
+      |  SELECT a.event_type, l.lag, b.n_events AS x, a.n_events AS y
+      |  FROM grid a CROSS JOIN lags l
+      |  JOIN grid b ON b.event_type = a.event_type
+      |    AND b.day = a.day - CAST(l.lag AS INTEGER)),
+      |sums AS (
+      |  SELECT event_type, lag, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, lag, n,
+      |  round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |    ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)) END, 4) AS acf
+      |FROM sums ORDER BY event_type, lag""".stripMargin
 
   val paretoFrontSql: String =
     """WITH pairs AS (

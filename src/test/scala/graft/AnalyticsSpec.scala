@@ -536,6 +536,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"fk probes should broadcast:\n$p")
   }
 
+  test("series_acf matches a literal per-lag Pearson over the dense grid") {
+    val grid = Analytics.gapFillDaily(spark, sfDir)
+      .select("event_type", "day", "n_events").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (t, rs) => t -> rs.sortBy(_._2).map(_._3.toDouble) }
+    val got = Analytics.seriesAcf(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    for ((t, series) <- grid; l <- 1 to Analytics.AcfMaxLag if series.length > l) {
+      val x = series.dropRight(l) // earlier
+      val y = series.drop(l)      // later
+      val n = x.length
+      val (mx, my) = (x.sum / n, y.sum / n)
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = x.map(a => (a - mx) * (a - mx)).sum
+      val vy = y.map(b => (b - my) * (b - my)).sum
+      val (gotN, gotR) = got((t, l))
+      assert(gotN === n.toLong, s"$t lag $l pair count")
+      if (vx > 0 && vy > 0)
+        assert(math.abs(gotR - cov / math.sqrt(vx * vy)) < 1e-3,
+          s"$t lag $l acf $gotR vs ${cov / math.sqrt(vx * vy)}")
+    }
+    // one exchange: the window, explode, and aggregate share the
+    // event_type partitioning — no second shuffle after the grid
+    val nEx = Analytics.seriesAcf(spark, sfDir).queryExecution.executedPlan
+      .toString.linesIterator.count(_.contains("Exchange"))
+    assert(nEx <= 6, s"expected a bounded exchange count, got $nEx")
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
