@@ -2472,6 +2472,72 @@ object Analytics {
 
   val AcfMaxLag = 7
 
+  /** Association rules over co-purchased part BRANDS within an order —
+    * the market-basket primitive (support / confidence / lift) behind
+    * "customers who bought X also bought Y". Brands (not part keys)
+    * are the item domain: a bounded vocabulary makes the rule matrix
+    * dimension-sized while the pair generation still runs over every
+    * order.
+    *
+    * Plan: the brand lookup is a BROADCAST dim join on the projected
+    * 2-column part side; ONE orderkey shuffle builds brand baskets
+    * (`collect_set` dedups in-aggregate — no separate distinct pass);
+    * the basket frame is checkpointed once and consumed three times
+    * (total, per-brand counts, pair explode). Pair fan-out is bounded
+    * by |brands|² per order (≤625 rows/basket), aggregates map-side
+    * into the ≤|brands|² rule matrix, and the count/total joins are
+    * broadcasts of dimension-sized frames. All ratios are double
+    * divisions of EXACT integer sums, so both engines round the same
+    * 4-dp values.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+      .localCheckpoint(true) // consumed thrice: total, brand counts, pairs
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val counts = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_brand"))
+    val pairs = baskets
+      .select(explode(col("brands")).as("x"), col("brands"))
+      .select(col("x"), explode(col("brands")).as("y"))
+      .filter(col("x") =!= col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(broadcast(counts.select(col("brand").as("x"), col("n_brand").as("n_x"))), Seq("x"))
+      .join(broadcast(counts.select(col("brand").as("y"), col("n_brand").as("n_y"))), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x").as("antecedent"), col("y").as("consequent"), col("n_xy"),
+        round(col("n_xy").cast("double") / col("n_orders"), 4).as("support"),
+        round(col("n_xy").cast("double") / col("n_x"), 4).as("confidence"),
+        round((col("n_xy") * col("n_orders")).cast("double") /
+          (col("n_x") * col("n_y")), 4).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val assocRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+      |cnt AS (SELECT p_brand, count(*) AS n_brand FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p_brand AS x, b.p_brand AS y, count(*) AS n_xy
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT x AS antecedent, y AS consequent, n_xy,
+      |  round(CAST(n_xy AS DOUBLE) / t.n_orders, 4) AS support,
+      |  round(CAST(n_xy AS DOUBLE) / cx.n_brand, 4) AS confidence,
+      |  round(CAST(n_xy * t.n_orders AS DOUBLE) / (cx.n_brand * cy.n_brand), 4) AS lift
+      |FROM pairs
+      |JOIN cnt cx ON cx.p_brand = x
+      |JOIN cnt cy ON cy.p_brand = y
+      |CROSS JOIN tot t
+      |ORDER BY antecedent, consequent""".stripMargin
+
   val seriesAcfSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events

@@ -564,6 +564,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(nEx <= 6, s"expected a bounded exchange count, got $nEx")
   }
 
+  test("assoc_rules matches a literal basket recount and keeps its identities") {
+    val rules = Analytics.assocRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // literal recount from the raw tables
+    val brandOf = Tables.part(spark, sfDir).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baskets = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brandOf(r.getLong(1))))
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val n = baskets.length.toLong
+    val cnt = baskets.flatMap(_.toSeq).groupBy(identity).map { case (b, bs) => b -> bs.length.toLong }
+    val nxy = baskets.flatMap(s => for (x <- s; y <- s if x != y) yield (x, y))
+      .groupBy(identity).map { case (p, ps) => p -> ps.length.toLong }
+    assert(rules.keySet === nxy.keySet)
+    for (((x, y), (gotN, sup, conf, lift)) <- rules) {
+      assert(gotN === nxy((x, y)), s"($x,$y) pair count")
+      assert(math.abs(sup - gotN.toDouble / n) < 1e-3)
+      assert(math.abs(conf - gotN.toDouble / cnt(x)) < 1e-3)
+      assert(math.abs(lift - gotN.toDouble * n / (cnt(x) * cnt(y))) < 1e-3)
+      // symmetry: support and lift are direction-free, counts mirror
+      assert(rules((y, x))._1 === gotN)
+      assert(rules((y, x))._4 === lift)
+    }
+    // the brand lookup and count joins must broadcast — the only big
+    // exchange is the orderkey basket build
+    val p = Analytics.assocRules(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"dim joins should broadcast:\n$p")
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
