@@ -2517,6 +2517,48 @@ object Analytics {
       .orderBy("antecedent", "consequent")
   }
 
+  /** User-journey prefixes: each user's first [[PathLen]] event types
+    * in time order joined into a path string, counted across users —
+    * the onboarding-flow / sequence-mining readout ("what do users do
+    * first") that complements [[eventTransitions]]' one-step matrix
+    * with literal k-step prefixes.
+    *
+    * Plan: the user-keyed window exchange (the same one sessionization
+    * pays) ranks events; `rn <= k` prunes to ≤k rows/user BEFORE any
+    * aggregation state builds, and the per-user path assembly reuses
+    * the window's partitioning (no second event-volume shuffle —
+    * groupBy(user) rides the window exchange). The path histogram is
+    * a shuffle over ≤|types|^k distinct strings. Ordering inside the
+    * collected array is explicit (sort by rn), never
+    * accumulation-order dependent.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy("path")
+  }
+
+  val PathLen = 3
+
+  val eventPathsSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ranked WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users FROM paths GROUP BY 1 ORDER BY path""".stripMargin
+
   val assocRulesSql: String =
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey, p_brand

@@ -595,6 +595,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       s"dim joins should broadcast:\n$p")
   }
 
+  test("event_paths matches a literal per-user prefix walk and shares the user exchange") {
+    val got = Analytics.eventPaths(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values
+      .map(_.sortBy(e => (e._2, e._3)).take(Analytics.PathLen).map(_._4).mkString(">"))
+      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    assert(got === want)
+    // the rank window and the per-user path assembly must share ONE
+    // user-keyed exchange; only the tiny path histogram re-shuffles
+    val plan = Analytics.eventPaths(spark, sfDir).queryExecution.executedPlan.toString
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1, s"expected one user_id exchange:\n$plan")
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
