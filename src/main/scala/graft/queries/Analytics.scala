@@ -2549,6 +2549,84 @@ object Analytics {
 
   val PathLen = 3
 
+  /** Equi-width histogram of line-item extended prices with bounds
+    * computed IN-QUERY (no magic constants): [[HistBuckets]] buckets
+    * over [min, max], top bucket closed. The profiling primitive a
+    * catalog or BI layer renders before choosing any binning.
+    *
+    * Plan: two passes over one column — a min/max aggregate whose
+    * 1-row result BROADCASTS into the binning scan (no driver
+    * round-trip), then a map-side-combining aggregate into ≤
+    * [[HistBuckets]] groups. Both scans push the single-column
+    * projection to parquet. The bucket arithmetic is written with the
+    * IDENTICAL expression tree in the oracle so IEEE doubles land in
+    * the same bins bit-for-bit.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("v"))
+    val bounds = v.agg(min("v").as("lo_all"), max("v").as("hi_all"))
+    val width = (col("hi_all") - col("lo_all")) / lit(HistBuckets)
+    v.crossJoin(broadcast(bounds))
+      .select(least(floor((col("v") - col("lo_all")) / width),
+        lit(HistBuckets - 1)).cast("int").as("bucket"),
+        col("lo_all"), col("hi_all"))
+      .groupBy("bucket", "lo_all", "hi_all")
+      .agg(count(lit(1)).as("n_items"))
+      .select(col("bucket"),
+        round(col("lo_all") + col("bucket") * width, 2).as("bucket_lo"),
+        round(col("lo_all") + (col("bucket") + 1) * width, 2).as("bucket_hi"),
+        col("n_items"))
+      .orderBy("bucket")
+  }
+
+  val HistBuckets = 20
+
+  val priceHistogramSql: String =
+    """WITH b AS (
+      |  SELECT min(l_extendedprice) AS lo_all, max(l_extendedprice) AS hi_all
+      |  FROM lineitem),
+      |binned AS (
+      |  SELECT CAST(least(floor((l_extendedprice - lo_all) / ((hi_all - lo_all) / 20)),
+      |    19) AS INTEGER) AS bucket, lo_all, hi_all
+      |  FROM lineitem CROSS JOIN b)
+      |SELECT bucket,
+      |  round(lo_all + bucket * ((hi_all - lo_all) / 20), 2) AS bucket_lo,
+      |  round(lo_all + (bucket + 1) * ((hi_all - lo_all) / 20), 2) AS bucket_hi,
+      |  count(*) AS n_items
+      |FROM binned GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin
+
+  /** Day-of-week seasonality profile of order flow: per ISO weekday,
+    * order count, revenue, and a flat-is-1.0 traffic index
+    * (7·n_dow/n_total — exact integer arithmetic, so the index is
+    * bit-stable across engines; revenue is informational at 2 dp).
+    * The calendar-shape readout a forecaster or capacity planner
+    * checks before believing any trend.
+    *
+    * Plan: one scan, map-side partials into ≤7 groups; the total for
+    * the index is a window over the 7-row result, not a second scan.
+    */
+  def salesSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir)
+      .select((weekday(col("o_orderdate")) + 1).as("isodow"), col("o_totalprice"))
+      .groupBy("isodow")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("traffic_index",
+        round(lit(7) * col("n_orders").cast("double") /
+          sum(col("n_orders")).over(Window.partitionBy()), 4))
+      .orderBy("isodow")
+  }
+
+  val salesSeasonalitySql: String =
+    """WITH dow AS (
+      |  SELECT isodow(o_orderdate) AS isodow, count(*) AS n_orders,
+      |    round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT isodow, n_orders, revenue,
+      |  round(7 * CAST(n_orders AS DOUBLE) / sum(n_orders) OVER (), 4) AS traffic_index
+      |FROM dow ORDER BY isodow""".stripMargin
+
   val eventPathsSql: String =
     """WITH ranked AS (
       |  SELECT user_id, event_type,

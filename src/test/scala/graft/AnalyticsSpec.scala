@@ -613,6 +613,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(userExchanges === 1, s"expected one user_id exchange:\n$plan")
   }
 
+  test("price_histogram covers every row once with contiguous bounds") {
+    val rows = Analytics.priceHistogram(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._4).sum === total, "histogram must partition all rows")
+    assert(rows.forall(r => r._1 >= 0 && r._1 < Analytics.HistBuckets))
+    // bucket bounds tile [min, max]: lo of bucket b+1 == hi of bucket b
+    rows.sliding(2).foreach {
+      case Array((b1, _, hi1, _), (b2, lo2, _, _)) if b2 == b1 + 1 =>
+        assert(math.abs(hi1 - lo2) < 1e-9, s"gap between bucket $b1 and $b2")
+      case _ => ()
+    }
+    // both passes read only the price column
+    val plan = Analytics.priceHistogram(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_extendedprice:double>"),
+      s"scan must prune to the single column:\n$plan")
+  }
+
+  test("sales_seasonality is a flat-sum index over exact counts") {
+    val rows = Analytics.salesSeasonality(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    val total = rows.map(_._2).sum
+    assert(total === Tables.orders(spark, sfDir).count())
+    rows.foreach { case (dow, n, idx) =>
+      assert(dow >= 1 && dow <= 7)
+      assert(math.abs(idx - 7.0 * n / total) < 1e-3, s"dow $dow index")
+    }
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
