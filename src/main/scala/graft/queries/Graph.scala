@@ -780,6 +780,78 @@ object Graph {
       |    4) AS assortativity
       |FROM su""".stripMargin
 
+  /** Synchronous label-propagation communities (LPA) over the
+    * thresholded co-purchase graph: every node starts as its own
+    * label; each of exactly [[LpaRounds]] rounds reassigns every node
+    * the MOST FREQUENT label among its neighbors, ties broken by the
+    * smallest label — the deterministic synchronous variant, so a
+    * fixed round count is a complete spec of the output and the oracle
+    * can replay it verbatim (asynchronous/randomized LPA would be
+    * rows-only). Complements [[connectedComponents]]: components
+    * split along DENSITY boundaries, not just connectivity.
+    *
+    * Plan per round: the |V|-row label table BROADCASTS onto the edge
+    * list (labels are dimension-sized — parts, not lineitems), votes
+    * partially aggregate on the composite (node, label) key, and the
+    * argmax is `max(struct(c, -lbl, lbl))` — an ordinary partial-agg
+    * max, NOT a window sort, so the per-round cost is two
+    * map-side-combining exchanges of vote-table size. Labels are
+    * checkpointed per round (consumed by next round's join; truncates
+    * the iterative lineage).
+    */
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    val e = thresholdedEdges(spark, dir)
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      labels = edges
+        .join(broadcast(labels), col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
+        .select(col("src").as("node"), col("top.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), Seq("lbl"))
+      .select(col("node").as("part_id"), col("lbl").as("community_id"),
+        col("community_size"))
+      .orderBy("part_id")
+  }
+
+  val LpaRounds = 4
+
+  val lpaSql: String = {
+    // each l_i is read twice (votes + the next round) and each v_i
+    // twice (rank + filter) — MATERIALIZED, or the inliner re-derives
+    // the whole chain exponentially (the kcore lesson)
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT e.a AS n, l.lbl, count(*) AS c
+         |  FROM e0 e JOIN l${i - 1} l ON l.n = e.b
+         |  GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT n, lbl FROM (
+         |    SELECT n, lbl, row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |w AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lbl FROM e0),
+       |$rounds,
+       |sizes AS (SELECT lbl, count(*) AS community_size FROM l$LpaRounds GROUP BY lbl)
+       |SELECT n AS part_id, lbl AS community_id, community_size
+       |FROM l$LpaRounds JOIN sizes USING (lbl)
+       |ORDER BY part_id""".stripMargin
+  }
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

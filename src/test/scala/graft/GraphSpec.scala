@@ -259,6 +259,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(row.getDouble(1).abs <= 1.0 + 1e-9)
   }
 
+  test("graph_lpa replays the synchronous min-tie label propagation literally") {
+    val e = Graph.thresholdedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to Graph.LpaRounds) {
+      lbl = adj.map { case (n, ns) =>
+        val votes = ns.map(lbl).groupBy(identity).toSeq
+          .map { case (l, ls) => (l, ls.size) }
+        // most frequent neighbor label, smallest label on ties
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, ls) => l -> ls.size.toLong }
+    val got = Graph.lpa(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === lbl.size)
+    got.foreach { case (n, c, s) =>
+      assert(c === lbl(n), s"node $n label")
+      assert(s === sizes(lbl(n)), s"node $n community size")
+    }
+    // labels must broadcast onto the edge list each round; the argmax
+    // is an aggregate, not a window sort
+    val p = plan(Graph.lpa(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"label join should broadcast:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"argmax must be a partial-agg max, not a window:\n$p")
+  }
+
   test("triangle adjacency fetches broadcast; the intersection never rides a shuffle") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
