@@ -2581,6 +2581,64 @@ object Analytics {
 
   val HistBuckets = 20
 
+  /** ABC (Pareto-class) analysis of part revenue: parts sorted by
+    * revenue contribution, classified A/B/C at cumulative shares of
+    * 80% / 95% / 100% — the inventory-management classic ("which 20%
+    * of the catalog earns 80%"). Output is the 3-row class summary.
+    *
+    * Determinism discipline: per-part revenue is quantized to exact
+    * INTEGER CENTS first, so the running total, the grand total, and
+    * the 80/95 boundary tests are all pure bigint arithmetic
+    * (100·cum ≤ 80·total) — bit-exact in any accumulation order. A
+    * double cumsum would NOT be: DuckDB evaluates window sums with a
+    * segment tree (pairwise addition order) while Spark accumulates
+    * sequentially, and a last-ulp difference at a class boundary
+    * flips a row.
+    *
+    * Plan: one lineitem scan partially aggregates per part; the
+    * cumulative window is a global ordered pass over the |parts|-row
+    * aggregate (it rides Spark's range-partitioned sort at scale),
+    * and the final rollup is 3 rows.
+    */
+  def ordersAbc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100, 0)
+        .cast("long").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy()
+    perPart
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("total", sum(col("cents")).over(wall))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise(lit("C")))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("cents")) / 100.0, 2).as("class_revenue"))
+      .orderBy("abc_class")
+  }
+
+  val ordersAbcSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100, 0) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT l_partkey, cents,
+      |    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cents) OVER () AS total
+      |  FROM per_part)
+      |SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+      |            WHEN cum * 100 <= total * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |  count(*) AS n_parts, round(sum(cents) / 100.0, 2) AS class_revenue
+      |FROM ranked GROUP BY 1 ORDER BY abc_class""".stripMargin
+
   val priceHistogramSql: String =
     """WITH b AS (
       |  SELECT min(l_extendedprice) AS lo_all, max(l_extendedprice) AS hi_all

@@ -642,6 +642,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("orders_abc classifies by exact cumulative cents at 80/95") {
+    val perPart = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1) * (1.0 - r.getDouble(2))))
+      .groupBy(_._1).map { case (p, rs) =>
+        p -> math.round(rs.map(_._2).sum * 100)
+      }.toSeq.sortBy { case (p, c) => (-c, p) }
+    val total = perPart.map(_._2).sum
+    var cum = 0L
+    val classes = perPart.map { case (_, c) =>
+      cum += c
+      if (cum * 100 <= total * 80) "A" else if (cum * 100 <= total * 95) "B" else "C"
+    }
+    val want = classes.zip(perPart.map(_._2)).groupBy(_._1)
+      .map { case (cl, xs) => cl -> (xs.size.toLong, xs.map(_._2).sum) }
+    val got = Analytics.ordersAbc(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    for ((cl, (n, cents)) <- want) {
+      assert(got(cl)._1 === n, s"class $cl count")
+      assert(math.abs(got(cl)._2 - cents / 100.0) < 0.02, s"class $cl revenue")
+    }
+    // Pareto shape: class A (80% of revenue) is well under all parts
+    assert(got("A")._1 < perPart.size, "class A must not swallow the catalog")
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
