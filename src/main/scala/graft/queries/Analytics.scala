@@ -2535,17 +2535,26 @@ object Analytics {
   def eventPaths(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    pathHistogram(Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= PathLen)
+      .filter(col("rn") <= PathLen))
+  }
+
+  /** The path-assembly half of [[eventPaths]], shared verbatim with the
+    * streaming read face ([[graft.streaming.StreamingEventPathsJob]])
+    * so streamed == batch is structural: input is (user_id, rn,
+    * event_type) prefix rows, output the path histogram. Array order
+    * is explicit (sort by rn) — never accumulation-order dependent.
+    */
+  private[graft] def pathHistogram(prefixRows: DataFrame): DataFrame =
+    prefixRows
       .groupBy("user_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
           x => x.getField("event_type")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy("path")
-  }
 
   val PathLen = 3
 
