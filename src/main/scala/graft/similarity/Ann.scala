@@ -1037,4 +1037,109 @@ object Ann {
       |  round(min(norm), 4) AS min_norm,
       |  round(max(norm), 4) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  /** Reciprocal-rank fusion of the LEXICAL retriever
+    * ([[graft.functions.TextFunctions.docSimilarTfidf]], sparse TF-IDF
+    * cosine) and the SEMANTIC retriever ([[bruteForceTopK]], dense
+    * embedding cosine) — the standard hybrid-search combiner:
+    * rrf(q,d) = Σ_retrievers 1/([[RrfC]] + rank_r(q,d)) over each
+    * retriever's top-[[RrfPoolK]] pool, re-ranked to the fused
+    * top-[[RrfK]]. Rank fusion needs no score calibration between
+    * heterogeneous retrievers, which is exactly why it's the default
+    * hybrid combiner in retrieval stacks.
+    *
+    * Determinism: both pools rank by (4-dp cosine desc, id) — the
+    * certified orderings of the two source entries — so pool
+    * membership and ranks are engine-identical; the RRF sum has at
+    * most TWO terms (IEEE addition of two doubles is commutative, so
+    * no accumulation-order hazard), rounded at 6 dp BEFORE the fused
+    * rank.
+    *
+    * Plan: both retrievers keep their own certified plan shapes
+    * (broadcast probes, scalar-only shuffles); the fusion itself is
+    * a union + one (query, neighbor)-keyed aggregate over ≤
+    * 2·nQueries·[[RrfPoolK]] rows — dimension-sized regardless of
+    * corpus scale.
+    */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val pool = (df: DataFrame) =>
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+    val lex = pool(graft.functions.TextFunctions.docSimilarTfidf(
+      Tables.documents(spark, dir), nQueries = 10, k = RrfPoolK))
+    val sem = pool(bruteForceTopK(Tables.embeddings(spark, dir),
+      nQueries = 10, k = RrfPoolK))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    lex.unionByName(sem)
+      .groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).as("n_sources"),
+        round(sum(lit(1.0) / (lit(RrfC) + col("rank"))), 6).as("rrf_score"))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= RrfK)
+      .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
+        col("n_sources"), col("rrf_score"))
+      .orderBy("query_id", "fused_rank")
+  }
+
+  val RrfC = 60
+  val RrfPoolK = 20
+  val RrfK = 10
+
+  val rankFusionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM t
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tok GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_corpus FROM documents),
+      |w AS (
+      |  SELECT doc_id, token, tf * ln(n_corpus / df) AS w
+      |  FROM tok JOIN dfs USING (token) CROSS JOIN n
+      |  WHERE tf * ln(n_corpus / df) <> 0),
+      |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+      |q AS (
+      |  SELECT w.doc_id AS query_id, token, w AS qw, norm AS qnorm
+      |  FROM w JOIN norms USING (doc_id) WHERE doc_id < 10),
+      |dots AS (
+      |  SELECT query_id, w.doc_id AS neighbor_id, sum(w.w * q.qw) AS dot,
+      |         any_value(q.qnorm) AS qnorm
+      |  FROM w JOIN q ON w.token = q.token AND w.doc_id <> q.query_id
+      |  GROUP BY 1, 2),
+      |lx_scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(dot / (norm * qnorm), 4) AS cosine
+      |  FROM dots JOIN norms ON dots.neighbor_id = norms.doc_id),
+      |lx_ranked AS (
+      |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM lx_scored),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |vq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |sm_scored AS (
+      |  SELECT vq.query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(vq.qv, e.v), 4) AS cosine
+      |  FROM vq JOIN e ON e.vec_id <> vq.query_id),
+      |sm_ranked AS (
+      |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM sm_scored),
+      |pool AS (
+      |  SELECT query_id, neighbor_id, rank FROM lx_ranked WHERE rank <= 20
+      |  UNION ALL
+      |  SELECT query_id, neighbor_id, rank FROM sm_ranked WHERE rank <= 20),
+      |fused AS (
+      |  SELECT query_id, neighbor_id, count(*) AS n_sources,
+      |    round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+      |  FROM pool GROUP BY 1, 2),
+      |final AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, neighbor_id) AS INTEGER) AS fused_rank,
+      |    n_sources, rrf_score
+      |  FROM fused)
+      |SELECT query_id, neighbor_id, fused_rank, n_sources, rrf_score
+      |FROM final WHERE fused_rank <= 10
+      |ORDER BY query_id, fused_rank""".stripMargin
 }

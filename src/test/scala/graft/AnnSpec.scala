@@ -281,6 +281,36 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       s"report ${rep("lsh")._3} vs direct $lshDirect")
   }
 
+  test("rank_fusion recombines exactly the two retriever pools via RRF") {
+    def pool(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val lex = pool(graft.functions.TextFunctions
+      .docSimilarTfidf(Tables.documents(spark, sfDir), 10, Ann.RrfPoolK)
+      .select("query_id", "neighbor_id", "rank"))
+    val sem = pool(Ann.bruteForceTopK(Tables.embeddings(spark, sfDir), 10, Ann.RrfPoolK)
+      .select("query_id", "neighbor_id", "rank"))
+    val want = (lex.keySet ++ sem.keySet).groupBy(_._1).flatMap { case (q, keys) =>
+      val scored = keys.toSeq.map { k =>
+        val s = lex.get(k).map(r => 1.0 / (Ann.RrfC + r)).getOrElse(0.0) +
+          sem.get(k).map(r => 1.0 / (Ann.RrfC + r)).getOrElse(0.0)
+        val n = lex.contains(k).compare(false) + sem.contains(k).compare(false)
+        (k._2, n.toLong, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, _, s) => (-s, id) }.take(Ann.RrfK)
+      scored.zipWithIndex.map { case ((id, n, s), i) => (q, id) -> (i + 1, n, s) }
+    }
+    val got = Ann.rankFusion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet === want.keySet, "fused pool membership")
+    for ((k, (rank, n, s)) <- want) {
+      assert(got(k)._1 === rank, s"$k fused rank")
+      assert(got(k)._2 === n, s"$k source count")
+      assert(math.abs(got(k)._3 - s) < 1e-9, s"$k rrf score")
+    }
+    // hybrid sanity: some fused neighbor is backed by both retrievers
+    assert(got.values.exists(_._2 == 2L) || lex.keySet.intersect(sem.keySet).isEmpty)
+  }
+
   test("embedding stats: per-label counts sum to the corpus, norms are sane") {
     val embs = Tables.embeddings(spark, sfDir)
     val stats = Ann.embeddingStats(embs).collect()
