@@ -417,4 +417,73 @@ object CdcQueries {
        |  FROM ch)
        |WHERE rn = 1 AND op <> 'd'
        |ORDER BY user_id""".stripMargin
+
+  /** Temporal (as-of) enrichment of the raw activity stream against
+    * the SCD2 dimension history: every event is attributed to the
+    * dimension VERSION valid at its timestamp — valid_from ≤ t <
+    * valid_to, with the delete→re-create gap correctly attributing to
+    * no version — then rolled up to the (dimension state × activity
+    * type) matrix. The classic warehouse fact-to-dim-history join,
+    * here over the engine's own changelog.
+    *
+    * Plan: NOT a range join. Changes and probe events UNION into one
+    * frame and a single user-keyed ordered window carries the last
+    * change image forward (`last(..., ignoreNulls)` — the as-of
+    * composed discipline), so validity resolution costs ONE
+    * event-volume shuffle, no join, no interval explosion; a change
+    * sorts before its own-instant probes (src 0 < 1 at equal (ts_ms,
+    * seq)), which is exactly the valid_from ≤ t closed bound. Deletes
+    * ride the same carried image (op = 'd' ⇒ no version) instead of
+    * needing an anti-join. The rollup partials map-side into a
+    * ≤(|states|+1)·|types| matrix.
+    */
+  def scd2AsofActivity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = CdcOps.cachedChangelog(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("seq"), lit(0).as("src"),
+        struct(col("op"), col("last_event_type").as("attr")).as("chg"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("double").as("value"))
+    val pr = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("event_id").as("seq"), lit(1).as("src"),
+        lit(null).cast("struct<op:string,attr:string>").as("chg"),
+        col("event_type"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("seq"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ch.unionByName(pr)
+      .withColumn("dim", last(col("chg"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(coalesce(when(col("dim.op") =!= "d", col("dim.attr")), lit("none"))
+        .as("dim_state"), col("event_type"), col("value"))
+      .groupBy("dim_state", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("dim_state", "event_type")
+  }
+
+  val scd2AsofActivitySql: String =
+    s"""WITH ch AS ($changeSql),
+       |pr AS (
+       |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id AS seq,
+       |    event_type, value
+       |  FROM events),
+       |u AS (
+       |  SELECT user_id, ts_ms, seq, 0 AS src, op, last_event_type AS attr,
+       |    CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value
+       |  FROM ch
+       |  UNION ALL
+       |  SELECT user_id, ts_ms, seq, 1, NULL, NULL, event_type, value FROM pr),
+       |st AS (
+       |  SELECT *, last_value(CASE WHEN src = 0 THEN struct_pack(op := op, attr := attr) END
+       |      IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts_ms, seq, src
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dim
+       |  FROM u)
+       |SELECT coalesce(CASE WHEN dim.op <> 'd' THEN dim.attr END, 'none') AS dim_state,
+       |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM st WHERE src = 1
+       |GROUP BY 1, 2 ORDER BY dim_state, event_type""".stripMargin
 }

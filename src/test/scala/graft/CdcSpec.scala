@@ -683,4 +683,48 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     }.sum.mod(BigInt(prime)).toLong
     assert(checksum === expected, "distributed checksum must equal the serial reference")
   }
+
+  test("scd2_asof_activity attributes every event to its valid dimension version") {
+    // serial replay: per user, walk changes and probes in (ts_ms, seq,
+    // change-before-probe) order, carrying the last change image
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    case class Step(ts: Long, seq: Long, src: Int, op: String, attr: String,
+                    et: String, v: Double)
+    val agg = scala.collection.mutable.Map.empty[(String, String), (Long, Double)]
+    ev.groupBy(_._1).values.foreach { rows =>
+      val steps = rows.flatMap { case (_, ts, id, et, v) =>
+        val op = et match { case "signup" => "c"; case "error" => "d"; case _ => "u" }
+        Seq(Step(ts, id, 0, op, et, null, 0.0), Step(ts, id, 1, null, null, et, v))
+      }.sortBy(s => (s.ts, s.seq, s.src))
+      var dim: Option[(String, String)] = None
+      steps.foreach { s =>
+        if (s.src == 0) dim = Some((s.op, s.attr))
+        else {
+          val state = dim match {
+            case Some((op, attr)) if op != "d" => attr
+            case _ => "none"
+          }
+          val (n, sv) = agg.getOrElse((state, s.et), (0L, 0.0))
+          agg((state, s.et)) = (n + 1, sv + s.v)
+        }
+      }
+    }
+    val got = graft.cdc.CdcQueries.scd2AsofActivity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === agg.keySet.toSet)
+    for ((k, (n, sv)) <- agg) {
+      assert(got(k)._1 === n, s"$k count")
+      assert(math.abs(got(k)._2 - sv) < 0.02, s"$k sum")
+    }
+    // validity resolution must be ONE user exchange (union + window),
+    // never a range join
+    val p = graft.cdc.CdcQueries.scd2AsofActivity(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id")) === 1,
+      s"expected a single user_id exchange:\n$p")
+    assert(!p.contains("Join"), s"as-of resolution must not join:\n$p")
+  }
 }
