@@ -2472,6 +2472,74 @@ object Analytics {
 
   val AcfMaxLag = 7
 
+  /** Robust daily anomaly detection per event type: modified z-score
+    * 0.6745·(x − median)/MAD over the zero-filled daily grid, flagging
+    * days beyond a 2.5 cut (the sensitive end of the standard
+    * modified-z thresholds — chosen so the certificate is non-vacuous
+    * at every test SF; 3.5 flags nothing below sf0.1) — the MEDIAN/MAD
+    * complement of [[valueAnomalies]]' mean/stddev screen (robust to
+    * the very outliers it hunts, where a burst day drags a mean-based
+    * threshold toward itself).
+    *
+    * Cross-engine discipline: medians ride the certified
+    * `percentile` ↔ `quantile_cont` pairing over INTEGER counts (both
+    * engines interpolate the same doubles), the score expression tree
+    * is identical on both sides, and the cut is applied to the
+    * 4-dp ROUNDED score so no boundary day can flip on a last-ulp
+    * difference. Zero-MAD types (constant series) emit nothing by
+    * definition.
+    *
+    * Plan: the grid is |types|·|days|-sized (dimension work at any
+    * event volume); both median aggregates partial per type, and the
+    * med/MAD tables broadcast back onto the grid.
+    */
+  def dailyAnomaliesMad(spark: SparkSession, dir: String): DataFrame = {
+    val grid = densifyDailyCore(Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events")))
+      .localCheckpoint(true) // consumed twice: median agg + scored join
+    val med = grid.groupBy("event_type")
+      .agg(expr("percentile(n_events, 0.5)").as("med"))
+    val withMed = grid.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .withColumn("mod_z",
+        round(lit(0.6745) * (col("n_events") - col("med")) / col("mad"), 4))
+      .filter(abs(col("mod_z")) > MadCut)
+      .select(col("event_type"), col("day"), col("n_events"), col("mod_z"))
+      .orderBy("event_type", "day")
+  }
+
+  val MadCut = 2.5
+
+  val dailyAnomaliesMadSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |grid AS (
+      |  SELECT t.event_type, d.day, coalesce(daily.n_events, 0) AS n_events
+      |  FROM types t CROSS JOIN days d
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+      |med AS (
+      |  SELECT event_type, quantile_cont(n_events, 0.5) AS med
+      |  FROM grid GROUP BY 1),
+      |wm AS (SELECT g.*, med FROM grid g JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(abs(n_events - med), 0.5) AS mad
+      |  FROM wm GROUP BY 1)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+      |  round(0.6745 * (n_events - med) / mad, 4) AS mod_z
+      |FROM wm JOIN mad USING (event_type)
+      |WHERE mad > 0 AND abs(round(0.6745 * (n_events - med) / mad, 4)) > 2.5
+      |ORDER BY event_type, 2""".stripMargin
+
   /** Association rules over co-purchased part BRANDS within an order —
     * the market-basket primitive (support / confidence / lift) behind
     * "customers who bought X also bought Y". Brands (not part keys)

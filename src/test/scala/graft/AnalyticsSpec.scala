@@ -668,6 +668,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got("A")._1 < perPart.size, "class A must not swallow the catalog")
   }
 
+  test("daily_anomalies_mad flags exactly the med/MAD outliers of the grid") {
+    val grid = Analytics.gapFillDaily(spark, sfDir)
+      .select("event_type", "day", "n_events").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val want = grid.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val xs = rows.toSeq.map(_._3.toDouble)
+      val med = median(xs)
+      val mad = median(xs.map(x => math.abs(x - med)))
+      if (mad <= 0) Seq.empty[((String, String), (Long, Double))]
+      else rows.toSeq.flatMap { case (_, day, n) =>
+        val z = 0.6745 * (n - med) / mad
+        // the query's own predicate: 4-dp rounded score beyond the cut
+        val zr = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (math.abs(zr) > Analytics.MadCut) Some((t, day) -> (n, z)) else None
+      }
+    }.toMap
+    val got = Analytics.dailyAnomaliesMad(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === want.keySet, "flagged day set")
+    for ((k, (n, z)) <- want) {
+      assert(got(k)._1 === n)
+      assert(math.abs(got(k)._2 - z) < 1e-3, s"$k mod_z")
+    }
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
