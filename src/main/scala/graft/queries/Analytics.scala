@@ -2514,6 +2514,50 @@ object Analytics {
 
   val MadCut = 2.5
 
+  /** Rolling 7-day revenue per order priority — a RANGE-framed window
+    * (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over days-since-epoch),
+    * which is the correct frame for calendar windows: a ROWS frame
+    * silently widens its span across missing days, a RANGE frame keeps
+    * the 7-day width through gaps with no densification step.
+    *
+    * Determinism: daily revenue quantizes to exact integer CENTS
+    * before the rolling sum (the orders_abc discipline — a double
+    * rolling sum is engine-accumulation-order dependent), so the
+    * 7-day totals are exact bigints both sides.
+    *
+    * Plan: one scan partially aggregates to the (priority, day) grid;
+    * the RANGE window shuffles only that dims-sized grid, partitioned
+    * by priority.
+    */
+  def rollingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("priority").orderBy("day_n")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rev_7d", round(sum(col("cents")).over(w) / 100.0, 2))
+      .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_orders"), col("rev_7d"))
+      .orderBy("priority", "day")
+  }
+
+  val rollingRevenue7dSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |    count(*) AS n_orders,
+      |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |d AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_n FROM daily)
+      |SELECT priority, strftime(day, '%Y-%m-%d') AS day, n_orders,
+      |  round(sum(cents) OVER (PARTITION BY priority ORDER BY day_n
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 2) AS rev_7d
+      |FROM d ORDER BY priority, 2""".stripMargin
+
   val dailyAnomaliesMadSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events

@@ -698,6 +698,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rolling_revenue_7d keeps calendar width through date gaps") {
+    val daily = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val day = r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+          case d: java.time.LocalDateTime => d.toLocalDate
+        }
+        ((r.getString(0), day), r.getDouble(2))
+      }
+      .groupBy(_._1).map { case ((p, d), rs) =>
+        (p, d.toEpochDay) -> (rs.length.toLong, math.round(rs.map(_._2).sum * 100))
+      }
+    val got = Analytics.rollingRevenue7d(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size === daily.size)
+    for (((p, dayN), (n, _)) <- daily) {
+      val day = java.time.LocalDate.ofEpochDay(dayN).toString
+      val wantCents = (dayN - 6 to dayN)
+        .flatMap(d => daily.get((p, d))).map(_._2).sum
+      assert(got((p, day))._1 === n, s"($p,$day) order count")
+      assert(math.abs(got((p, day))._2 - wantCents / 100.0) < 1e-6,
+        s"($p,$day) 7d revenue")
+    }
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))

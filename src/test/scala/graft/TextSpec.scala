@@ -488,4 +488,30 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .map { case (k, v) => k -> v.length.toLong }
     assert(cm === want)
   }
+
+  test("text_readability re-derives from per-doc integer counts") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = docs.map { case (l, s, t) =>
+      val chars = t.length.toLong
+      val toks = t.trim.split("\\s+").length.toLong
+      val sents = math.max(t.count(c => ".!?".contains(c)).toLong, 1L)
+      ((l, s), (chars, toks, sents))
+    }.groupBy(_._1).map { case (k, vs) =>
+      val (c, t, s) = (vs.map(_._2._1).sum, vs.map(_._2._2).sum, vs.map(_._2._3).sum)
+      val wps = t.toDouble / s; val cpw = c.toDouble / t
+      k -> (vs.length.toLong, wps, cpw, 206.835 - 1.015 * wps - 84.6 * (cpw / 3.0))
+    }
+    val got = TextFunctions.textReadability(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet === want.keySet)
+    for ((k, (n, wps, cpw, ease)) <- want) {
+      assert(got(k)._1 === n, s"$k n_docs")
+      assert(math.abs(got(k)._2 - wps) < 1e-3, s"$k wps")
+      assert(math.abs(got(k)._3 - cpw) < 1e-3, s"$k cpw")
+      assert(math.abs(got(k)._4 - ease) < 1e-2, s"$k ease")
+    }
+  }
 }
