@@ -116,23 +116,37 @@ object TextFunctions {
     * certifies. One scan, map-side partials into the |lang|·|source|
     * matrix.
     */
-  def textReadability(docs: DataFrame): DataFrame = {
+  def textReadability(docs: DataFrame): DataFrame =
+    readabilityFace(readabilityCounts(docs)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("t"), sum("sents").as("s"), sum("chars").as("c")))
+
+  /** Per-doc integer substrate of [[textReadability]] — (lang, source,
+    * chars, toks, sents); the additive half the streaming fold
+    * maintains ([[graft.streaming.StreamingReadabilityJob]]).
+    */
+  private[graft] def readabilityCounts(docs: DataFrame): DataFrame = {
     val text = col("text")
-    val sents = greatest(regexp_count(text, lit("[.!?]")), lit(1))
     docs.select(col("lang"), col("source"),
       charsOf(text).cast("long").as("chars"),
       toksOf(text).cast("long").as("toks"),
-      sents.cast("long").as("sents"))
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("toks").as("t"), sum("sents").as("s"), sum("chars").as("c"))
+      greatest(regexp_count(text, lit("[.!?]")), lit(1)).cast("long").as("sents"))
+  }
+
+  /** The ratio projection over the per-slice integer sums — shared
+    * verbatim between the batch entry and the streaming read face, so
+    * streamed == batch is structural (and exact: the sums are
+    * integers).
+    */
+  private[graft] def readabilityFace(sums: DataFrame): DataFrame =
+    sums
       .select(col("lang"), col("source"), col("n_docs"),
         round(col("t").cast("double") / col("s"), 4).as("wps"),
         round(col("c").cast("double") / col("t"), 4).as("cpw"))
       .withColumn("ease", round(lit(206.835) - lit(1.015) * col("wps")
         - lit(84.6) * (col("cpw") / 3.0), 4))
       .orderBy("lang", "source")
-  }
 
   def textReadability(spark: SparkSession, dir: String): DataFrame =
     textReadability(Tables.documents(spark, dir))
