@@ -542,6 +542,83 @@ object TextFunctions {
       |  token, n, n_docs
       |FROM c ORDER BY rank""".stripMargin
 
+  /** Zipf-law fit over the top-[[ZipfTopK]] token frequencies: the
+    * least-squares slope of ln(freq) on ln(rank) (natural text ≈ −1;
+    * templated/degenerate corpora diverge hard — the §6 pair-family
+    * analysis found exactly that signature by hand, this makes it a
+    * one-row diagnostic). Also reports the fit's r² and the top-1
+    * token share.
+    *
+    * Determinism: the top-k set and its ranks ride the certified
+    * (n desc, token) total order; the regression runs over exactly
+    * [[ZipfTopK]] (ln rank, ln freq) pairs whose values are identical
+    * doubles in both engines, so the sufficient sums differ only in
+    * accumulation order at the last ulp — invisible at the 4-dp
+    * rounding (slope magnitude ~1).
+    *
+    * Plan: token counts partial-agg map-side; the top-k is a
+    * distributed TakeOrdered (never a global sort materialization);
+    * the regression is a single aggregate over k rows.
+    */
+  def tokenZipfFit(docs: DataFrame): DataFrame =
+    tokenZipfFrom(docTokenCounts(docs))
+
+  private def tokenZipfFrom(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = counts.groupBy("token").agg(sum("tf").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(ZipfTopK)
+    val ranked = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"),
+        col("n"), col("rank"))
+    val tot = ranked.agg(sum("n").as("topk_total"),
+      max(when(col("rank") === 1, col("n"))).as("top1"))
+    ranked
+      .agg(count(lit(1)).as("n_tokens"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(tot)
+      .select(col("n_tokens"),
+        round((col("n_tokens") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round(pow(col("n_tokens") * col("sxy") - col("sx") * col("sy"), 2) /
+          ((col("n_tokens") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_tokens") * col("syy") - col("sy") * col("sy"))), 4).as("r2"),
+        round(col("top1").cast("double") / col("topk_total"), 4).as("top1_share"))
+  }
+
+  def tokenZipfFit(spark: SparkSession, dir: String): DataFrame =
+    tokenZipfFrom(cachedDocTokenCounts(spark, dir))
+
+  val ZipfTopK = 200
+
+  val tokenZipfFitSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token, count(*) AS n
+      |  FROM t WHERE token <> '' GROUP BY token
+      |  ORDER BY n DESC, token LIMIT 200),
+      |rk AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank,
+      |    ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+      |    ln(CAST(n AS DOUBLE)) AS y
+      |  FROM c),
+      |s AS (
+      |  SELECT count(*) AS n_tokens, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+      |    sum(n) AS topk_total, max(CASE WHEN rank = 1 THEN n END) AS top1
+      |  FROM rk)
+      |SELECT n_tokens,
+      |  round((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 4) AS zipf_slope,
+      |  round(power(n_tokens * sxy - sx * sy, 2) /
+      |    ((n_tokens * sxx - sx * sx) * (n_tokens * syy - sy * sy)), 4) AS r2,
+      |  round(CAST(top1 AS DOUBLE) / topk_total, 4) AS top1_share
+      |FROM s""".stripMargin
+
   /** Vocabulary-growth (Heaps-law) curve — the corpus diagnostic that
     * separates natural heavy-tailed text from degenerate/templated
     * corpora: the corpus is cut into `nBuckets` equal doc_id-range

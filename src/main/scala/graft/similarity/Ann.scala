@@ -1038,6 +1038,75 @@ object Ann {
       |  round(max(norm), 4) AS max_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** Embedding-distribution drift monitor: per label, the L2 distance
+    * between the centroid of the FIRST half of the corpus (by vec_id —
+    * ingestion order) and the SECOND half — the "did the feed shift
+    * under me" check an embedding pipeline runs before trusting a
+    * trained index/quantizer on new data (a large shift invalidates
+    * IVF centroids and calibration).
+    *
+    * Determinism: the split bound is integer arithmetic on broadcast
+    * min/max scalars; per-dim means ride the k-means-certified
+    * `round(avg, 6)` quantization, so the shift arithmetic runs on
+    * identical 6-dp values in both engines (4-dp final round).
+    *
+    * Plan: one posexplode pass partially aggregates (label, half, dim)
+    * means map-side — the shuffle carries |labels|·2·dim rows, never
+    * vectors; counts ride a second dims-sized aggregate of the same
+    * scan.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val bounds = e.agg(min("vec_id").as("lo"), max("vec_id").as("hi"))
+    val halves = e.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("vec_id") < expr("(lo + hi + 1) div 2"), 0).otherwise(1))
+    val counts = halves.groupBy("label")
+      .agg(count(when(col("half") === 0, 1)).as("n_first"),
+        count(when(col("half") === 1, 1)).as("n_second"))
+    val means = halves
+      .select(col("label"), col("half"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "half", "d")
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+    means
+      .groupBy("label", "d")
+      .agg(max(when(col("half") === 0, col("m"))).as("m0"),
+        max(when(col("half") === 1, col("m"))).as("m1"))
+      .groupBy("label")
+      .agg(round(sqrt(sum((col("m0") - col("m1")) * (col("m0") - col("m1")))), 4)
+        .as("centroid_shift"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_first"), col("n_second"), col("centroid_shift"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftSql: String =
+    """WITH b AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embeddings),
+      |h AS (
+      |  SELECT label, vec_id, embedding,
+      |    CASE WHEN vec_id < (lo + hi + 1) // 2 THEN 0 ELSE 1 END AS half
+      |  FROM embeddings CROSS JOIN b),
+      |ev AS (
+      |  SELECT label, half,
+      |    CAST(unnest(generate_series(1, len(embedding))) AS INT) AS d,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM h),
+      |m AS (SELECT label, half, d, round(avg(x), 6) AS m FROM ev GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT label, d,
+      |    max(CASE WHEN half = 0 THEN m END) AS m0,
+      |    max(CASE WHEN half = 1 THEN m END) AS m1
+      |  FROM m GROUP BY 1, 2),
+      |n AS (
+      |  SELECT label,
+      |    count(*) FILTER (WHERE half = 0) AS n_first,
+      |    count(*) FILTER (WHERE half = 1) AS n_second
+      |  FROM h GROUP BY 1)
+      |SELECT label, n_first, n_second,
+      |  round(sqrt(sum((m0 - m1) * (m0 - m1))), 4) AS centroid_shift
+      |FROM p JOIN n USING (label)
+      |GROUP BY label, n_first, n_second ORDER BY label""".stripMargin
+
   /** Reciprocal-rank fusion of the LEXICAL retriever
     * ([[graft.functions.TextFunctions.docSimilarTfidf]], sparse TF-IDF
     * cosine) and the SEMANTIC retriever ([[bruteForceTopK]], dense

@@ -311,6 +311,31 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.exists(_._2 == 2L) || lex.keySet.intersect(sem.keySet).isEmpty)
   }
 
+  test("embedding_drift equals a literal split-centroid recompute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val lo = vecs.map(_._1).min; val hi = vecs.map(_._1).max
+    val mid = (lo + hi + 1) / 2
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      val (a, b) = vs.partition(_._1 < mid)
+      val dim = vs.head._3.length
+      def cent(xs: Array[(Long, Int, Array[Float])]) =
+        (0 until dim).map(d => r6(xs.map(_._3(d).toDouble).sum / xs.length))
+      val (ca, cb) = (cent(a), cent(b))
+      val shift = math.sqrt(ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      lbl -> (a.length.toLong, b.length.toLong, shift)
+    }
+    val got = Ann.embeddingDrift(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === want.keySet)
+    for ((l, (na, nb, s)) <- want) {
+      assert(got(l)._1 === na && got(l)._2 === nb, s"label $l half sizes")
+      assert(math.abs(got(l)._3 - s) < 1e-3, s"label $l shift ${got(l)._3} vs $s")
+    }
+  }
+
   test("embedding stats: per-label counts sum to the corpus, norms are sane") {
     val embs = Tables.embeddings(spark, sfDir)
     val stats = Ann.embeddingStats(embs).collect()

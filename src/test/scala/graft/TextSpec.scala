@@ -489,6 +489,27 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(cm === want)
   }
 
+  test("token_zipf_fit matches a literal least-squares over the ranked counts") {
+    val counts = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, ts) => (t, ts.length.toLong) }.toSeq
+    val top = counts.sortBy { case (t, n) => (-n, t) }.take(TextFunctions.ZipfTopK)
+    val xs = top.indices.map(i => math.log(i + 1.0))
+    val ys = top.map(p => math.log(p._2.toDouble))
+    val k = top.size
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val row = TextFunctions.tokenZipfFit(spark, sfDir).collect().head
+    assert(row.getLong(0) === k.toLong)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-3,
+      s"slope ${row.getDouble(1)} vs replay $slope")
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0, "r2 in range")
+    assert(math.abs(row.getDouble(3) -
+      top.head._2.toDouble / top.map(_._2).sum) < 1e-3, "top1 share")
+  }
+
   test("text_readability re-derives from per-doc integer counts") {
     val docs = Tables.documents(spark, sfDir)
       .select("lang", "source", "text").collect()
