@@ -2472,6 +2472,87 @@ object Analytics {
 
   val AcfMaxLag = 7
 
+  /** Month-over-month order growth: per calendar month, order count,
+    * revenue, and the MoM revenue growth percentage — the
+    * period-over-period BI staple. Revenue quantizes to exact cents
+    * (the orders_abc discipline) so the growth ratio divides identical
+    * bigints in both engines; the lag window runs over the ≤ |months|
+    * rollup, never the fact table.
+    */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("month")
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round((col("cents") - col("prev")) * lit(100.0) / col("prev"), 4).as("mom_pct"))
+      .orderBy("month")
+  }
+
+  val monthlyGrowthSql: String =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+      |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, round(cents / 100.0, 2) AS revenue,
+      |  round((cents - lag(cents) OVER (ORDER BY month)) * 100.0 /
+      |    lag(cents) OVER (ORDER BY month), 4) AS mom_pct
+      |FROM m ORDER BY month""".stripMargin
+
+  /** Customer retention/churn via SET OPERATORS: the distinct buyer
+    * sets of the first and second halves of the order history
+    * (midpoint split on broadcast integer epoch-day scalars) combined
+    * with INTERSECT (retained) and EXCEPT (churned / newly acquired) —
+    * the one-row cohort movement summary, and the engine's explicit
+    * set-operator coverage (semi/anti joins express the same
+    * predicates; `intersect`/`except` are the relational faces a SQL
+    * user reaches for).
+    *
+    * Plan: one orders scan feeds both halves (the split is a filter,
+    * not a second read); each set op is a distinct-aggregate shuffle
+    * on custkey; the five counts union into one row.
+    */
+  def customerChurnSets(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+    val dated = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+    val first = dated.filter(col("day") <= col("mid")).select("o_custkey").distinct()
+    val second = dated.filter(col("day") > col("mid")).select("o_custkey").distinct()
+    val row = (name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("cohort"), col("n"))
+    row("1_first", first)
+      .unionByName(row("2_second", second))
+      .unionByName(row("3_retained", first.intersect(second)))
+      .unionByName(row("4_churned", first.except(second)))
+      .unionByName(row("5_new", second.except(first)))
+      .orderBy("cohort")
+  }
+
+  val customerChurnSetsSql: String =
+    """WITH b AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE) AS d0, CAST(max(o_orderdate) AS DATE) AS d1
+      |  FROM orders),
+      |d AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+      |    d0 + CAST(datediff('day', d0, d1) // 2 AS INTEGER) AS mid
+      |  FROM orders CROSS JOIN b),
+      |f AS (SELECT DISTINCT o_custkey FROM d WHERE day <= mid),
+      |s AS (SELECT DISTINCT o_custkey FROM d WHERE day > mid)
+      |SELECT '1_first' AS cohort, count(*) AS n FROM f
+      |UNION ALL SELECT '2_second', count(*) FROM s
+      |UNION ALL SELECT '3_retained', count(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM s)
+      |UNION ALL SELECT '4_churned', count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM s)
+      |UNION ALL SELECT '5_new', count(*) FROM (SELECT * FROM s EXCEPT SELECT * FROM f)
+      |ORDER BY cohort""".stripMargin
+
   /** Robust daily anomaly detection per event type: modified z-score
     * 0.6745·(x − median)/MAD over the zero-filled daily grid, flagging
     * days beyond a 2.5 cut (the sensitive end of the standard

@@ -724,6 +724,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("monthly_growth divides exact cents month over month") {
+    val rows = Analytics.monthlyGrowth(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    assert(rows.head._4.isEmpty, "first month has no prior")
+    rows.sliding(2).foreach {
+      case Array((_, _, prevRev, _), (m, _, rev, Some(pct))) =>
+        val cents = math.round(rev * 100); val prev = math.round(prevRev * 100)
+        assert(math.abs(pct - (cents - prev) * 100.0 / prev) < 1e-3, s"$m growth")
+      case _ => ()
+    }
+    assert(rows.map(_._2).sum === Tables.orders(spark, sfDir).count())
+  }
+
+  test("customer_churn_sets partitions the buyer sets consistently") {
+    val m = Analytics.customerChurnSets(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Set("1_first", "2_second", "3_retained", "4_churned", "5_new"))
+    // retained + churned = first; retained + new = second
+    assert(m("3_retained") + m("4_churned") === m("1_first"))
+    assert(m("3_retained") + m("5_new") === m("2_second"))
+    assert(m("1_first") > 0 && m("2_second") > 0)
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
