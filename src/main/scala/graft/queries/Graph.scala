@@ -852,6 +852,79 @@ object Graph {
        |ORDER BY part_id""".stripMargin
   }
 
+  /** Newman modularity of the [[lpa]] community partition on the
+    * thresholded graph: Q = Σ_c [L_c/m − (d_c/2m)²] — the one-number
+    * quality score that says whether the propagation found real
+    * density structure (Q≈0: no better than random; Q>0.3: strong
+    * communities). Pairs with `graph_lpa` the way `ann_recall_report`
+    * pairs with the ANN tiers: the metric face over the algorithm
+    * face.
+    *
+    * Every term is an exact INTEGER sufficient statistic (within-edge
+    * count, per-community degree sums, edge total) down to the final
+    * division, so the 4-dp value is bit-stable. Plan: labels and the
+    * |V|-row degree table broadcast onto the |E|-row undirected edge
+    * list; the three scalar aggregates cross-join as 1-row frames —
+    * no driver round-trips, nothing beyond edge-list scale.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val lab = lpa(spark, dir).select(col("part_id"), col("community_id"))
+    val e = thresholdedEdges(spark, dir)
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val m = e.agg(count(lit(1)).as("n_edges"))
+    val lin = e
+      .join(broadcast(lab.select(col("part_id").as("src"), col("community_id").as("ca"))), Seq("src"))
+      .join(broadcast(lab.select(col("part_id").as("dst"), col("community_id").as("cb"))), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("l_in"))
+    val dsums = lab
+      .join(broadcast(deg.select(col("node").as("part_id"), col("deg"))), Seq("part_id"))
+      .groupBy("community_id").agg(sum("deg").as("d_c"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("d_c") * col("d_c")).as("sdc2"))
+    dsums.crossJoin(lin).crossJoin(m)
+      .select(col("n_communities"), col("n_edges"),
+        round(col("l_in").cast("double") / col("n_edges")
+          - col("sdc2").cast("double") / (lit(4.0) * col("n_edges") * col("n_edges")),
+          4).as("modularity"))
+  }
+
+  val modularitySql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT e.a AS n, l.lbl, count(*) AS c
+         |  FROM e0 e JOIN l${i - 1} l ON l.n = e.b
+         |  GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT n, lbl FROM (
+         |    SELECT n, lbl, row_number() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |w AS MATERIALIZED (SELECT a.l_partkey AS s, b.l_partkey AS d
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lbl FROM e0),
+       |$rounds,
+       |deg AS (SELECT a AS node, count(*) AS deg FROM e0 GROUP BY 1),
+       |lin AS (
+       |  SELECT count(*) AS l_in FROM w
+       |  JOIN l$LpaRounds la ON la.n = w.s
+       |  JOIN l$LpaRounds lb ON lb.n = w.d
+       |  WHERE la.lbl = lb.lbl),
+       |dsum AS (
+       |  SELECT count(*) AS n_communities, sum(d_c * d_c) AS sdc2 FROM (
+       |    SELECT l.lbl, sum(deg) AS d_c
+       |    FROM l$LpaRounds l JOIN deg ON deg.node = l.n GROUP BY 1)),
+       |m AS (SELECT count(*) AS n_edges FROM w)
+       |SELECT n_communities, n_edges,
+       |  round(CAST(l_in AS DOUBLE) / n_edges
+       |    - CAST(sdc2 AS DOUBLE) / (4.0 * n_edges * n_edges), 4) AS modularity
+       |FROM dsum CROSS JOIN lin CROSS JOIN m""".stripMargin
+  }
+
   val triangleCountsSql: String =
     """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

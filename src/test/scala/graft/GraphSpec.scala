@@ -289,6 +289,25 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"argmax must be a partial-agg max, not a window:\n$p")
   }
 
+  test("graph_modularity equals a literal Q over the LPA partition") {
+    val e = Graph.thresholdedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lab = Graph.lpa(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = e.length.toDouble
+    val lin = e.count { case (a, b) => lab(a) == lab(b) }
+    val deg = (e ++ e.map(_.swap)).groupBy(_._1).map { case (n, es) => n -> es.size }
+    val dsum = lab.toSeq.groupBy(_._2)
+      .map { case (_, ns) => ns.map(p => deg(p._1).toLong).sum }
+    val q = lin / m - dsum.map(d => d.toDouble * d).sum / (4.0 * m * m)
+    val row = Graph.modularity(spark, sfDir).collect().head
+    assert(row.getLong(0) === dsum.size.toLong, "community count")
+    assert(row.getLong(1) === e.length.toLong, "edge count")
+    assert(math.abs(row.getDouble(2) - q) < 1e-3,
+      s"modularity ${row.getDouble(2)} vs replay $q")
+    assert(row.getDouble(2) >= -0.5 && row.getDouble(2) <= 1.0)
+  }
+
   test("triangle adjacency fetches broadcast; the intersection never rides a shuffle") {
     val p = plan(Graph.triangleCounts(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
