@@ -2684,20 +2684,43 @@ object Analytics {
     * 4-dp values.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
+    val baskets = brandBaskets(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+      Tables.part(spark, dir).select("p_partkey", "p_brand"))
+      .localCheckpoint(true) // consumed thrice: total, brand counts, pairs
+    assocRulesFace(
+      basketPairCounts(baskets),
+      basketBrandCounts(baskets),
+      baskets.agg(count(lit(1)).as("n_orders")))
+  }
+
+  /** Per-order sorted brand baskets — the substrate both the batch
+    * entry and [[graft.streaming.StreamingAssocRulesJob]]'s per-batch
+    * delta pass build (one orderkey shuffle; the brand dim broadcasts).
+    */
+  private[graft] def brandBaskets(lineitems: DataFrame, parts: DataFrame): DataFrame =
+    lineitems
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
-      .localCheckpoint(true) // consumed thrice: total, brand counts, pairs
-    val totals = baskets.agg(count(lit(1)).as("n_orders"))
-    val counts = baskets.select(explode(col("brands")).as("brand"))
-      .groupBy("brand").agg(count(lit(1)).as("n_brand"))
-    val pairs = baskets
+
+  private[graft] def basketPairCounts(baskets: DataFrame): DataFrame =
+    baskets
       .select(explode(col("brands")).as("x"), col("brands"))
       .select(col("x"), explode(col("brands")).as("y"))
       .filter(col("x") =!= col("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+
+  private[graft] def basketBrandCounts(baskets: DataFrame): DataFrame =
+    baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("n_brand"))
+
+  /** The support/confidence/lift projection over the three count
+    * relations — shared verbatim with the streaming read face, so
+    * streamed == batch is structural (all counts are integers).
+    */
+  private[graft] def assocRulesFace(pairs: DataFrame, counts: DataFrame,
+                                    totals: DataFrame): DataFrame =
     pairs
       .join(broadcast(counts.select(col("brand").as("x"), col("n_brand").as("n_x"))), Seq("x"))
       .join(broadcast(counts.select(col("brand").as("y"), col("n_brand").as("n_y"))), Seq("y"))
@@ -2708,7 +2731,6 @@ object Analytics {
         round((col("n_xy") * col("n_orders")).cast("double") /
           (col("n_x") * col("n_y")), 4).as("lift"))
       .orderBy("antecedent", "consequent")
-  }
 
   /** User-journey prefixes: each user's first [[PathLen]] event types
     * in time order joined into a path string, counted across users —
