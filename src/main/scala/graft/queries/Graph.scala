@@ -800,27 +800,38 @@ object Graph {
     * the iterative lineage).
     */
   def lpa(spark: SparkSession, dir: String): DataFrame = {
-    val e = thresholdedEdges(spark, dir)
-    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
-    for (_ <- 1 to LpaRounds) {
-      labels = edges
-        .join(broadcast(labels), col("dst") === col("node"))
-        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
-        .select(col("src").as("node"), col("top.lbl").as("lbl"))
-        .localCheckpoint(true)
-    }
+    val labels = cachedLpaLabels(spark, dir)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     labels.join(broadcast(sizes), Seq("lbl"))
       .select(col("node").as("part_id"), col("lbl").as("community_id"),
         col("community_size"))
       .orderBy("part_id")
   }
+
+  /** The converged (node, lbl) table — memoized per (session, dir)
+    * like every shared graph artifact: `graph_lpa` and
+    * `graph_modularity` both read it, so the 4-round propagation runs
+    * once per pass.
+    */
+  private[graft] def cachedLpaLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("graph_lpa_labels", dir)) {
+      val e = thresholdedEdges(spark, dir)
+      val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to LpaRounds) {
+        labels = edges
+          .join(broadcast(labels), col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
+          .select(col("src").as("node"), col("top.lbl").as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels
+    }
 
   val LpaRounds = 4
 
@@ -868,7 +879,8 @@ object Graph {
     * no driver round-trips, nothing beyond edge-list scale.
     */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
-    val lab = lpa(spark, dir).select(col("part_id"), col("community_id"))
+    val lab = cachedLpaLabels(spark, dir)
+      .select(col("node").as("part_id"), col("lbl").as("community_id"))
     val e = thresholdedEdges(spark, dir)
     val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
