@@ -2479,25 +2479,23 @@ object Analytics {
     * bigints in both engines; the lag window runs over the ≤ |months|
     * rollup, never the fact table.
     */
-  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("month")
-    Tables.orders(spark, dir)
-      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
-      .withColumn("prev", lag(col("cents"), 1).over(w))
-      .select(col("month"), col("n_orders"),
-        round(col("cents") / 100.0, 2).as("revenue"),
-        round((col("cents") - col("prev")) * lit(100.0) / col("prev"), 4).as("mom_pct"))
-      .orderBy("month")
-  }
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame =
+    monthlyGrowthFace(dailyRevenue(Tables.orders(spark, dir)))
 
+  /** Cents quantize at the (priority, day) grain — the shared
+    * substrate's grain — then roll up, so the batch entry, the oracle,
+    * and the streaming fold all sum the SAME integers.
+    */
   val monthlyGrowthSql: String =
-    """WITH m AS (
-      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
-      |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
-      |  FROM orders GROUP BY 1)
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    count(*) AS n_orders,
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT substr(day, 1, 7) AS month, sum(n_orders) AS n_orders,
+      |    sum(cents) AS cents
+      |  FROM daily GROUP BY 1)
       |SELECT month, n_orders, round(cents / 100.0, 2) AS revenue,
       |  round((cents - lag(cents) OVER (ORDER BY month)) * 100.0 /
       |    lag(cents) OVER (ORDER BY month), 4) AS mom_pct
@@ -2610,28 +2608,58 @@ object Analytics {
     * the RANGE window shuffles only that dims-sized grid, partitioned
     * by priority.
     */
-  def rollingRevenue7d(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority").as("priority"),
-        to_date(col("o_orderdate")).as("day"))
+  def rollingRevenue7d(spark: SparkSession, dir: String): DataFrame =
+    rollingRevenueFace(dailyRevenue(Tables.orders(spark, dir)))
+
+  /** (priority, day, n_orders, cents) — the exact-cents daily revenue
+    * substrate BOTH calendar read faces project from
+    * ([[rollingRevenueFace]], [[monthlyGrowthFace]]); additive in
+    * every column, which is what makes the streaming fold
+    * ([[graft.streaming.StreamingDailyRevenueJob]]) exact. Cents
+    * quantize at the ORDER grain (o_totalprice is a per-row scalar),
+    * so the sum is invariant to HOW rows are batched — a day-grain
+    * rounding would drift ±1 cent whenever a micro-batch split a day.
+    */
+  private[graft] def dailyRevenue(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")) * 100, 0).cast("long").as("cents"))
-      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+
+  /** The RANGE-window projection of [[rollingRevenue7d]] — shared with
+    * the streaming read face. */
+  private[graft] def rollingRevenueFace(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("priority").orderBy("day_n")
       .rangeBetween(-6, Window.currentRow)
     daily
+      .withColumn("day_n",
+        datediff(to_date(col("day")), lit("1970-01-01").cast("date")))
       .withColumn("rev_7d", round(sum(col("cents")).over(w) / 100.0, 2))
-      .select(col("priority"), date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("n_orders"), col("rev_7d"))
+      .select(col("priority"), col("day"), col("n_orders"), col("rev_7d"))
       .orderBy("priority", "day")
+  }
+
+  /** The month-rollup + lag projection of [[monthlyGrowth]] — shared
+    * with the streaming read face (months sum over priorities). */
+  private[graft] def monthlyGrowthFace(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("month")
+    daily
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round((col("cents") - col("prev")) * lit(100.0) / col("prev"), 4).as("mom_pct"))
+      .orderBy("month")
   }
 
   val rollingRevenue7dSql: String =
     """WITH daily AS (
       |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
       |    count(*) AS n_orders,
-      |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
+      |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
       |  FROM orders GROUP BY 1, 2),
       |d AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_n FROM daily)
       |SELECT priority, strftime(day, '%Y-%m-%d') AS day, n_orders,

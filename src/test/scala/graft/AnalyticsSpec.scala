@@ -709,7 +709,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         ((r.getString(0), day), r.getDouble(2))
       }
       .groupBy(_._1).map { case ((p, d), rs) =>
-        (p, d.toEpochDay) -> (rs.length.toLong, math.round(rs.map(_._2).sum * 100))
+        // order-grain cents: the substrate's batch-split-proof quantization
+        (p, d.toEpochDay) -> (rs.length.toLong, rs.map(x => math.round(x._2 * 100)).sum)
       }
     val got = Analytics.rollingRevenue7d(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
