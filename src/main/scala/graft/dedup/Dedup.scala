@@ -865,13 +865,15 @@ object Dedup {
     * the oracle corpus is bounded, while the Spark side keeps the
     * banded plan that scales.
     */
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** The (id_a < id_b, hamming) near-dup pair face of [[simhashDedup]]
+    * — exposed for the quality report. */
+  private[graft] def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs)
     val bands2 = sh.select(col("doc_id"), col("simhash"), expr(
       "explode(transform(sequence(0, 3), b -> struct(b AS band_id, " +
         "shiftright(simhash, b * 16) & 65535 AS band_val)))").as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band_id"), col("x.band_val"))
-    val cand = bands2.alias("a").join(bands2.alias("b"),
+    bands2.alias("a").join(bands2.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -880,6 +882,11 @@ object Dedup {
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val cand = simhashPairs(docs, maxHamming)
     // single-evaluation symmetrization (see minhashLsh's sym note)
     val sym = cand.select(explode(array(
         struct(col("id_a").as("doc_id"), col("id_b").as("other")),
@@ -1506,4 +1513,44 @@ object Dedup {
       |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
       |WHERE levenshtein(a.s, b.s) <= 2
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Candidate-quality report for the near-dup tiers — the dedup
+    * family's counterpart of `ann_recall_report`: each approximate
+    * tier's pair set measured against the EXACT shingle-Jaccard truth
+    * pairs (threshold 0.5, the oracled `dedup_ngram_jaccard`
+    * substrate). Per tier: pair count, hits, precision, recall — the
+    * numbers that justify a band/bit configuration before running it
+    * over 100 TB.
+    *
+    *   - `minhash_bands`: raw LSH candidates BEFORE Jaccard
+    *     verification (recall here bounds the verified pipeline's
+    *     recall; precision measures wasted verification work);
+    *   - `simhash_h3`: hamming ≤ 3 pairs (a different signal — random
+    *     hyperplane cosine over token sets — so its recall against
+    *     Jaccard truth is informative, not expected to be 1).
+    *
+    * Rows-only (both tiers are hash-function-specific); the spec
+    * asserts the LSH recall floor and the exact truth count. All
+    * counts are 1-row aggregates cross-joined — nothing driver-side.
+    */
+  def dedupQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = cachedJaccardPairs(spark, dir).select("id_a", "id_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    def tier(name: String, pairs: DataFrame): DataFrame = {
+      val p = pairs.select("id_a", "id_b").localCheckpoint(true) // counted + probed
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(p.join(truth, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .crossJoin(nTruth)
+        .select(lit(name).as("tier"), col("n_pairs"), col("n_hits"), col("n_truth"),
+          round(when(col("n_pairs") > 0,
+            col("n_hits").cast("double") / col("n_pairs")), 4).as("precision"),
+          round(when(col("n_truth") > 0,
+            col("n_hits").cast("double") / col("n_truth")), 4).as("recall"))
+    }
+    tier("minhash_bands", lshCandidatesFromIndex(lshBandIndex(docs)))
+      .unionByName(tier("simhash_h3", simhashPairs(docs)))
+      .orderBy("tier")
+  }
 }

@@ -341,4 +341,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getLong(2)).sum === distinctGrams,
       "sum of novel counts must equal the corpus's distinct gram count")
   }
+
+  test("dedup_quality_report measures the tiers against the exact Jaccard truth") {
+    val rep = Dedup.dedupQualityReport(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(rep.keySet === Set("minhash_bands", "simhash_h3"))
+    val nTruth = Dedup.ngramJaccard(Tables.documents(spark, sfDir)).count()
+    rep.values.foreach { case (nPairs, nHits, t, _) =>
+      assert(t === nTruth, "truth column must equal the oracled exact-pair count")
+      assert(nHits <= nPairs && nHits <= t, "hits bounded by both sets")
+    }
+    // at threshold 0.5 the 16-band/4-row MinHash config has high
+    // collision probability for true pairs — the recall floor the
+    // config was chosen for
+    assert(rep("minhash_bands")._4 >= 0.8,
+      s"LSH candidate recall ${rep("minhash_bands")._4} below the design floor")
+  }
 }
