@@ -515,14 +515,24 @@ object TextFunctions {
     * count — the (doc, token) key is already distinct, so the former
     * countDistinct(doc_id) Expand is gone.
     */
-  private def tokenVocabFrom(counts: DataFrame, k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val top = counts
-      .groupBy("token")
+  private def tokenVocabFrom(counts: DataFrame, k: Int = 100): DataFrame =
+    vocabFace(tokenTotals(counts), k)
+
+  /** (token, n, n_docs) totals over the (doc, token, tf) substrate —
+    * additive in both measures (each doc contributes once), which is
+    * what [[graft.streaming.StreamingTokenStatsJob]] folds. */
+  private[graft] def tokenTotals(counts: DataFrame): DataFrame =
+    counts.groupBy("token")
       .agg(sum("tf").as("n"), count(lit(1)).as("n_docs"))
+
+  /** Top-k rank projection over token totals — shared with the
+    * streaming read face. */
+  private[graft] def vocabFace(totals: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    totals
       .orderBy(col("n").desc, col("token"))
       .limit(k)
-    top.withColumn("rank",
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token"))))
       .select("rank", "token", "n", "n_docs")
   }
@@ -561,11 +571,13 @@ object TextFunctions {
     * the regression is a single aggregate over k rows.
     */
   def tokenZipfFit(docs: DataFrame): DataFrame =
-    tokenZipfFrom(docTokenCounts(docs))
+    zipfFace(tokenTotals(docTokenCounts(docs)))
 
-  private def tokenZipfFrom(counts: DataFrame): DataFrame = {
+  /** Regression projection over token totals — shared with the
+    * streaming read face. */
+  private[graft] def zipfFace(totals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val top = counts.groupBy("token").agg(sum("tf").as("n"))
+    val top = totals.select("token", "n")
       .orderBy(col("n").desc, col("token"))
       .limit(ZipfTopK)
     val ranked = top
@@ -590,7 +602,7 @@ object TextFunctions {
   }
 
   def tokenZipfFit(spark: SparkSession, dir: String): DataFrame =
-    tokenZipfFrom(cachedDocTokenCounts(spark, dir))
+    zipfFace(tokenTotals(cachedDocTokenCounts(spark, dir)))
 
   val ZipfTopK = 200
 
