@@ -2501,6 +2501,110 @@ object Analytics {
       |    lag(cents) OVER (ORDER BY month), 4) AS mom_pct
       |FROM m ORDER BY month""".stripMargin
 
+  /** Categorical-mix drift monitor: per month, the χ² statistic of the
+    * order-priority distribution against the whole-history mix — the
+    * data-quality screen that catches a feed whose categorical
+    * composition shifts (new upstream, dropped source, schema remap)
+    * even when row counts look healthy. Computed via the algebraic
+    * identity χ² = Σ_c obs²/exp − N_month (with exp = month_total ·
+    * overall_share): absent (month, category) cells contribute ZERO to
+    * the obs²/exp sum, so the sparse observed matrix needs no
+    * densification to be exact — the naive Σ(obs−exp)²/exp over
+    * present cells only would silently drop each missing category's
+    * exp term. Every input is an exact integer count, the expression
+    * tree is identical in the oracle, and the statistic rounds at
+    * 4 dp.
+    *
+    * Plan: ONE scan partially aggregates the (month, priority) matrix;
+    * the overall mix derives from that matrix (re-agg of a dims-sized
+    * frame, not a second scan) and broadcasts back; output is
+    * |months| rows.
+    */
+  def categoryDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // re-aggregated three ways below
+    val overall = cells.groupBy("priority").agg(sum("n").as("n_cat"))
+    val total = cells.agg(sum("n").as("n_total"))
+    val monthTotals = cells.groupBy("month").agg(sum("n").as("n_month"))
+    cells
+      .join(broadcast(overall), Seq("priority"))
+      .join(broadcast(monthTotals), Seq("month"))
+      .crossJoin(broadcast(total))
+      .withColumn("exp",
+        col("n_month").cast("double") * col("n_cat") / col("n_total"))
+      .groupBy("month")
+      .agg(max(col("n_month")).as("n_orders"),
+        round(sum(col("n") * col("n") / col("exp")) - max(col("n_month")), 4)
+          .as("chi2"))
+      .orderBy("month")
+  }
+
+  val categoryDriftSql: String =
+    """WITH cells AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority AS priority,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |overall AS (SELECT priority, sum(n) AS n_cat FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(n) AS n_total FROM cells),
+      |mt AS (SELECT month, sum(n) AS n_month FROM cells GROUP BY 1)
+      |SELECT month, max(n_month) AS n_orders,
+      |  round(sum(n * n / (CAST(n_month AS DOUBLE) * n_cat / n_total))
+      |    - max(n_month), 4) AS chi2
+      |FROM cells
+      |JOIN overall USING (priority)
+      |JOIN mt USING (month)
+      |CROSS JOIN tot
+      |GROUP BY month ORDER BY month""".stripMargin
+
+  /** Supplier revenue concentration per nation — the Herfindahl–
+    * Hirschman index Σ share² over each nation's suppliers (1/n =
+    * perfectly even, 1.0 = single-supplier), with supplier count and
+    * top-share. The sourcing-risk readout a supply-chain dashboard
+    * leads with. Revenue quantizes to exact cents per supplier, so
+    * shares divide identical bigints; HHI sums ≤ |suppliers-per-
+    * nation| identical doubles (4-dp round).
+    *
+    * Plan: one lineitem scan aggregates per supplier (map-side
+    * partials); the supplier dim broadcast attaches the nation; the
+    * nation rollup is dims-sized.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+        .cast("long")).as("cents"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    val natTotals = perSupp.groupBy("s_nationkey").agg(sum("cents").as("nat_cents"))
+    perSupp
+      .join(broadcast(natTotals), Seq("s_nationkey"))
+      .withColumn("share", col("cents").cast("double") / col("nat_cents"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("share") * col("share")), 4).as("hhi"),
+        round(max(col("share")), 4).as("top_share"))
+      .orderBy("nationkey")
+  }
+
+  val supplierHhiSql: String =
+    """WITH per_supp AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT s_nationkey, cents FROM per_supp
+      |  JOIN supplier ON l_suppkey = s_suppkey),
+      |nt AS (SELECT s_nationkey, sum(cents) AS nat_cents FROM j GROUP BY 1)
+      |SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+      |  round(sum(power(CAST(cents AS DOUBLE) / nat_cents, 2)), 4) AS hhi,
+      |  round(max(CAST(cents AS DOUBLE) / nat_cents), 4) AS top_share
+      |FROM j JOIN nt USING (s_nationkey)
+      |GROUP BY 1 ORDER BY nationkey""".stripMargin
+
   /** Customer retention/churn via SET OPERATORS: the distinct buyer
     * sets of the first and second halves of the order history
     * (midpoint split on broadcast integer epoch-day scalars) combined

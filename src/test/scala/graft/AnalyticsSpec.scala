@@ -750,6 +750,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(m("1_first") > 0 && m("2_second") > 0)
   }
 
+  test("category_drift replays the chi-square against the overall mix") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val total = orders.length.toDouble
+    val overall = orders.groupBy(_._2).map { case (p, xs) => p -> xs.length.toDouble }
+    val want = orders.groupBy(_._1).map { case (m, xs) =>
+      val nMonth = xs.length.toDouble
+      val chi2 = overall.map { case (p, nCat) =>
+        val obs = xs.count(_._2 == p).toDouble
+        val exp = nMonth * nCat / total
+        (obs - exp) * (obs - exp) / exp
+      }.sum
+      m -> (xs.length.toLong, chi2)
+    }
+    val got = Analytics.categoryDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet)
+    for ((m, (n, chi2)) <- want) {
+      assert(got(m)._1 === n, s"$m order count")
+      assert(math.abs(got(m)._2 - chi2) < 1e-3, s"$m chi2 ${got(m)._2} vs $chi2")
+    }
+  }
+
+  test("supplier_hhi is a true concentration index over exact cents") {
+    val rows = Analytics.supplierHhi(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, n, hhi, top) =>
+      assert(hhi >= 1.0 / n - 1e-4 && hhi <= 1.0 + 1e-9, s"nation $nat HHI $hhi range")
+      assert(top * top <= hhi + 1e-6, s"nation $nat top share consistency")
+      assert(top <= 1.0 + 1e-9 && top >= 1.0 / n - 1e-9)
+    }
+    // every supplier with lineitems is attributed to exactly one nation
+    assert(rows.map(_._2).sum ===
+      Tables.lineitem(spark, sfDir).select("l_suppkey").distinct().count())
+  }
+
   test("pareto_front equals the brute-force dominance skyline") {
     val got = Analytics.paretoFront(spark, sfDir).collect()
       .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3)))
