@@ -429,7 +429,8 @@ object Dedup {
       |flt AS (SELECT doc_id, sh FROM sh WHERE sh <> ''),
       |f AS (SELECT sh, min(doc_id) AS first_doc FROM flt GROUP BY sh)
       |SELECT s.doc_id, count(*) AS n_grams,
-      |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+      |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
       |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0
       |    / count(*), 4) AS novelty
       |FROM flt s JOIN f USING (sh)

@@ -690,8 +690,8 @@ object TextFunctions {
       |              count(*) AS n_new_tokens
       |       FROM f, b GROUP BY 1)
       |SELECT bucket, n_docs, coalesce(n_new_tokens, 0) AS n_new_tokens,
-      |  sum(coalesce(n_new_tokens, 0)) OVER (ORDER BY bucket
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+      |  CAST(sum(coalesce(n_new_tokens, 0)) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
       |FROM nd LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin
 
   /** Per-source quality-percentile gating — "keep the best (1-p)

@@ -957,10 +957,10 @@ object Analytics {
 
   val q12Sql: String =
     """SELECT l_returnflag,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-      |      THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_returnflag IN ('A','R')
       |  AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -2496,7 +2496,8 @@ object Analytics {
       |  SELECT substr(day, 1, 7) AS month, sum(n_orders) AS n_orders,
       |    sum(cents) AS cents
       |  FROM daily GROUP BY 1)
-      |SELECT month, n_orders, round(cents / 100.0, 2) AS revenue,
+      |SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+      |  round(cents / 100.0, 2) AS revenue,
       |  round((cents - lag(cents) OVER (ORDER BY month)) * 100.0 /
       |    lag(cents) OVER (ORDER BY month), 4) AS mom_pct
       |FROM m ORDER BY month""".stripMargin
@@ -2550,7 +2551,7 @@ object Analytics {
       |overall AS (SELECT priority, sum(n) AS n_cat FROM cells GROUP BY 1),
       |tot AS (SELECT sum(n) AS n_total FROM cells),
       |mt AS (SELECT month, sum(n) AS n_month FROM cells GROUP BY 1)
-      |SELECT month, max(n_month) AS n_orders,
+      |SELECT month, CAST(max(n_month) AS BIGINT) AS n_orders,
       |  round(sum(n * n / (CAST(n_month AS DOUBLE) * n_cat / n_total))
       |    - max(n_month), 4) AS chi2
       |FROM cells

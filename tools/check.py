@@ -42,6 +42,18 @@ for name in names:
     if len(s) != len(d):
         fails.append((name, f"row count: spark={len(s)} duck={len(d)}"))
         continue
+    # Dtype-strict gate (the r10 failure class): the driver hashes values
+    # AFTER dtype rendering, so a DuckDB HUGEINT sum landing as float64
+    # ("4116.0") against Spark's int64 ("4116") is a driver hash-FAIL even
+    # though assert_frame_equal(check_dtype=False) calls the values equal.
+    # Flag any column where one engine yields an integer dtype and the
+    # other a float — the oracle needs CAST(... AS BIGINT) (SURVEY §5).
+    drift = [c for c in s.columns
+             if {s[c].dtype.kind, d[c].dtype.kind} == {"i", "f"}]
+    if drift:
+        fails.append((name, "dtype drift (int vs float — driver hash would "
+                      f"fail; CAST the oracle column to BIGINT): {drift}"))
+        continue
     try:
         pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
         passes.append(name)
