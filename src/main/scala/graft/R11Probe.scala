@@ -37,6 +37,29 @@ object R11Probe {
         queries.Graph.ccMaintain(spark, dir).count()
       }
     }
+    // stage attribution: drive the state manually
+    time("staged total") {
+      val frames = (0 until queries.Graph.NumEpochs).map(i =>
+        all.filter(col("epoch") === i).select("src", "dst", "dw"))
+      val st = time("epoch0 init") {
+        new queries.Graph.CcMaintainState(spark, frames.head)
+      }
+      frames.tail.zipWithIndex.foreach { case (d, i) =>
+        time(s"epoch${i + 1} apply") { st.applyEpoch(d) }
+      }
+      time("universe join") {
+        val labels = st.labels
+        val universe = Tables.part(spark, dir).select(col("p_partkey").as("part_id"))
+        val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csize"))
+        universe
+          .join(labels.select(col("node").as("part_id"), col("comp")), Seq("part_id"), "left")
+          .join(broadcast(sizes), Seq("comp"), "left")
+          .select(col("part_id"),
+            coalesce(col("comp"), col("part_id")).as("component_id"),
+            coalesce(col("csize"), lit(1L)).as("component_size"))
+          .count()
+      }
+    }
     spark.stop()
   }
 }

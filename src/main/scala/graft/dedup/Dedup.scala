@@ -1229,7 +1229,7 @@ object Dedup {
     * edge array: member → (min-reachable id, cluster size). Driver-side
     * BY DESIGN — callers gate on the broadcast threshold first.
     */
-  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long, Long)] = {
+  private[graft] def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x0: Long): Long = {
       var x = x0

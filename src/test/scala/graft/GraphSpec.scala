@@ -195,6 +195,61 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"cross-epoch merge wrong: $out")
   }
 
+  test("cc maintenance: an epoch rewrites ONLY the weight buckets its delta touches") {
+    import spark.implicits._
+    // epoch 0 spreads pairs over several buckets; epoch 1's delta is a
+    // single pair, so exactly that pair's bucket may be rewritten
+    val e0 = (1L to 40L).map(i => (i, i + 100L, 2L)).toDF("src", "dst", "dw")
+    val st = new Graph.CcMaintainState(spark, e0)
+    assert(st.generations.map(_._2).reduce(_ ++ _) === (0 until Graph.WBuckets).toSet,
+      "initial generations must cover every bucket")
+    val pre = (0 until Graph.WBuckets).map(b => b -> st.bucketGen(b)).toMap
+    st.applyEpoch(Seq((7L, 107L, 1L)).toDF("src", "dst", "dw"))
+    assert(st.lastDirty.size === 1, s"one-pair delta must dirty one bucket: ${st.lastDirty}")
+    assert(st.lastDirty.subsetOf((0 until Graph.WBuckets).toSet))
+    (0 until Graph.WBuckets).filterNot(st.lastDirty).foreach { b =>
+      assert(st.bucketGen(b) eq pre(b),
+        s"untouched bucket $b was rewritten (generation frame changed)")
+    }
+    st.lastDirty.foreach { b =>
+      assert(!(st.bucketGen(b) eq pre(b)), s"dirty bucket $b was not rewritten")
+    }
+    // and the rewrite is semantically the additive merge: (7,107) now 3
+    val w7 = st.bucketGen(st.lastDirty.head)
+      .filter(col("src") === 7L && col("dst") === 107L)
+      .select("w").collect().map(_.getLong(0)).toSeq
+    assert(w7 === Seq(3L), s"merged weight wrong: $w7")
+  }
+
+  test("cc maintenance: forced spill to the distributed label path matches driver mode") {
+    import spark.implicits._
+    def ep(rows: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("src", "dst", "dw")
+    val universe = (1L to 8L).toDF("part_id")
+    val frames = Seq(
+      ep((1L, 2L, 2L), (3L, 4L, 2L), (2L, 3L, 1L), (7L, 8L, 1L)),
+      ep((2L, 3L, 1L), (5L, 6L, 2L)),
+      ep((7L, 8L, 1L), (4L, 5L, 2L)))
+    val driverMode = Graph.ccMaintainFold(spark, frames, universe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // gate 0 can never hold a non-empty edge batch driver-side: epoch 0
+    // initializes distributed and every epoch runs the star-contraction
+    val spilled = Graph.ccMaintainFold(spark, frames, universe, gate = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(driverMode === spilled,
+      s"distributed label path diverged:\n$driverMode\nvs\n$spilled")
+    // mid-fold spill: driver mode for epoch 0, distributed afterwards
+    val st = new Graph.CcMaintainState(spark, frames.head, gate = 5)
+    frames.tail.foreach(st.applyEpoch)
+    val mixed = st.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val pure = {
+      val s2 = new Graph.CcMaintainState(spark, frames.head)
+      frames.tail.foreach(s2.applyEpoch)
+      s2.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    assert(mixed === pure, s"mid-fold spill diverged:\n$mixed\nvs\n$pure")
+  }
+
   test("bfs levels are a valid breadth-first layering of the thresholded graph") {
     val levels = Graph.bfsHops(spark, sfDir).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
