@@ -26,6 +26,9 @@ object R11Probe {
     val all = time("artifact:graph_epochs") {
       queries.Graph.cachedEpochPairs(spark, dir)
     }
+    time("artifact:graph_wpairs") { queries.Graph.cachedWeightedPairs(spark, dir) }
+    time("artifact:graph_edges") { queries.Graph.cachedGraph(spark, dir) }
+    time("artifact:graph_lpa_labels") { queries.Graph.cachedLpaLabels(spark, dir) }
     (0 until queries.Graph.NumEpochs).foreach { i =>
       println(s"PROBE epoch $i pairs = " +
         all.filter(col("epoch") === i).count())

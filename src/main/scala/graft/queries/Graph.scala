@@ -272,8 +272,19 @@ object Graph {
         .filter(size(col("parts")) >= 2)
         .select(col("epoch"),
           explode(graft.dedup.Dedup.postingPairs(col("parts"))).as("pr"))
-        .select(col("epoch"), col("pr.id_a").as("src"), col("pr.id_b").as("dst"))
-        .groupBy("epoch", "src", "dst").agg(count(lit(1)).as("dw"))
+        // pack (epoch, src, dst) into ONE long group key — epoch < 4,
+        // ids < 2^31 (the NodeBits invariant), so (epoch<<62)|(src<<31)
+        // |dst is injective; the count's partial-agg hash and the
+        // exchange then carry 8-byte keys instead of 3 columns (the
+        // pair family's packed-payload discipline)
+        .select((shiftleft(col("epoch").cast("long"), 62)
+          .bitwiseOR(shiftleft(col("pr.id_a"), 31))
+          .bitwiseOR(col("pr.id_b"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("dw"))
+        .select(shiftrightunsigned(col("k"), 62).cast("int").as("epoch"),
+          shiftrightunsigned(col("k"), 31).bitwiseAND(lit((1L << 31) - 1)).as("src"),
+          col("k").bitwiseAND(lit((1L << 31) - 1)).as("dst"),
+          col("dw"))
         .localCheckpoint(true)
     }
 
@@ -284,15 +295,20 @@ object Graph {
     * cdc_*_maintain family applied to graph topology, where the
     * maintained object is a SET (the edge list), not an additive count:
     * order history arrives as four order-date epochs, each epoch's
-    * basket pairs are deduplicated against the maintained edge set with
-    * an anti-join (the novelty check — set union, not blind addition),
-    * and ONLY the genuinely-new edges' endpoints fold into the degree
-    * state via the same full-outer merge the CDC aggregates use.
+    * basket pairs fold into the [[BucketedWeightState]], whose merge
+    * probe carries every touched key's OLD weight — so the set-novelty
+    * check (an edge seen in an earlier epoch must not count again) is
+    * the free predicate `w0 = 0` on the merge output, and ONLY the
+    * genuinely-new edges' endpoints fold into the degree state via the
+    * same full-outer merge the CDC aggregates use.
     *
-    * Per-epoch cost is Θ(new baskets + |ΔE|) plus one keyed probe of
-    * the maintained set (the anti-join — an index lookup at scale,
-    * co-partitioned on the canonical (src, dst) key); the fold NEVER
-    * rescans history or recomputes a degree from scratch. The oracle
+    * Per-epoch cost is Θ(new baskets) plus the dirty-bucket weight
+    * merge (a keyed index probe at scale, co-partitioned on the
+    * canonical (src, dst) key — untouched buckets are never read or
+    * rewritten); the fold NEVER rescans history or recomputes a
+    * degree from scratch, and no Θ(|E|) edge-set materialization ever
+    * runs (the r10 version checkpointed the whole accumulated set
+    * every epoch). The oracle
     * computes the batch degrees straight from the full fact table, so
     * the four-epoch incremental composition must land on exactly the
     * recompute-from-scratch answer — the maintained == batch
@@ -300,33 +316,34 @@ object Graph {
     */
   def degreeMaintain(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val all = cachedEpochPairs(spark, dir)
-    def epochPairs(i: Int): DataFrame =
-      all.filter(col("epoch") === i).select("src", "dst")
     def degOf(delta: DataFrame): DataFrame = delta
       .select(col("src").as("node"))
       .union(delta.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    var edges = epochPairs(0).localCheckpoint(true)
-    var deg = degOf(edges)
+    // the maintained edge set IS the support of the bucketed weight
+    // state: the merge probe carries each touched key's old weight, so
+    // "genuinely new edge" is the free predicate w0 = 0 — the novelty
+    // anti-join and the Θ(|E|) per-epoch edge-set checkpoint both
+    // disappear into the dirty-bucket merge the cc fold already pays
+    val st = new BucketedWeightState(
+      all.filter(col("epoch") === 0).select("src", "dst", "dw"))
+    var deg = degOf(st.w0)
     for (i <- 1 until NumEpochs) {
-      // novelty check: an edge seen in an earlier epoch must not count
-      // again. Checkpointed: delta feeds BOTH the edge-set union and
-      // the degree increment — measured at sf0.1, re-deriving the
-      // anti-join for the second consumer costs more than the
-      // materialization job it would save
-      val delta = epochPairs(i)
-        .join(edges, Seq("src", "dst"), "left_anti")
-        .localCheckpoint(true)
-      edges = edges.union(delta).localCheckpoint(true)
-      // the CDC merge shape: full-outer on the key, coalesced addition.
-      // deg folds forward linearly (each epoch references the previous
-      // exactly once), so the un-checkpointed lineage stays a
-      // NumEpochs-deep join chain over checkpointed frames
-      deg = deg.select(col("node"), col("deg"))
-        .join(degOf(delta).select(col("node"), col("deg").as("d2")),
-          Seq("node"), "full_outer")
-        .select(col("node"),
-          (coalesce(col("deg"), lit(0L)) + coalesce(col("d2"), lit(0L))).as("deg"))
+      st.merge(all.filter(col("epoch") === i).select("src", "dst", "dw"))
+        .foreach { merged =>
+          val fresh = merged
+            .filter(col("w0") === 0L && col("dw") > 0L)
+            .select("src", "dst")
+          // the CDC merge shape: full-outer on the key, coalesced
+          // addition. deg folds forward linearly (each epoch references
+          // the previous exactly once), so the un-checkpointed lineage
+          // stays a NumEpochs-deep join chain over checkpointed frames
+          deg = deg.select(col("node"), col("deg"))
+            .join(degOf(fresh).select(col("node"), col("deg").as("d2")),
+              Seq("node"), "full_outer")
+            .select(col("node"),
+              (coalesce(col("deg"), lit(0L)) + coalesce(col("d2"), lit(0L))).as("deg"))
+        }
     }
     deg.select(col("node").as("part_id"), col("deg").as("degree"))
       .orderBy(col("degree").desc, col("part_id"))
@@ -542,26 +559,28 @@ object Graph {
     }
   }
 
-  /** The maintain fold's mutable state: the BUCKETED weight table plus
-    * the label table. The weight state lives as GENERATIONS — disjoint
-    * (checkpointed frame, bucket set) pairs, newest first; a bucket's
-    * current rows sit in the newest generation whose set contains it.
-    * [[applyEpoch]] merges ONLY the buckets the delta touches into one
-    * new generation (a single checkpoint job sized Σ|W_b| over dirty
-    * buckets, not Θ(|W|)) and subtracts them from older generations'
-    * sets — untouched buckets keep their existing generation frame
-    * untouched (reference-identical, which the spec asserts), and the
-    * merge input scans each generation ONCE via a bucket-set filter
+  /** The maintain family's BUCKETED additive-weight state. The state
+    * lives as GENERATIONS — disjoint (checkpointed frame, bucket set)
+    * pairs, newest first; a bucket's current rows sit in the newest
+    * generation whose set contains it. [[merge]] folds a delta by
+    * merging ONLY the buckets it touches into one new generation (a
+    * single checkpoint job sized Σ|W_b| over dirty buckets, not
+    * Θ(|W|)) and subtracting them from older generations' sets —
+    * untouched buckets keep their existing generation frame untouched
+    * (reference-identical, which the spec asserts), and the merge
+    * input scans each live generation ONCE via a bucket-set filter
     * (never per-bucket — 16 filter branches over one shared checkpoint
     * would re-scan it 16×, the measured dominant cost of the naive
     * form). This is the `ParquetUpsertSink` dirty-bucket merge
     * discipline applied to in-session state: at 100 TB the buckets are
     * the state sink's partitions and an epoch rewrites only the
-    * partitions its keys hash into.
+    * partitions its keys hash into. Shared by [[ccMaintain]] (weights →
+    * threshold view → labels) and [[degreeMaintain]] (the maintained
+    * edge SET is the state's support: a key is new iff its old weight
+    * is zero, so the set-novelty anti-join is free on the merge).
     */
-  private[graft] final class CcMaintainState(spark: SparkSession, init: DataFrame,
-      gate: Int = 1000000) {
-    private val w0 = init
+  private[graft] final class BucketedWeightState(init: DataFrame) {
+    private[graft] val w0 = init
       .select(col("src"), col("dst"), col("dw").as("w"))
       .withColumn("b", wBucketOf(col("src"), col("dst")))
       .localCheckpoint(true)
@@ -573,8 +592,51 @@ object Graph {
       */
     private[graft] def bucketGen(b: Int): DataFrame =
       generations.find(_._2.contains(b)).get._1
-    /** Buckets the most recent epoch rewrote (all, at init). */
+    /** Buckets the most recent delta rewrote (all, at init). */
     var lastDirty: Set[Int] = (0 until WBuckets).toSet
+
+    /** Fold one (src, dst, dw) delta into the dirty buckets. Returns
+      * the epoch's merged probe frame (b, src, dst, w0, dw) — old
+      * weight and increment per touched-or-cohashed key, the one
+      * materialization both the threshold test and the novelty test
+      * read — or None for an empty delta.
+      */
+    def merge(d0: DataFrame): Option[DataFrame] = {
+      val d = d0.select(col("src"), col("dst"), col("dw"))
+        .withColumn("b", wBucketOf(col("src"), col("dst")))
+      val dirty = d.select("b").distinct().collect().map(_.getInt(0)).toSet
+      lastDirty = dirty
+      if (dirty.isEmpty) return None
+      val dirtyW = generations.flatMap { case (f, bs) =>
+        val hit = bs.intersect(dirty)
+        if (hit.isEmpty) None
+        else Some(f.filter(col("b").isin(hit.toSeq.sorted.map(Integer.valueOf): _*)))
+      }.reduce(_ unionByName _)
+      val merged = dirtyW
+        .join(d, Seq("b", "src", "dst"), "full_outer")
+        .select(col("b"), col("src"), col("dst"),
+          coalesce(col("w"), lit(0L)).as("w0"),
+          coalesce(col("dw"), lit(0L)).as("dw"))
+        .localCheckpoint(true)
+      val wNew = merged.select(col("b"), col("src"), col("dst"),
+        (col("w0") + col("dw")).as("w"))
+      generations = ((wNew, dirty) :: generations.map { case (f, bs) =>
+        (f, bs.diff(dirty))
+      }).filter(_._2.nonEmpty)
+      Some(merged)
+    }
+  }
+
+  /** The cc-maintain fold's mutable state: the [[BucketedWeightState]]
+    * weight layer plus the component-label layer.
+    */
+  private[graft] final class CcMaintainState(spark: SparkSession, init: DataFrame,
+      gate: Int = 1000000) {
+    private[graft] val weights = new BucketedWeightState(init)
+    private def w0 = weights.w0
+    private[graft] def generations = weights.generations
+    private[graft] def bucketGen(b: Int): DataFrame = weights.bucketGen(b)
+    def lastDirty: Set[Int] = weights.lastDirty
 
     import spark.implicits._
 
@@ -655,35 +717,14 @@ object Graph {
           println(f"CCSTAGE $l ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
         }
       }
-      // no checkpoint: epoch frames are trivial filters over the
-      // already-checkpointed substrate
-      val d = d0.select(col("src"), col("dst"), col("dw"))
-        .withColumn("b", wBucketOf(col("src"), col("dst")))
-      val dirty = t("dirty")(d.select("b").distinct().collect().map(_.getInt(0)).toSet)
-      lastDirty = dirty
-      if (dirty.isEmpty) return
-      // layers 1+2 FUSED, dirty buckets only: the one full-outer probe
-      // serves BOTH the threshold-crossing test (old w < thr ≤ old
-      // w + dw — touched keys only, dw null elsewhere) and the
-      // additive merge; ONE checkpoint job materializes all dirty
-      // buckets together, scanning each live generation exactly once
-      val dirtyW = generations.flatMap { case (f, bs) =>
-        val hit = bs.intersect(dirty)
-        if (hit.isEmpty) None
-        else Some(f.filter(col("b").isin(hit.toSeq.sorted.map(Integer.valueOf): _*)))
-      }.reduce(_ unionByName _)
-      val merged = t("merge")(dirtyW
-        .join(d, Seq("b", "src", "dst"), "full_outer")
-        .select(col("b"), col("src"), col("dst"),
-          coalesce(col("w"), lit(0L)).as("w0"),
-          coalesce(col("dw"), lit(0L)).as("dw"))
-        .localCheckpoint(true))
-      val wNew = merged.select(col("b"), col("src"), col("dst"),
-        (col("w0") + col("dw")).as("w"))
-      generations = ((wNew, dirty) :: generations.map { case (f, bs) =>
-        (f, bs.diff(dirty))
-      }).filter(_._2.nonEmpty)
-      val crossed = merged
+      // layers 1+2 FUSED, dirty buckets only: the one full-outer merge
+      // probe serves BOTH the threshold-crossing test (old w < thr ≤
+      // old w + dw — touched keys only, dw null elsewhere) and the
+      // additive merge. No delta checkpoint: epoch frames are trivial
+      // filters over the already-checkpointed substrate.
+      val mergedOpt = t("merge")(weights.merge(d0))
+      if (mergedOpt.isEmpty) return
+      val crossed = mergedOpt.get
         .filter(col("w0") < MinCoOrders && col("w0") + col("dw") >= MinCoOrders)
         .select("src", "dst")
       // layer 3: fold ΔE into the labeling — driver mode while gated,
@@ -978,22 +1019,40 @@ object Graph {
   private[graft] def cachedLpaLabels(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("graph_lpa_labels", dir)) {
       val e = thresholdedEdges(spark, dir)
+      // pre-partitioned on src ONCE and CACHED (not checkpointed — a
+      // LogicalRDD under AQE forgets its partitioning, an
+      // InMemoryRelation advertises it): the broadcast vote join
+      // preserves hashpartitioning(src), which satisfies BOTH
+      // per-round groupings (src,lbl ⊇ src) — so every LPA round runs
+      // exchange-free (plan-locked in the spec). Lineage is one scan
+      // deep; nothing to truncate.
       val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+        .repartition(col("src"))
+        .cache()
+      edges.count()
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
         .localCheckpoint(true)
       for (_ <- 1 to LpaRounds) {
-        labels = edges
-          .join(broadcast(labels), col("dst") === col("node"))
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("src"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
-          .select(col("src").as("node"), col("top.lbl").as("lbl"))
-          .localCheckpoint(true)
+        labels = lpaVoteRound(edges, labels).localCheckpoint(true)
       }
       labels
     }
+
+  /** One synchronous LPA vote round: broadcast the label table onto the
+    * src-partitioned edge list, count neighbor votes, argmax with the
+    * (count DESC, label ASC) tie-break. Both aggregations cluster on a
+    * superset of {src}, so over [[cachedLpaLabels]]' pre-partitioned
+    * edges the round plans with ZERO shuffle exchanges (spec-locked) —
+    * per round the cluster moves only the |V|-row broadcast.
+    */
+  private[graft] def lpaVoteRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(broadcast(labels), col("dst") === col("node"))
+      .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
+      .select(col("src").as("node"), col("top.lbl").as("lbl"))
 
   val LpaRounds = 4
 

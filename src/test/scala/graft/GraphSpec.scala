@@ -342,6 +342,25 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"label join should broadcast:\n$p")
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
       s"argmax must be a partial-agg max, not a window:\n$p")
+    // a vote round over the pre-partitioned edge table must plan with
+    // ZERO shuffle exchanges: the checkpointed hashpartitioning(src)
+    // satisfies both groupings, and the label join only broadcasts
+    val edges = {
+      val e = Graph.thresholdedEdges(spark, sfDir)
+      val m = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")).cache()
+      m.count()
+      m
+    }
+    val lbl0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    // the cached edge relation's BUILD plan (nested in explain output)
+    // legitimately holds the one-time repartition — only the round
+    // plan ABOVE the cache scan must be exchange-free
+    val rp = plan(Graph.lpaVoteRound(edges, lbl0))
+      .linesIterator.takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(!rp.contains("Exchange hashpartitioning"),
+      s"LPA round must not shuffle over pre-partitioned edges:\n$rp")
   }
 
   test("graph_modularity equals a literal Q over the LPA partition") {
