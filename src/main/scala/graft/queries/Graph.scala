@@ -205,6 +205,67 @@ object Graph {
     * fetches become co-partitioned shuffle joins on the okey; the
     * intersection stays map-side either way.
     */
+  /** Exact total triangle count of an undirected canonical pair frame
+    * (src < dst) — the same degree-oriented wedge machinery as
+    * [[triangleCounts]] reduced to its scalar: orient by (degree, id),
+    * expand sorted out-neighbor arrays map-side, sum the intersection
+    * sizes. One number out; the substrate of the DOULION tier.
+    */
+  private[graft] def triangleTotal(pairs: DataFrame): DataFrame = {
+    val both = pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val ore = both
+      .join(broadcast(deg), col("src") === col("node"))
+      .select(col("src"), col("dst"), col("deg").as("sdeg"))
+      .join(broadcast(deg.withColumnRenamed("node", "n2")),
+        col("dst") === col("n2"))
+      .select(okey(col("sdeg"), col("src")).as("sk"),
+        okey(col("deg"), col("dst")).as("dk"))
+      .filter(col("sk") < col("dk"))
+      .localCheckpoint(true)
+    val adj = ore.groupBy(col("sk").as("node_key"))
+      .agg(sort_array(collect_list(col("dk"))).as("nbrs"))
+    ore
+      .join(broadcast(adj), col("sk") === col("node_key"))
+      .select(col("sk"), col("dk"), col("nbrs").as("na"))
+      .join(broadcast(adj), col("dk") === col("node_key"))
+      .select(size(array_intersect(col("na"), col("nbrs"))).cast("long").as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+  }
+
+  /** DOULION-style approximate triangle count — the scale tier of
+    * [[triangleCounts]]: sample each undirected edge independently
+    * with probability p via a deterministic salted md5 coin (the
+    * `stratified_sample` coin discipline, so the sparsification is
+    * replayable), count triangles EXACTLY on the sparsified graph with
+    * the same oriented-wedge machinery, scale by 1/p³ (each triangle
+    * survives with probability p³). Wedge mass shrinks ~p² and edge
+    * volume ~p, which is the whole point at 100 TB where the exact
+    * face's Σoutdeg² wedge expansion is the steepest certified cost in
+    * the roster (7.3× per 10× data). Tsourakakis et al.'s estimator is
+    * unbiased; the spec asserts p=100% degenerates to the exact count,
+    * multi-salt mean convergence, and single-coin concentration.
+    *
+    * Ref behavior generalized: sulfur1c/spark-streaming-with-debezium
+    * has no graph ops; this extends the repo's co-purchase analytics
+    * family along SURVEY §2's scale-tier discipline
+    * (profile_columns_approx shadowing profile_columns).
+    */
+  def triangleCountApprox(spark: SparkSession, dir: String,
+      pPct: Int = 25, salt: Int = 0): DataFrame = {
+    val pairs = cachedWeightedPairs(spark, dir).select("src", "dst")
+    val sampled = pairs.filter(
+      conv(substring(md5(concat_ws(":", col("src"), col("dst"),
+        lit(salt))), 1, 8), 16, 10).cast("long") % 100 < pPct)
+    val p = pPct / 100.0
+    triangleTotal(sampled)
+      .select(lit(pPct).as("p_pct"),
+        col("n_triangles").as("n_sampled"),
+        round(col("n_triangles") / lit(p * p * p), 0).cast("long")
+          .as("est_triangles"))
+  }
+
   def triangleCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val (edges, deg, _) = cachedGraph(spark, dir)
     // orient each edge from its lower (deg, id) endpoint; sdeg rides

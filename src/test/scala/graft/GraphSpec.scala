@@ -64,6 +64,32 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"degree-oriented counts diverge from brute force:\nfast=${fast.toSeq}\nbrute=${brute.toSeq}")
   }
 
+  test("doulion sampled triangles: exact at p=1, multi-salt mean converges, one coin concentrates") {
+    val exact = Graph.triangleTotal(
+      Graph.cachedWeightedPairs(spark, sfDir).select("src", "dst"))
+      .collect().head.getLong(0)
+    assert(exact > 0, "degenerate: no triangles at this SF")
+    // p = 100%: the sampler keeps every edge and the estimator must
+    // reproduce the exact count bit-for-bit (scaling wired correctly)
+    val full = Graph.triangleCountApprox(spark, sfDir, pPct = 100).collect().head
+    assert(full.getLong(1) === exact && full.getLong(2) === exact,
+      s"p=1 must degenerate to exact: $full vs $exact")
+    // unbiasedness: the estimator mean over independent salted coins
+    // approaches the exact count (12 salts keep the spec cheap; the
+    // tolerance covers the residual sampling variance at this SF)
+    val ests = (0 until 12).map(s =>
+      Graph.triangleCountApprox(spark, sfDir, pPct = 50, salt = s)
+        .collect().head.getLong(2))
+    val mean = ests.sum.toDouble / ests.size
+    assert(math.abs(mean - exact) / exact < 0.25,
+      s"multi-salt mean $mean strays from exact $exact: $ests")
+    // concentration: the default single-coin entry stays in the same
+    // order of magnitude (the operational promise of the scale tier)
+    val one = Graph.triangleCountApprox(spark, sfDir, pPct = 50).collect().head.getLong(2)
+    assert(one > 0 && math.abs(one - exact).toDouble / exact < 0.6,
+      s"single-coin estimate $one too far from $exact")
+  }
+
   test("maintained degrees equal a from-scratch recompute, and the fold is genuinely incremental") {
     val maintained = Graph.degreeMaintain(spark, sfDir, k = 1000000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
