@@ -911,8 +911,17 @@ object Ann {
     val k = math.min(nCells, math.max(sample.length, 1))
     val dim = if (sample.nonEmpty) sample.head.length else 0
     val stride = math.max(sample.length / k, 1)
+    // every centroid coordinate — seeds AND per-round means — is
+    // quantized to 6 dp (the embedding_kmeans cross-engine
+    // bit-stability rule): both engines then fold bit-identical
+    // centroid tables forward, which is what lets the DuckDB oracle
+    // replay the quantizer and certify ann_ivf_topk/corpus_buckets.
+    // HALF_UP, matching Spark's round() and DuckDB's round().
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     var centroids: Array[Array[Double]] =
-      Array.tabulate(k)(c => sample(math.min(c * stride, sample.length - 1)).clone())
+      Array.tabulate(k)(c =>
+        sample(math.min(c * stride, sample.length - 1)).map(q6))
     var it = 0
     while (it < iters && sample.nonEmpty) {
       val sums = Array.fill(k)(new Array[Double](dim))
@@ -932,7 +941,7 @@ object Ann {
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
         else { val m = new Array[Double](dim); var i = 0
-          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
+          while (i < dim) { m(i) = q6(sums(c)(i) / counts(c)); i += 1 }; m }
       }
       it += 1
     }
@@ -1026,6 +1035,87 @@ object Ann {
 
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     embeddingStats(Tables.embeddings(spark, dir))
+
+  /** Shared DuckDB replay of the IVF coarse quantizer — the exact
+    * pipeline [[trainFromCorpus]]+[[withNearestCell]] runs, expressible
+    * because every centroid coordinate (seeds and per-round means) is
+    * 6-dp-quantized (the embedding_kmeans discipline): systematic
+    * corpus sample → deterministic strided seeds → 3 Lloyd rounds
+    * (assignment by list_distance with ties to the lower cell — the
+    * same ordering as the fused l2sq argmin — empty cells keeping
+    * their previous centroid) → full-corpus cell assignment. Produces
+    * CTEs `e` (corpus as DOUBLE[]), `c3` (final centroid lists) and
+    * `asg` (vec_id, cell).
+    */
+  private def ivfQuantizerCtes(nCells: Int = 16, trainSize: Int = 4096): String = {
+    val rounds = (1 to 3).map { i =>
+      s"""a$i AS (SELECT rn, cid FROM (
+         |  SELECT s.rn, c.cid, row_number() OVER (PARTITION BY s.rn
+         |    ORDER BY list_distance(s.v, c.cl), c.cid) AS rk
+         |  FROM s, c${i - 1} c) WHERE rk = 1),
+         |m$i AS (SELECT a.cid, sx.d, round(avg(sx.x), 6) AS m
+         |  FROM a$i a JOIN sx ON sx.rn = a.rn GROUP BY 1, 2),
+         |c$i AS (SELECT p.cid,
+         |    coalesce(nl.cl, p.cl) AS cl
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY d) AS cl FROM m$i GROUP BY cid) nl
+         |  USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT greatest((SELECT count(*) FROM embeddings) // $trainSize, 1) AS stride),
+       |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v
+       |      FROM e, p WHERE vec_id % stride = 0),
+       |sl AS (SELECT count(*) AS L FROM s),
+       |kk AS (SELECT CAST(least($nCells, greatest(L, 1)) AS INT) AS k,
+       |              greatest(L // least($nCells, greatest(L, 1)), 1) AS ss
+       |       FROM sl),
+       |sx AS (SELECT rn, CAST(unnest(generate_series(1, len(v))) AS INT) AS d,
+       |              unnest(v) AS x FROM s),
+       |c0 AS (SELECT ids.cid, list_transform(s.v, x -> round(x, 6)) AS cl
+       |  FROM (SELECT CAST(unnest(generate_series(0, k - 1)) AS INT) AS cid FROM kk) ids,
+       |       kk, sl, s
+       |  WHERE s.rn = least(ids.cid * kk.ss, sl.L - 1)),
+       |$rounds,
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
+       |  FROM e, c3 c) WHERE rk = 1)""".stripMargin
+  }
+
+  /** ann_ivf_topk replayed end-to-end: quantizer CTEs, then each query
+    * probes its nProbe nearest cells and ranks candidates by the same
+    * 4-dp cosine / vec_id ordering the Spark tier uses.
+    */
+  val ivfTopKSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |qp AS (SELECT query_id, cell FROM (
+       |  SELECT e.vec_id AS query_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
+       |  FROM e, c3 c WHERE e.vec_id < 10) WHERE rk <= 4),
+       |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+       |  FROM qp JOIN asg a USING (cell)
+       |  JOIN e eq ON eq.vec_id = qp.query_id
+       |  JOIN e ec ON ec.vec_id = a.vec_id
+       |  WHERE a.vec_id <> qp.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** corpus_buckets replayed: the same quantizer + assignment CTEs,
+    * then per-cell occupancy and mean cosine distance to the cell
+    * centroid — the centroid round-tripped through FLOAT32 exactly as
+    * the Spark face feeds [[VectorExpressions.cosine]].
+    */
+  val corpusBucketsSql: String =
+    s"""WITH ${ivfQuantizerCtes()}
+       |SELECT a.cell, count(*) AS n_vecs,
+       |  round(avg(1.0 - list_cosine_similarity(e.v,
+       |    CAST(CAST(c.cl AS FLOAT[]) AS DOUBLE[]))), 4) AS mean_dist,
+       |  min(a.vec_id) AS example_vec
+       |FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN c3 c ON c.cid = a.cell
+       |GROUP BY a.cell ORDER BY a.cell""".stripMargin
 
   val embeddingStatsSql: String =
     """WITH n AS (
