@@ -1534,24 +1534,104 @@ object Dedup {
     * asserts the LSH recall floor and the exact truth count. All
     * counts are 1-row aggregates cross-joined — nothing driver-side.
     */
+  /** One tier row of the quality rollup: candidate count, truth hits
+    * (left-semi probe), and the derived precision/recall — shared by
+    * the hash-specific report and its oracle-certified exact twin.
+    */
+  private def qualityTier(truth: DataFrame, nTruth: DataFrame)(
+      name: String, pairs: DataFrame): DataFrame = {
+    val p = pairs.select("id_a", "id_b").localCheckpoint(true) // counted + probed
+    p.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(p.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits")))
+      .crossJoin(nTruth)
+      .select(lit(name).as("tier"), col("n_pairs"), col("n_hits"), col("n_truth"),
+        round(when(col("n_pairs") > 0,
+          col("n_hits").cast("double") / col("n_pairs")), 4).as("precision"),
+        round(when(col("n_truth") > 0,
+          col("n_hits").cast("double") / col("n_truth")), 4).as("recall"))
+  }
+
   def dedupQualityReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val truth = cachedJaccardPairs(spark, dir).select("id_a", "id_b")
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    def tier(name: String, pairs: DataFrame): DataFrame = {
-      val p = pairs.select("id_a", "id_b").localCheckpoint(true) // counted + probed
-      p.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(p.join(truth, Seq("id_a", "id_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hits")))
-        .crossJoin(nTruth)
-        .select(lit(name).as("tier"), col("n_pairs"), col("n_hits"), col("n_truth"),
-          round(when(col("n_pairs") > 0,
-            col("n_hits").cast("double") / col("n_pairs")), 4).as("precision"),
-          round(when(col("n_truth") > 0,
-            col("n_hits").cast("double") / col("n_truth")), 4).as("recall"))
-    }
+    val tier = qualityTier(truth, truth.agg(count(lit(1)).as("n_truth"))) _
     tier("minhash_bands", lshCandidatesFromIndex(lshBandIndex(docs)))
       .unionByName(tier("simhash_h3", simhashPairs(docs)))
       .orderBy("tier")
+  }
+
+  /** The quality rollup's ORACLE-CERTIFIED twin — the same tier
+    * arithmetic ([[qualityTier]]: candidate count, truth semi-probe,
+    * P/R derivation) driven by pair sets DuckDB can reconstruct, so
+    * the driver's hash gate certifies the report machinery end-to-end
+    * while the hash-specific minhash/simhash membership stays on the
+    * rows-only report:
+    *
+    *  - `exact_df100` — the truth set itself (ties n_truth and the
+    *    P=R=1 fixed point),
+    *  - `exact_df20` — the same exact-Jaccard generator under an
+    *    aggressive df-20 shingle cap: dropping mid-frequency shingles
+    *    both loses true pairs AND admits new ones (union shrinks
+    *    faster than intersection), so precision and recall are both
+    *    genuinely < 1 — the cap-sensitivity readout a 100 TB run uses
+    *    to budget its posting explosion,
+    *  - `exact_t075` — the ≥0.75 high-confidence slice (P = 1,
+    *    R = the severity mix of the duplicate population).
+    */
+  def dedupQualityTruth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truthJ = cachedJaccardPairs(spark, dir)
+    val truth = truthJ.select("id_a", "id_b")
+    val tier = qualityTier(truth, truth.agg(count(lit(1)).as("n_truth"))) _
+    tier("exact_df100", truth)
+      .unionByName(tier("exact_df20", ngramJaccardPairs(docs, 0.5, 20)))
+      .unionByName(tier("exact_t075", truthJ.filter(col("jaccard") >= 0.75)))
+      .orderBy("tier")
+  }
+
+  val dedupQualityTruthSql: String = {
+    def pairsAt(tag: String, cap: Int): String =
+      s"""pr$tag AS (SELECT s.doc_id, s.sh FROM sh s
+         |  WHERE s.sh NOT IN (SELECT sh FROM df WHERE n > $cap)),
+         |sz$tag AS (SELECT doc_id, count(*) AS sz FROM pr$tag GROUP BY doc_id),
+         |j$tag AS (
+         |  SELECT id_a, id_b,
+         |    round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |        FROM pr$tag a JOIN pr$tag b
+         |          ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2) p
+         |  JOIN sz$tag sa ON sa.doc_id = id_a
+         |  JOIN sz$tag sb ON sb.doc_id = id_b
+         |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5)""".stripMargin
+    def tierSel(name: String, from: String): String =
+      s"""SELECT '$name' AS tier,
+         |  (SELECT count(*) FROM $from) AS n_pairs,
+         |  (SELECT count(*) FROM $from t WHERE EXISTS (
+         |     SELECT 1 FROM j100 w WHERE w.id_a = t.id_a AND w.id_b = t.id_b)) AS n_hits,
+         |  (SELECT count(*) FROM j100) AS n_truth""".stripMargin
+    s"""WITH l AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+       |df AS (SELECT sh, count(*) AS n FROM sh GROUP BY sh),
+       |${pairsAt("100", MaxShingleDf)},
+       |${pairsAt("20", 20)},
+       |t75 AS (SELECT id_a, id_b FROM j100 WHERE jaccard >= 0.75),
+       |rows0 AS (
+       |  ${tierSel("exact_df100", "j100")}
+       |  UNION ALL
+       |  ${tierSel("exact_df20", "j20")}
+       |  UNION ALL
+       |  ${tierSel("exact_t075", "t75")})
+       |SELECT tier, n_pairs, n_hits, n_truth,
+       |  round(CASE WHEN n_pairs > 0 THEN n_hits * 1.0 / n_pairs END, 4) AS precision,
+       |  round(CASE WHEN n_truth > 0 THEN n_hits * 1.0 / n_truth END, 4) AS recall
+       |FROM rows0 ORDER BY tier""".stripMargin
   }
 }
