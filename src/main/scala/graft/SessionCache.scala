@@ -63,6 +63,22 @@ private[graft] object SessionCache {
     cache.getOrElseUpdate((spark, key), new Cell(() => f)).value.asInstanceOf[T]
   }
 
+  /** Scratch-path tag for tmpdir state stores: md5 prefix of the data
+    * dir (two dirs must never collide onto one store) PLUS the Spark
+    * application id, so two concurrent JVMs targeting the SAME dir get
+    * disjoint temp roots — without the app-id scope one session could
+    * overwrite a fragment/compacted/sink directory the other is
+    * mid-read (nondeterministic certification breakage). Contains only
+    * [a-z0-9_], so it is also safe inside metastore table names.
+    */
+  def scratchTag(spark: SparkSession, dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val app = spark.sparkContext.applicationId.toLowerCase
+      .replaceAll("[^a-z0-9]", "_")
+    s"${md5}_$app"
+  }
+
   /** Drop every entry owned by `spark` — the explicit release for
     * retired `newSession()` siblings, whose live shared context keeps
     * the stopped-context eviction from ever firing.

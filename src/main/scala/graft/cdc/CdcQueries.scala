@@ -319,8 +319,7 @@ object CdcQueries {
     */
   def cachedUpsertSink(spark: SparkSession, dir: String): ParquetUpsertSink =
     graft.SessionCache.getOrElseUpdate(spark, ("cdcUpsertSink", dir)) {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tag = graft.SessionCache.scratchTag(spark, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-cdcsink-$tag"
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -393,8 +392,7 @@ object CdcQueries {
     */
   def snapshotExport(spark: SparkSession, dir: String): DataFrame = {
     val sink = cachedUpsertSink(spark, dir)
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tag = graft.SessionCache.scratchTag(spark, dir)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft-cdcsnap-$tag"
     sink.exportSnapshot(out)
     val ok = new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")

@@ -60,16 +60,15 @@ object Layout {
     * investment whose cost Bench attributes as the `layout_bucketed`
     * artifact line. Returns (ordersTable, customerTable).
     *
-    * The table/path tag is an md5 prefix of the dir (hashCode would
-    * let two dirs collide onto one table and silently serve each
-    * other's rows). Single-writer per (dir, box) contract, like the
-    * bench itself: two JVMs benching the SAME dir concurrently would
-    * race the overwrite of one shared external path.
+    * The table/path tag ([[graft.SessionCache.scratchTag]]) is an md5
+    * prefix of the dir (hashCode would let two dirs collide onto one
+    * table and silently serve each other's rows) scoped by the Spark
+    * application id, so two JVMs benching the SAME dir concurrently
+    * write disjoint roots instead of racing one shared external path.
     */
   def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     graft.SessionCache.getOrElseUpdate(spark, ("layoutBucketed", dir)) {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tag = graft.SessionCache.scratchTag(spark, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$tag"
       val ordersT = s"graft_bucketed_orders_$tag"
       val custT = s"graft_bucketed_customer_$tag"
@@ -234,8 +233,7 @@ object Layout {
     */
   def zorderedEvents(spark: SparkSession, dir: String): String =
     graft.SessionCache.getOrElseUpdate(spark, ("layoutZordered", dir)) {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tag = graft.SessionCache.scratchTag(spark, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-zordered-$tag/events"
       writeZOrderedIndexed(graft.Tables.load(spark, dir, "events"), path,
         "user_id", "value")
@@ -288,8 +286,7 @@ object Layout {
     */
   def compactedEvents(spark: SparkSession, dir: String): String =
     graft.SessionCache.getOrElseUpdate(spark, ("layoutCompacted", dir)) {
-      val tag = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val tag = graft.SessionCache.scratchTag(spark, dir)
       val root = s"${System.getProperty("java.io.tmpdir")}/graft-compact-$tag"
       val frag = s"$root/frag"
       val out = s"$root/events"
