@@ -1082,6 +1082,34 @@ object Ann {
        |  FROM e, c3 c) WHERE rk = 1)""".stripMargin
   }
 
+  /** ann_sq_topk replayed end-to-end — the scalar quantizer is pure
+    * deterministic arithmetic both engines share bit-for-bit: per-dim
+    * min/max bounds (exact — no FP accumulation), the affine int8
+    * encode round((x−lo)/span·255)−128 (HALF_UP on both engines, range
+    * provably in [-128,127]), the float32-cast decode, and the same
+    * 4-dp cosine / vec_id ranking as the brute tier.
+    */
+  val sqTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ex AS (SELECT vec_id, CAST(unnest(generate_series(1, len(v))) AS INT) AS d,
+      |              unnest(v) AS x FROM e),
+      |b AS (SELECT d, min(x) AS lo, greatest(max(x) - min(x), 1e-12) AS span
+      |      FROM ex GROUP BY d),
+      |dec AS (SELECT vec_id, d,
+      |    CAST((round((x - lo) / span * 255.0) - 128 + 128.0) / 255.0 * span + lo
+      |      AS FLOAT) AS y
+      |  FROM ex JOIN b USING (d)),
+      |vecs AS (SELECT vec_id, list(CAST(y AS DOUBLE) ORDER BY d) AS dv
+      |         FROM dec GROUP BY vec_id),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (SELECT q.query_id, vs.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.qv, vs.dv), 4) AS cosine
+      |  FROM q JOIN vecs vs ON vs.vec_id <> q.query_id),
+      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** ann_ivf_topk replayed end-to-end: quantizer CTEs, then each query
     * probes its nProbe nearest cells and ranks candidates by the same
     * 4-dp cosine / vec_id ordering the Spark tier uses.
