@@ -1110,6 +1110,150 @@ object Ann {
       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** ann_pq_topk replayed end-to-end — expressible for the same reason
+    * as the IVF tier: the per-subspace codebooks (trained by the SAME
+    * 6-dp-quantized strided-seed Lloyd pipeline, just on subvector
+    * slices) are bit-identical across engines, and every ADC quantity
+    * (code norms, query dot LUTs, the over-subspace folds) is an
+    * INDEX-ORDERED sum replayed with ordered list folds
+    * (list_aggregate / list_inner_product walk the list left-to-right
+    * exactly as the Scala fold does). Encode ties go to the lowest
+    * code id, matching the fused PqEncodeCodes argmin.
+    */
+  /** PQ codebook + ADC CTEs — consume the sample CTEs (e/s/sl/kk/sx)
+    * emitted by [[ivfQuantizerCtes]]: per-subspace 3-round Lloyd
+    * training on the same strided sample (6-dp-quantized seeds and
+    * means, ties to the lower code — the PqEncodeCodes argmin),
+    * full-corpus encode, code norms and per-query dot LUTs with
+    * ORDERED list folds matching the Scala fold order. Produces
+    * `codes` (vec_id, m, cid), `dn` (vec_id, dnorm2), `lut`
+    * (query_id, m, cid, qnorm, dot).
+    */
+  private def pqAdcCtes(nSub: Int = 16, nQueries: Int = 10): String = {
+    val subDim = Dim / nSub
+    val rounds = (1 to 3).map { i =>
+      s"""pa$i AS (SELECT m, rn, cid FROM (
+         |  SELECT sv.m, sv.rn, c.cid, row_number() OVER (PARTITION BY sv.m, sv.rn
+         |    ORDER BY list_distance(sv.v, c.cl), c.cid) AS rk
+         |  FROM sv, pc${i - 1} c WHERE c.m = sv.m) WHERE rk = 1),
+         |pm$i AS (SELECT a.m, a.cid, x.sd, round(avg(x.x), 6) AS mu
+         |  FROM pa$i a JOIN ssx x ON x.m = a.m AND x.rn = a.rn GROUP BY 1, 2, 3),
+         |pc$i AS (SELECT p.m, p.cid, coalesce(nl.cl, p.cl) AS cl
+         |  FROM pc${i - 1} p LEFT JOIN (
+         |    SELECT m, cid, list(mu ORDER BY sd) AS cl FROM pm$i GROUP BY m, cid) nl
+         |  USING (m, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""ssx AS (SELECT rn, CAST((d - 1) // $subDim AS INT) AS m,
+       |               CAST((d - 1) % $subDim + 1 AS INT) AS sd, x FROM sx),
+       |sv AS (SELECT rn, m, list(x ORDER BY sd) AS v FROM ssx GROUP BY rn, m),
+       |pc0 AS (SELECT sv.m, ids.cid, list_transform(sv.v, x -> round(x, 6)) AS cl
+       |  FROM (SELECT CAST(unnest(generate_series(0, k - 1)) AS INT) AS cid FROM kk) ids,
+       |       kk, sl, sv
+       |  WHERE sv.rn = least(ids.cid * kk.ss, sl.L - 1)),
+       |$rounds,
+       |ex AS (SELECT vec_id, CAST(unnest(generate_series(1, len(v))) AS INT) AS d,
+       |              unnest(v) AS x FROM e),
+       |cvx AS (SELECT vec_id, CAST((d - 1) // $subDim AS INT) AS m,
+       |               CAST((d - 1) % $subDim + 1 AS INT) AS sd, x FROM ex),
+       |cv AS (SELECT vec_id, m, list(x ORDER BY sd) AS v FROM cvx GROUP BY vec_id, m),
+       |codes AS (SELECT vec_id, m, cid FROM (
+       |  SELECT cv.vec_id, cv.m, c.cid, row_number() OVER (PARTITION BY cv.vec_id, cv.m
+       |    ORDER BY list_distance(cv.v, c.cl), c.cid) AS rk
+       |  FROM cv, pc3 c WHERE c.m = cv.m) WHERE rk = 1),
+       |nrm AS (SELECT m, cid,
+       |    list_aggregate(list_transform(cl, x -> x * x), 'sum') AS n2 FROM pc3),
+       |dn AS (SELECT vec_id,
+       |    list_aggregate(list(n2 ORDER BY m), 'sum') AS dnorm2
+       |  FROM codes JOIN nrm USING (m, cid) GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, v,
+       |    sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS qnorm
+       |  FROM e WHERE vec_id < $nQueries),
+       |qsub AS (SELECT query_id, m, qv, qnorm FROM (
+       |  SELECT q.query_id, c.m, q.qnorm,
+       |    list_slice(q.v, c.m * $subDim + 1, (c.m + 1) * $subDim) AS qv
+       |  FROM q, (SELECT DISTINCT m FROM pc3) c)),
+       |lut AS (SELECT qs.query_id, c.m, c.cid, qs.qnorm,
+       |    list_inner_product(qs.qv, c.cl) AS dot
+       |  FROM qsub qs JOIN pc3 c USING (m))""".stripMargin
+  }
+
+  /** The shared ADC cosine + rank tail over a `dotsX` CTE. */
+  private def adcRankTail(dots: String, k: Int = 5): String =
+    s"""scored AS (SELECT d.query_id, d.vec_id AS neighbor_id,
+       |    round(CASE WHEN d.qnorm = 0 OR dn.dnorm2 = 0 THEN 0.0
+       |      ELSE d.dot / (d.qnorm * sqrt(dn.dnorm2)) END, 4) AS cosine
+       |  FROM $dots d JOIN dn ON dn.vec_id = d.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  val pqTopKSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |${pqAdcCtes()},
+       |dots AS (SELECT l.query_id, cd.vec_id, max(l.qnorm) AS qnorm,
+       |    list_aggregate(list(l.dot ORDER BY l.m), 'sum') AS dot
+       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.cid = cd.cid
+       |  WHERE cd.vec_id <> l.query_id
+       |  GROUP BY l.query_id, cd.vec_id),
+       |${adcRankTail("dots")}""".stripMargin
+
+  /** The nProbe-cell query probe over the trained coarse quantizer —
+    * the same (distance, cell) ordering as the Scala sortBy. */
+  private def probeCte(nProbe: Int): String =
+    s"""qp AS (SELECT query_id, cell FROM (
+       |  SELECT e.vec_id AS query_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
+       |  FROM e, c3 c WHERE e.vec_id < 10) WHERE rk <= $nProbe)""".stripMargin
+
+  /** The cell-restricted ADC dot fold shared by the IVF-PQ faces. */
+  private val ivfpqDotsCte: String =
+    """dotsp AS (SELECT l.query_id, cd.vec_id, max(l.qnorm) AS qnorm,
+      |    list_aggregate(list(l.dot ORDER BY l.m), 'sum') AS dot
+      |  FROM codes cd
+      |  JOIN asg a ON a.vec_id = cd.vec_id
+      |  JOIN qp ON qp.cell = a.cell
+      |  JOIN lut l ON l.query_id = qp.query_id AND l.m = cd.m AND l.cid = cd.cid
+      |  WHERE cd.vec_id <> qp.query_id
+      |  GROUP BY l.query_id, cd.vec_id)""".stripMargin
+
+  /** ann_ivfpq_topk replayed: the certified coarse-quantizer CTEs
+    * (cells) composed with the certified PQ/ADC CTEs (codes, LUTs),
+    * candidates restricted to each query's 6 probed cells.
+    */
+  val ivfpqTopKSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |${pqAdcCtes()},
+       |${probeCte(6)},
+       |$ivfpqDotsCte,
+       |${adcRankTail("dotsp")}""".stripMargin
+
+  /** ann_ivfpq_refine replayed: the IVF-PQ ADC ranking keeps the top
+    * refineFactor·k = 20 survivors per query, which pay the exact
+    * full-dimension 4-dp cosine re-rank (the brute tier's certified
+    * scoring) before the final top-5 slice.
+    */
+  val ivfpqRefineSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |${pqAdcCtes()},
+       |${probeCte(6)},
+       |$ivfpqDotsCte,
+       |adc AS (SELECT d.query_id, d.vec_id,
+       |    round(CASE WHEN d.qnorm = 0 OR dn.dnorm2 = 0 THEN 0.0
+       |      ELSE d.dot / (d.qnorm * sqrt(dn.dnorm2)) END, 4) AS cosine
+       |  FROM dotsp d JOIN dn ON dn.vec_id = d.vec_id),
+       |sur AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS r FROM adc) WHERE r <= 20),
+       |exact AS (SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+       |  FROM sur s JOIN e eq ON eq.vec_id = s.query_id
+       |  JOIN e ec ON ec.vec_id = s.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM exact)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** ann_ivf_topk replayed end-to-end: quantizer CTEs, then each query
     * probes its nProbe nearest cells and ranks candidates by the same
     * 4-dp cosine / vec_id ordering the Spark tier uses.
