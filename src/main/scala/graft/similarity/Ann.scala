@@ -322,19 +322,44 @@ object Ann {
     */
   def balancedSample(spark: SparkSession, dir: String, target: Long = 100): DataFrame = {
     // shares the memoized quantizer+assignment with corpus_buckets —
-    // the checkpoint also serves the two reads below (counts + sample)
+    // the checkpoint also serves the two reads below (counts + sample).
+    // The per-row keep decision is the stratified_sample md5 coin
+    // (r11, replacing Spark's seeded sampleBy): the oracle replays the
+    // exact sample, so the whole entry hash-certifies, and the
+    // per-cell fraction rides a broadcast join instead of a driver
+    // collect — nothing leaves the cluster
     val (_, a) = cachedIvfIndex(spark, dir)
     val counts = a.groupBy("cell").agg(count(lit(1)).as("n_total"))
-    val fractions = counts.collect()
-      .map(r => r.getInt(0) -> math.min(1.0, target.toDouble / r.getLong(1)))
-      .toMap
-    a.stat.sampleBy("cell", fractions, seed = 42L)
+    val coin = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    val sampled = a.join(broadcast(counts), "cell")
+      .filter(coin < floor(least(lit(1.0),
+        lit(target.toDouble) / col("n_total")) * 10000).cast("long"))
       .groupBy("cell").agg(count(lit(1)).as("n_sampled"))
-      .join(counts, "cell")
-      .select(col("cell"), col("n_total"), col("n_sampled"),
-        round(col("n_sampled").cast("double") / col("n_total"), 4).as("kept_frac"))
+    // LEFT join: a cell whose coin kept nothing still reports its row
+    counts.join(sampled, Seq("cell"), "left")
+      .select(col("cell"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(coalesce(col("n_sampled"), lit(0L)).cast("double") /
+          col("n_total"), 4).as("kept_frac"))
       .orderBy("cell")
   }
+
+  /** balanced_sample replayed: per-cell occupancy from the certified
+    * assignment CTEs, the md5 keep-coin, the same integer threshold
+    * floor(min(1, target/n)·10⁴).
+    */
+  val balancedSampleSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |cnt AS (SELECT cell, count(*) AS n_total FROM asg GROUP BY cell),
+       |kept AS (SELECT a.cell, count(*) AS n_sampled
+       |  FROM asg a JOIN cnt USING (cell)
+       |  WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::UBIGINT % 10000
+       |    < CAST(floor(least(1.0, 100.0 / cnt.n_total) * 10000) AS BIGINT)
+       |  GROUP BY a.cell)
+       |SELECT cell, n_total, coalesce(n_sampled, 0) AS n_sampled,
+       |  round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS kept_frac
+       |FROM cnt LEFT JOIN kept USING (cell) ORDER BY cell""".stripMargin
 
   /** Scalar-quantized (int8) ANN — the storage tier every production
     * vector store offers: the corpus is encoded to per-dimension affine
