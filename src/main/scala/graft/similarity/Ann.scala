@@ -265,8 +265,9 @@ object Ann {
   /** Driver entry for the incremental pattern: even vec_ids play the
     * already-indexed corpus (quantizer trained on them alone), odd ids
     * the new batch assigned against the persisted centroids without
-    * retraining. Hash/centroid-specific → rows-only; equality with the
-    * monolithic index path is spec-asserted.
+    * retraining. Oracle-certified: [[ivfIncrementalSql]] replays the
+    * even-trained quantizer verbatim; equality with the monolithic
+    * index path is additionally spec-asserted.
     */
   def ivfIncremental(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
@@ -870,8 +871,10 @@ object Ann {
   /** Driver entry for the incremental IVF-PQ pattern: even vec_ids are
     * the already-indexed corpus (both quantizers trained on them
     * alone), odd ids the new batch encoded against the persisted
-    * artifacts without retraining. Rows-only; equality with the
-    * monolithic same-artifacts path is spec-asserted.
+    * artifacts without retraining. Oracle-certified:
+    * [[ivfpqIncrementalSql]] replays both even-trained quantizers;
+    * equality with the monolithic same-artifacts path is additionally
+    * spec-asserted.
     */
   def ivfpqIncremental(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.embeddings(spark, dir)
@@ -1072,7 +1075,8 @@ object Ann {
     * CTEs `e` (corpus as DOUBLE[]), `c3` (final centroid lists) and
     * `asg` (vec_id, cell).
     */
-  private def ivfQuantizerCtes(nCells: Int = 16, trainSize: Int = 4096): String = {
+  private def ivfQuantizerCtes(nCells: Int = 16, trainSize: Int = 4096,
+      trainWhere: String = "TRUE"): String = {
     val rounds = (1 to 3).map { i =>
       s"""a$i AS (SELECT rn, cid FROM (
          |  SELECT s.rn, c.cid, row_number() OVER (PARTITION BY s.rn
@@ -1087,9 +1091,10 @@ object Ann {
          |  USING (cid))""".stripMargin
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |p AS (SELECT greatest((SELECT count(*) FROM embeddings) // $trainSize, 1) AS stride),
+       |p AS (SELECT greatest((SELECT count(*) FROM embeddings
+       |                       WHERE $trainWhere) // $trainSize, 1) AS stride),
        |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v
-       |      FROM e, p WHERE vec_id % stride = 0),
+       |      FROM e, p WHERE ($trainWhere) AND vec_id % stride = 0),
        |sl AS (SELECT count(*) AS L FROM s),
        |kk AS (SELECT CAST(least($nCells, greatest(L, 1)) AS INT) AS k,
        |              greatest(L // least($nCells, greatest(L, 1)), 1) AS ss
@@ -1253,6 +1258,19 @@ object Ann {
        |$ivfpqDotsCte,
        |${adcRankTail("dotsp")}""".stripMargin
 
+  /** ann_ivfpq_incremental replayed: the composed IVF-PQ pipeline with
+    * BOTH quantizers trained on the even-id half only (the persisted
+    * index); odd ids are encoded against those centroids/codebooks
+    * without retraining, which is exactly the generic encode CTEs over
+    * the even-trained tables.
+    */
+  val ivfpqIncrementalSql: String =
+    s"""WITH ${ivfQuantizerCtes(trainWhere = "vec_id % 2 = 0")},
+       |${pqAdcCtes()},
+       |${probeCte(6)},
+       |$ivfpqDotsCte,
+       |${adcRankTail("dotsp")}""".stripMargin
+
   /** ann_ivfpq_refine replayed: the IVF-PQ ADC ranking keeps the top
     * refineFactor·k = 20 survivors per query, which pay the exact
     * full-dimension 4-dp cosine re-rank (the brute tier's certified
@@ -1285,6 +1303,29 @@ object Ann {
     */
   val ivfTopKSql: String =
     s"""WITH ${ivfQuantizerCtes()},
+       |qp AS (SELECT query_id, cell FROM (
+       |  SELECT e.vec_id AS query_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
+       |  FROM e, c3 c WHERE e.vec_id < 10) WHERE rk <= 4),
+       |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+       |  FROM qp JOIN asg a USING (cell)
+       |  JOIN e eq ON eq.vec_id = qp.query_id
+       |  JOIN e ec ON ec.vec_id = a.vec_id
+       |  WHERE a.vec_id <> qp.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_ivf_incremental replayed: identical pipeline to
+    * [[ivfTopKSql]] except the quantizer trains on the EVEN-id half of
+    * the corpus only (the already-indexed population); odd ids are
+    * assigned to those centroids without retraining — which is exactly
+    * what the generic assignment CTE over the even-trained c3 does.
+    */
+  val ivfIncrementalSql: String =
+    s"""WITH ${ivfQuantizerCtes(trainWhere = "vec_id % 2 = 0")},
        |qp AS (SELECT query_id, cell FROM (
        |  SELECT e.vec_id AS query_id, c.cid AS cell, row_number() OVER (
        |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
