@@ -1023,7 +1023,8 @@ object Dedup {
     *
     * Output: (vec_id, cell, keep) with the vector's PRIMARY (nearest)
     * cell — the keep-list face, array-free so the driver can hash it.
-    * Rows-only (centroid-specific).
+    * Oracle-certified: [[semanticDedupSql]] replays the certified IVF
+    * quantizer, the soft assignment and the 4-dp cosine verbatim.
     */
   def semanticDedup(embs: DataFrame, threshold: Double = 0.4, nCells: Int = 16,
                     nAssign: Int = 2): DataFrame = {
@@ -1045,6 +1046,30 @@ object Dedup {
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(Tables.embeddings(spark, dir))
+
+  /** dedup_semantic replayed: the certified IVF quantizer CTEs
+    * (graft.similarity.Ann.ivfQuantizerCtes — 6-dp-quantized Lloyd's,
+    * bit-stable cross-engine) give the training and PRIMARY assignment;
+    * the soft top-nAssign=2 assignment is the same rank window with
+    * rk <= 2; within-cell pairs at round(cosine,4) >= 0.4 replay the
+    * dedup_embedding_cosine arithmetic. A vector keeps iff no
+    * smaller-id in-cell neighbor clears the threshold.
+    */
+  val semanticDedupSql: String =
+    s"""WITH ${graft.similarity.Ann.ivfQuantizerCtes()},
+       |m AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
+       |  FROM e, c3 c) WHERE rk <= 2),
+       |dup AS (SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b USING (cell)
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE a.vec_id < b.vec_id
+       |    AND round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+       |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   // ------------------------------------------------------------------
   // 6. Benchmark decontamination (test-set n-gram overlap).

@@ -1075,7 +1075,7 @@ object Ann {
     * CTEs `e` (corpus as DOUBLE[]), `c3` (final centroid lists) and
     * `asg` (vec_id, cell).
     */
-  private def ivfQuantizerCtes(nCells: Int = 16, trainSize: Int = 4096,
+  private[graft] def ivfQuantizerCtes(nCells: Int = 16, trainSize: Int = 4096,
       trainWhere: String = "TRUE"): String = {
     val rounds = (1 to 3).map { i =>
       s"""a$i AS (SELECT rn, cid FROM (
