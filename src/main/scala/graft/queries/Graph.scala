@@ -246,6 +246,8 @@ object Graph {
     * the roster (7.3× per 10× data). Tsourakakis et al.'s estimator is
     * unbiased; the spec asserts p=100% degenerates to the exact count,
     * multi-salt mean convergence, and single-coin concentration.
+    * Oracle-certified: [[triangleCountApproxSql]] replays the coin and
+    * the sparsified exact count verbatim.
     *
     * Ref behavior generalized: sulfur1c/spark-streaming-with-debezium
     * has no graph ops; this extends the repo's co-purchase analytics
@@ -1235,4 +1237,24 @@ object Graph {
       |  GROUP BY node)
       |SELECT node AS part_id, n_triangles
       |FROM pern ORDER BY n_triangles DESC, part_id LIMIT 20""".stripMargin
+
+  /** graph_triangles_approx replayed: the exact face's pair universe,
+    * sparsified by the deterministic salted md5 coin (the
+    * stratified_sample replay pattern — coin input "src:dst:0",
+    * p = 25%), triangles counted exactly on the survivor graph, scaled
+    * by 1/p³. round(n/0.015625) = n·64 exactly in both engines.
+    */
+  val triangleCountApproxSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |u AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |su AS (SELECT src, dst FROM u
+      |  WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR || ':0'),
+      |         1, 8))::UBIGINT % 100 < 25),
+      |t AS (SELECT count(*) AS n FROM su e1
+      |      JOIN su e2 ON e1.dst = e2.src
+      |      JOIN su e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      |SELECT 25 AS p_pct, CAST(n AS BIGINT) AS n_sampled,
+      |  CAST(round(n / 0.015625, 0) AS BIGINT) AS est_triangles FROM t""".stripMargin
 }
