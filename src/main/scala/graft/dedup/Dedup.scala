@@ -303,7 +303,21 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
                         maxDf: Int = MaxShingleDf): DataFrame =
-    rarePostings(docs, maxDf)
+    jaccardFromPostings(rarePostings(docs, maxDf), threshold)
+
+  /** Rare-shingle postings memoized per (dir, maxDf): the posting build
+    * (shingle + df-cap + pack) is the shared substrate of BOTH exact
+    * pair families — jaccard (symmetric near-dup) and containment
+    * (asymmetric subsumption) — so each session pays the corpus
+    * shingling once however many faces run.
+    */
+  private def cachedPostings(spark: SparkSession, dir: String,
+                             maxDf: Int = MaxShingleDf): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("rarePostings", dir, maxDf))(
+      rarePostings(Tables.documents(spark, dir), maxDf))
+
+  private def jaccardFromPostings(postings: DataFrame, threshold: Double): DataFrame =
+    postings
       .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
       // size-ratio prune (PPJoin-style), map-side BEFORE the pair
@@ -327,6 +341,72 @@ object Dedup {
           (unpackSz(col("a")) + unpackSz(col("b")) - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric partial-dup
+    * metric: C(A,B) = ¦grams(A) ∩ grams(B)¦ / min(¦grams(A)¦,
+    * ¦grams(B)¦). Jaccard misses subsumption (a short doc quoted
+    * whole inside a long one has inter/union ≈ ¦A¦/¦B¦ → 0), which is
+    * exactly the boilerplate-wrap / quotation / version-append
+    * duplication mode web corpora carry; containment scores it 1.0.
+    * Broder's resemblance-vs-containment distinction (SEQUENCES '97,
+    * public).
+    *
+    * Plan: the SAME df-capped posting substrate and packed-long pair
+    * aggregation as the jaccard family (one shuffle keyed on the two
+    * packed ids), but NO size-ratio prune — the asymmetric metric is
+    * precisely about extreme size ratios, so the prune that is sound
+    * for jaccard would delete the containment signal. The df cap is
+    * the worst-case bound, as in the jaccard face. The dir face runs
+    * off the memoized shared postings, so the marginal cost is the
+    * pair aggregation alone.
+    */
+  private def containmentFromPostings(postings: DataFrame,
+                                      threshold: Double): DataFrame =
+    postings
+      .filter(size(col("ids")) >= 2)
+      .select(explode(postingPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("a"), col("p.id_b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(unpackId(col("a")).as("id_a"), unpackId(col("b")).as("id_b"),
+        round(col("inter").cast("double") /
+          least(unpackSz(col("a")), unpackSz(col("b"))), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+
+  def ngramContainmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                            maxDf: Int = MaxShingleDf): DataFrame =
+    containmentFromPostings(rarePostings(docs, maxDf), threshold)
+
+  def ngramContainment(spark: SparkSession, dir: String,
+                       threshold: Double = 0.8): DataFrame =
+    containmentFromPostings(cachedPostings(spark, dir), threshold)
+      .orderBy("id_a", "id_b")
+
+  /** dedup_containment replayed: the jaccard oracle's posting CTEs
+    * with the containment formula in place of inter/union.
+    */
+  val ngramContainmentSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter * 1.0 / least(sa.sz, sb.sz), 4) AS containment
+      |FROM pairs
+      | JOIN sizes sa ON sa.doc_id = id_a
+      | JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(inter * 1.0 / least(sa.sz, sb.sz), 4) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Near-dup pair table memoized per (dir, threshold, maxDf) — the
     * three driver entries that consume it (`dedup_ngram_jaccard`,
@@ -352,7 +432,7 @@ object Dedup {
                                  threshold: Double = 0.5,
                                  maxDf: Int = MaxShingleDf): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("jaccardPairs", dir, threshold, maxDf))(
-      ngramJaccardPairs(Tables.documents(spark, dir), threshold, maxDf)
+      jaccardFromPostings(cachedPostings(spark, dir, maxDf), threshold)
         .localCheckpoint(true))
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -1298,6 +1378,44 @@ object Dedup {
     s"""SELECT doc_id, cluster_size FROM (
        |$dedupClustersSql
        |) WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin
+
+  /** Leakage-safe train/val/test split: the fold is a pure function of
+    * the near-dup CLUSTER id (the md5 coin of the stratified_sample
+    * discipline, salted "fold"), so two near-duplicate documents can
+    * NEVER straddle folds — the data-leakage failure mode of per-doc
+    * splits like `split_assign`, where a test doc's near-twin sits in
+    * train and inflates eval. The standard held-out-set hygiene step
+    * of a pretraining pipeline, composed from certified parts: the
+    * cluster labels are [[dedupClusters]]'s, the coin is
+    * deterministic, and fold membership is a broadcast-free projection
+    * over the cluster frame (one row per doc, no extra shuffle — the
+    * coin and CASE are map-side over the already-labeled frame).
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val coin = conv(substring(md5(concat_ws(":", col("cluster_id"), lit("fold"))),
+      1, 8), 16, 10).cast("long") % 100
+    dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        when(coin < trainPct, "train")
+          .when(coin < trainPct + validPct, "val")
+          .otherwise("test").as("fold"))
+      .orderBy("doc_id")
+  }
+
+  /** split_leakage_safe replayed: the certified cluster labels with the
+    * md5 fold coin applied per cluster id.
+    */
+  lazy val leakageSafeSplitSql: String =
+    s"""SELECT doc_id, cluster_id,
+       |  CASE WHEN coin < 80 THEN 'train'
+       |       WHEN coin < 90 THEN 'val'
+       |       ELSE 'test' END AS fold
+       |FROM (SELECT doc_id, cluster_id,
+       |        ('0x' || substr(md5(cluster_id::VARCHAR || ':fold'), 1, 8))::UBIGINT
+       |          % 100 AS coin
+       |      FROM ($dedupClustersSql))
+       |ORDER BY doc_id""".stripMargin
 
   /** Connected components via alternating large-star / small-star
     * rounds (Kiveris et al., "Connected Components in MapReduce and

@@ -358,4 +358,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(rep("minhash_bands")._4 >= 0.8,
       s"LSH candidate recall ${rep("minhash_bands")._4} below the design floor")
   }
+
+  test("ngram containment scores full subsumption 1.0 where jaccard dilutes it") {
+    import spark.implicits._
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val pad = (1 to 40).map(i => s"pad$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),                 // short doc
+      (2L, s"$core $pad"),        // contains doc 1 whole, much longer
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, threshold = 0.8).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      "exactly the subsumed pair clears the containment threshold")
+    assert(cont.head.getDouble(2) === 1.0, "full subsumption scores 1.0")
+    // the same pair is invisible to jaccard at its threshold: the pad
+    // grams dilute inter/union far below 0.5
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+    assert(jac.count() === 0, "jaccard misses the subsumption the containment face finds")
+  }
+
+  test("leakage-safe split never separates near-duplicates across folds") {
+    val split = Dedup.leakageSafeSplit(spark, sfDir).localCheckpoint(true)
+    val docs = Tables.documents(spark, sfDir)
+    assert(split.count() === docs.count(), "one fold row per document")
+    val straddling = split.groupBy("cluster_id")
+      .agg(countDistinct(col("fold")).as("nf")).filter(col("nf") > 1)
+    assert(straddling.count() === 0,
+      "a near-dup cluster must land in exactly one fold")
+    val byFold = split.groupBy("fold").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFold.getOrElse("train", 0L) > byFold.values.sum / 2,
+      "train is the majority fold at the 80/10/10 defaults")
+  }
 }
