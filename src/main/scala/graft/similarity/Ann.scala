@@ -75,6 +75,53 @@ object Ann {
       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining for contrastive training (dense-retriever /
+    * embedding fine-tunes): per query, the k highest-cosine corpus
+    * vectors BELOW the near-dup threshold — similar enough to be
+    * confusable, dissimilar enough to be true negatives, the band
+    * random in-batch negatives almost never sample. Same
+    * broadcast-query brute scan as [[bruteForceTopK]] (one corpus
+    * pass, corpus never shuffles; the per-query window state is k
+    * rows), with the negative-band filter BEFORE the top-k window so
+    * the sort input shrinks map-side. At 100 TB the candidate pool
+    * would come from a certified ANN tier (probe wider, filter the
+    * band, rerank exactly) — this exact face is that path's verifier.
+    */
+  def hardNegatives(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
+                    maxCos: Double = 0.4): DataFrame = {
+    val queries = broadcast(
+      embs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")))
+    val scored = embs.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
+      .filter(col("cosine") < maxCos)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir))
+
+  /** ann_hard_negatives replayed: the brute oracle with the
+    * negative-band filter before the rank window.
+    */
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM scored WHERE cosine < 0.4)
+      |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Multi-table LSH ANN. Each of the `nTables` tables hashes a vector
     * to a `nBits`-bit random-hyperplane signature; candidate = collides
     * with the query in at least one table. Collision probability per

@@ -348,4 +348,27 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
         s"label ${r.get(0)}: norm ordering violated ($mn, $av, $mx)")
     }
   }
+
+  test("hard negatives sit strictly below the dup band, k per query, descending") {
+    val hn = Ann.hardNegatives(Tables.embeddings(spark, sfDir)).collect()
+    assert(hn.nonEmpty)
+    assert(hn.forall(_.getAs[Double]("cosine") < 0.4), "every negative is sub-band")
+    hn.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q returned more than k rows")
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q: hardest negatives first")
+    }
+    // the miner picks the HARDEST negatives: its floor must not be
+    // below any sub-band cosine the brute top-k face surfaced
+    val brute = Ann.bruteForceTopK(Tables.embeddings(spark, sfDir)).collect()
+      .filter(_.getAs[Double]("cosine") < 0.4)
+      .groupBy(_.getAs[Long]("query_id"))
+    brute.foreach { case (q, rows) =>
+      val mined = hn.filter(_.getAs[Long]("query_id") == q).map(_.getAs[Double]("cosine"))
+      if (mined.length == 5)
+        assert(rows.forall(_.getAs[Double]("cosine") <= mined.max),
+          s"query $q: a brute sub-band hit beats every mined negative")
+    }
+  }
 }
