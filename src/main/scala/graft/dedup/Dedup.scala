@@ -1208,6 +1208,62 @@ object Dedup {
       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Fraction-overlap decontamination — the graded counterpart of
+    * [[decontaminate]]'s any-hit flag: per training doc, the FRACTION
+    * of its distinct n-grams that appear in any OTHER benchmark doc,
+    * flagged at `minFrac`. The any-hit rule over-fires on one shared
+    * idiom; production contamination audits (the GPT-3/PaLM appendix
+    * methodology — published) gate on the overlap fraction instead.
+    * Same broadcast bench-gram join as the any-hit face plus one
+    * doc-keyed size aggregation; the fact table still never shuffles
+    * at gram grain.
+    */
+  def decontaminateFrac(docs: DataFrame, n: Int = 5,
+                        minFrac: Double = 0.1): DataFrame = {
+    val grams = explodedNgrams(docs, n)
+    val benchGrams = explodedNgrams(
+        docs.filter(pmod(col("doc_id"), lit(11L)) === 0), n)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(broadcast(benchGrams), Seq("sh"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("frac_contaminated"))
+      .withColumn("dirty", col("frac_contaminated") >= minFrac)
+      .orderBy("doc_id")
+  }
+  def decontaminateFrac(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFrac(Tables.documents(spark, dir))
+
+  /** decontaminate_frac replayed: the any-hit oracle's gram CTEs with
+    * per-doc sizes and the distinct-hit fraction.
+    */
+  val decontaminateFracSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 5 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]
+      |     FOR i IN range(1, len(l) - 3)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |b AS (SELECT doc_id AS bench_id, sh FROM g WHERE doc_id % 11 = 0),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |hits AS (
+      |  SELECT g.doc_id, count(DISTINCT g.sh) AS n_hit
+      |  FROM g JOIN b ON g.sh = b.sh AND g.doc_id <> b.bench_id
+      |  GROUP BY g.doc_id)
+      |SELECT s.doc_id, s.n_grams,
+      |  coalesce(h.n_hit, 0) AS n_hit,
+      |  round(coalesce(h.n_hit, 0) * 1.0 / s.n_grams, 4) AS frac_contaminated,
+      |  round(coalesce(h.n_hit, 0) * 1.0 / s.n_grams, 4) >= 0.1 AS dirty
+      |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Cross-source shingle-overlap matrix — pairwise Jaccard between
     * every pair of `source` groups over their distinct word-3-shingle
     * sets. The corpus-level contamination view: which sources are
