@@ -1264,6 +1264,82 @@ object Dedup {
       |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** End-to-end corpus-curation funnel — the audit every training-data
+    * run publishes: how many documents each pipeline stage removed.
+    * Stage 1 keeps the min-id doc per normalized-text hash (the
+    * dedup_exact rule), stage 2 keeps near-dup cluster representatives
+    * among stage-1 survivors (dedup_clusters' certified labels),
+    * stage 3 drops fraction-contaminated docs (decontaminate_frac's
+    * gate). All three flags land in ONE per-doc frame aggregated once
+    * (three exact-integer conditional sums — no per-stage corpus
+    * re-scan), and the three stage rows are a driver-free explode of
+    * that single aggregate row. Composes three certified substrates,
+    * so the whole funnel is DuckDB-replayable.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepIds = docs
+      .groupBy(md5(normText(col("text")).cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("ek"))
+    val reps = dedupClusters(spark, dir)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("rep"))
+    val dirty = decontaminateFrac(spark, dir).select("doc_id", "dirty")
+    val agg = docs.select("doc_id")
+      .join(keepIds, Seq("doc_id"), "left")
+      .join(reps, Seq("doc_id"))
+      .join(dirty, Seq("doc_id"))
+      .select(coalesce(col("ek"), lit(false)).as("exact_keep"),
+        col("rep"), col("dirty"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("exact_keep"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("exact_keep") && col("rep"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("exact_keep") && col("rep") && !col("dirty"), 1L)
+          .otherwise(0L)).as("n3"))
+    agg.select(explode(array(
+        struct(lit(1).as("stage"), lit("exact_dedup").as("step"),
+          col("n0").as("n_in"), (col("n0") - col("n1")).as("n_removed"),
+          col("n1").as("n_out")),
+        struct(lit(2).as("stage"), lit("near_dedup").as("step"),
+          col("n1").as("n_in"), (col("n1") - col("n2")).as("n_removed"),
+          col("n2").as("n_out")),
+        struct(lit(3).as("stage"), lit("decontaminate").as("step"),
+          col("n2").as("n_in"), (col("n2") - col("n3")).as("n_removed"),
+          col("n3").as("n_out")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.step").as("step"),
+        col("s.n_in").as("n_in"), col("s.n_removed").as("n_removed"),
+        col("s.n_out").as("n_out"))
+      .orderBy("stage")
+  }
+
+  /** curation_funnel replayed: the three certified substrates composed
+    * — exact keep-ids, cluster representatives, the contamination
+    * fraction gate — folded to one aggregate row and unioned into the
+    * three stage rows (integer sums cast per the BIGINT rule).
+    */
+  lazy val curationFunnelSql: String =
+    s"""WITH eh AS (SELECT min(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+       |fr AS (SELECT doc_id, doc_id = cluster_id AS rep FROM ($dedupClustersSql)),
+       |dt AS (SELECT doc_id, dirty FROM ($decontaminateFracSql)),
+       |flags AS (
+       |  SELECT d.doc_id, (eh.doc_id IS NOT NULL) AS exact_keep, fr.rep, dt.dirty
+       |  FROM documents d
+       |  LEFT JOIN eh ON d.doc_id = eh.doc_id
+       |  JOIN fr ON d.doc_id = fr.doc_id
+       |  JOIN dt ON d.doc_id = dt.doc_id),
+       |a AS (SELECT count(*) AS n0,
+       |  CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |  CAST(sum(CASE WHEN exact_keep AND rep THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |  CAST(sum(CASE WHEN exact_keep AND rep AND NOT dirty THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n3
+       |  FROM flags)
+       |SELECT 1 AS stage, 'exact_dedup' AS step, n0 AS n_in,
+       |       n0 - n1 AS n_removed, n1 AS n_out FROM a
+       |UNION ALL SELECT 2, 'near_dedup', n1, n1 - n2, n2 FROM a
+       |UNION ALL SELECT 3, 'decontaminate', n2, n2 - n3, n3 FROM a
+       |ORDER BY stage""".stripMargin
+
   /** Cross-source shingle-overlap matrix — pairwise Jaccard between
     * every pair of `source` groups over their distinct word-3-shingle
     * sets. The corpus-level contamination view: which sources are
