@@ -133,8 +133,9 @@ object Ann {
     * broadcast hash join against the exploded corpus — the corpus is
     * never shuffled. Duplicated candidates are scored then reduced by
     * (query, vec) so the shuffle carries scalars, not embeddings.
-    * Approximate → rows-only check; recall vs brute force asserted in
-    * the spec.
+    * Oracle-certified: [[lshTopKSql]] replays the hyperplane bank and
+    * the signature computation verbatim; recall vs brute force is
+    * additionally asserted in the spec.
     */
   def lshTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
               nBits: Int = 6, nTables: Int = 24): DataFrame = {
@@ -162,6 +163,48 @@ object Ann {
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     cachedTier(spark, dir, "lsh")(lshTopK(Tables.embeddings(spark, dir)))
+
+  /** ann_lsh_topk replayed in DuckDB. The hyperplane bank is embedded
+    * as one flat DOUBLE[] literal rendered with Java's
+    * shortest-round-trip `Double.toString` — DuckDB's correctly-rounded
+    * parse recovers the IDENTICAL binary64 values, so `list_dot_product`
+    * over the CAST-to-double embedding agrees with the codegen kernel's
+    * sequential accumulation on every sign that is not within
+    * accumulation-order noise of exactly 0 (empirically none at any
+    * test SF — the dots are O(1)-magnitude Gaussians). Bucket ids,
+    * candidate collisions, and the exact rounded-cosine rerank then
+    * replay bit-for-bit.
+    */
+  lazy val lshTopKSql: String = {
+    val nBits = 6; val nTables = 24
+    val flat = makePlanes(nBits * nTables, Dim).flatten
+    val lit = flat.map(d => java.lang.Double.toString(d)).mkString(",")
+    s"""WITH pf AS (SELECT [$lit]::DOUBLE[] AS w),
+       |planes AS (
+       |  SELECT p // $nBits AS tbl, p % $nBits AS bit,
+       |         w[p*$Dim+1 : (p+1)*$Dim] AS pl
+       |  FROM pf, range(${nBits * nTables}) r(p)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pl) >= 0
+       |                  THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, planes p GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+       |  FROM sigs q JOIN sigs s USING (tbl, bucket)
+       |  WHERE q.vec_id < 10 AND s.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+       |  FROM cand c
+       |  JOIN e eq ON eq.vec_id = c.query_id
+       |  JOIN e ec ON ec.vec_id = c.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** IVF-style ANN, FAISS-shaped: the coarse quantizer is trained on a
     * deterministic systematic SAMPLE collected to the driver (k-means on
