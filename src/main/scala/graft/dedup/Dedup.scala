@@ -462,6 +462,72 @@ object Dedup {
       |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash-LSH band-configuration acceptance planner: for each
+    * candidate (bands, rows-per-band) layout, the analytic S-curve
+    * detection probability 1-(1-s^r)^b EVALUATED OVER THIS CORPUS'S
+    * exact near-dup truth pairs (the certified [[ngramJaccard]] set,
+    * j ≥ 0.5) — i.e. the expected recall each signature budget buys on
+    * the distribution that will actually be deduped, not on a uniform
+    * assumption. The output is the up-front evidence a 100 TB run
+    * needs to size its signature (b·r hashes/doc) before paying for
+    * it; [[dedupQualityReport]] is the post-hoc measurement of the one
+    * config that shipped, this is the a-priori sweep of the
+    * alternatives. Cost: the truth pairs are the memoized pair-family
+    * substrate; the sweep itself is arithmetic over (pairs × 6 configs)
+    * scalar rows.
+    */
+  val BandConfigs: Seq[(Int, Int)] =
+    Seq((8, 2), (16, 2), (8, 4), (16, 4), (32, 4), (16, 8))
+
+  def bandRecallPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = cachedJaccardPairs(spark, dir).select("jaccard")
+    val cfgs = broadcast(BandConfigs.toDF("bands", "rows_per_band"))
+    truth.crossJoin(cfgs)
+      .withColumn("p_detect",
+        lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), col("rows_per_band")), col("bands")))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        avg(col("p_detect")).as("er"))
+      .select(col("bands"), col("rows_per_band"),
+        (col("bands") * col("rows_per_band")).as("sig_hashes"),
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 4)
+          .as("threshold_s"),
+        col("n_pairs"),
+        round(col("er"), 4).as("expected_recall"))
+      .orderBy("bands", "rows_per_band")
+  }
+
+  val bandRecallPlanSql: String =
+    """WITH cfg(bands, rows_per_band) AS (
+      |  VALUES (8,2),(16,2),(8,4),(16,4),(32,4),(16,8)),
+      |l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+      |  FROM pairs
+      |   JOIN sizes sa ON sa.doc_id = id_a
+      |   JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5)
+      |SELECT bands, rows_per_band, bands * rows_per_band AS sig_hashes,
+      |  round(pow(CAST(1.0 AS DOUBLE) / bands, CAST(1.0 AS DOUBLE) / rows_per_band), 4) AS threshold_s,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(avg(1.0 - pow(1.0 - pow(jaccard, rows_per_band), bands)), 4) AS expected_recall
+      |FROM truth, cfg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Per-document n-gram NOVELTY — the redundancy-ordering curation
     * signal: scanning the corpus in doc_id order, which fraction of
     * each document's distinct 3-gram shingles appears here FIRST

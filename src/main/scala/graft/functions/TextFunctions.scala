@@ -1525,4 +1525,75 @@ object TextFunctions {
        |  round(sc.scale * target_share * tot.total, 2) AS expected_tokens
        |FROM j, sc, tot ORDER BY lang""".stripMargin
   }
+
+  /** Temperature-reweighted mixture + epoch planner — the
+    * data-constrained mixing stage [[corpusMix]] does not cover: where
+    * corpusMix matches externally-given target shares, this derives the
+    * targets FROM the observed distribution, w_s(τ) ∝ p_s^τ (τ<1
+    * upweights tail sources, the standard multilingual/multi-domain
+    * rebalance), then plans repeats against a token budget: epochs_s =
+    * min(w_s·B / tokens_s, maxEpochs), with the shortfall a budget
+    * cap makes unfillable reported per stratum (data-constrained
+    * scaling: repeating a source beyond ~4 epochs stops buying loss).
+    *
+    * Plan shape: one partial-agg pass over documents builds the ~20-row
+    * per-source stratum table; everything after is arithmetic over
+    * (strata × τ grid) rows — at 100 TB the only data-sized cost is the
+    * stratum aggregation, which map-side combines. The τ-grid explode
+    * and the per-τ normalization window run on tens of rows.
+    */
+  def mixTemperaturePlan(docs: DataFrame,
+                         taus: Seq[Double] = Seq(0.5, 0.7, 1.0),
+                         budgetMult: Double = 2.0,
+                         maxEpochs: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strata = docs
+      .select(col("source"), size(wsTokens(col("text"))).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    val perTau = strata
+      .crossJoin(broadcast(strata.agg(sum("tokens").cast("double").as("total"))))
+      .select(col("*"), explode(array(taus.map(lit): _*)).as("tau"))
+      .withColumn("share", col("tokens") / col("total"))
+      .withColumn("pw", pow(col("share"), col("tau")))
+      .withColumn("z", sum(col("pw")).over(Window.partitionBy("tau")))
+      .withColumn("weight", col("pw") / col("z"))
+      .withColumn("target_toks", col("weight") * lit(budgetMult) * col("total"))
+      .withColumn("epochs", least(col("target_toks") / col("tokens"), lit(maxEpochs)))
+    perTau.select(
+      col("tau"), col("source"), col("n_docs"), col("tokens"),
+      round(col("share"), 4).as("share"),
+      round(col("weight"), 4).as("weight"),
+      round(col("epochs"), 4).as("epochs"),
+      round(col("epochs") * col("tokens"), 2).as("planned_tokens"),
+      round(greatest(lit(0.0), col("target_toks") - lit(maxEpochs) * col("tokens")), 2)
+        .as("shortfall_tokens"))
+      .orderBy("tau", "source")
+  }
+
+  def mixTemperaturePlan(spark: SparkSession, dir: String): DataFrame =
+    mixTemperaturePlan(Tables.documents(spark, dir))
+
+  val mixTemperaturePlanSql: String =
+    """WITH taus(tau) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)), (CAST(1.0 AS DOUBLE))),
+      |d AS (SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+      |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens FROM d GROUP BY source),
+      |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM s),
+      |j AS (
+      |  SELECT s.*, taus.tau, tot.total, s.tokens / tot.total AS share,
+      |    pow(s.tokens / tot.total, taus.tau) AS pw
+      |  FROM s, taus, tot),
+      |w AS (
+      |  SELECT *, pw / sum(pw) OVER (PARTITION BY tau) AS weight FROM j),
+      |p AS (
+      |  SELECT *, weight * 2.0 * total AS target_toks,
+      |    least(weight * 2.0 * total / tokens, 4.0) AS epochs
+      |  FROM w)
+      |SELECT tau, source, n_docs, tokens,
+      |  round(share, 4) AS share,
+      |  round(weight, 4) AS weight,
+      |  round(epochs, 4) AS epochs,
+      |  round(epochs * tokens, 2) AS planned_tokens,
+      |  round(greatest(0.0, target_toks - 4.0 * tokens), 2) AS shortfall_tokens
+      |FROM p ORDER BY tau, source""".stripMargin
 }
