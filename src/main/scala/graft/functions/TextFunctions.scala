@@ -1545,12 +1545,24 @@ object TextFunctions {
   def mixTemperaturePlan(docs: DataFrame,
                          taus: Seq[Double] = Seq(0.5, 0.7, 1.0),
                          budgetMult: Double = 2.0,
-                         maxEpochs: Double = 4.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val strata = docs
-      .select(col("source"), size(wsTokens(col("text"))).as("toks"))
+                         maxEpochs: Double = 4.0): DataFrame =
+    mixPlanFace(mixStrata(docs), taus, budgetMult, maxEpochs)
+
+  /** The additive per-source stratum relation behind the plan — the
+    * fold a streaming maintenance job appends (both measures sum). */
+  private[graft] def mixStrata(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("toks"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+
+  /** Plan arithmetic over the stratum relation — shared by the batch
+    * entry and the streaming read face. */
+  private[graft] def mixPlanFace(strata: DataFrame,
+                                 taus: Seq[Double] = Seq(0.5, 0.7, 1.0),
+                                 budgetMult: Double = 2.0,
+                                 maxEpochs: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perTau = strata
       .crossJoin(broadcast(strata.agg(sum("tokens").cast("double").as("total"))))
       .select(col("*"), explode(array(taus.map(lit): _*)).as("tau"))
@@ -1596,4 +1608,95 @@ object TextFunctions {
       |  round(epochs * tokens, 2) AS planned_tokens,
       |  round(greatest(0.0, target_toks - 4.0 * tokens), 2) AS shortfall_tokens
       |FROM p ORDER BY tau, source""".stripMargin
+
+  /** Train/val/test distribution-drift gate: smoothed unigram KL
+    * divergence of each held-out split against the training split,
+    * under the SAME deterministic 40503-coin assignment `split_assign`
+    * certifies (and [[graft.dedup.Dedup.leakageSafeSplit]] hardens) —
+    * the accept/reject evidence that a split is distributionally
+    * representative, not just leak-free. Add-1 smoothing over the union
+    * vocab (so q=0 never divides), plus the vocab-overlap and OOV-mass
+    * readouts reviewers actually look at first.
+    *
+    * Plan: one explode + (split, token) count pass over the corpus —
+    * map-side combined, the only data-sized stage; each pair comparison
+    * is a full-outer join on the vocab-sized count table with a
+    * broadcast 1-row totals frame. At 100 TB the vocab table is the
+    * token_vocab artifact this shares tokenization with.
+    */
+  def splitUnigramKl(docs: DataFrame): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    val counts = docs
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .select(col("split"), explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("split", "token").agg(count(lit(1)).as("n"))
+    def pairKl(cmpName: String): DataFrame = {
+      val ref = counts.filter(col("split") === "train").select(col("token"), col("n").as("nr"))
+      val cmp = counts.filter(col("split") === cmpName).select(col("token"), col("n").as("nc"))
+      val j = ref.join(cmp, Seq("token"), "full_outer")
+        .select(coalesce(col("nr"), lit(0L)).as("n_ref"),
+          coalesce(col("nc"), lit(0L)).as("n_cmp"))
+      val tot = broadcast(j.agg(
+        count(lit(1)).as("vocab_union"),
+        sum(when(col("n_ref") > 0 && col("n_cmp") > 0, 1L).otherwise(0L)).as("vocab_shared"),
+        sum("n_ref").as("ref_tokens"), sum("n_cmp").as("cmp_tokens"),
+        sum(when(col("n_ref") === 0, col("n_cmp")).otherwise(0L)).as("oov_mass")))
+      j.crossJoin(tot)
+        .select(
+          col("vocab_union"), col("vocab_shared"), col("ref_tokens"),
+          col("cmp_tokens"), col("oov_mass"),
+          ((col("n_ref") + 1).cast("double") /
+            (col("ref_tokens") + col("vocab_union")).cast("double")).as("p"),
+          ((col("n_cmp") + 1).cast("double") /
+            (col("cmp_tokens") + col("vocab_union")).cast("double")).as("q"))
+        .groupBy("vocab_union", "vocab_shared", "ref_tokens", "cmp_tokens", "oov_mass")
+        .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
+        .select(lit(s"train_$cmpName").as("pair"),
+          col("ref_tokens"), col("cmp_tokens"),
+          col("vocab_union"), col("vocab_shared"),
+          round(col("oov_mass").cast("double") / col("cmp_tokens"), 4).as("oov_rate"),
+          round(col("kl"), 4).as("kl_divergence"))
+    }
+    pairKl("val").unionByName(pairKl("test")).orderBy("pair")
+  }
+
+  def splitUnigramKl(spark: SparkSession, dir: String): DataFrame =
+    splitUnigramKl(Tables.documents(spark, dir))
+
+  val splitUnigramKlSql: String = {
+    def pairCte(cmp: String): String =
+      s"""j_$cmp AS (
+         |  SELECT coalesce(r.n, 0) AS n_ref, coalesce(m.n, 0) AS n_cmp
+         |  FROM (SELECT token, n FROM c WHERE split = 'train') r
+         |  FULL JOIN (SELECT token, n FROM c WHERE split = '$cmp') m USING (token)),
+         |t_$cmp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS vocab_union,
+         |    CAST(sum(CASE WHEN n_ref > 0 AND n_cmp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_shared,
+         |    CAST(sum(n_ref) AS BIGINT) AS ref_tokens,
+         |    CAST(sum(n_cmp) AS BIGINT) AS cmp_tokens,
+         |    CAST(sum(CASE WHEN n_ref = 0 THEN n_cmp ELSE 0 END) AS BIGINT) AS oov_mass
+         |  FROM j_$cmp),
+         |k_$cmp AS (
+         |  SELECT 'train_$cmp' AS pair, t.ref_tokens, t.cmp_tokens,
+         |    t.vocab_union, t.vocab_shared,
+         |    round(CAST(t.oov_mass AS DOUBLE) / t.cmp_tokens, 4) AS oov_rate,
+         |    round(sum(
+         |      (CAST(j.n_ref + 1 AS DOUBLE) / (t.ref_tokens + t.vocab_union)) *
+         |      ln((CAST(j.n_ref + 1 AS DOUBLE) / (t.ref_tokens + t.vocab_union)) /
+         |         (CAST(j.n_cmp + 1 AS DOUBLE) / (t.cmp_tokens + t.vocab_union)))), 4) AS kl_divergence
+         |  FROM j_$cmp j, t_$cmp t
+         |  GROUP BY 1, 2, 3, 4, 5, 6)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+       |              WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |c AS (SELECT split, token, count(*) AS n FROM tok WHERE token <> '' GROUP BY 1, 2),
+       |${pairCte("val")},
+       |${pairCte("test")}
+       |SELECT * FROM k_val UNION ALL SELECT * FROM k_test ORDER BY pair""".stripMargin
+  }
 }

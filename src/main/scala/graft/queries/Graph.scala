@@ -920,6 +920,72 @@ object Graph {
       |SELECT hop, count(*) AS n_parts, min(node) AS min_part, max(node) AS max_part
       |FROM lab GROUP BY hop ORDER BY hop""".stripMargin
 
+  /** Closeness + harmonic centrality for the top-[[ClosenessSeeds]]
+    * hub nodes — the centrality family [[bfsHops]]'s single-source
+    * frontier fold does not cover. One MULTI-source BFS keyed
+    * (seed, node) runs all seeds in the same [[MaxBfsHops]] epochs (the
+    * per-epoch frontier join and novelty anti-join are shared — S
+    * seeds cost one traversal, not S), then per-seed closeness
+    * (reached/Σhop, the Wasserman–Faust within-reach form) and harmonic
+    * centrality (Σ 1/hop — the disconnection-robust variant that needs
+    * no giant-component assumption) roll up in one aggregation. Hop
+    * cap = the bfs face's: at 100 TB the frontier tables bucket by
+    * (seed, node) hash exactly like the single-source fold.
+    */
+  val ClosenessSeeds = 5
+
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val e = thresholdedEdges(spark, dir)
+    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(ClosenessSeeds)
+      .select(col("node").as("seed"))
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
+      .localCheckpoint(true)
+    for (h <- 1 to MaxBfsHops) {
+      val next = visited.filter(col("hop") === h - 1)
+        .join(both, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+      visited = visited
+        .unionByName(next.select(col("seed"), col("node"), lit(h).as("hop")))
+        .localCheckpoint(true)
+    }
+    visited.groupBy("seed")
+      .agg((count(lit(1)) - lit(1L)).as("n_reached"),
+        max("hop").as("max_hop"),
+        sum("hop").as("sum_hops"),
+        round(sum(when(col("hop") > 0, lit(1.0) / col("hop")).otherwise(lit(0.0))), 4)
+          .as("harmonic"),
+        round((count(lit(1)) - lit(1L)).cast("double") / sum("hop"), 4).as("closeness"))
+      .orderBy("seed")
+  }
+
+  val closenessSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |w AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+      |      FROM items a JOIN items b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+      |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+      |seeds AS (SELECT node AS seed FROM deg ORDER BY deg DESC, node LIMIT 5),
+      |reach(seed, node, hop) AS (
+      |  SELECT seed, seed, 0 FROM seeds
+      |  UNION
+      |  SELECT reach.seed, e.b, reach.hop + 1 FROM reach JOIN e ON e.a = reach.node
+      |  WHERE reach.hop < 6),
+      |lab AS (SELECT seed, node, min(hop) AS hop FROM reach GROUP BY 1, 2)
+      |SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+      |  max(hop) AS max_hop,
+      |  CAST(sum(hop) AS BIGINT) AS sum_hops,
+      |  round(sum(CASE WHEN hop > 0 THEN CAST(1.0 AS DOUBLE) / hop ELSE 0.0 END), 4) AS harmonic,
+      |  round(CAST(count(*) - 1 AS DOUBLE) / sum(hop), 4) AS closeness
+      |FROM lab GROUP BY seed ORDER BY seed""".stripMargin
+
   /** Peeling parameters for [[kcore]]: nodes need ≥ [[KCoreK]]
     * surviving neighbors, and both engines run EXACTLY [[KCoreRounds]]
     * synchronous peel rounds (converged rounds are no-ops, so the
