@@ -36,6 +36,8 @@ object Artifacts {
     "graph_lpa_labels" -> ((s: SparkSession, d: String) => { queries.Graph.cachedLpaLabels(s, d); () }),
     "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
     "text_token_counts" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocTokenCounts(s, d); () }),
+    "text_tfidf_scored" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocSimilarScored(s, d); () }),
+    "ann_brute_scored" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedBruteScored(s, d); () }),
     "text_bigrams" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocBigrams(s, d); () }),
     "mm_codec" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.pipelineRaw(s, d); () }),
     "ann_ivf_index" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedIvfIndex(s, d); () }),

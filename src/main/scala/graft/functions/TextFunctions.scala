@@ -884,10 +884,38 @@ object TextFunctions {
     * 4dp (agg-order FP hygiene, as everywhere).
     */
   def docSimilarTfidf(docs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
-    docSimilarTfidfFrom(docs, docTokenCounts(docs), nQueries, k)
+    docSimilarRankFace(docSimilarScored(docs, docTokenCounts(docs), nQueries), k)
+
+  /** Top-k face over a scored (query_id, doc_id, cosine) table — shared
+    * by the standalone entry (k=5) and the RRF retriever pool (k=20),
+    * so both ride ONE scoring pass.
+    */
+  private[graft] def docSimilarRankFace(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** All scored (query, candidate) cosine pairs BEFORE the top-k cut —
+    * the expensive stage (posting join over the tf-idf weights), built
+    * once and memoized per dir by [[cachedDocSimilarScored]].
+    */
+  private def docSimilarScored(docs: DataFrame, counts: DataFrame,
+                               nQueries: Int): DataFrame =
+    docSimilarTfidfFrom(docs, counts, nQueries)
+
+  private[graft] def cachedDocSimilarScored(spark: SparkSession, dir: String,
+                                            nQueries: Int = 10): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("docSimilarScored", dir, nQueries))(
+      docSimilarScored(Tables.documents(spark, dir),
+        cachedDocTokenCounts(spark, dir), nQueries).localCheckpoint(true))
 
   private def docSimilarTfidfFrom(docs: DataFrame, counts: DataFrame,
-                                  nQueries: Int, k: Int): DataFrame = {
+                                  nQueries: Int): DataFrame = {
     val perDocTok = counts.select(col("doc_id"), col("token"), col("tf").cast("double").as("tf"))
     val dfs = perDocTok.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_corpus"))
@@ -915,18 +943,11 @@ object TextFunctions {
       .agg(sum(col("w") * col("qw")).as("dot"),
         max(col("norm")).as("norm"), max(col("qnorm")).as("qnorm"))
       .withColumn("cosine", round(col("dot") / (col("norm") * col("qnorm")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
+    scored.select("query_id", "doc_id", "cosine")
   }
 
   def docSimilarTfidf(spark: SparkSession, dir: String): DataFrame =
-    docSimilarTfidfFrom(Tables.documents(spark, dir),
-      cachedDocTokenCounts(spark, dir), nQueries = 10, k = 5)
+    docSimilarRankFace(cachedDocSimilarScored(spark, dir), k = 5)
 
   val docSimilarTfidfSql: String =
     """WITH t AS (
@@ -1558,11 +1579,14 @@ object TextFunctions {
 
   /** Plan arithmetic over the stratum relation — shared by the batch
     * entry and the streaming read face. */
-  private[graft] def mixPlanFace(strata: DataFrame,
+  private[graft] def mixPlanFace(rawStrata: DataFrame,
                                  taus: Seq[Double] = Seq(0.5, 0.7, 1.0),
                                  budgetMult: Double = 2.0,
                                  maxEpochs: Double = 4.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // sources-sized — checkpoint so the corpus tokenization behind the
+    // batch face runs once, not once per totals/plan branch
+    val strata = rawStrata.localCheckpoint(true)
     val perTau = strata
       .crossJoin(broadcast(strata.agg(sum("tokens").cast("double").as("total"))))
       .select(col("*"), explode(array(taus.map(lit): _*)).as("tau"))
@@ -1626,12 +1650,15 @@ object TextFunctions {
     */
   def splitUnigramKl(docs: DataFrame): DataFrame = {
     val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    // vocab-sized (|V|×3 rows) — checkpoint so the corpus-sized
+    // explode+count pass runs ONCE, not once per pair/totals branch
     val counts = docs
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       .select(col("split"), explode(wsTokens(lower(col("text")))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("split", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     def pairKl(cmpName: String): DataFrame = {
       val ref = counts.filter(col("split") === "train").select(col("token"), col("n").as("nr"))
       val cmp = counts.filter(col("split") === cmpName).select(col("token"), col("n").as("nc"))

@@ -43,13 +43,25 @@ object Ann {
                         (f: => DataFrame): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("ann", dir, tier))(f.localCheckpoint(true))
 
-  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries). */
-  def bruteForceTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  /** All exact (query, corpus) rounded cosines BEFORE any top-k cut —
+    * the one full corpus scan behind the brute tier, the hard-negative
+    * miner, and the RRF semantic pool. nQueries × |corpus| scalar rows.
+    */
+  private def bruteScored(embs: DataFrame, nQueries: Int = 10): DataFrame = {
     val queries = broadcast(
       embs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q")))
-    val scored = embs.join(queries, col("vec_id") =!= col("query_id"))
+    embs.join(queries, col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
+      .select("query_id", "vec_id", "cosine")
+  }
+
+  private[graft] def cachedBruteScored(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("bruteScored", dir))(
+      bruteScored(Tables.embeddings(spark, dir)).localCheckpoint(true))
+
+  /** Top-k face over a scored (query_id, vec_id, cosine) table. */
+  private def bruteRankFace(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -58,8 +70,13 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries). */
+  def bruteForceTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    bruteRankFace(bruteScored(embs, nQueries), k)
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
-    cachedTier(spark, dir, "brute")(bruteForceTopK(Tables.embeddings(spark, dir)))
+    cachedTier(spark, dir, "brute")(
+      bruteRankFace(cachedBruteScored(spark, dir), k = 5))
 
   val bruteForceSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -88,22 +105,12 @@ object Ann {
     * band, rerank exactly) — this exact face is that path's verifier.
     */
   def hardNegatives(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
-                    maxCos: Double = 0.4): DataFrame = {
-    val queries = broadcast(
-      embs.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q")))
-    val scored = embs.join(queries, col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
-      .filter(col("cosine") < maxCos)
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
-  }
+                    maxCos: Double = 0.4): DataFrame =
+    bruteRankFace(bruteScored(embs, nQueries).filter(col("cosine") < maxCos), k)
+
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
-    hardNegatives(Tables.embeddings(spark, dir))
+    bruteRankFace(
+      cachedBruteScored(spark, dir).filter(col("cosine") < lit(0.4)), k = 5)
 
   /** ann_hard_negatives replayed: the brute oracle with the
     * negative-band filter before the rank window.
@@ -1551,10 +1558,13 @@ object Ann {
   def rankFusion(spark: SparkSession, dir: String): DataFrame = {
     val pool = (df: DataFrame) =>
       df.select(col("query_id"), col("neighbor_id"), col("rank"))
-    val lex = pool(graft.functions.TextFunctions.docSimilarTfidf(
-      Tables.documents(spark, dir), nQueries = 10, k = RrfPoolK))
-    val sem = pool(bruteForceTopK(Tables.embeddings(spark, dir),
-      nQueries = 10, k = RrfPoolK))
+    // both retriever pools are rank faces over the memoized scored
+    // substrates their standalone entries already built — the RRF
+    // entry's marginal cost is two vocab/corpus-sized windows, not a
+    // tf-idf posting join + a second full-corpus cosine scan
+    val lex = pool(graft.functions.TextFunctions.docSimilarRankFace(
+      graft.functions.TextFunctions.cachedDocSimilarScored(spark, dir), RrfPoolK))
+    val sem = pool(bruteRankFace(cachedBruteScored(spark, dir), RrfPoolK))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_score").desc, col("neighbor_id"))
     lex.unionByName(sem)
