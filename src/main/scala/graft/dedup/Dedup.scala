@@ -220,8 +220,19 @@ object Dedup {
     * the per-doc sizes table is corpus-sized, which is not broadcast
     * material in the first place.)
     */
-  private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame = {
-    val sh = explodedShingles(docs).localCheckpoint(true)
+  private def rarePostings(docs: DataFrame, maxDf: Int): DataFrame =
+    rarePostingsFrom(explodedShingles(docs).localCheckpoint(true), maxDf)
+
+  /** The corpus shingle explode, memoized per dir — shared by every
+    * df-cap postings build (the quality-truth df-20 tier would
+    * otherwise re-shingle the corpus the df-100 build already paid
+    * for).
+    */
+  private def cachedShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("explodedShingles", dir))(
+      explodedShingles(Tables.documents(spark, dir)).localCheckpoint(true))
+
+  private def rarePostingsFrom(sh: DataFrame, maxDf: Int): DataFrame = {
     // df counts RAW postings (intra-doc repeats included) — the same
     // accounting the oracle's HAVING applies; keep it bit-identical
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -314,7 +325,7 @@ object Dedup {
   private def cachedPostings(spark: SparkSession, dir: String,
                              maxDf: Int = MaxShingleDf): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("rarePostings", dir, maxDf))(
-      rarePostings(Tables.documents(spark, dir), maxDf))
+      rarePostingsFrom(cachedShingles(spark, dir), maxDf))
 
   private def jaccardFromPostings(postings: DataFrame, threshold: Double): DataFrame =
     postings
@@ -1921,12 +1932,15 @@ object Dedup {
     *    R = the severity mix of the duplicate population).
     */
   def dedupQualityTruth(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val truthJ = cachedJaccardPairs(spark, dir)
     val truth = truthJ.select("id_a", "id_b")
     val tier = qualityTier(truth, truth.agg(count(lit(1)).as("n_truth"))) _
     tier("exact_df100", truth)
-      .unionByName(tier("exact_df20", ngramJaccardPairs(docs, 0.5, 20)))
+      // the df-20 generator rides the postings cache (keyed by cap),
+      // not a fresh shingling pass — its posting build is the tier's
+      // whole cost
+      .unionByName(tier("exact_df20",
+        jaccardFromPostings(cachedPostings(spark, dir, 20), 0.5)))
       .unionByName(tier("exact_t075", truthJ.filter(col("jaccard") >= 0.75)))
       .orderBy("tier")
   }
