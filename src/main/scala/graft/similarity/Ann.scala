@@ -1102,6 +1102,103 @@ object Ann {
     * is a semi join + two counts in one job). Evaluation cost is the
     * sum of the tiers being judged, not a new scan family.
     */
+  /** IVF probe-width acceptance sweep — the tuning curve an ANN
+    * deployment sizes FIRST: for each candidate nprobe, the exact
+    * scan cost (candidates scored per query) against the recall@5 it
+    * buys vs brute-force truth. Candidates are scored ONCE at the
+    * widest probe (each corpus vector lives in exactly one cell, so a
+    * narrower probe is a pure cell_rank filter — no rescoring, no
+    * dedup); per-width top-k and the truth semi-probe are scalar-row
+    * windows/joins. Every input is a certified replay (the quantized
+    * k-means quantizer + the brute tier), so the whole sweep is
+    * oracle-certified — integer counts and exact integer ratios only.
+    */
+  val ProbeWidths: Seq[Int] = Seq(1, 2, 4, 8)
+
+  def ivfProbePlan(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (centroids, assigned) = cachedIvfIndex(spark, dir)
+    val refined = centroidTable(centroids)
+    val maxProbe = ProbeWidths.max
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val qCells = queries
+      .select(col("query_id"), col("q"),
+        posexplode(slice(array_sort(cellDistances(col("q"), refined)), 1, maxProbe))
+          .as(Seq("pos", "s")))
+      .select(col("query_id"), col("q"),
+        (col("pos") + 1).as("cell_rank"), col("s").getField("cell").as("cell"))
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
+      .select("query_id", "vec_id", "cell_rank", "cosine")
+      .localCheckpoint(true)
+    val perNp = cand
+      .crossJoin(broadcast(ProbeWidths.toDF("nprobe")))
+      .filter(col("cell_rank") <= col("nprobe"))
+    val nCand = perNp.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = perNp.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val hits = top
+      .join(truth, top("query_id") === truth("query_id") &&
+        top("vec_id") === truth("neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val tq = broadcast(truth.agg(count(lit(1)).as("n_truth"),
+      countDistinct(col("query_id")).as("n_queries")))
+    nCand.join(hits, Seq("nprobe"), "left_outer").crossJoin(tq)
+      .select(col("nprobe"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_queries"), 2)
+          .as("mean_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_truth"), 4)
+          .as("recall_at_5"))
+      .orderBy("nprobe")
+  }
+
+  /** ivf_probe_plan replayed: the certified quantizer CTEs, the probe
+    * grid as a cell_rank filter over once-scored candidates, the brute
+    * truth replay, and integer-ratio recall — composed verbatim.
+    */
+  val ivfProbePlanSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |pr(nprobe) AS (VALUES (1), (2), (4), (8)),
+       |qp AS (SELECT query_id, cell, rk AS cell_rank FROM (
+       |  SELECT e.vec_id AS query_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
+       |  FROM e, c3 c WHERE e.vec_id < 10) WHERE rk <= 8),
+       |cand AS (SELECT qp.query_id, a.vec_id, qp.cell_rank,
+       |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+       |  FROM qp JOIN asg a USING (cell)
+       |  JOIN e eq ON eq.vec_id = qp.query_id
+       |  JOIN e ec ON ec.vec_id = a.vec_id
+       |  WHERE a.vec_id <> qp.query_id),
+       |pn AS (SELECT pr.nprobe, c.* FROM cand c, pr WHERE c.cell_rank <= pr.nprobe),
+       |nc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates FROM pn GROUP BY 1),
+       |tops AS (SELECT nprobe, query_id, vec_id FROM (
+       |  SELECT nprobe, query_id, vec_id, row_number() OVER (
+       |    PARTITION BY nprobe, query_id ORDER BY cosine DESC, vec_id) AS rank FROM pn)
+       |  WHERE rank <= 5),
+       |bscored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.v, t.v), 4) AS cosine
+       |  FROM e q JOIN e t ON t.vec_id <> q.vec_id WHERE q.vec_id < 10),
+       |btr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM bscored) WHERE rank <= 5),
+       |tq AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |              CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM btr),
+       |h AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM tops JOIN btr ON tops.query_id = btr.query_id
+       |    AND tops.vec_id = btr.neighbor_id GROUP BY 1)
+       |SELECT nc.nprobe, nc.n_candidates,
+       |  round(CAST(nc.n_candidates AS DOUBLE) / tq.n_queries, 2) AS mean_candidates,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tq.n_truth, 4) AS recall_at_5
+       |FROM nc LEFT JOIN h USING (nprobe), tq
+       |ORDER BY nprobe""".stripMargin
+
   def recallReport(embs: DataFrame): DataFrame =
     recallReportFrom(bruteForceTopK(embs), Seq(
       "lsh" -> lshTopK(embs), "ivf" -> ivfTopK(embs),
