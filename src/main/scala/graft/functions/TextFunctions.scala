@@ -98,6 +98,54 @@ object TextFunctions {
       |    * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Quality-ordered curriculum buckets: the corpus split into quality
+    * quartiles (ntile over the certified [[qualityScore]] signal, ties
+    * broken by doc_id for a deterministic total order) with per-bucket
+    * doc/token mass and the quality range — the stage plan a
+    * curriculum-ordered training run consumes (feed high-quality
+    * buckets late/more, low-quality early/less). The exact face sorts
+    * once on a 2-column projection; at 100 TB the same plan swaps the
+    * global ntile for approx-quantile boundaries + a map-side bucket
+    * assign (the `price_percentiles_approx` discipline) without
+    * changing this contract.
+    */
+  def curriculumBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("toks"),
+      qualityExpr(col("text")).as("quality"))
+    val w = Window.orderBy(col("quality"), col("doc_id"))
+    scored.withColumn("bucket", ntile(4).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+        round(avg("quality"), 4).as("avg_quality"),
+        min("quality").as("min_quality"), max("quality").as("max_quality"))
+      .orderBy("bucket")
+  }
+
+  def curriculumBuckets(spark: SparkSession, dir: String): DataFrame =
+    curriculumBuckets(Tables.documents(spark, dir))
+
+  val curriculumBucketsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|to|and|in|is|it|that)\b')) AS DOUBLE) AS stops,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+      |    round(least(1.0, (stops / toks) * 2.5)
+      |      * (1.0 - least(1.0, (punct / greatest(chars, 1.0)) * 10.0))
+      |      * least(1.0, ln(1.0 + toks) / 5.0), 4) AS quality
+      |  FROM m),
+      |b AS (SELECT *, ntile(4) OVER (ORDER BY quality, doc_id) AS bucket FROM q)
+      |SELECT bucket, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+      |  round(avg(quality), 4) AS avg_quality,
+      |  min(quality) AS min_quality, max(quality) AS max_quality
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Readability profile per (lang, source) corpus slice: mean
     * words-per-sentence, chars-per-word, and a Flesch-SHAPED ease
     * proxy 206.835 − 1.015·wps − 84.6·(cpw/3) — chars-per-word stands
