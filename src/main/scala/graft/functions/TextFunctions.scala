@@ -492,6 +492,83 @@ object TextFunctions {
       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Context-length planning sweep over the [[packSequences]] packing:
+    * for each candidate sequence length, the pack count, the
+    * document-fragmentation cost (docs a cut boundary splits — the
+    * attention-truncation damage of concat packing), and the per-bucket
+    * tail padding waste. These are THE axes a training run trades when
+    * it picks its context length, measured on this corpus's actual
+    * length distribution rather than assumed. One windowed
+    * cumulative-sum pass (shared with the packing itself, checkpointed
+    * doc-count-sized); the sweep is integer arithmetic over
+    * (docs × 4 lengths) rows — fully certifiable, no FP beyond the two
+    * final exact-integer ratios.
+    */
+  val PackLens: Seq[Int] = Seq(128, 256, 512, 1024)
+
+  def packEfficiency(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("toks"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets.toLong)))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val cum = t.withColumn("cum", sum("toks").over(w)).localCheckpoint(true)
+    val grid = broadcast(PackLens.toDF("seq_len"))
+    val docStats = cum.crossJoin(grid)
+      .select(col("seq_len"), col("toks"),
+        (floor((col("cum") - lit(1)) / col("seq_len")) >
+          floor((col("cum") - col("toks")) / col("seq_len"))).cast("long").as("split"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("packed_tokens"),
+        sum("split").as("split_docs"))
+    val tails = cum.groupBy("bucket").agg(max("cum").as("mc"))
+      .crossJoin(grid)
+      .groupBy("seq_len")
+      .agg(sum(floor((col("mc") - lit(1)) / col("seq_len")) + lit(1)).as("n_packs"),
+        sum(pmod(col("seq_len") - pmod(col("mc"), col("seq_len")), col("seq_len")))
+          .as("tail_waste"))
+    docStats.join(tails, "seq_len")
+      .select(col("seq_len"), col("n_packs"), col("n_docs"), col("split_docs"),
+        round(col("split_docs").cast("double") / col("n_docs"), 4).as("split_frac"),
+        col("packed_tokens"), col("tail_waste"),
+        round(col("packed_tokens").cast("double") /
+          (col("packed_tokens") + col("tail_waste")), 4).as("fill_rate"))
+      .orderBy("seq_len")
+  }
+
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packEfficiency(Tables.documents(spark, dir))
+
+  val packEfficiencySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+      |    doc_id % 64 AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, sum(toks) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum FROM t),
+      |g(seq_len) AS (VALUES (128), (256), (512), (1024)),
+      |d AS (
+      |  SELECT g.seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS packed_tokens,
+      |    CAST(sum(CASE WHEN floor((cum - 1) / g.seq_len) >
+      |                       floor((cum - toks) / g.seq_len)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+      |  FROM c, g GROUP BY 1),
+      |bt AS (SELECT bucket, max(cum) AS mc FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT g.seq_len,
+      |    CAST(sum(floor((mc - 1) / g.seq_len) + 1) AS BIGINT) AS n_packs,
+      |    CAST(sum((g.seq_len - (mc % g.seq_len)) % g.seq_len) AS BIGINT) AS tail_waste
+      |  FROM bt, g GROUP BY 1)
+      |SELECT d.seq_len, p.n_packs, d.n_docs, d.split_docs,
+      |  round(CAST(d.split_docs AS DOUBLE) / d.n_docs, 4) AS split_frac,
+      |  d.packed_tokens, p.tail_waste,
+      |  round(CAST(d.packed_tokens AS DOUBLE) / (d.packed_tokens + p.tail_waste), 4) AS fill_rate
+      |FROM d JOIN p USING (seq_len) ORDER BY seq_len""".stripMargin
+
   /** PII detection/redaction patterns — deliberately in the common
     * RE2/Java regex subset so the Spark scan and the DuckDB oracle
     * apply the identical rule.
