@@ -213,6 +213,121 @@ object Ann {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** LSH table-count acceptance sweep — the [[lshTopK]] twin of
+    * [[ivfProbePlan]], closing the tuning-plane triad (MinHash bands /
+    * IVF probes / hyperplane tables): for each candidate table count T,
+    * the exact candidate cost and the recall@5 it buys vs brute truth,
+    * measured on THIS corpus. Using the first T tables of the fixed
+    * 24-table bank is itself a valid T-table configuration, so
+    * candidates collide ONCE against the full bank keyed by their
+    * MINIMUM colliding table index — every T-face is a pure
+    * `min_table < T` filter over the once-scored collision set (no
+    * re-hashing, no rescoring). All inputs are certified replays (the
+    * embedded plane bank + the brute tier); outputs are integer counts
+    * and exact integer ratios — fully oracle-certified.
+    */
+  val TableCounts: Seq[Int] = Seq(4, 8, 16, 24)
+
+  def lshTablesPlan(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, dir)
+    val nBits = 6; val nTables = 24
+    val planesFlat = makePlanes(nBits * nTables, Dim).flatten.toArray
+    val sigs = graft.functions.VectorExpressions.hyperplaneSigs(
+      col("embedding"), planesFlat, nBits, nTables, Dim)
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      posexplode(sigs).as(Seq("table", "bucket")))
+    val probes = broadcast(
+      embs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+          posexplode(sigs).as(Seq("table", "bucket"))))
+    val collided = corpus.join(probes, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q"), col("embedding")), 4))
+      .groupBy("query_id", "vec_id")
+      .agg(min(col("table")).as("min_table"), max(col("cosine")).as("cosine"))
+      .localCheckpoint(true)
+    val truth = bruteForceTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val grid = broadcast(TableCounts.toDF("n_tables"))
+    val perT = collided.crossJoin(grid).filter(col("min_table") < col("n_tables"))
+    val nCand = perT.groupBy("n_tables").agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy("n_tables", "query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = perT.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val hits = top
+      .join(truth, top("query_id") === truth("query_id") &&
+        top("vec_id") === truth("neighbor_id"), "left_semi")
+      .groupBy("n_tables").agg(count(lit(1)).as("n_hits"))
+    val tq = broadcast(truth.agg(count(lit(1)).as("n_truth"),
+      countDistinct(col("query_id")).as("n_queries")))
+    nCand.join(hits, Seq("n_tables"), "left_outer").crossJoin(tq)
+      .select(col("n_tables"), col("n_candidates"),
+        round(col("n_candidates").cast("double") / col("n_queries"), 2)
+          .as("mean_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_truth"), 4)
+          .as("recall_at_5"))
+      .orderBy("n_tables")
+  }
+
+  /** lsh_tables_plan replayed: the embedded plane bank, collisions
+    * keyed by min colliding table, the T grid as a filter, and the
+    * brute-truth recall — integer ratios only.
+    */
+  lazy val lshTablesPlanSql: String = {
+    val nBits = 6; val nTables = 24
+    val flat = makePlanes(nBits * nTables, Dim).flatten
+    val lit = flat.map(d => java.lang.Double.toString(d)).mkString(",")
+    s"""WITH pf AS (SELECT [$lit]::DOUBLE[] AS w),
+       |planes AS (
+       |  SELECT p // $nBits AS tbl, p % $nBits AS bit,
+       |         w[p*$Dim+1 : (p+1)*$Dim] AS pl
+       |  FROM pf, range(${nBits * nTables}) r(p)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, p.pl) >= 0
+       |                  THEN (1 << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, planes p GROUP BY 1, 2),
+       |coll AS (
+       |  SELECT q.vec_id AS query_id, s.vec_id, min(s.tbl) AS min_table
+       |  FROM sigs q JOIN sigs s USING (tbl, bucket)
+       |  WHERE q.vec_id < 10 AND s.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT c.query_id, c.vec_id, c.min_table,
+       |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+       |  FROM coll c
+       |  JOIN e eq ON eq.vec_id = c.query_id
+       |  JOIN e ec ON ec.vec_id = c.vec_id),
+       |g(n_tables) AS (VALUES (4), (8), (16), (24)),
+       |pt AS (SELECT g.n_tables, sc.* FROM sc, g WHERE sc.min_table < g.n_tables),
+       |nc AS (SELECT n_tables, CAST(count(*) AS BIGINT) AS n_candidates
+       |  FROM pt GROUP BY 1),
+       |tops AS (SELECT n_tables, query_id, vec_id FROM (
+       |  SELECT n_tables, query_id, vec_id, row_number() OVER (
+       |    PARTITION BY n_tables, query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM pt) WHERE rank <= 5),
+       |bscored AS (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.v, t.v), 4) AS cosine
+       |  FROM e q JOIN e t ON t.vec_id <> q.vec_id WHERE q.vec_id < 10),
+       |btr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM bscored) WHERE rank <= 5),
+       |tq AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |              CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM btr),
+       |h AS (SELECT n_tables, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM tops JOIN btr ON tops.query_id = btr.query_id
+       |    AND tops.vec_id = btr.neighbor_id GROUP BY 1)
+       |SELECT nc.n_tables, nc.n_candidates,
+       |  round(CAST(nc.n_candidates AS DOUBLE) / tq.n_queries, 2) AS mean_candidates,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tq.n_truth, 4) AS recall_at_5
+       |FROM nc LEFT JOIN h USING (n_tables), tq
+       |ORDER BY n_tables""".stripMargin
+  }
+
   /** IVF-style ANN, FAISS-shaped: the coarse quantizer is trained on a
     * deterministic systematic SAMPLE collected to the driver (k-means on
     * a bounded sample — never a full-corpus shuffle; the quantizer is

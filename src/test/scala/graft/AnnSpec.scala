@@ -371,4 +371,21 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
           s"query $q: a brute sub-band hit beats every mined negative")
     }
   }
+
+  test("tuning sweeps are monotone: wider search never loses candidates or recall") {
+    // a narrower width is a pure filter of a wider one (score-once
+    // discipline), so both axes must be non-decreasing in width —
+    // violation means the per-width faces rescored or dropped rows
+    def monotone(rows: Array[org.apache.spark.sql.Row], what: String): Unit = {
+      val cand = rows.map(_.getAs[Long]("n_candidates"))
+      val rec = rows.map(_.getAs[Double]("recall_at_5"))
+      assert(cand.zip(cand.tail).forall { case (a, b) => a <= b },
+        s"$what: candidate count must grow with width")
+      assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+        s"$what: recall must not fall as width grows")
+      assert(rec.last > 0.0, s"$what: widest setting finds something")
+    }
+    monotone(Ann.ivfProbePlan(spark, sfDir).collect(), "ivf_probe_plan")
+    monotone(Ann.lshTablesPlan(spark, sfDir).collect(), "lsh_tables_plan")
+  }
 }
