@@ -34,6 +34,7 @@ object Artifacts {
     "graph_wpairs" -> ((s: SparkSession, d: String) => { queries.Graph.cachedWeightedPairs(s, d); () }),
     "graph_edges" -> ((s: SparkSession, d: String) => { queries.Graph.cachedGraph(s, d); () }),
     "graph_lpa_labels" -> ((s: SparkSession, d: String) => { queries.Graph.cachedLpaLabels(s, d); () }),
+    "graph_thresh_both" -> ((s: SparkSession, d: String) => { queries.Graph.cachedThresholdedBoth(s, d); () }),
     "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
     "text_token_counts" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocTokenCounts(s, d); () }),
     "text_tfidf_scored" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocSimilarScored(s, d); () }),

@@ -91,6 +91,23 @@ object Graph {
     */
   val MinCoOrders = 2
 
+  /** Undirected view of the thresholded signal graph plus its degree
+    * table, memoized and checkpointed per (session, dir): six entries
+    * (jaccard/bfs/closeness/kcore/assortativity/modularity) read the
+    * same materialized adjacency instead of each re-unioning and
+    * re-checkpointing it. (LPA keeps its own copy — it needs the edge
+    * table pre-partitioned and CACHED on src for its exchange-free
+    * rounds, which a checkpoint would forget under AQE.)
+    */
+  def cachedThresholdedBoth(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark, ("graphThreshBoth", dir)) {
+      val e = thresholdedEdges(spark, dir)
+      val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      (both, both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true))
+    }
+
   /** (directed edge table `src, dst, sdeg`, degree table `node, deg`,
     * |V|) — memoized per (session, dir) and checkpointed: every
     * consumer reads the same materialized adjacency, and the builders
@@ -492,9 +509,8 @@ object Graph {
     * so plain adjacency suffices.
     */
   def neighborhoodJaccard(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val e = thresholdedEdges(spark, dir).localCheckpoint(true)
-    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val e = thresholdedEdges(spark, dir)
+    val (both, deg) = cachedThresholdedBoth(spark, dir)
     val wedges = both
       .groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
@@ -879,10 +895,7 @@ object Graph {
     * over a capped recursive closure.
     */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val e = thresholdedEdges(spark, dir)
-    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val (both, deg) = cachedThresholdedBoth(spark, dir)
     var visited = deg.orderBy(col("deg").desc, col("node")).limit(1)
       .select(col("node"), lit(0).as("hop"))
       .localCheckpoint(true)
@@ -935,10 +948,7 @@ object Graph {
   val ClosenessSeeds = 5
 
   def closeness(spark: SparkSession, dir: String): DataFrame = {
-    val e = thresholdedEdges(spark, dir)
-    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val (both, deg) = cachedThresholdedBoth(spark, dir)
     val seeds = deg.orderBy(col("deg").desc, col("node")).limit(ClosenessSeeds)
       .select(col("node").as("seed"))
     var visited = seeds
@@ -1016,9 +1026,7 @@ object Graph {
     * wrongly in any round hash-mismatches the final core.
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val e = thresholdedEdges(spark, dir)
-    var edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    var edges = cachedThresholdedBoth(spark, dir)._1
     for (_ <- 1 to KCoreRounds) {
       val keep = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -1071,9 +1079,7 @@ object Graph {
     * the edge list's own scale.
     */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = thresholdedEdges(spark, dir)
-    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val (both, deg) = cachedThresholdedBoth(spark, dir)
     both
       .join(broadcast(deg), col("src") === col("node"))
       .select(col("dst"), col("deg").as("dx"))
@@ -1232,8 +1238,7 @@ object Graph {
     val lab = cachedLpaLabels(spark, dir)
       .select(col("node").as("part_id"), col("lbl").as("community_id"))
     val e = thresholdedEdges(spark, dir)
-    val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = cachedThresholdedBoth(spark, dir)._2
     val m = e.agg(count(lit(1)).as("n_edges"))
     val lin = e
       .join(broadcast(lab.select(col("part_id").as("src"), col("community_id").as("ca"))), Seq("src"))
