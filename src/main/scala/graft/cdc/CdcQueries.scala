@@ -281,6 +281,51 @@ object CdcQueries {
        |SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_keys
        |FROM ch GROUP BY op ORDER BY op""".stripMargin
 
+  /** Per-key change-count skew histogram — the state-store sizing
+    * evidence a 100 TB CDC deployment reads before provisioning: how
+    * hot are keys (count buckets sized to straddle this changelog's
+    * per-key distribution: <55 / 55-64 / 65-74 / 75+), and
+    * what share of the change volume the hot tail carries. A skewed
+    * top bucket is the signal to salt the upsert merge or split the
+    * hot keys' state partitions; [[changeCounts]] (per-op volume) and
+    * [[gapAudit]] (sequence integrity) don't see key heat at all. One
+    * per-key count aggregation (map-side combined) + a bucket rollup
+    * over key-count-sized rows; exact integers end-to-end.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = CdcOps.cachedChangelog(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val bucketMin = when(col("n") < 55, 0)
+      .when(col("n") < 65, 55).when(col("n") < 75, 65).otherwise(75)
+    perKey
+      .withColumn("bucket_min", bucketMin)
+      .groupBy("bucket_min")
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_changes"))
+      .crossJoin(broadcast(perKey.agg(sum("n").as("total"))))
+      .select(col("bucket_min"),
+        when(col("bucket_min") === 0, "<55").when(col("bucket_min") === 55, "55-64")
+          .when(col("bucket_min") === 65, "65-74")
+          .otherwise("75+").as("bucket"),
+        col("n_keys"), col("n_changes"),
+        round(col("n_changes").cast("double") / col("total"), 4).as("changes_share"))
+      .orderBy("bucket_min")
+  }
+
+  val keySkewSql: String =
+    s"""WITH ch AS ($changeSql),
+       |pk AS (SELECT user_id, count(*) AS n FROM ch GROUP BY user_id),
+       |b AS (
+       |  SELECT CASE WHEN n < 55 THEN 0 WHEN n < 65 THEN 55 WHEN n < 75 THEN 65
+       |              ELSE 75 END AS bucket_min, n
+       |  FROM pk),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pk)
+       |SELECT bucket_min,
+       |  CASE bucket_min WHEN 0 THEN '<55' WHEN 55 THEN '55-64' WHEN 65 THEN '65-74'
+       |       ELSE '75+' END AS bucket,
+       |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_changes,
+       |  round(CAST(sum(n) AS DOUBLE) / t.total, 4) AS changes_share
+       |FROM b, t GROUP BY bucket_min, t.total ORDER BY bucket_min""".stripMargin
+
   /** Batch merge equivalence: state(first half) merged with
     * changes(second half) must equal latest-state over everything —
     * i.e. the foreachBatch upsert path is associative the way Delta
