@@ -37,6 +37,59 @@ object TextFunctions {
        | CAST(length(text) AS INTEGER) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-language tokenizer-fertility audit — the multilingual
+    * pretraining metric that decides whether a tokenizer is fair to a
+    * language: `fertility` = subword tokens per whitespace word (high
+    * fertility means the language's sequences inflate, eating its
+    * effective context and token budget) and `bytes_per_token` =
+    * UTF-8 bytes each subword token covers (the compression rate that
+    * sets real cost per byte of corpus). Grouped by the corpus'
+    * ground-truth `lang` column with the counting substrates of
+    * [[tokenCounts]] (whitespace split + the BPE-ish regex) plus
+    * `octet_length` for bytes.
+    *
+    * Scale design: one projection over the corpus scan, one
+    * |langs|-key partial agg — no joins, no second pass; the ratios
+    * are driver-free arithmetic on the aggregated BIGINTs.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("lang"),
+        size(wsTokens(col("text"))).as("ws"),
+        regexp_count(col("text"), lit(BpeTokenPattern)).as("bpe"),
+        octet_length(col("text")).as("bytes"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("bytes")).as("n_bytes"))
+      .withColumn("fertility",
+        when(col("ws_tokens") > 0,
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4)))
+      .withColumn("bytes_per_token",
+        when(col("bpe_tokens") > 0,
+          round(col("n_bytes").cast("double") / col("bpe_tokens"), 4)))
+      .orderBy("lang")
+  }
+
+  val tokenFertilitySql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe,
+       |    CAST(strlen(text) AS BIGINT) AS bytes
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(bytes) AS BIGINT) AS n_bytes,
+       |  CASE WHEN sum(ws) > 0
+       |    THEN round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 4) END AS fertility,
+       |  CASE WHEN sum(bpe) > 0
+       |    THEN round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 4) END AS bytes_per_token
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Quality scoring: structural ratios every pretraining filter uses.
     * stopword density, punctuation density, uppercase density, mean
     * token length — combined into a [0,1]-ish score.

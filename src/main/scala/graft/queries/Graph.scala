@@ -194,6 +194,102 @@ object Graph {
        |FROM r8 ORDER BY rank_ratio DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** Personalized-PageRank seed count / iterations — small fixed
+    * constants both engines unroll identically.
+    */
+  val PprSeeds = 10
+  val PprIters = 6
+
+  /** Personalized PageRank from a deterministic seed set (the
+    * [[PprSeeds]] smallest part ids) — seed-based corpus expansion:
+    * teleport mass returns to the SEEDS instead of uniformly, so the
+    * stationary ranks measure proximity to a trusted set (the
+    * link-graph analogue of "expand the curated seed corpus to
+    * everything near it" that web-scale quality pipelines run before
+    * content filters). r₀ = 1/|S| on seeds, 0 elsewhere;
+    * r'(v) = 0.85·Σ_{u→v} r(u)/deg(u) + [v∈S]·0.15/|S| for
+    * [[PprIters]] synchronous rounds. Output is the top `k` parts by
+    * `ppr_ratio` = rank·N (uniform-PageRank scale, so 6-dp rounding
+    * keeps precision at every corpus size), (ratio DESC, id) total
+    * order.
+    *
+    * Scale design: identical shapes to [[pageRank]] — contribution
+    * join against the broadcast rank vector, one dst-keyed partial
+    * agg per round, plus a |S|-row broadcast left join for the
+    * teleport term. At 100 TB the rank vector outgrows broadcast and
+    * becomes a co-partitioned shuffle join on src; the seed join stays
+    * a broadcast at any scale.
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+      iters: Int = PprIters, k: Int = 50): DataFrame =
+    pprRanks(spark, dir, iters)
+      .select(col("node").as("part_id"),
+        round(col("rank") * col("n_nodes"), 6).as("ppr_ratio"))
+      .orderBy(col("ppr_ratio").desc, col("part_id"))
+      .limit(k)
+
+  /** Full unrounded PPR vector (node, rank, n_nodes) — the spec face
+    * (mass conservation, the seed teleport floor) and the substrate of
+    * the presentation slice above.
+    */
+  def pprRanks(spark: SparkSession, dir: String,
+      iters: Int = PprIters): DataFrame = {
+    val (edges, deg, n) = cachedGraph(spark, dir)
+    val seeds = deg.select("node").orderBy("node").limit(PprSeeds)
+      .localCheckpoint(true)
+    val nS = seeds.count().toDouble
+    var ranks = deg.select(col("node"))
+      .join(broadcast(seeds.withColumn("t", lit(1.0 / nS))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      ranks = pprIter(edges, ranks, seeds, nS).localCheckpoint(true)
+    ranks.withColumn("n_nodes", lit(n.toDouble))
+  }
+
+  /** One synchronous PPR round — [[pageRankIter]]'s broadcast
+    * contribution join + dst agg, with the uniform teleport swapped
+    * for a seed-set broadcast left join.
+    */
+  private[graft] def pprIter(edges: DataFrame, ranks: DataFrame,
+      seeds: DataFrame, nS: Double): DataFrame =
+    edges
+      .join(broadcast(ranks), col("src") === col("node"))
+      .select(col("dst"), (col("rank") / col("sdeg").cast("double")).as("c"))
+      .groupBy("dst")
+      .agg(sum(col("c")).as("m"))
+      .join(broadcast(seeds.select(col("node").as("dst"), lit(0.15 / nS).as("t"))),
+        Seq("dst"), "left")
+      .select(col("dst").as("node"),
+        (lit(0.85) * col("m") + coalesce(col("t"), lit(0.0))).as("rank"))
+
+  def personalizedPageRankSql: String = {
+    val steps = (1 to PprIters).map { i =>
+      s"""r$i AS (
+         |  SELECT m.node,
+         |    0.85*m.m + CASE WHEN s.node IS NOT NULL THEN 0.15/(SELECT s FROM ns) ELSE 0.0 END AS rank
+         |  FROM (SELECT a.dst AS node, sum(r.rank/a.deg) AS m
+         |        FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY a.dst) m
+         |  LEFT JOIN seeds s ON m.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |adj AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+       |seeds AS (SELECT src AS node FROM deg ORDER BY src LIMIT $PprSeeds),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+       |r0 AS (
+       |  SELECT d.src AS node,
+       |    CASE WHEN s.node IS NOT NULL THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS rank
+       |  FROM deg d LEFT JOIN seeds s ON d.src = s.node),
+       |$steps
+       |SELECT node AS part_id, round(rank * (SELECT n FROM nn), 6) AS ppr_ratio
+       |FROM r$PprIters ORDER BY ppr_ratio DESC, part_id LIMIT 50""".stripMargin
+  }
+
   /** Orientation key: (deg << 32) | node — longs sort exactly as the
     * (deg, node) lexicographic order the degree orientation needs.
     */

@@ -46,11 +46,56 @@ object KMeans {
   /** (vec_id, cluster_id, dist): final assignment after [[Iters]]
     * rounds, dist = squared L2 to the winning centroid, 4 dp.
     */
-  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val emb = widen(Tables.embeddings(spark, dir)).localCheckpoint(true)
-    assign(emb, train(emb))
-      .select(col("vec_id"), col("cluster_id"),
-        round(col("dist"), 4).as("dist"))
+  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame =
+    cachedAssignment(spark, dir).orderBy("vec_id")
+
+  /** The trained assignment (vec_id, cluster_id, dist@4dp) memoized per
+    * (session, dir): the clustering face and the outlier face read the
+    * SAME materialized Lloyd run instead of re-training per entry.
+    */
+  private[graft] def cachedAssignment(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("kmeansAssign", dir)) {
+      val emb = widen(Tables.embeddings(spark, dir)).localCheckpoint(true)
+      assign(emb, train(emb))
+        .select(col("vec_id"), col("cluster_id"),
+          round(col("dist"), 4).as("dist"))
+        .localCheckpoint(true)
+    }
+
+  /** Flag vectors ≥ this many cluster-local standard deviations from
+    * their centroid. 2σ keeps the flag set small but non-empty on the
+    * synthetic corpus at every SF.
+    */
+  val OutlierZ = 2.0
+
+  /** Per-cluster z-score outlier detection over the certified k-means
+    * assignment — the curation pass that prunes noise / mislabeled /
+    * out-of-distribution vectors BEFORE training (the complement of
+    * SemDeDup-style near-dup pruning: that removes redundancy, this
+    * removes junk). Per cluster, μ and σ of the member distances
+    * (computed over the 4-dp certified dists, both 6-dp-quantized so
+    * the division replays bit-for-bit cross-engine); each vector gets
+    * z = (dist−μ)/σ (0 when σ=0 — singleton or degenerate cluster) and
+    * an integer flag at z ≥ [[OutlierZ]].
+    *
+    * Scale design: the stats table is k rows — computed by one
+    * map-side-partial agg over the already-materialized assignment and
+    * broadcast back; the whole operator adds zero corpus shuffles on
+    * top of the clustering it composes.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val asg = cachedAssignment(spark, dir)
+    val stats = asg.groupBy("cluster_id").agg(
+      round(avg(col("dist")), 6).as("mu"),
+      round(sqrt(greatest(
+        avg(col("dist") * col("dist")) - avg(col("dist")) * avg(col("dist")),
+        lit(0.0))), 6).as("sigma"))
+    asg.join(broadcast(stats), "cluster_id")
+      .withColumn("z",
+        when(col("sigma") > 0, round((col("dist") - col("mu")) / col("sigma"), 4))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("cluster_id"), col("dist"), col("z"),
+        (col("z") >= OutlierZ).cast("int").as("flagged"))
       .orderBy("vec_id")
   }
 
@@ -136,5 +181,34 @@ object KMeans {
        |        FROM ev JOIN c$Iters c ON ev.d = c.d GROUP BY 1, 2))
        |SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist
        |FROM fin WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** [[embeddingKmeansSql]] with its per-vector tail swapped for the
+    * cluster-stat + z-score CTEs — one Lloyd replay, two certified
+    * faces (the langConfusionSql composition trick).
+    */
+  val embeddingOutliersSql: String = {
+    val perVecTail =
+      """SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist
+        |FROM fin WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    val outlierTail =
+      s"""asg AS (
+         |  SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist
+         |  FROM fin WHERE rk = 1),
+         |st AS (
+         |  SELECT cluster_id, round(avg(dist), 6) AS mu,
+         |    round(sqrt(greatest(avg(dist*dist) - avg(dist)*avg(dist), 0)), 6) AS sigma
+         |  FROM asg GROUP BY 1),
+         |zz AS (
+         |  SELECT a.vec_id, a.cluster_id, a.dist,
+         |    CASE WHEN s.sigma > 0 THEN round((a.dist - s.mu)/s.sigma, 4) ELSE 0.0 END AS z
+         |  FROM asg a JOIN st s USING (cluster_id))
+         |SELECT vec_id, cluster_id, dist, z,
+         |  CAST(z >= $OutlierZ AS INTEGER) AS flagged
+         |FROM zz ORDER BY vec_id""".stripMargin
+    require(embeddingKmeansSql.endsWith("))\n" + perVecTail),
+      "embeddingKmeansSql tail drifted — update embeddingOutliersSql")
+    // the last CTE (fin) needs a comma continuation before the new CTEs
+    embeddingKmeansSql.stripSuffix(perVecTail).stripSuffix("\n") + ",\n" + outlierTail
   }
 }

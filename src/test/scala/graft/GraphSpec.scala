@@ -44,6 +44,48 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"exactly one (dst-keyed) shuffle expected:\n$p")
   }
 
+  test("personalized pagerank conserves mass, floors the seeds, and concentrates near them") {
+    val ranks = Graph.pprRanks(spark, sfDir).collect()
+    val n = ranks.length.toDouble
+    val mass = ranks.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass drifted: $mass over $n nodes")
+    val byNode = ranks.map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    val seeds = byNode.keys.toSeq.sorted.take(Graph.PprSeeds)
+    val floor = 0.15 / seeds.length
+    seeds.foreach { s =>
+      assert(byNode(s) >= floor - 1e-15, s"seed $s below the teleport floor")
+    }
+    // teleport bias: the seed set's mean rank must beat the global mean
+    val seedMean = seeds.map(byNode).sum / seeds.length
+    assert(seedMean > mass / n, "seeds must carry above-uniform rank")
+  }
+
+  test("personalized pagerank top slice is consistent with the full vector") {
+    val top = Graph.personalizedPageRank(spark, sfDir, k = 10).collect()
+    assert(top.length == 10)
+    val ratios = top.map(_.getAs[Double]("ppr_ratio"))
+    assert(ratios.sameElements(ratios.sorted(Ordering[Double].reverse)),
+      "slice must be ppr-descending")
+    val full = Graph.pprRanks(spark, sfDir).collect()
+      .map(r => BigDecimal(r.getAs[Double]("rank") * r.getAs[Double]("n_nodes"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .sorted(Ordering[Double].reverse).take(10)
+    assert(ratios.sameElements(full), "slice must be the top of the full vector")
+  }
+
+  test("ppr iteration keeps the pagerank plan shape: broadcasts + one shuffle") {
+    val (edges, deg, n) = Graph.cachedGraph(spark, sfDir)
+    val seeds = deg.select(col("node")).orderBy("node").limit(Graph.PprSeeds)
+      .localCheckpoint(true)
+    val p = plan(Graph.pprIter(
+      edges, deg.select(col("node"), lit(1.0 / n).as("rank")), seeds, Graph.PprSeeds.toDouble))
+    assert(p.contains("BroadcastHashJoin"), s"rank and seed tables should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join anywhere in the round")
+    assert(p.contains("partial_sum"), "contributions must partially aggregate map-side")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"exactly one (dst-keyed) shuffle expected:\n$p")
+  }
+
   test("triangle counts equal an independent id-oriented 3-way-join formulation") {
     val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
     val u = edges.filter(col("src") < col("dst")).select("src", "dst")

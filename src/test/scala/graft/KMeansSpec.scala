@@ -58,8 +58,43 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._2).distinct.length > 1)
   }
 
+  test("outlier z-scores equal a literal recompute over the assignment") {
+    def q(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val asg = KMeans.cachedAssignment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val stats = asg.groupBy(_._2).map { case (cid, members) =>
+      val ds = members.map(_._3)
+      val mu = q(ds.sum / ds.length, 6)
+      val sigma = q(math.sqrt(
+        math.max(ds.map(d => d * d).sum / ds.length - (ds.sum / ds.length) * (ds.sum / ds.length), 0.0)), 6)
+      cid -> ((mu, sigma))
+    }
+    val out = KMeans.embeddingOutliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    assert(out.length === asg.length)
+    out.foreach { case (id, cid, d, z, flag) =>
+      val (mu, sigma) = stats(cid)
+      val wantZ = if (sigma > 0) q((d - mu) / sigma, 4) else 0.0
+      assert(math.abs(z - wantZ) < 1e-9, s"vec $id z $z vs replay $wantZ")
+      assert(flag === (if (z >= KMeans.OutlierZ) 1 else 0), s"vec $id flag/z disagree")
+    }
+    // the z distribution is non-degenerate: spread exists on both sides of the mean
+    assert(out.exists(_._4 > 0) && out.exists(_._4 < 0))
+  }
+
+  test("outlier stats stay a broadcast join over the memoized assignment") {
+    val p = KMeans.embeddingOutliers(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"k-row stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join:\n$p")
+  }
+
   test("assignment broadcasts the centroid table and argmin partially aggregates") {
-    val p = KMeans.embeddingKmeans(spark, sfDir)
+    // the driver face memoizes behind a localCheckpoint, so inspect the
+    // un-materialized pipeline directly
+    val emb = KMeans.widen(Tables.embeddings(spark, sfDir)).localCheckpoint(true)
+    val p = KMeans.assign(emb, KMeans.train(emb))
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroids must be the broadcast side:\n$p")

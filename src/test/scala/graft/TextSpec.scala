@@ -535,4 +535,32 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(got(k)._4 - ease) < 1e-2, s"$k ease")
     }
   }
+
+  test("token fertility equals a literal per-language recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bpeRe = TextFunctions.BpeTokenPattern.r
+    val want = docs.groupBy(_._1).map { case (lang, rows) =>
+      val ws = rows.map(r => r._2.trim.split("\\s+").length.toLong).sum
+      val bpe = rows.map(r => bpeRe.findAllIn(r._2).length.toLong).sum
+      val bytes = rows.map(_._2.getBytes("UTF-8").length.toLong).sum
+      lang -> ((rows.length.toLong, ws, bpe, bytes))
+    }
+    val got = TextFunctions.tokenFertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet === want.keySet)
+    for ((lang, (n, ws, bpe, bytes)) <- want) {
+      val g = got(lang)
+      assert(g._1 === n, s"$lang n_docs")
+      assert(g._2 === ws, s"$lang ws_tokens")
+      assert(g._3 === bpe, s"$lang bpe_tokens")
+      assert(g._4 === bytes, s"$lang n_bytes")
+      assert(math.abs(g._5 - bpe.toDouble / ws) < 1e-4, s"$lang fertility")
+      assert(math.abs(g._6 - bytes.toDouble / bpe) < 1e-4, s"$lang bytes_per_token")
+      // sanity of the metric itself: subword splitting only ever adds tokens
+      assert(g._5 >= 1.0, s"$lang fertility below 1 — BPE-ish regex lost tokens")
+    }
+  }
 }
