@@ -1,6 +1,7 @@
 package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -325,6 +326,52 @@ object CdcQueries {
        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_changes,
        |  round(CAST(sum(n) AS DOUBLE) / t.total, 4) AS changes_share
        |FROM b, t GROUP BY bucket_min, t.total ORDER BY bucket_min""".stripMargin
+
+  /** Per-key change cadence — the state-TTL / watermark sizing metric:
+    * for every key, the gaps between consecutive changes (ms), rolled
+    * up into count / mean / exact interpolated percentiles / max. A
+    * stateful pipeline reads this as "how long after its last change
+    * is a key touched again" — p99 bounds how long hot state must stay
+    * resident before eviction is safe, and the max bounds the
+    * out-of-order horizon a late-data watermark must cover.
+    *
+    * Scale design: ONE key-partitioned window (lag over (ts_ms, seq) —
+    * the same total per-key order every CDC face uses) and one global
+    * agg whose percentile is the exact-sort kind; at 100 TB the
+    * documented swap is percentile_approx (the t-digest face
+    * price_percentiles_approx already certifies the pattern for).
+    */
+  def changeCadence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "seq")
+    CdcOps.cachedChangelog(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("seq"))
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .agg(
+        countDistinct(col("user_id")).as("n_keys"),
+        count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_ms")), 4).as("mean_ms"),
+        round(expr("percentile(gap_ms, 0.5)"), 4).as("p50_ms"),
+        round(expr("percentile(gap_ms, 0.9)"), 4).as("p90_ms"),
+        round(expr("percentile(gap_ms, 0.99)"), 4).as("p99_ms"),
+        max(col("gap_ms")).as("max_ms"))
+  }
+
+  val changeCadenceSql: String =
+    s"""WITH ch AS ($changeSql),
+       |g AS (
+       |  SELECT user_id,
+       |    ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, seq) AS gap_ms
+       |  FROM ch)
+       |SELECT
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+       |  CAST(count(*) AS BIGINT) AS n_gaps,
+       |  round(avg(gap_ms), 4) AS mean_ms,
+       |  round(quantile_cont(gap_ms, 0.5), 4) AS p50_ms,
+       |  round(quantile_cont(gap_ms, 0.9), 4) AS p90_ms,
+       |  round(quantile_cont(gap_ms, 0.99), 4) AS p99_ms,
+       |  CAST(max(gap_ms) AS BIGINT) AS max_ms
+       |FROM g WHERE gap_ms IS NOT NULL""".stripMargin
 
   /** Batch merge equivalence: state(first half) merged with
     * changes(second half) must equal latest-state over everything —

@@ -290,6 +290,111 @@ object Graph {
        |FROM r$PprIters ORDER BY ppr_ratio DESC, part_id LIMIT 50""".stripMargin
   }
 
+  /** HITS iterations — small fixed constant both engines unroll. */
+  val HitsIters = 4
+
+  /** Distinct customer→part purchase edges — the bipartite graph HITS
+    * runs on, memoized per (session, dir). The orders→lineitem key
+    * join and the distinct are each one shuffle; at 100 TB both sides
+    * co-partition on orderkey and the distinct is the standard
+    * pair-key exchange.
+    */
+  private[graft] def cachedBipartite(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("graphBipartite", dir)) {
+      graft.Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(graft.Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+  /** HITS hubs & authorities over the bipartite customer→part purchase
+    * graph: authorities are parts bought by strong hub customers, hubs
+    * are customers who buy authoritative parts — the mutual-
+    * reinforcement ranking (Kleinberg's HITS) that surfaces which
+    * items CARRY the graph rather than merely having high degree.
+    * [[HitsIters]] synchronous rounds; after every half-step the side
+    * is L1-normalized and expressed as the scale-free ratio score·n
+    * (mean 1.0), 6-dp-quantized so both engines fold bit-identical
+    * score tables forward (the k-means/PageRank determinism rule).
+    * Output: top `k` per side as (side, id, score), (side, score DESC,
+    * id) total order.
+    *
+    * Scale design: each half-step is a broadcast join of the current
+    * |side|-row score vector onto the edge table plus ONE key-partial
+    * agg, and the normalizer is a 1-row broadcast — the PageRank
+    * shapes on a bipartite graph. At 100 TB the score vectors outgrow
+    * broadcast and become co-partitioned joins on the edge keys.
+    */
+  def hits(spark: SparkSession, dir: String,
+      iters: Int = HitsIters, k: Int = 20): DataFrame = {
+    val (auth, hub) = hitsScores(spark, dir, iters)
+    val topA = auth.select(lit("auth").as("side"), col("part").as("id"), col("s").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+    val topH = hub.select(lit("hub").as("side"), col("cust").as("id"), col("s").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+    topA.unionAll(topH).orderBy(col("side"), col("score").desc, col("id"))
+  }
+
+  /** Full (auth, hub) ratio-score vectors after `iters` rounds — the
+    * spec face (normalization mass, round-1 degree proportionality).
+    */
+  private[graft] def hitsScores(spark: SparkSession, dir: String,
+      iters: Int = HitsIters): (DataFrame, DataFrame) = {
+    val e = cachedBipartite(spark, dir)
+    val nP = e.select("part").distinct().count().toDouble
+    val nC = e.select("cust").distinct().count().toDouble
+    var hub = e.select(col("cust")).distinct()
+      .withColumn("s", lit(1.0)).localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = ratioNormalize(
+        e.join(broadcast(hub), "cust").groupBy("part").agg(sum(col("s")).as("r")),
+        nP).localCheckpoint(true)
+      hub = ratioNormalize(
+        e.join(broadcast(auth), "part").groupBy("cust").agg(sum(col("s")).as("r")),
+        nC).localCheckpoint(true)
+    }
+    (auth, hub)
+  }
+
+  /** r → round(r/Σr · n, 6): L1-normalize to the mean-1.0 ratio scale
+    * and quantize. The Σ is a 1-row broadcast, never a collect.
+    */
+  private def ratioNormalize(scored: DataFrame, n: Double): DataFrame = {
+    val keyCol = scored.columns.head
+    scored.crossJoin(broadcast(scored.agg(sum(col("r")).as("t"))))
+      .select(col(keyCol), round(col("r") / col("t") * lit(n), 6).as("s"))
+  }
+
+  def hitsSql: String = {
+    // every CTE is MATERIALIZED and referenced through a window-function
+    // normalizer (sum(r) OVER ()) — a scalar-subquery formulation makes
+    // each level reference its predecessor twice, which DuckDB's CTE
+    // inlining expands into an exponential plan
+    val steps = (1 to HitsIters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT part, round(r / sum(r) OVER () * (SELECT n FROM np), 6) AS s
+         |  FROM (SELECT e.part, sum(h.s) AS r FROM e JOIN h${i - 1} h USING (cust) GROUP BY e.part) t),
+         |h$i AS MATERIALIZED (
+         |  SELECT cust, round(r / sum(r) OVER () * (SELECT n FROM nc), 6) AS s
+         |  FROM (SELECT e.cust, sum(a.s) AS r FROM e JOIN a$i a USING (part) GROUP BY e.cust) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |np AS MATERIALIZED (SELECT CAST(count(DISTINCT part) AS DOUBLE) AS n FROM e),
+       |nc AS MATERIALIZED (SELECT CAST(count(DISTINCT cust) AS DOUBLE) AS n FROM e),
+       |h0 AS MATERIALIZED (SELECT DISTINCT cust, 1.0 AS s FROM e),
+       |$steps
+       |SELECT * FROM (
+       |  (SELECT 'auth' AS side, part AS id, s AS score FROM a$HitsIters ORDER BY s DESC, part LIMIT 20)
+       |  UNION ALL
+       |  (SELECT 'hub' AS side, cust AS id, s AS score FROM h$HitsIters ORDER BY s DESC, cust LIMIT 20))
+       |ORDER BY side, score DESC, id""".stripMargin
+  }
+
   /** Orientation key: (deg << 32) | node — longs sort exactly as the
     * (deg, node) lexicographic order the degree orientation needs.
     */

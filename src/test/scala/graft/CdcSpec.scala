@@ -727,4 +727,30 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       s"expected a single user_id exchange:\n$p")
     assert(!p.contains("Join"), s"as-of resolution must not join:\n$p")
   }
+
+  test("change cadence equals a literal per-key gap recompute") {
+    val ch = CdcOps.cachedChangelog(spark, sfDir)
+      .select("user_id", "ts_ms", "seq").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_ms"), r.getAs[Long]("seq")))
+    val gaps = ch.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => b._2 - a._2
+      }
+    }.toArray.sorted
+    def pct(q: Double): Double = {
+      // the exact interpolated percentile both percentile() and quantile_cont compute
+      val pos = q * (gaps.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < gaps.length) gaps(lo) * (1 - frac) + gaps(lo + 1) * frac
+      else gaps(lo).toDouble
+    }
+    val r = CdcQueries.changeCadence(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_gaps") === gaps.length.toLong)
+    assert(r.getAs[Long]("n_keys") === ch.groupBy(_._1).count(_._2.length >= 2).toLong)
+    assert(math.abs(r.getAs[Double]("mean_ms") - gaps.map(_.toDouble).sum / gaps.length) < 1e-3)
+    assert(math.abs(r.getAs[Double]("p50_ms") - pct(0.5)) < 1e-3, "p50")
+    assert(math.abs(r.getAs[Double]("p99_ms") - pct(0.99)) < 1e-3, "p99")
+    assert(r.getAs[Long]("max_ms") === gaps.last)
+  }
 }

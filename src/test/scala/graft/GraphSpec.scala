@@ -86,6 +86,40 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"exactly one (dst-keyed) shuffle expected:\n$p")
   }
 
+  test("hits scores are normalized ratio vectors and round-1 authority tracks degree") {
+    val (auth, hub) = Graph.hitsScores(spark, sfDir)
+    val aScores = auth.collect().map(r => r.getAs[Long]("part") -> r.getAs[Double]("s")).toMap
+    val hScores = hub.collect().map(r => r.getAs[Long]("cust") -> r.getAs[Double]("s")).toMap
+    // L1 ratio normalization: each side's scores average to 1.0
+    assert(math.abs(aScores.values.sum / aScores.size - 1.0) < 1e-5, "auth mass drifted")
+    assert(math.abs(hScores.values.sum / hScores.size - 1.0) < 1e-5, "hub mass drifted")
+    assert(aScores.values.forall(_ >= 0) && hScores.values.forall(_ >= 0))
+    // with uniform initial hubs, round-1 authority is exactly proportional to
+    // distinct-customer degree — check against a literal recompute
+    val (a1, _) = Graph.hitsScores(spark, sfDir, iters = 1)
+    val degs = Graph.cachedBipartite(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Long]("part")))
+      .groupBy(_._2).map { case (p, es) => p -> es.length.toDouble }
+    val nP = degs.size.toDouble
+    val totalDeg = degs.values.sum
+    a1.collect().foreach { r =>
+      val want = BigDecimal(degs(r.getAs[Long]("part")) / totalDeg * nP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("s") - want) < 1e-6,
+        s"part ${r.getAs[Long]("part")} round-1 authority off degree proportionality")
+    }
+  }
+
+  test("hits top slice has both sides, descending within side") {
+    val top = Graph.hits(spark, sfDir, k = 10).collect()
+    val bySide = top.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet === Set("auth", "hub"))
+    bySide.values.foreach { rows =>
+      val ss = rows.map(_.getAs[Double]("score"))
+      assert(ss.sameElements(ss.sorted(Ordering[Double].reverse)))
+    }
+  }
+
   test("triangle counts equal an independent id-oriented 3-way-join formulation") {
     val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
     val u = edges.filter(col("src") < col("dst")).select("src", "dst")
