@@ -37,6 +37,53 @@ object TextFunctions {
        | CAST(length(text) AS INTEGER) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-document boilerplate profile — sentence-level cross-document
+    * duplication, the CCNet/Dolma-style cleanup signal: split every
+    * doc into sentences (common-regex-subset `[.!?]+\s*` terminator
+    * split, lowercased + trimmed, empties dropped, per-doc distinct),
+    * compute each sentence's document frequency across the corpus, and
+    * report per doc how many of its distinct sentences appear in ≥ 2
+    * docs (`boilerplate_rate`). High-rate docs are navigation chrome /
+    * templates / license banners — removing them lifts downstream
+    * model quality more than most quality filters.
+    *
+    * Scale design: one sentence-keyed partial-agg for the df table and
+    * one co-partitioned sentence-key join back (both sides shuffle on
+    * the same key — no broadcast of corpus-sized state anywhere), then
+    * a doc-keyed agg. At 100 TB the sentence key would be a 64-bit
+    * hash instead of the raw string (same shuffle shapes, 10× less
+    * shuffle volume) — kept raw here so the oracle replays exactly.
+    */
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame = {
+    val sent = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+\\s*")).as("s0"))
+      .select(col("doc_id"), trim(lower(col("s0"))).as("s"))
+      .filter(length(col("s")) > 0)
+      .distinct()
+    val df = sent.groupBy("s").agg(countDistinct(col("doc_id")).as("sdf"))
+    sent.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("sdf") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
+      .withColumn("boilerplate_rate",
+        round(col("n_boilerplate").cast("double") / col("n_sentences"), 4))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateStatsSql: String =
+    """WITH sent AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, trim(lower(unnest(regexp_split_to_array(text, '[.!?]+\s*')))) AS s
+      |    FROM documents)
+      |  WHERE length(s) > 0),
+      |df AS (SELECT s, count(DISTINCT doc_id) AS sdf FROM sent GROUP BY s)
+      |SELECT sent.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_sentences,
+      |  CAST(sum(CASE WHEN df.sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+      |  round(CAST(sum(CASE WHEN df.sdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS boilerplate_rate
+      |FROM sent JOIN df USING (s)
+      |GROUP BY sent.doc_id ORDER BY sent.doc_id""".stripMargin
+
   /** Per-language tokenizer-fertility audit — the multilingual
     * pretraining metric that decides whether a tokenizer is fair to a
     * language: `fertility` = subword tokens per whitespace word (high

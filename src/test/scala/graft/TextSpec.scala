@@ -536,6 +536,36 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("boilerplate stats equal a literal sentence-df recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, text) =>
+      // space-only trim: Java's String.trim strips control chars too,
+      // which the engines' trim() does not
+      id -> text.split("[.!?]+\\s*")
+        .map(_.toLowerCase.replaceAll("^ +| +$", ""))
+        .filter(_.nonEmpty).toSet
+    }.toMap
+    val dfCount = perDoc.values.flatten.groupBy(identity).map { case (s, os) => s -> os.size }
+    val got = TextFunctions.boilerplateStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs whose every sentence is empty after trimming drop out on both sides
+    assert(got.keySet === perDoc.filter(_._2.nonEmpty).keySet)
+    for ((id, sents) <- perDoc if sents.nonEmpty) {
+      val nBp = sents.count(dfCount(_) >= 2).toLong
+      assert(got(id)._1 === sents.size.toLong, s"doc $id n_sentences")
+      assert(got(id)._2 === nBp, s"doc $id n_boilerplate")
+      assert(math.abs(got(id)._3 - nBp.toDouble / sents.size) < 1e-4, s"doc $id rate")
+    }
+    // not everything is boilerplate (no dup-df≥2 sentence may exist at
+    // all at the smallest SF — the oracle certifies the values)
+    assert(got.values.exists(v => v._2 < v._1))
+    got.values.foreach { case (n, bp, rate) =>
+      assert(bp <= n && rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("token fertility equals a literal per-language recompute") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("text")).collect()
