@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -393,6 +394,79 @@ object Graph {
        |  UNION ALL
        |  (SELECT 'hub' AS side, cust AS id, s AS score FROM h$HitsIters ORDER BY s DESC, cust LIMIT 20))
        |ORDER BY side, score DESC, id""".stripMargin
+  }
+
+  /** Random-walk length (hops) — small fixed constant. */
+  val WalkSteps = 3
+
+  /** DeepWalk-style random-walk corpus over the co-purchase graph: one
+    * [[WalkSteps]]-hop walk per start node, the next hop drawn from the
+    * current node's dst-ranked adjacency by a deterministic md5 coin on
+    * (start_id, step) — the stratified_sample coin recipe, so the
+    * "random" walk replays bit-for-bit in both engines while keeping
+    * the statistical mixing a DeepWalk/node2vec embedding trainer
+    * needs. Output is the walk corpus (start_id, step, node_id) —
+    * exactly the sentence-shaped input skip-gram graph-embedding
+    * training consumes.
+    *
+    * Scale design: the ranked adjacency is one per-key window over the
+    * edge list (never global); each hop is ONE equi-join of the
+    * frontier on node=src (the coin-selected rank is a post-join
+    * filter, so a hop costs one Σdeg edge scan), checkpointed so the
+    * unrolled plan stays constant-size. All-integer arithmetic — no
+    * float anywhere, hash-certified without any rounding rule.
+    */
+  def randomWalks(spark: SparkSession, dir: String,
+      steps: Int = WalkSteps): DataFrame = {
+    val (edges, deg, _) = cachedGraph(spark, dir)
+    val radj = edges.select(col("src"), col("dst"), col("sdeg").as("deg"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long"))
+      .localCheckpoint(true)
+    var cur = deg.select(col("node").as("start_id"), col("node"))
+    val hops = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      val coin = conv(substring(
+        md5(concat(col("start_id").cast("string"), lit(s"_$t"))), 1, 8), 16, 10)
+        .cast("long")
+      cur = cur
+        .join(radj, col("node") === col("src") &&
+          col("rk") === coin % col("deg") + lit(1L))
+        .select(col("start_id"), col("dst").as("node"))
+        .localCheckpoint(true)
+      hops += cur.withColumn("step", lit(t))
+    }
+    hops.reduce(_ unionAll _)
+      .select(col("start_id"), col("step"), col("node").as("node_id"))
+      .orderBy("start_id", "step")
+  }
+
+  def randomWalksSql: String = {
+    val steps = (1 to WalkSteps).map { i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT w.start_id, a.dst AS node
+         |  FROM w${i - 1} w JOIN radj a ON a.src = w.node
+         |    AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_$i'), 1, 8))::UBIGINT % a.deg + 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to WalkSteps).map { i =>
+      s"SELECT start_id, CAST($i AS INTEGER) AS step, node AS node_id FROM w$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |radj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rk
+       |  FROM e),
+       |w0 AS (SELECT DISTINCT src AS start_id, src AS node FROM e),
+       |$steps
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY start_id, step""".stripMargin
   }
 
   /** Orientation key: (deg << 32) | node — longs sort exactly as the

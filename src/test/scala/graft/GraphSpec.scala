@@ -120,6 +120,31 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("random walks replay the md5-coin hop selection literally") {
+    val (edges, deg, _) = Graph.cachedGraph(spark, sfDir)
+    val adj = edges.select("src", "dst").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val walks = Graph.randomWalks(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("start_id"), r.getAs[Int]("step"), r.getAs[Long]("node_id")))
+    // exactly one row per (start, step), all starts covered
+    assert(walks.length === adj.size * (Graph.WalkSteps + 1))
+    assert(walks.groupBy(w => (w._1, w._2)).forall(_._2.length == 1))
+    val byWalk = walks.groupBy(_._1)
+    byWalk.foreach { case (start, hops) =>
+      val path = hops.sortBy(_._2).map(_._3)
+      assert(path.head === start, s"walk $start must begin at its start node")
+      for (t <- 1 to Graph.WalkSteps) {
+        val nbrs = adj(path(t - 1))
+        val coin = java.lang.Long.parseLong(md5hex(s"${start}_$t").take(8), 16)
+        assert(path(t) === nbrs((coin % nbrs.length).toInt),
+          s"walk $start hop $t picked the wrong neighbor")
+      }
+    }
+  }
+
   test("triangle counts equal an independent id-oriented 3-way-join formulation") {
     val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
     val u = edges.filter(col("src") < col("dst")).select("src", "dst")
