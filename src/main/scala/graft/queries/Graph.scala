@@ -442,7 +442,45 @@ object Graph {
       .orderBy("start_id", "step")
   }
 
-  def randomWalksSql: String = {
+  /** Skip-gram context window (hops either side of the center). */
+  val SkipgramWindow = 2
+
+  /** The walk corpus memoized per (session, dir) — the walk face and
+    * the skip-gram face read one materialization.
+    */
+  private[graft] def cachedWalks(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("graphWalks", dir))(
+      randomWalks(spark, dir).localCheckpoint(true))
+
+  /** (center, context) training pairs from the certified walk corpus —
+    * the [[SkipgramWindow]]-window co-occurrence extraction that turns
+    * walks into the skip-gram example stream DeepWalk/node2vec
+    * actually optimizes over, aggregated to (center_id, context_id,
+    * n_pairs) counts.
+    *
+    * Scale design: the self-join is start_id-keyed (both sides the
+    * same materialized walk table — co-partitioned, ≤ (L+1)² rows per
+    * key map-side) and the pair aggregation partials; an alternative
+    * zero-join form collects each walk into its L+1-element array and
+    * emits combinations map-side, but the certified join form shuffles
+    * the same volume and stays declarative.
+    */
+  def walkSkipgrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = cachedWalks(spark, dir)
+    w.as("a").join(w.as("b"),
+        col("a.start_id") === col("b.start_id") &&
+        col("a.step") =!= col("b.step") &&
+        abs(col("a.step") - col("b.step")) <= SkipgramWindow)
+      .groupBy(col("a.node_id").as("center_id"), col("b.node_id").as("context_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("center_id", "context_id")
+  }
+
+  /** The shared WITH-chain producing the `walks(start_id, step, node)`
+    * CTE — one definition serving both the walk-corpus face and the
+    * skip-gram pair face.
+    */
+  private def walkCtes: String = {
     val steps = (1 to WalkSteps).map { i =>
       s"""w$i AS MATERIALIZED (
          |  SELECT w.start_id, a.dst AS node
@@ -450,7 +488,7 @@ object Graph {
          |    AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_$i'), 1, 8))::UBIGINT % a.deg + 1)""".stripMargin
     }.mkString(",\n")
     val union = (0 to WalkSteps).map { i =>
-      s"SELECT start_id, CAST($i AS INTEGER) AS step, node AS node_id FROM w$i"
+      s"SELECT start_id, CAST($i AS INTEGER) AS step, node FROM w$i"
     }.mkString("\n  UNION ALL ")
     s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |e AS MATERIALIZED (
@@ -463,11 +501,24 @@ object Graph {
        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rk
        |  FROM e),
        |w0 AS (SELECT DISTINCT src AS start_id, src AS node FROM e),
-       |$steps
-       |SELECT * FROM (
-       |  $union)
-       |ORDER BY start_id, step""".stripMargin
+       |$steps,
+       |walks AS MATERIALIZED (
+       |  $union)""".stripMargin
   }
+
+  def randomWalksSql: String =
+    s"""$walkCtes
+       |SELECT start_id, step, node AS node_id FROM walks
+       |ORDER BY start_id, step""".stripMargin
+
+  def walkSkipgramsSql: String =
+    s"""$walkCtes
+       |SELECT a.node AS center_id, b.node AS context_id,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM walks a JOIN walks b
+       |  ON a.start_id = b.start_id AND a.step <> b.step
+       |  AND abs(a.step - b.step) <= $SkipgramWindow
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Orientation key: (deg << 32) | node — longs sort exactly as the
     * (deg, node) lexicographic order the degree orientation needs.

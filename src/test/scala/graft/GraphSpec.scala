@@ -145,6 +145,22 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("walk skipgrams equal a literal window-pair recompute over the walks") {
+    val walks = Graph.cachedWalks(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("start_id"), r.getAs[Int]("step"), r.getAs[Long]("node_id")))
+    val want = walks.groupBy(_._1).values.toSeq.flatMap { hops =>
+      val hs = hops.toSeq
+      for {
+        a <- hs; b <- hs
+        if a._2 != b._2 && math.abs(a._2 - b._2) <= Graph.SkipgramWindow
+      } yield (a._3, b._3)
+    }.groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+    val got = Graph.walkSkipgrams(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("center_id"), r.getAs[Long]("context_id")) -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(got === want)
+  }
+
   test("triangle counts equal an independent id-oriented 3-way-join formulation") {
     val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
     val u = edges.filter(col("src") < col("dst")).select("src", "dst")
