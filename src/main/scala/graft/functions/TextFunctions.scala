@@ -55,20 +55,36 @@ object TextFunctions {
     * shuffle volume) — kept raw here so the oracle replays exactly.
     */
   def boilerplateStats(spark: SparkSession, dir: String): DataFrame = {
-    val sent = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), "[.!?]+\\s*")).as("s0"))
+    val docs = Tables.documents(spark, dir)
+    boilerplateFace(sentenceDf(docs), docs)
+  }
+
+  /** (doc_id, s): each doc's distinct normalized sentences. */
+  private[graft] def docSentences(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "[.!?]+\\s*")).as("s0"))
       .select(col("doc_id"), trim(lower(col("s0"))).as("s"))
       .filter(length(col("s")) > 0)
       .distinct()
-    val df = sent.groupBy("s").agg(countDistinct(col("doc_id")).as("sdf"))
-    sent.join(df, "s")
+
+  /** (s, sdf): corpus sentence document frequency — ADDITIVE across
+    * batches when each doc arrives exactly once (the
+    * AdditiveDeltaState contract the streaming face rides).
+    */
+  private[graft] def sentenceDf(docs: DataFrame): DataFrame =
+    docSentences(docs).groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("sdf"))
+
+  /** Per-doc boilerplate profile of `docs` against a (possibly
+    * streamed) sentence-df relation.
+    */
+  private[graft] def boilerplateFace(df: DataFrame, docs: DataFrame): DataFrame =
+    docSentences(docs).join(df, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sentences"),
         sum(when(col("sdf") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
       .withColumn("boilerplate_rate",
         round(col("n_boilerplate").cast("double") / col("n_sentences"), 4))
       .orderBy("doc_id")
-  }
 
   val boilerplateStatsSql: String =
     """WITH sent AS MATERIALIZED (
