@@ -37,6 +37,49 @@ object TextFunctions {
        | CAST(length(text) AS INTEGER) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary-concentration curve — what share of total token mass
+    * the top-10/100/1000 types cover, plus the full type count. The
+    * tokenizer/vocab-sizing readout: a corpus whose top-1000 types
+    * cover 95 % of mass tokenizes compactly with a small vocab; flat
+    * coverage means byte-level fallback will dominate. One row:
+    * (n_types, total_tokens, coverage_top10/100/1000, 4 dp).
+    *
+    * Scale design: the substrate is the memoized (token, n) totals;
+    * ranking is a vocabulary-sized global window (dims-scale, the
+    * ntile/vocab rule — range-partitioned sort at 100 TB), and the
+    * coverage fold is one conditional aggregate over it.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = tokenTotals(cachedDocTokenCounts(spark, dir))
+    totals
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("total_tokens"),
+        sum(when(col("rank") <= 10, col("n")).otherwise(0L)).as("m10"),
+        sum(when(col("rank") <= 100, col("n")).otherwise(0L)).as("m100"),
+        sum(when(col("rank") <= 1000, col("n")).otherwise(0L)).as("m1000"))
+      .select(col("n_types"), col("total_tokens"),
+        round(col("m10").cast("double") / col("total_tokens"), 4).as("coverage_top10"),
+        round(col("m100").cast("double") / col("total_tokens"), 4).as("coverage_top100"),
+        round(col("m1000").cast("double") / col("total_tokens"), 4).as("coverage_top1000"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT token, count(*) AS n FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |    FROM documents)
+      |  WHERE token <> '' GROUP BY token),
+      |ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM tok)
+      |SELECT CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  round(CAST(sum(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 4) AS coverage_top10,
+      |  round(CAST(sum(CASE WHEN rank <= 100 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 4) AS coverage_top100,
+      |  round(CAST(sum(CASE WHEN rank <= 1000 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 4) AS coverage_top1000
+      |FROM ranked""".stripMargin
+
   /** Per-document boilerplate profile — sentence-level cross-document
     * duplication, the CCNet/Dolma-style cleanup signal: split every
     * doc into sentences (common-regex-subset `[.!?]+\s*` terminator

@@ -1423,7 +1423,10 @@ object Analytics {
   def funnelConversion(spark: SparkSession, dir: String): DataFrame =
     funnelConversion(Tables.events(spark, dir))
 
-  val funnelSql: String =
+  /** The v/c/p first-touch stage CTEs — one definition serving the
+    * conversion face and the latency face.
+    */
+  private val funnelStageCtes: String =
     """WITH v AS (
       |  SELECT user_id, min(ts) AS t_view FROM events
       |  WHERE event_type = 'view' GROUP BY user_id),
@@ -1434,14 +1437,66 @@ object Analytics {
       |p AS (
       |  SELECT e.user_id, min(e.ts) AS t_purchase
       |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
-      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-      |SELECT strftime(t_view, '%Y-%m') AS cohort,
-      |  count(*) AS n_view, count(t_click) AS n_click,
-      |  count(t_purchase) AS n_purchase,
-      |  round(count(t_click) * 1.0 / count(*), 4) AS click_rate,
-      |  round(count(t_purchase) * 1.0 / count(*), 4) AS purchase_rate
-      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)""".stripMargin
+
+  val funnelSql: String =
+    s"""$funnelStageCtes
+       |SELECT strftime(t_view, '%Y-%m') AS cohort,
+       |  count(*) AS n_view, count(t_click) AS n_click,
+       |  count(t_purchase) AS n_purchase,
+       |  round(count(t_click) * 1.0 / count(*), 4) AS click_rate,
+       |  round(count(t_purchase) * 1.0 / count(*), 4) AS purchase_rate
+       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Time-to-convert profile of the same first-touch funnel: per stage
+    * transition (view→click, click→purchase), the converting users'
+    * latency distribution — n / mean / exact p50 / p90 / max ms. The
+    * companion every conversion-rate dashboard needs: the rate says
+    * HOW MANY convert, this says HOW LONG conversion takes (and the
+    * p90/max bound the attribution window an event pipeline must keep
+    * a user's funnel state alive for).
+    *
+    * Scale design: rides [[funnelUserStages]]' co-partitioned
+    * min-aggregate chain (O(1) state per user per stage); the latency
+    * rollup is a 2-group agg with the exact interpolated percentile
+    * (the documented 100 TB swap is percentile_approx).
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val st = funnelUserStages(Tables.events(spark, dir))
+    val g1 = st.filter(col("t_click").isNotNull)
+      .select(lit("1_view_to_click").as("step"),
+        (unix_millis(col("t_click")) - unix_millis(col("t_view"))).as("gap_ms"))
+    val g2 = st.filter(col("t_purchase").isNotNull)
+      .select(lit("2_click_to_purchase").as("step"),
+        (unix_millis(col("t_purchase")) - unix_millis(col("t_click"))).as("gap_ms"))
+    g1.unionAll(g2)
+      .groupBy("step")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("gap_ms")), 4).as("mean_ms"),
+        round(expr("percentile(gap_ms, 0.5)"), 4).as("p50_ms"),
+        round(expr("percentile(gap_ms, 0.9)"), 4).as("p90_ms"),
+        max(col("gap_ms")).as("max_ms"))
+      .orderBy("step")
+  }
+
+  val funnelLatencySql: String =
+    s"""$funnelStageCtes,
+       |g AS (
+       |  SELECT '1_view_to_click' AS step,
+       |    epoch_ms(c.t_click) - epoch_ms(v.t_view) AS gap_ms
+       |  FROM c JOIN v USING (user_id)
+       |  UNION ALL
+       |  SELECT '2_click_to_purchase',
+       |    epoch_ms(p.t_purchase) - epoch_ms(c.t_click)
+       |  FROM p JOIN c USING (user_id))
+       |SELECT step,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  round(avg(gap_ms), 4) AS mean_ms,
+       |  round(quantile_cont(gap_ms, 0.5), 4) AS p50_ms,
+       |  round(quantile_cont(gap_ms, 0.9), 4) AS p90_ms,
+       |  CAST(max(gap_ms) AS BIGINT) AS max_ms
+       |FROM g GROUP BY step ORDER BY step""".stripMargin
 
   /** TPC-H Q16 shape — supplier-relationship counting: how many
     * distinct suppliers ship each surviving (brand, size) combination,

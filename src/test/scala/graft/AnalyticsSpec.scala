@@ -256,6 +256,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       "user 2's purchase lacks a qualifying click before it")
   }
 
+  test("funnel latency equals a literal recompute over the stage table") {
+    val st = Analytics.funnelUserStages(Tables.events(spark, sfDir)).collect()
+    def gaps(from: String, to: String): Array[Long] = st
+      .filter(r => r.getAs[java.sql.Timestamp](to) != null)
+      .map(r => r.getAs[java.sql.Timestamp](to).getTime -
+        r.getAs[java.sql.Timestamp](from).getTime)
+      .sorted
+    def pct(xs: Array[Long], q: Double): Double = {
+      val pos = q * (xs.length - 1); val lo = pos.toInt; val f = pos - lo
+      if (lo + 1 < xs.length) xs(lo) * (1 - f) + xs(lo + 1) * f else xs(lo).toDouble
+    }
+    val got = Analytics.funnelLatency(spark, sfDir).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    for ((step, g) <- Seq(
+        "1_view_to_click" -> gaps("t_view", "t_click"),
+        "2_click_to_purchase" -> gaps("t_click", "t_purchase"))) {
+      val r = got(step)
+      assert(r.getAs[Long]("n") === g.length.toLong, s"$step n")
+      assert(math.abs(r.getAs[Double]("mean_ms") - g.map(_.toDouble).sum / g.length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("p50_ms") - pct(g, 0.5)) < 1e-3, s"$step p50")
+      assert(math.abs(r.getAs[Double]("p90_ms") - pct(g, 0.9)) < 1e-3, s"$step p90")
+      assert(r.getAs[Long]("max_ms") === g.last, s"$step max")
+      // funnel ordering guarantees strictly positive latencies
+      assert(g.head > 0, s"$step gaps must be positive")
+    }
+  }
+
   test("co-purchase basket expansion equals the self-join formulation") {
     val li = Tables.lineitem(spark, sfDir)
     val items = li.select("l_orderkey", "l_partkey").distinct()

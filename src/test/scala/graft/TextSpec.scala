@@ -566,6 +566,23 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vocab coverage equals a literal ranked-mass recompute") {
+    val totals = TextFunctions.cachedDocTokenCounts(spark, sfDir)
+      .groupBy("token").agg(sum("tf").as("n")).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("n"))
+    val ranked = totals.sortBy { case (t, n) => (-n, t) }.map(_._2)
+    val total = ranked.sum.toDouble
+    def cov(k: Int) = ranked.take(k).sum / total
+    val r = TextFunctions.vocabCoverage(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_types") === totals.length.toLong)
+    assert(r.getAs[Long]("total_tokens") === ranked.sum)
+    for ((k, c) <- Seq(10 -> "coverage_top10", 100 -> "coverage_top100", 1000 -> "coverage_top1000"))
+      assert(math.abs(r.getAs[Double](c) - cov(k)) < 1e-4, c)
+    // the curve is a monotone CDF ending at 1 for a vocab under the largest k
+    assert(r.getAs[Double]("coverage_top10") <= r.getAs[Double]("coverage_top100"))
+    assert(r.getAs[Double]("coverage_top100") <= r.getAs[Double]("coverage_top1000"))
+  }
+
   test("token fertility equals a literal per-language recompute") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("text")).collect()
