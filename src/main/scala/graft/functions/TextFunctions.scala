@@ -37,6 +37,52 @@ object TextFunctions {
        | CAST(length(text) AS INTEGER) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-source language-mix entropy — the diversity health check on a
+    * multi-source corpus: for each source, its document count, number
+    * of languages, Shannon entropy of the language distribution
+    * (nats), and the normalized entropy H/ln(n_langs) in [0,1] (1 =
+    * perfectly balanced mix, 0 = monolingual). A source whose
+    * normalized entropy collapses between snapshots silently became
+    * monolingual — the drift that skews a language-balanced training
+    * mix. Entropy terms are exact integer ratios through ln, 4-dp
+    * rounded (the zipf-fit ln precedent).
+    *
+    * Scale design: one (source, lang) key agg (dims-scale output), a
+    * dims-scale window for per-source totals, one final fold — the
+    * corpus scan is the only data-sized work.
+    */
+  def sourceLangEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(-sum((col("c").cast("double") / col("tot")) *
+          log(col("c").cast("double") / col("tot"))), 4).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_langs") > 1,
+          round(col("entropy") / round(log(col("n_langs").cast("double")), 6), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("source")
+  }
+
+  val sourceLangEntropySql: String =
+    """WITH sl AS (
+      |  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+      |t AS (
+      |  SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS tot FROM sl)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_langs,
+      |  round(-sum((CAST(c AS DOUBLE)/tot) * ln(CAST(c AS DOUBLE)/tot)), 4) AS entropy,
+      |  CASE WHEN count(*) > 1
+      |    THEN round(round(-sum((CAST(c AS DOUBLE)/tot) * ln(CAST(c AS DOUBLE)/tot)), 4)
+      |      / round(ln(CAST(count(*) AS DOUBLE)), 6), 4)
+      |    ELSE 0.0 END AS norm_entropy
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** Vocabulary-concentration curve — what share of total token mass
     * the top-10/100/1000 types cover, plus the full type count. The
     * tokenizer/vocab-sizing readout: a corpus whose top-1000 types

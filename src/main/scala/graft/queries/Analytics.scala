@@ -1449,6 +1449,102 @@ object Analytics {
        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Winsorized robust statistics per event type — the
+    * outlier-resistant moments every metrics pipeline publishes next
+    * to the raw mean: exact p05/p95 bounds per type, values clamped
+    * into them, then n / raw mean / winsorized mean / winsorized std.
+    * A fat-tailed type shows mean_raw ≫ mean_winsor — the signature
+    * that raw averages are being bought by a handful of outliers.
+    *
+    * Scale design: the bounds table is |types| rows (broadcast back
+    * onto the scan); the stats are one partial agg over the clamped
+    * projection. Std is the explicit E[x²]−μ² form both engines
+    * compute identically (the embedding_outliers rule).
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("b_lo"),
+      expr("percentile(value, 0.95)").as("b_hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("wv", least(greatest(col("value"), col("b_lo")), col("b_hi")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_raw"),
+        round(avg(col("wv")), 4).as("mean_winsor"),
+        round(sqrt(greatest(
+          avg(col("wv") * col("wv")) - avg(col("wv")) * avg(col("wv")),
+          lit(0.0))), 4).as("std_winsor"))
+      .orderBy("event_type")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS b_lo,
+      |    quantile_cont(value, 0.95) AS b_hi
+      |  FROM events GROUP BY event_type),
+      |w AS (
+      |  SELECT e.event_type, e.value,
+      |    least(greatest(e.value, b.b_lo), b.b_hi) AS wv
+      |  FROM events e JOIN b USING (event_type))
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(value), 4) AS mean_raw,
+      |  round(avg(wv), 4) AS mean_winsor,
+      |  round(sqrt(greatest(avg(wv*wv) - avg(wv)*avg(wv), 0)), 4) AS std_winsor
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Gini coefficient of per-user event counts plus the top-decile
+    * share — the activity-concentration readout that decides whether
+    * per-user sampling needs weighting/capping: a high Gini means a
+    * uniform user sample wildly under-represents the traffic, and the
+    * top-decile share says how much one decile of users owns.
+    * Formula: with counts x₍₁₎≤…≤x₍ₙ₎ ascending,
+    * G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n; ties commute (equal x make
+    * Σi·x order-free inside the block), so the value is total-order
+    * deterministic. All-integer sums until the final two divisions.
+    *
+    * Scale design: per-user counts are one key agg; the ascending rank
+    * is a dims-scale global window over |users| rows (the vocab/ntile
+    * rule — range-partitioned sort at 100 TB); the Gini fold is one
+    * aggregate.
+    */
+  def userActivityGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    val ranked = counts
+      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
+      .withColumn("rd", row_number().over(Window.orderBy(col("x").desc, col("user_id"))).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()).cast("long"))
+    ranked.agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
+        sum(col("i") * col("x")).as("ix"),
+        sum(when(col("rd") <= ceil(col("nn") / 10.0), col("x"))
+          .otherwise(0L)).as("top_mass"))
+      .select(col("n_users"), col("total_events"),
+        round(lit(2.0) * col("ix") / (col("n_users") * col("total_events"))
+          - (col("n_users") + lit(1)).cast("double") / col("n_users"), 4).as("gini"),
+        round(col("top_mass").cast("double") / col("total_events"), 4).as("top_decile_share"))
+  }
+
+  val userActivityGiniSql: String =
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT x,
+      |    CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i,
+      |    CAST(row_number() OVER (ORDER BY x DESC, user_id) AS BIGINT) AS rd,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM c)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(x) AS BIGINT) AS total_events,
+      |  round(2.0 * CAST(sum(i*x) AS DOUBLE) / (count(*) * CAST(sum(x) AS DOUBLE))
+      |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 4) AS gini,
+      |  round(CAST(sum(CASE WHEN rd <= ceil(n / 10.0) THEN x ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(x) AS DOUBLE), 4) AS top_decile_share
+      |FROM r""".stripMargin
+
   /** Time-to-convert profile of the same first-touch funnel: per stage
     * transition (view→click, click→purchase), the converting users'
     * latency distribution — n / mean / exact p50 / p90 / max ms. The

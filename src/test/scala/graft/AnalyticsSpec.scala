@@ -283,6 +283,58 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winsorized stats equal a literal clamp-and-moment recompute") {
+    val ev = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = q * (s.length - 1)
+      val lo = pos.toInt; val f = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - f) + s(lo + 1) * f else s(lo)
+    }
+    val got = Analytics.winsorizedStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.map(_._2)
+      val (lo, hi) = (pct(xs, 0.05), pct(xs, 0.95))
+      val wv = xs.map(x => math.min(math.max(x, lo), hi))
+      val mu = wv.sum / wv.length
+      val sd = math.sqrt(math.max(wv.map(x => x * x).sum / wv.length - mu * mu, 0.0))
+      val r = got(t)
+      assert(r.getAs[Long]("n") === xs.length.toLong, s"$t n")
+      assert(math.abs(r.getAs[Double]("mean_raw") - xs.sum / xs.length) < 1e-3, s"$t raw")
+      assert(math.abs(r.getAs[Double]("mean_winsor") - mu) < 1e-3, s"$t winsor")
+      assert(math.abs(r.getAs[Double]("std_winsor") - sd) < 1e-3, s"$t std")
+      // winsorizing can only pull the std in
+      assert(r.getAs[Double]("std_winsor") <= pctStd(xs) + 1e-9, s"$t std shrink")
+    }
+  }
+
+  private def pctStd(xs: Array[Double]): Double = {
+    val mu = xs.sum / xs.length
+    math.sqrt(math.max(xs.map(x => x * x).sum / xs.length - mu * mu, 0.0))
+  }
+
+  test("user activity gini equals the rank formula and bounds the decile share") {
+    val counts = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("x")))
+    val asc = counts.sortBy(c => (c._2, c._1)).map(_._2)
+    val n = asc.length.toLong
+    val tot = asc.sum
+    val ix = asc.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 2.0 * ix / (n * tot).toDouble - (n + 1).toDouble / n
+    val topK = math.ceil(n / 10.0).toLong
+    val topMass = counts.sortBy(c => (-c._2, c._1)).take(topK.toInt).map(_._2).sum
+    val r = Analytics.userActivityGini(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_users") === n)
+    assert(r.getAs[Long]("total_events") === tot)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-4)
+    assert(math.abs(r.getAs[Double]("top_decile_share") - topMass.toDouble / tot) < 1e-4)
+    // bounds: gini in [0, 1); the top decile owns at least its uniform share
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+    assert(r.getAs[Double]("top_decile_share") >= topK.toDouble / n - 1e-4)
+  }
+
   test("co-purchase basket expansion equals the self-join formulation") {
     val li = Tables.lineitem(spark, sfDir)
     val items = li.select("l_orderkey", "l_partkey").distinct()

@@ -566,6 +566,27 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("source lang entropy equals a literal distribution recompute") {
+    val docs = Tables.documents(spark, sfDir).select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = TextFunctions.sourceLangEntropy(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val byLang = rows.groupBy(_._2).map { case (_, xs) => xs.length.toDouble }
+      val tot = byLang.sum
+      val h = -byLang.map(c => (c / tot) * math.log(c / tot)).sum
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") === rows.length.toLong, s"$src n_docs")
+      assert(r.getAs[Long]("n_langs") === byLang.size.toLong, s"$src n_langs")
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-3, s"$src entropy")
+      val ne = r.getAs[Double]("norm_entropy")
+      if (byLang.size > 1)
+        assert(math.abs(ne - h / math.log(byLang.size)) < 1e-3, s"$src norm")
+      else assert(ne === 0.0)
+      assert(ne >= 0.0 && ne <= 1.0 + 1e-9, s"$src norm bounds")
+    }
+  }
+
   test("vocab coverage equals a literal ranked-mass recompute") {
     val totals = TextFunctions.cachedDocTokenCounts(spark, sfDir)
       .groupBy("token").agg(sum("tf").as("n")).collect()
