@@ -51,10 +51,16 @@ object TextFunctions {
     * dims-scale window for per-source totals, one final fold — the
     * corpus scan is the only data-sized work.
     */
-  def sourceLangEntropy(spark: SparkSession, dir: String): DataFrame = {
+  def sourceLangEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyFace(Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c")))
+
+  /** The entropy projection over a (source, lang, c) counts relation —
+    * shared with the streaming maintained face.
+    */
+  private[graft] def entropyFace(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
-      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    counts
       .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
       .groupBy("source")
       .agg(sum(col("c")).as("n_docs"),

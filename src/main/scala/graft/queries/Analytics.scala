@@ -1510,10 +1510,15 @@ object Analytics {
     * rule — range-partitioned sort at 100 TB); the Gini fold is one
     * aggregate.
     */
-  def userActivityGini(spark: SparkSession, dir: String): DataFrame = {
+  def userActivityGini(spark: SparkSession, dir: String): DataFrame =
+    giniFace(Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x")))
+
+  /** The Gini/top-decile projection over a (user_id, x) counts
+    * relation — shared with the streaming maintained face.
+    */
+  private[graft] def giniFace(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.events(spark, dir)
-      .groupBy("user_id").agg(count(lit(1)).as("x"))
     val ranked = counts
       .withColumn("i", row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
       .withColumn("rd", row_number().over(Window.orderBy(col("x").desc, col("user_id"))).cast("long"))
