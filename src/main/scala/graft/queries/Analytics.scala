@@ -1449,6 +1449,123 @@ object Analytics {
        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Population Stability Index per event type — THE standard ML
+    * feature-drift gate: decile boundaries fitted on the FIRST half of
+    * the stream (ingestion order, the embedding_drift split), both
+    * halves bucketed by them, PSI = Σ(p−q)·ln(p/q) over the ten
+    * buckets with +0.5/+5 Laplace smoothing so empty buckets stay
+    * defined. Rule-of-thumb reading: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 the feature shifted and the model consuming it needs
+    * retraining — here applied to each event type's value stream.
+    *
+    * Scale design: boundary table is |types|×9 (broadcast), bucketing
+    * is map-side CASE, counts are one (type, half, bucket) partial
+    * agg; the PSI fold runs over ≤ 10·|types| rows. Integer counts →
+    * identical smoothed proportions in both engines; ln + 4 dp is the
+    * zipf precedent.
+    */
+  def valuePsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    val bounds = ev.agg(min("event_id").as("lo"), max("event_id").as("hi"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("event_id") < expr("(lo + hi + 1) div 2"), 0).otherwise(1))
+    val qs = halves.filter(col("half") === 0).groupBy("event_type")
+      .agg(expr("percentile(value, 0.1)").as("b1"),
+        (2 to 9).map(i => expr(s"percentile(value, 0.$i)").as(s"b$i")): _*)
+    val bucket = (1 to 9).foldRight(lit(10): Column) { (i, rest) =>
+      when(col("value") <= col(s"b$i"), i).otherwise(rest)
+    }
+    val g = halves.join(broadcast(qs), "event_type")
+      .withColumn("bucket", bucket)
+      .groupBy("event_type", "bucket")
+      .agg(count(when(col("half") === 0, 1)).as("a"),
+        count(when(col("half") === 1, 1)).as("b"))
+    val filled = g.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(1), lit(10))).as("bucket"))
+      .join(g, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("a", "b"))
+    val tot = filled.groupBy("event_type")
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val p = (col("a") + lit(0.5)) / (col("na") + lit(5))
+    val q = (col("b") + lit(0.5)) / (col("nb") + lit(5))
+    filled.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("na").as("n_first"), col("nb").as("n_second"))
+      .agg(round(sum((p - q) * log(p / q)), 4).as("psi"))
+      .orderBy("event_type")
+  }
+
+  val valuePsiSql: String = {
+    val qcols = (1 to 9).map(i => s"quantile_cont(value, 0.$i) AS b$i").mkString(", ")
+    val caseChain = (1 to 9).map(i => s"WHEN value <= b$i THEN $i").mkString(" ")
+    """WITH bd AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+      |h AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_id < (lo + hi + 1) // 2 THEN 0 ELSE 1 END AS half
+      |  FROM events, bd),
+      |q AS (SELECT event_type, QCOLS FROM h WHERE half = 0 GROUP BY event_type),
+      |bk AS (
+      |  SELECT h.event_type, h.half, CASE CASECHAIN ELSE 10 END AS bucket
+      |  FROM h JOIN q USING (event_type)),
+      |g AS (
+      |  SELECT event_type, bucket,
+      |    count(CASE WHEN half = 0 THEN 1 END) AS a,
+      |    count(CASE WHEN half = 1 THEN 1 END) AS b
+      |  FROM bk GROUP BY 1, 2),
+      |f AS (
+      |  SELECT s.event_type, s.bucket, coalesce(g.a, 0) AS a, coalesce(g.b, 0) AS b
+      |  FROM (SELECT DISTINCT event_type, unnest(generate_series(1, 10)) AS bucket FROM g) s
+      |  LEFT JOIN g USING (event_type, bucket)),
+      |t AS (SELECT event_type, sum(a) AS na, sum(b) AS nb FROM f GROUP BY 1)
+      |SELECT f.event_type,
+      |  CAST(t.na AS BIGINT) AS n_first, CAST(t.nb AS BIGINT) AS n_second,
+      |  round(sum((PP - QQ) * ln(PP / QQ)), 4) AS psi
+      |FROM f JOIN t USING (event_type)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+      .replace("QCOLS", qcols).replace("CASECHAIN", caseChain)
+      // decimal-literal trap: DuckDB parses 0.5 as DECIMAL and would run
+      // the smoothing in decimal arithmetic — force binary64 end to end
+      .replace("PP", "((CAST(a AS DOUBLE) + 0.5::DOUBLE) / (CAST(na AS DOUBLE) + 5))")
+      .replace("QQ", "((CAST(b AS DOUBLE) + 0.5::DOUBLE) / (CAST(nb AS DOUBLE) + 5))")
+  }
+
+  /** Join-key skew audit over the lineitem→orders key — the diagnostic
+    * run BEFORE choosing a skew strategy (AQE skew-join vs salting vs
+    * broadcast): distinct keys, mean/max rows per key, the skew ratio
+    * max/mean, and the row share owned by the 10 hottest keys. A skew
+    * ratio near 1 means plain hash partitioning balances; a high ratio
+    * with concentrated top-k share says exactly which keys need salt.
+    *
+    * One key agg + a dims-scale top-k window + one fold.
+    */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("l_orderkey"))))
+    counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_rows"),
+        sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("top_mass"))
+      .select(col("n_keys"), col("n_rows"), col("max_rows"),
+        round(col("n_rows").cast("double") / col("n_keys"), 4).as("mean_rows"),
+        round(col("max_rows") * col("n_keys") / col("n_rows").cast("double"), 4).as("skew_ratio"),
+        round(col("top_mass").cast("double") / col("n_rows"), 4).as("top10_share"))
+  }
+
+  val joinKeySkewSql: String =
+    """WITH c AS (
+      |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey),
+      |r AS (
+      |  SELECT n, row_number() OVER (ORDER BY n DESC, l_orderkey) AS rk FROM c)
+      |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(max(n) AS BIGINT) AS max_rows,
+      |  round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS mean_rows,
+      |  round(max(n) * count(*) / CAST(sum(n) AS DOUBLE), 4) AS skew_ratio,
+      |  round(CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 4) AS top10_share
+      |FROM r""".stripMargin
+
   /** Winsorized robust statistics per event type — the
     * outlier-resistant moments every metrics pipeline publishes next
     * to the raw mean: exact p05/p95 bounds per type, values clamped

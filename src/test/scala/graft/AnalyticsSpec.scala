@@ -283,6 +283,55 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("value psi equals a literal decile-bucket recompute and is non-negative") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val lo = ev.map(_._1).min; val hi = ev.map(_._1).max
+    val mid = (lo + hi + 1) / 2
+    def pct(xs: Array[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = q * (s.length - 1)
+      val l = pos.toInt; val f = pos - l
+      if (l + 1 < s.length) s(l) * (1 - f) + s(l + 1) * f else s(l)
+    }
+    val got = Analytics.valuePsi(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._2).foreach { case (t, rows) =>
+      val first = rows.filter(_._1 < mid).map(_._3)
+      val second = rows.filter(_._1 >= mid).map(_._3)
+      val bs = (1 to 9).map(i => pct(first, i / 10.0))
+      def bucket(x: Double) = bs.indexWhere(x <= _) match {
+        case -1 => 10; case i => i + 1
+      }
+      val a = (1 to 10).map(k => first.count(bucket(_) == k).toLong)
+      val b = (1 to 10).map(k => second.count(bucket(_) == k).toLong)
+      val psi = (0 until 10).map { k =>
+        val p = (a(k) + 0.5) / (first.length + 5)
+        val q = (b(k) + 0.5) / (second.length + 5)
+        (p - q) * math.log(p / q)
+      }.sum
+      val r = got(t)
+      assert(r.getAs[Long]("n_first") === first.length.toLong, s"$t n_first")
+      assert(r.getAs[Long]("n_second") === second.length.toLong, s"$t n_second")
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-3, s"$t psi")
+      // Gibbs: a sum of (p-q)ln(p/q) terms is non-negative
+      assert(r.getAs[Double]("psi") >= -1e-9, s"$t psi must be non-negative")
+    }
+  }
+
+  test("join key skew equals a literal per-key recompute with ratio >= 1") {
+    val counts = Tables.lineitem(spark, sfDir).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("n")))
+    val r = Analytics.joinKeySkew(spark, sfDir).collect().head
+    val tot = counts.map(_._2).sum
+    assert(r.getAs[Long]("n_keys") === counts.length.toLong)
+    assert(r.getAs[Long]("n_rows") === tot)
+    assert(r.getAs[Long]("max_rows") === counts.map(_._2).max)
+    val topMass = counts.sortBy(c => (-c._2, c._1)).take(10).map(_._2).sum
+    assert(math.abs(r.getAs[Double]("top10_share") - topMass.toDouble / tot) < 1e-4)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9, "max/mean cannot be below 1")
+  }
+
   test("winsorized stats equal a literal clamp-and-moment recompute") {
     val ev = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
