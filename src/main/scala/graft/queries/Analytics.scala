@@ -1529,6 +1529,66 @@ object Analytics {
       .replace("QQ", "((CAST(b AS DOUBLE) + 0.5::DOUBLE) / (CAST(nb AS DOUBLE) + 5))")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per event type —
+    * the continuous companion of [[valuePsi]]: D = max |F₁(x) − F₂(x)|
+    * between the two ingestion-order halves' empirical CDFs,
+    * bucket-free (PSI's deciles can hide a shift inside one bucket; KS
+    * sees every distinct value). Exact integer cumulative counts over
+    * the per-(type, value) histogram make both engines' CDF steps
+    * identical doubles.
+    *
+    * Scale design: one (type, value) key agg collapses the stream to
+    * its distinct-value histogram, the CDF is a per-type window cumsum
+    * (key-partitioned, never global), and D is one fold.
+    */
+  def valueKs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    val bounds = ev.agg(min("event_id").as("lo"), max("event_id").as("hi"))
+    val halves = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("event_id") < expr("(lo + hi + 1) div 2"), 0).otherwise(1))
+    val g = halves.groupBy("event_type", "value")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.groupBy("event_type")
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    g.withColumn("c1", sum(col("n1")).over(w))
+      .withColumn("c2", sum(col("n2")).over(w))
+      .join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("t1").as("n_first"), col("t2").as("n_second"))
+      .agg(round(max(abs(col("c1").cast("double") / col("t1")
+        - col("c2").cast("double") / col("t2"))), 4).as("ks"))
+      .orderBy("event_type")
+  }
+
+  val valueKsSql: String =
+    """WITH bd AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+      |h AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN event_id < (lo + hi + 1) // 2 THEN 0 ELSE 1 END AS half
+      |  FROM events, bd),
+      |g AS (
+      |  SELECT event_type, value,
+      |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+      |  FROM h GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type,
+      |    sum(n1) OVER w AS c1, sum(n2) OVER w AS c2,
+      |    sum(n1) OVER p AS t1, sum(n2) OVER p AS t2
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  p AS (PARTITION BY event_type))
+      |SELECT event_type,
+      |  CAST(t1 AS BIGINT) AS n_first, CAST(t2 AS BIGINT) AS n_second,
+      |  round(max(abs(CAST(c1 AS DOUBLE)/CAST(t1 AS DOUBLE)
+      |    - CAST(c2 AS DOUBLE)/CAST(t2 AS DOUBLE))), 4) AS ks
+      |FROM c GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   /** Join-key skew audit over the lineitem→orders key — the diagnostic
     * run BEFORE choosing a skew strategy (AQE skew-join vs salting vs
     * broadcast): distinct keys, mean/max rows per key, the skew ratio

@@ -64,6 +64,54 @@ object EventSessionizer {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Daily session-quality rollup over the certified sessionization —
+    * the canonical web/product-analytics KPI row: per session-start
+    * day, session count, bounce rate (single-event sessions), mean
+    * session duration (ms) and mean events per session. A rising
+    * bounce rate is the first symptom of broken instrumentation or a
+    * bot wave — both of which poison events-derived training data.
+    *
+    * Scale design: a ¦days¦-key rollup over the already-shuffled
+    * session table — marginal cost on top of [[sessionizeBatch]].
+    */
+  def sessionBounce(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(spark, dir)
+      .groupBy(date_format(col("session_start"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(avg(unix_millis(col("session_end")) - unix_millis(col("session_start"))), 4)
+          .as("mean_duration_ms"),
+        round(avg(col("n_events")), 4).as("mean_events"))
+      .withColumn("bounce_rate",
+        round(col("n_bounce").cast("double") / col("n_sessions"), 4))
+      .orderBy("day")
+
+  val sessionBounceSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
+      |           - lag(CAST(epoch_ms(ts) AS BIGINT)) OVER w > 1800000
+      |         OR lag(ts) OVER w IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    min(ts) AS t0, max(ts) AS t1
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT strftime(t0, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |  round(avg(CAST(epoch_ms(t1) - epoch_ms(t0) AS DOUBLE)), 4) AS mean_duration_ms,
+      |  round(avg(CAST(n_events AS DOUBLE)), 4) AS mean_events,
+      |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS bounce_rate
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The same sessions through Spark's NATIVE `session_window` operator
     * — the declarative face of [[sessionizeBatch]]. Emitted
     * `session_end` is `sw.end - gap`, because the built-in's window end

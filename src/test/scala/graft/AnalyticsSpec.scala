@@ -318,6 +318,49 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("value ks equals a literal two-sample CDF recompute") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max + 1) / 2
+    val got = Analytics.valueKs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    ev.groupBy(_._2).foreach { case (t, rows) =>
+      val first = rows.filter(_._1 < mid).map(_._3).sorted
+      val second = rows.filter(_._1 >= mid).map(_._3).sorted
+      val points = (first ++ second).distinct.sorted
+      val d = points.map { x =>
+        val f1 = first.count(_ <= x).toDouble / first.length
+        val f2 = second.count(_ <= x).toDouble / second.length
+        math.abs(f1 - f2)
+      }.max
+      val r = got(t)
+      assert(r.getAs[Long]("n_first") === first.length.toLong, s"$t n_first")
+      assert(r.getAs[Long]("n_second") === second.length.toLong, s"$t n_second")
+      assert(math.abs(r.getAs[Double]("ks") - d) < 1e-3, s"$t ks")
+      assert(r.getAs[Double]("ks") >= 0.0 && r.getAs[Double]("ks") <= 1.0)
+    }
+  }
+
+  test("session bounce rollup equals a recompute over the session table") {
+    val sess = graft.streaming.EventSessionizer.sessionizeBatch(spark, sfDir)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = graft.streaming.EventSessionizer.sessionBounce(spark, sfDir)
+      .collect().map(r => r.getAs[String]("day") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"),
+          r.getAs[Double]("mean_duration_ms"), r.getAs[Double]("bounce_rate")))).toMap
+    sess.groupBy(s => fmt.format(s._1)).foreach { case (day, rows) =>
+      val r = got(day)
+      assert(r._1 === rows.length.toLong, s"$day n_sessions")
+      assert(r._2 === rows.count(_._3 == 1L).toLong, s"$day n_bounce")
+      val meanDur = rows.map(s => (s._2.getTime - s._1.getTime).toDouble).sum / rows.length
+      assert(math.abs(r._3 - meanDur) < 1e-3, s"$day duration")
+      assert(math.abs(r._4 - rows.count(_._3 == 1L).toDouble / rows.length) < 1e-4, s"$day rate")
+    }
+  }
+
   test("join key skew equals a literal per-key recompute with ratio >= 1") {
     val counts = Tables.lineitem(spark, sfDir).groupBy("l_orderkey")
       .agg(count(lit(1)).as("n")).collect()
