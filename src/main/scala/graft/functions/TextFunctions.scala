@@ -37,6 +37,64 @@ object TextFunctions {
        | CAST(length(text) AS INTEGER) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Cross-source quality calibration — each document's quality score
+    * re-expressed as its WITHIN-SOURCE percentile rank. Raw quality
+    * scores aren't comparable across sources (each source has its own
+    * score distribution), so a global threshold over-prunes some
+    * sources and under-prunes others; rank-calibrating per source is
+    * the standard fix before a corpus-wide quality cut. pct =
+    * (rank−1)/(n−1) over the (quality, doc_id) total order, 0 for a
+    * single-doc source.
+    *
+    * Scale design: one scoring projection over the corpus scan and a
+    * source-partitioned window (key-partitioned, never global).
+    */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qualityExpr(col("text")).as("quality"))
+    q.withColumn("rk",
+        row_number().over(Window.partitionBy("source")
+          .orderBy("quality", "doc_id")).cast("long"))
+      .withColumn("nn",
+        count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .withColumn("pct",
+        when(col("nn") > 1,
+          round((col("rk") - 1).cast("double") / (col("nn") - 1), 6))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "source", "quality", "pct")
+      .orderBy("doc_id")
+  }
+
+  /** [[qualityScoreSql]]'s m CTE + quality expression re-used by
+    * string surgery (one scoring definition, two certified faces),
+    * with the calibration window appended.
+    */
+  // lazy: qualityScoreSql is declared further down the object — an
+  // eager val here reads null during static init
+  lazy val qualityCalibratedSql: String = {
+    val mTailSplit = "SELECT doc_id,\n  round(stops / toks, 4) AS stop_ratio,"
+    val qStart = "round(least(1.0, (stops / toks) * 2.5)"
+    require(qualityScoreSql.contains(mTailSplit) && qualityScoreSql.contains(qStart),
+      "qualityScoreSql shape drifted — update qualityCalibratedSql")
+    val mCte = qualityScoreSql.substring(0, qualityScoreSql.indexOf(mTailSplit))
+      .replace("SELECT doc_id,", "SELECT doc_id, source,")
+    val qExpr = qualityScoreSql.substring(
+      qualityScoreSql.indexOf(qStart),
+      qualityScoreSql.indexOf(" AS quality"))
+    s"""${mCte.trim.stripSuffix(")")}),
+       |q AS (
+       |  SELECT doc_id, source, $qExpr AS quality FROM m),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nn
+       |  FROM q)
+       |SELECT doc_id, source, quality,
+       |  CASE WHEN nn > 1 THEN round(CAST(rk - 1 AS DOUBLE) / (nn - 1), 6) ELSE 0.0 END AS pct
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source language-mix entropy — the diversity health check on a
     * multi-source corpus: for each source, its document count, number
     * of languages, Shannon entropy of the language distribution

@@ -3031,6 +3031,91 @@ object Analytics {
 
   val MadCut = 2.5
 
+  /** Weekday-seasonality-adjusted daily anomalies — the complement of
+    * [[dailyAnomaliesMad]]: MAD flags outliers against the GLOBAL
+    * distribution, so a strong weekly cycle makes every Sunday look
+    * anomalous; this face subtracts each day-of-week's mean first and
+    * z-scores the residuals, surfacing days that are unusual FOR THEIR
+    * WEEKDAY. Residual mean/σ are 6-dp-quantized (embedding_outliers
+    * rule) so z replays bit-for-bit; emits |z| > 2 days.
+    *
+    * Scale design: the corpus scan collapses to a ¦days¦-row grid
+    * first; everything after is dims-scale (7-row means broadcast,
+    * 1-row σ broadcast).
+    */
+  def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("isodow", weekday(col("day")) + 1)
+      .localCheckpoint(true)
+    val means = daily.groupBy("isodow").agg(round(avg(col("n")), 6).as("dow_mean"))
+    val resid = daily.join(broadcast(means), "isodow")
+      .withColumn("resid", col("n") - col("dow_mean"))
+    val sd = resid.agg(round(sqrt(greatest(
+      avg(col("resid") * col("resid")) - avg(col("resid")) * avg(col("resid")),
+      lit(0.0))), 6).as("sd"))
+    resid.crossJoin(broadcast(sd))
+      .filter(col("sd") > 0)
+      .withColumn("z", round(col("resid") / col("sd"), 4))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("day"), col("isodow"), col("n").as("n_events"),
+        round(col("resid"), 4).as("resid"), col("z"))
+      .orderBy("day")
+  }
+
+  val seasonalAnomaliesSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+      |w AS (SELECT day, CAST(isodow(day) AS INT) AS isodow, n FROM d),
+      |m AS (SELECT isodow, round(avg(n), 6) AS dow_mean FROM w GROUP BY 1),
+      |r AS (
+      |  SELECT w.day, w.isodow, w.n, w.n - m.dow_mean AS resid
+      |  FROM w JOIN m USING (isodow)),
+      |s AS (
+      |  SELECT round(sqrt(greatest(avg(resid*resid) - avg(resid)*avg(resid), 0)), 6) AS sd
+      |  FROM r)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, isodow, n AS n_events,
+      |  round(resid, 4) AS resid, round(resid/s.sd, 4) AS z
+      |FROM r, s
+      |WHERE s.sd > 0 AND abs(round(resid/s.sd, 4)) > 2.0
+      |ORDER BY 1""".stripMargin
+
+  /** Exactly-once ingestion audit over the event stream — the
+    * data-quality check every CDC/event pipeline runs before trusting
+    * counts: duplicate event ids (replayed/at-least-once rows),
+    * the extra-row mass they contribute, and (user, ts) timestamp
+    * collisions (harmless but they bound the resolution any
+    * ts-ordered window logic can claim). Two key aggs + two folds.
+    */
+  def eventDupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val byId = ev.groupBy("event_id").agg(count(lit(1)).as("c"))
+    val collisions = ev.groupBy("user_id", "ts").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_user_ts_collisions"))
+    byId.agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_ids"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_ids"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("n_extra_rows"))
+      .crossJoin(broadcast(collisions))
+      .withColumn("dup_rate",
+        round(col("n_extra_rows").cast("double") / col("n_events"), 6))
+  }
+
+  val eventDupAuditSql: String =
+    """WITH i AS (SELECT event_id, count(*) AS c FROM events GROUP BY 1),
+      |u AS (
+      |  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_user_ts_collisions
+      |  FROM (SELECT user_id, ts, count(*) AS c FROM events GROUP BY 1, 2))
+      |SELECT CAST(sum(c) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_ids,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ids,
+      |  CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_extra_rows,
+      |  u.n_user_ts_collisions,
+      |  round(CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_rate
+      |FROM i, u GROUP BY u.n_user_ts_collisions""".stripMargin
+
   /** Rolling 7-day revenue per order priority — a RANGE-framed window
     * (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over days-since-epoch),
     * which is the correct frame for calendar windows: a ROWS frame

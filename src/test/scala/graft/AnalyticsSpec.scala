@@ -318,6 +318,44 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("seasonal anomalies equal a literal weekday-residual recompute") {
+    def q(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .withColumn("isodow", weekday(col("day")) + 1)
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Int]("isodow"), r.getAs[Long]("n")))
+    val means = daily.groupBy(_._2).map { case (d, rows) =>
+      d -> q(rows.map(_._3).sum.toDouble / rows.length, 6)
+    }
+    val resids = daily.map(r => (r._1, r._3 - means(r._2)))
+    val mu = resids.map(_._2).sum / resids.length
+    val sd = q(math.sqrt(math.max(
+      resids.map(r => r._2 * r._2).sum / resids.length - mu * mu, 0.0)), 6)
+    val want = resids.map { case (d, r) => d -> q(r / sd, 4) }
+      .filter(p => math.abs(p._2) > 2.0).toMap
+    val got = Analytics.seasonalAnomalies(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("z")).toMap
+    assert(got.keySet === want.keySet, "flagged-day sets differ")
+    want.foreach { case (d, z) => assert(math.abs(got(d) - z) < 1e-9, s"$d z") }
+    got.values.foreach(z => assert(math.abs(z) > 2.0))
+  }
+
+  test("event dup audit equals literal duplicate counting") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.sql.Timestamp](2)))
+    val byId = ev.groupBy(_._1).map(_._2.length)
+    val collisions = ev.groupBy(e => (e._2, e._3)).count(_._2.length > 1)
+    val r = Analytics.eventDupAudit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_events") === ev.length.toLong)
+    assert(r.getAs[Long]("n_ids") === byId.size.toLong)
+    assert(r.getAs[Long]("n_dup_ids") === byId.count(_ > 1).toLong)
+    assert(r.getAs[Long]("n_extra_rows") === byId.filter(_ > 1).map(_ - 1).sum.toLong)
+    assert(r.getAs[Long]("n_user_ts_collisions") === collisions.toLong)
+  }
+
   test("value ks equals a literal two-sample CDF recompute") {
     val ev = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))

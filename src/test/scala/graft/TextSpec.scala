@@ -566,6 +566,27 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quality calibration is the exact within-source rank transform") {
+    val out = TextFunctions.qualityCalibrated(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val n = rows.length
+      val want = rows.sortBy(r => (r._3, r._1)).zipWithIndex.map {
+        case (r, i) => r._1 ->
+          (if (n > 1) BigDecimal(i.toDouble / (n - 1))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+           else 0.0)
+      }.toMap
+      rows.foreach { r =>
+        assert(math.abs(r._4 - want(r._1)) < 1e-9, s"$src doc ${r._1} pct")
+      }
+      if (n > 1) {
+        // the transform spans the full [0,1] range inside every source
+        assert(rows.map(_._4).min === 0.0 && rows.map(_._4).max === 1.0)
+      }
+    }
+  }
+
   test("source lang entropy equals a literal distribution recompute") {
     val docs = Tables.documents(spark, sfDir).select("source", "lang").collect()
       .map(r => (r.getString(0), r.getString(1)))
