@@ -1322,6 +1322,132 @@ object Graph {
       |  round(CAST(count(*) - 1 AS DOUBLE) / sum(hop), 4) AS closeness
       |FROM lab GROUP BY seed ORDER BY seed""".stripMargin
 
+  /** Sampled-source Brandes parameters: BFS from the
+    * [[BetweennessSeeds]] highest-degree hubs, shortest paths
+    * truncated at [[BetweennessHops]] hops. 4 hops keeps the oracle's
+    * recursive closure tractable while covering the thresholded
+    * graph's useful neighborhood.
+    */
+  val BetweennessSeeds = 5
+  val BetweennessHops = 4
+
+  /** Sampled-source betweenness centrality (truncated Brandes) over
+    * the thresholded co-purchase graph — the "who brokers the flow"
+    * centrality the closeness/PageRank family doesn't measure: a node
+    * scores by the fraction of (depth-≤[[BetweennessHops]]) shortest
+    * paths from the seed set that pass THROUGH it. Exact Brandes from
+    * every node is Θ(V·E); the standard scale form is source
+    * sampling, here with deterministic seeds (top-degree, ties to
+    * smaller id) so both engines run the identical computation:
+    * forward multi-source BFS accumulating path counts σ (integers —
+    * exact), then the backward dependency recursion
+    * δ(v) = Σ_{w∈succ(v)} σ(v)/σ(w)·(1+δ(w)) unrolled level by level.
+    * Output: top `k` brokers by round(Σ_seeds δ, 4).
+    *
+    * Scale design: the forward pass is the [[closeness]] multi-source
+    * frontier fold (one traversal for all seeds, (seed, node)-keyed
+    * joins, checkpoint per level); the backward pass is one
+    * level-keyed join per hop — 2·[[BetweennessHops]] bounded jobs
+    * total. At 100 TB sources batch exactly like closeness seeds.
+    */
+  def betweenness(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val (both, deg) = cachedThresholdedBoth(spark, dir)
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(BetweennessSeeds)
+      .select(col("node").as("seed"))
+    // forward: (seed, node, hop, sigma) with sigma = #shortest paths
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0).as("hop"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    for (h <- 1 to BetweennessHops) {
+      val next = visited.filter(col("hop") === h - 1)
+        .join(both, col("node") === col("src"))
+        .select(col("seed"), col("dst"), col("sigma"))
+        .join(visited.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .groupBy("seed", "dst")
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("dst").as("node"), lit(h).as("hop"), col("sigma"))
+      visited = visited.unionByName(next).localCheckpoint(true)
+    }
+    // backward: δ per level, deepest level pinned to 0
+    def level(h: Int) = visited.filter(col("hop") === h)
+      .select(col("seed"), col("node"), col("sigma"))
+    var delta = level(BetweennessHops).select(col("seed"), col("node"), lit(0.0).as("delta"))
+    val perLevel = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (h <- BetweennessHops - 1 to 1 by -1) {
+      val deeper = level(h + 1)
+        .join(delta, Seq("seed", "node"))
+        .select(col("seed"), col("node").as("w"),
+          col("sigma").as("wsig"), col("delta").as("wdelta"))
+      val contrib = level(h)
+        .join(both, col("node") === col("src"))
+        .join(deeper.withColumnRenamed("w", "dst"), Seq("seed", "dst"))
+        .groupBy("seed", "node")
+        .agg(sum((col("sigma").cast("double") / col("wsig"))
+          * (lit(1.0) + col("wdelta"))).as("delta"))
+      delta = level(h).select("seed", "node")
+        .join(contrib, Seq("seed", "node"), "left")
+        .na.fill(0.0, Seq("delta"))
+        .localCheckpoint(true)
+      perLevel += delta
+    }
+    perLevel.reduce(_ unionByName _)
+      .groupBy("node")
+      .agg(round(sum(col("delta")), 4).as("betweenness"))
+      .filter(col("betweenness") > 0)
+      .orderBy(col("betweenness").desc, col("node"))
+      .limit(k)
+  }
+
+  def betweennessSql: String = {
+    val sigmaLevels = (1 to BetweennessHops).map { h =>
+      s"""s$h AS MATERIALIZED (
+         |  SELECT l.seed, l.node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM lab l JOIN e ON e.b = l.node
+         |  JOIN s${h - 1} p ON p.seed = l.seed AND p.node = e.a
+         |  WHERE l.hop = $h GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val deltaLevels = (BetweennessHops - 1 to 1 by -1).map { h =>
+      val deeperDelta =
+        if (h == BetweennessHops - 1) "0.0" else s"dw.delta"
+      val deeperJoin =
+        if (h == BetweennessHops - 1) ""
+        else s"\n  LEFT JOIN d${h + 1} dw ON dw.seed = v.seed AND dw.node = ws.node"
+      s"""d$h AS MATERIALIZED (
+         |  SELECT v.seed, v.node,
+         |    coalesce(sum(CAST(v.sigma AS DOUBLE) / ws.sigma * (1.0 + $deeperDelta)), 0.0) AS delta
+         |  FROM s$h v
+         |  LEFT JOIN e ON e.a = v.node
+         |  LEFT JOIN s${h + 1} ws ON ws.seed = v.seed AND ws.node = e.b$deeperJoin
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BetweennessHops - 1)
+      .map(h => s"SELECT node, delta FROM d$h").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |w AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+       |      FROM items a JOIN items b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT s AS a, d AS b FROM w UNION ALL SELECT d, s FROM w),
+       |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY a),
+       |seeds AS (SELECT node AS seed FROM deg ORDER BY deg DESC, node LIMIT $BetweennessSeeds),
+       |reach(seed, node, hop) AS (
+       |  SELECT seed, seed, 0 FROM seeds
+       |  UNION
+       |  SELECT reach.seed, e.b, reach.hop + 1 FROM reach JOIN e ON e.a = reach.node
+       |  WHERE reach.hop < $BetweennessHops),
+       |lab AS MATERIALIZED (SELECT seed, node, min(hop) AS hop FROM reach GROUP BY 1, 2),
+       |s0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |$sigmaLevels,
+       |$deltaLevels
+       |SELECT node, round(sum(delta), 4) AS betweenness
+       |FROM ($union)
+       |GROUP BY node
+       |HAVING round(sum(delta), 4) > 0
+       |ORDER BY betweenness DESC, node LIMIT 30""".stripMargin
+  }
+
   /** Peeling parameters for [[kcore]]: nodes need ≥ [[KCoreK]]
     * surviving neighbors, and both engines run EXACTLY [[KCoreRounds]]
     * synchronous peel rounds (converged rounds are no-ops, so the

@@ -161,6 +161,49 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("betweenness equals a literal truncated-Brandes replay") {
+    val (both, degDf) = Graph.cachedThresholdedBoth(spark, sfDir)
+    val adj = both.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val seeds = degDf.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg")))
+      .sortBy { case (n, d) => (-d, n) }.take(Graph.BetweennessSeeds).map(_._1)
+    val acc = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+    for (s <- seeds) {
+      val hop = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Set(s)
+      for (h <- 1 to Graph.BetweennessHops) {
+        val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for (v <- frontier; w <- adj.getOrElse(v, Set.empty) if !hop.contains(w))
+          contrib(w) += sigma(v)
+        // two-phase: only mark new nodes after the whole level expands
+        frontier = contrib.keySet.toSet
+        for (w <- frontier) { hop(w) = h; sigma(w) = contrib(w) }
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (h <- Graph.BetweennessHops - 1 to 1 by -1;
+           v <- hop.collect { case (n, hh) if hh == h => n }) {
+        // toSeq before map: mapping a Set of neighbors to contribution
+        // VALUES would dedupe equal contributions
+        val d = adj.getOrElse(v, Set.empty).toSeq
+          .filter(w => hop.get(w).contains(h + 1))
+          .map(w => sigma(v).toDouble / sigma(w) * (1.0 + delta(w))).sum
+        delta(v) = d
+        acc(v) += d
+      }
+    }
+    val want = acc.toSeq.map { case (n, b) =>
+      n -> BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 > 0).sortBy { case (n, b) => (-b, n) }.take(30)
+    val got = Graph.betweenness(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness"))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((gn, gb), (wn, wb)) =>
+      assert(gn === wn && math.abs(gb - wb) < 1e-6, s"node $gn: $gb vs replay $wn: $wb")
+    }
+  }
+
   test("triangle counts equal an independent id-oriented 3-way-join formulation") {
     val (edges, _, _) = Graph.cachedGraph(spark, sfDir)
     val u = edges.filter(col("src") < col("dst")).select("src", "dst")
