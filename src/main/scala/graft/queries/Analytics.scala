@@ -1470,17 +1470,36 @@ object Analytics {
     val halves = ev.crossJoin(broadcast(bounds))
       .withColumn("half",
         when(col("event_id") < expr("(lo + hi + 1) div 2"), 0).otherwise(1))
-    val qs = halves.filter(col("half") === 0).groupBy("event_type")
-      .agg(expr("percentile(value, 0.1)").as("b1"),
-        (2 to 9).map(i => expr(s"percentile(value, 0.$i)").as(s"b$i")): _*)
-    val bucket = (1 to 9).foldRight(lit(10): Column) { (i, rest) =>
-      when(col("value") <= col(s"b$i"), i).otherwise(rest)
-    }
+    val qs = psiBounds(halves.filter(col("half") === 0))
     val g = halves.join(broadcast(qs), "event_type")
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", psiBucket)
       .groupBy("event_type", "bucket")
       .agg(count(when(col("half") === 0, 1)).as("a"),
         count(when(col("half") === 1, 1)).as("b"))
+    psiFold(g)
+  }
+
+  /** Per-type decile boundary table (event_type, b1..b9) from a
+    * (event_type, value) frame — the reference-distribution fit the
+    * streaming face persists immutable at bootstrap.
+    */
+  private[graft] def psiBounds(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(expr("percentile(value, 0.1)").as("b1"),
+        (2 to 9).map(i => expr(s"percentile(value, 0.$i)").as(s"b$i")): _*)
+
+  /** Decile-bucket CASE over a frame carrying `value` and b1..b9. */
+  private[graft] val psiBucket: Column =
+    (1 to 9).foldRight(lit(10): Column) { (i, rest) =>
+      when(col("value") <= col(s"b$i"), i).otherwise(rest)
+    }
+
+  /** The smoothed PSI fold over sparse (event_type, bucket, a, b)
+    * counts — fills the missing buckets, Laplace-smooths (+0.5/+5),
+    * folds Σ(p−q)·ln(p/q) per type. Shared by the batch entry and the
+    * streaming monitor.
+    */
+  private[graft] def psiFold(g: DataFrame): DataFrame = {
     val filled = g.select("event_type").distinct()
       .select(col("event_type"), explode(sequence(lit(1), lit(10))).as("bucket"))
       .join(g, Seq("event_type", "bucket"), "left")
