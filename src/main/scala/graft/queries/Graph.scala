@@ -476,6 +476,54 @@ object Graph {
       .orderBy("center_id", "context_id")
   }
 
+  /** PMI over the walk skip-gram pairs — by the Levy–Goldberg result,
+    * skip-gram-with-negative-sampling factorizes (a shifted) PMI
+    * matrix, so this table IS the graph-embedding substrate the walk
+    * corpus exists to produce: pmi(c,x) = ln(n_cx·N / (n_c·n_x)) over
+    * the certified pair counts, top 50 strongest associations with
+    * pair support ≥ 2 (singleton pairs are pure walk noise). All
+    * inputs are exact integers; ln + 4 dp is the token_pmi precedent —
+    * this is exactly [[graft.functions.TextFunctions]]' token PMI
+    * applied to the walk corpus instead of text.
+    *
+    * Scale design: marginals are two dims-scale aggs over the pair
+    * table broadcast back; the fold adds nothing data-sized beyond
+    * the skip-gram extraction it composes.
+    */
+  def walkPmi(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val pairs = walkSkipgrams(spark, dir)
+    val cm = pairs.groupBy("center_id").agg(sum(col("n_pairs")).as("n_c"))
+    val xm = pairs.groupBy("context_id").agg(sum(col("n_pairs")).as("n_x"))
+    val tot = pairs.agg(sum(col("n_pairs")).as("nn"))
+    pairs.filter(col("n_pairs") >= 2)
+      .join(broadcast(cm), "center_id")
+      .join(broadcast(xm), "context_id")
+      .crossJoin(broadcast(tot))
+      .select(col("center_id"), col("context_id"), col("n_pairs"),
+        round(log(col("n_pairs").cast("double") * col("nn")
+          / (col("n_c") * col("n_x")).cast("double")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("center_id"), col("context_id"))
+      .limit(k)
+  }
+
+  def walkPmiSql: String =
+    s"""$walkCtes,
+       |pairs AS MATERIALIZED (
+       |  SELECT a.node AS center_id, b.node AS context_id,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM walks a JOIN walks b
+       |    ON a.start_id = b.start_id AND a.step <> b.step
+       |    AND abs(a.step - b.step) <= $SkipgramWindow
+       |  GROUP BY 1, 2),
+       |cm AS (SELECT center_id, CAST(sum(n_pairs) AS BIGINT) AS n_c FROM pairs GROUP BY 1),
+       |xm AS (SELECT context_id, CAST(sum(n_pairs) AS BIGINT) AS n_x FROM pairs GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS nn FROM pairs)
+       |SELECT p.center_id, p.context_id, p.n_pairs,
+       |  round(ln(CAST(p.n_pairs AS DOUBLE) * tot.nn / CAST(cm.n_c * xm.n_x AS DOUBLE)), 4) AS pmi
+       |FROM pairs p JOIN cm USING (center_id) JOIN xm USING (context_id), tot
+       |WHERE p.n_pairs >= 2
+       |ORDER BY pmi DESC, p.center_id, p.context_id LIMIT 50""".stripMargin
+
   /** The shared WITH-chain producing the `walks(start_id, step, node)`
     * CTE — one definition serving both the walk-corpus face and the
     * skip-gram pair face.

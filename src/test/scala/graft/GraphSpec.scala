@@ -161,6 +161,29 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("walk pmi equals a literal marginal recompute over the skipgram pairs") {
+    val pairs = Graph.walkSkipgrams(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("center_id"), r.getAs[Long]("context_id")),
+        r.getAs[Long]("n_pairs")))
+    val nC = pairs.groupBy(_._1._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    val nX = pairs.groupBy(_._1._2).map { case (x, xs) => x -> xs.map(_._2).sum }
+    val nn = pairs.map(_._2).sum
+    val want = pairs.filter(_._2 >= 2).map { case ((c, x), n) =>
+      (c, x) -> BigDecimal(math.log(n.toDouble * nn / (nC(c) * nX(x)).toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Graph.walkPmi(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("center_id"), r.getAs[Long]("context_id")),
+        r.getAs[Double]("pmi")))
+    assert(got.nonEmpty)
+    got.foreach { case (k, p) =>
+      assert(math.abs(p - want(k)) < 1e-9, s"pair $k pmi")
+    }
+    // the slice is the global top by pmi: nothing outside it scores higher
+    val cut = got.map(_._2).min
+    assert(want.values.count(_ > cut) <= got.length)
+  }
+
   test("betweenness equals a literal truncated-Brandes replay") {
     val (both, degDf) = Graph.cachedThresholdedBoth(spark, sfDir)
     val adj = both.collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
