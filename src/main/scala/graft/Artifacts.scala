@@ -35,6 +35,9 @@ object Artifacts {
     "graph_edges" -> ((s: SparkSession, d: String) => { queries.Graph.cachedGraph(s, d); () }),
     "graph_lpa_labels" -> ((s: SparkSession, d: String) => { queries.Graph.cachedLpaLabels(s, d); () }),
     "graph_thresh_both" -> ((s: SparkSession, d: String) => { queries.Graph.cachedThresholdedBoth(s, d); () }),
+    "graph_bipartite" -> ((s: SparkSession, d: String) => { queries.Graph.cachedBipartite(s, d); () }),
+    "graph_walks" -> ((s: SparkSession, d: String) => { queries.Graph.cachedWalks(s, d); () }),
+    "kmeans_assign" -> ((s: SparkSession, d: String) => { similarity.KMeans.cachedAssignment(s, d); () }),
     "bpe_training" -> ((s: SparkSession, d: String) => { functions.Bpe.trainedMerges(s, d, nMerges = 20); () }),
     "text_token_counts" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocTokenCounts(s, d); () }),
     "text_tfidf_scored" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocSimilarScored(s, d); () }),
