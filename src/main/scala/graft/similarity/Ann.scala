@@ -60,6 +60,91 @@ object Ann {
     graft.SessionCache.getOrElseUpdate(spark, ("bruteScored", dir))(
       bruteScored(Tables.embeddings(spark, dir)).localCheckpoint(true))
 
+  /** Retrieval-quality metrics of the certified brute tier against
+    * LABEL relevance — the IR evaluation face (precision@k / MRR /
+    * NDCG@k) that complements the recall-vs-brute report: recall says
+    * how well the approximate tiers imitate exact cosine, THIS says
+    * whether exact cosine retrieves semantically-right items at all
+    * (label agreement as graded relevance — the standard proxy when a
+    * labeled corpus stands in for human judgments). Per query:
+    * relevant-in-corpus count, precision@k, reciprocal rank of the
+    * first relevant hit, and NDCG@k with the ideal DCG folded over an
+    * ORDERED sequence (both engines fold ascending — bit-identical).
+    *
+    * Scale design: rides the memoized brute-scored table; the metric
+    * arithmetic is a k-row-per-query fold plus one ¦labels¦-sized
+    * relevance-count join.
+    */
+  def labelMetrics(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val ranked = cachedBruteScored(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(labels.withColumnRenamed("label", "nlabel")), "vec_id")
+      .join(broadcast(labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))),
+        "query_id")
+      .withColumn("rel", (col("nlabel") === col("qlabel")).cast("int"))
+    val nRel = labels.as("a")
+      .join(labels.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.vec_id") < 10)
+      .groupBy(col("a.vec_id").as("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    ranked.groupBy("query_id", "qlabel")
+      .agg(
+        round(sum(col("rel")).cast("double") / k, 4).as(s"p_at_$k"),
+        round(coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)), 4).as("rr"),
+        sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + 1))
+          .otherwise(lit(0.0))).as("dcg"))
+      .join(broadcast(nRel), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      // n_rel = 0 must not reach the fold: sequence(1, 0) DESCENDS in
+      // Spark and the i = 1 term would divide by log2(1) = 0
+      .withColumn("idcg", when(col("n_rel") > 0, expr(
+        s"aggregate(sequence(1, int(least($k, n_rel))), 0D, (acc, i) -> acc + 1.0D / log2(i + 1))"))
+        .otherwise(lit(0.0)))
+      .withColumn(s"ndcg_$k",
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 4)).otherwise(lit(0.0)))
+      .select(col("query_id"), col("qlabel").as("label"), col("n_rel"),
+        col(s"p_at_$k"), col("rr"), col(s"ndcg_$k"))
+      .orderBy("query_id")
+  }
+
+  val labelMetricsSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+      |    round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored),
+      |rel AS (
+      |  SELECT query_id, qlabel, rank,
+      |    CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
+      |  FROM ranked WHERE rank <= 10),
+      |nrel AS (
+      |  SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel
+      |  FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT query_id, qlabel,
+      |    round(CAST(sum(rel) AS DOUBLE) / 10, 4) AS p_at_10,
+      |    round(coalesce(max(CASE WHEN rel = 1 THEN CAST(1 AS DOUBLE) / rank END), 0.0), 4) AS rr,
+      |    sum(CASE WHEN rel = 1 THEN CAST(1 AS DOUBLE) / log2(rank + 1) ELSE 0.0 END) AS dcg
+      |  FROM rel GROUP BY 1, 2)
+      |SELECT m.query_id, m.qlabel AS label,
+      |  coalesce(n.n_rel, 0) AS n_rel, m.p_at_10, m.rr,
+      |  CASE WHEN coalesce(n.n_rel, 0) > 0 THEN round(m.dcg /
+      |    list_sum(list_transform(generate_series(1, CAST(least(10, n.n_rel) AS INT)),
+      |      i -> CAST(1 AS DOUBLE) / log2(i + 1))), 4)
+      |  ELSE 0.0 END AS ndcg_10
+      |FROM m LEFT JOIN nrel n USING (query_id) ORDER BY m.query_id""".stripMargin
+
   /** Top-k face over a scored (query_id, vec_id, cosine) table. */
   private def bruteRankFace(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))

