@@ -1588,6 +1588,39 @@ object Dedup {
        |$dedupClustersSql
        |) WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram of the near-dup components — the one-page
+    * dedup-rate readout a curation review reads before approving the
+    * keep-list: per cluster size, how many clusters and docs, plus
+    * each size's share of the corpus. The dup rate falls out as
+    * 1 − Σn_clusters/Σn_docs, and a heavy tail at large sizes is the
+    * mirror/boilerplate signature that warrants a source-level fix
+    * rather than doc-level dedup.
+    *
+    * Scale design: two dims-scale aggs over the already-certified
+    * cluster frame — nothing data-sized beyond the composition.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    val total = clusters.agg(count(lit(1)).as("n_total"))
+    clusters.groupBy(col("cluster_size").as("size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 4).as("doc_share"))
+      .orderBy("size")
+  }
+
+  // lazy: interpolates dedupClustersSql (declared later in this object)
+  lazy val dedupClusterSizesSql: String =
+    s"""WITH c AS ($dedupClustersSql),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM c)
+       |SELECT cluster_size AS size,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(CAST(count(*) AS DOUBLE) / t.n_total, 4) AS doc_share
+       |FROM c, t GROUP BY cluster_size, t.n_total ORDER BY size""".stripMargin
+
   /** Leakage-safe train/val/test split: the fold is a pure function of
     * the near-dup CLUSTER id (the md5 coin of the stratified_sample
     * discipline, salted "fold"), so two near-duplicate documents can

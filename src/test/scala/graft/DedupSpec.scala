@@ -391,4 +391,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(byFold.getOrElse("train", 0L) > byFold.values.sum / 2,
       "train is the majority fold at the 80/10/10 defaults")
   }
+
+  test("cluster-size histogram equals a recompute over the cluster frame") {
+    val clusters = graft.dedup.Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    val total = clusters.length
+    val want = clusters.groupBy(_._3).map { case (size, rows) =>
+      size -> ((rows.map(_._2).distinct.length.toLong, rows.length.toLong))
+    }
+    val got = graft.dedup.Dedup.dedupClusterSizes(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"), r.getAs[Double]("doc_share")))).toMap
+    assert(got.keySet === want.keySet)
+    for ((size, (nc, nd)) <- want) {
+      assert(got(size)._1 === nc, s"size $size clusters")
+      assert(got(size)._2 === nd, s"size $size docs")
+      assert(math.abs(got(size)._3 - nd.toDouble / total) < 1e-4, s"size $size share")
+      // every size-s cluster carries exactly s docs
+      assert(nd === nc * size, s"size $size mass consistency")
+    }
+    // shares partition the corpus
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-3)
+  }
 }
