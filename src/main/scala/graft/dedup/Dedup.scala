@@ -449,6 +449,50 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     cachedJaccardPairs(spark, dir).orderBy("id_a", "id_b")
 
+  /** Dedup-aggressiveness planning sweep: per Jaccard threshold
+    * ∈ {0.5 … 0.9}, how many near-dup pairs survive and how many
+    * documents are touched by at least one — the cost/recall curve a
+    * curation run reads to pick its cut before committing to a
+    * keep-list. Score-once/filter-per-config (the band_recall_plan
+    * discipline): every threshold row filters the ONE memoized
+    * ≥ 0.5 pair table, nothing is re-scored.
+    */
+  def jaccardThresholdPlan(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cachedJaccardPairs(spark, dir)
+    val ts = explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("threshold")
+    val tdf = pairs.sparkSession.range(1).select(ts)
+    val np = tdf.join(pairs, col("jaccard") >= col("threshold"), "left")
+      .groupBy("threshold").agg(count(col("id_a")).as("n_pairs"))
+    val nd = tdf.join(
+        pairs.select(col("jaccard"), explode(array(col("id_a"), col("id_b"))).as("doc")),
+        col("jaccard") >= col("threshold"), "left")
+      .groupBy("threshold").agg(countDistinct(col("doc")).as("n_docs_affected"))
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    np.join(nd, "threshold")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_pairs"), col("n_docs_affected"),
+        round(col("n_docs_affected").cast("double") / col("n_docs"), 4).as("affected_frac"))
+      .orderBy("threshold")
+  }
+
+  // lazy: interpolates ngramJaccardSql's pair chain (same init-order
+  // discipline as the other composed oracles)
+  lazy val jaccardThresholdPlanSql: String =
+    s"""WITH p AS ($ngramJaccardSql),
+       |t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |np AS (
+       |  SELECT t.threshold, CAST(count(p.id_a) AS BIGINT) AS n_pairs
+       |  FROM t LEFT JOIN p ON p.jaccard >= t.threshold GROUP BY 1),
+       |nd AS (
+       |  SELECT t.threshold, CAST(count(DISTINCT d.doc) AS BIGINT) AS n_docs_affected
+       |  FROM t LEFT JOIN (SELECT jaccard, unnest([id_a, id_b]) AS doc FROM p) d
+       |    ON d.jaccard >= t.threshold
+       |  GROUP BY 1)
+       |SELECT np.threshold, np.n_pairs, nd.n_docs_affected,
+       |  round(CAST(nd.n_docs_affected AS DOUBLE) / n.n_docs, 4) AS affected_frac
+       |FROM np JOIN nd USING (threshold), n ORDER BY threshold""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH l AS (
       |  SELECT doc_id,

@@ -413,4 +413,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // shares partition the corpus
     assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-3)
   }
+
+  test("jaccard threshold plan equals literal filters over the pair table") {
+    val pairs = graft.dedup.Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val total = Tables.documents(spark, sfDir).count()
+    val got = graft.dedup.Dedup.jaccardThresholdPlan(spark, sfDir).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_affected"), r.getAs[Double]("affected_frac")))).toMap
+    assert(got.keySet === Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    var prevPairs = Long.MaxValue
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9)) {
+      val surv = pairs.filter(_._3 >= t)
+      val docs = surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      assert(got(t)._1 === surv.length.toLong, s"t=$t n_pairs")
+      assert(got(t)._2 === docs, s"t=$t n_docs_affected")
+      assert(math.abs(got(t)._3 - docs.toDouble / total) < 1e-4, s"t=$t frac")
+      // raising the cut can only shrink the survivor set
+      assert(got(t)._1 <= prevPairs, s"t=$t monotonicity")
+      prevPairs = got(t)._1
+    }
+  }
 }
