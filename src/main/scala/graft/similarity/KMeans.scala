@@ -72,11 +72,18 @@ object KMeans {
     * assignment — the curation pass that prunes noise / mislabeled /
     * out-of-distribution vectors BEFORE training (the complement of
     * SemDeDup-style near-dup pruning: that removes redundancy, this
-    * removes junk). Per cluster, μ and σ of the member distances
-    * (computed over the 4-dp certified dists, both 6-dp-quantized so
-    * the division replays bit-for-bit cross-engine); each vector gets
-    * z = (dist−μ)/σ (0 when σ=0 — singleton or degenerate cluster) and
-    * an integer flag at z ≥ [[OutlierZ]].
+    * removes junk). Per cluster, μ and σ of the member distances; each
+    * vector gets z = (dist−μ)/σ (0 when σ=0 — singleton or degenerate
+    * cluster) and an integer flag at z ≥ [[OutlierZ]].
+    *
+    * Cross-engine determinism: the 4-dp dists are EXACT integers after
+    * ×1e4, so μ and σ derive from BIGINT sufficient statistics
+    * (n, Σd, Σd²) with no float-accumulation-order sensitivity — the
+    * series_correlation discipline. The rounded z is additionally
+    * canonicalized with `+ 0.0` so a `round(−ε, 4)` that lands on zero
+    * is +0.0 in BOTH engines (IEEE: −0.0 + 0.0 = +0.0; DuckDB's round
+    * preserves the sign of −ε, Spark's BigDecimal HALF_UP does not —
+    * the r11 hash-FAIL class).
     *
     * Scale design: the stats table is k rows — computed by one
     * map-side-partial agg over the already-materialized assignment and
@@ -85,14 +92,20 @@ object KMeans {
     */
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
     val asg = cachedAssignment(spark, dir)
-    val stats = asg.groupBy("cluster_id").agg(
-      round(avg(col("dist")), 6).as("mu"),
-      round(sqrt(greatest(
-        avg(col("dist") * col("dist")) - avg(col("dist")) * avg(col("dist")),
-        lit(0.0))), 6).as("sigma"))
+      .withColumn("di", round(col("dist") * 1e4, 0).cast("long"))
+    val muRaw = col("s").cast("double") / col("n") / lit(1e4)
+    val stats = asg.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), sum(col("di")).as("s"),
+        sum(col("di") * col("di")).as("q"))
+      .select(col("cluster_id"),
+        round(muRaw, 6).as("mu"),
+        round(sqrt(greatest(
+          col("q").cast("double") / col("n") / lit(1e8) - muRaw * muRaw,
+          lit(0.0))), 6).as("sigma"))
     asg.join(broadcast(stats), "cluster_id")
       .withColumn("z",
-        when(col("sigma") > 0, round((col("dist") - col("mu")) / col("sigma"), 4))
+        when(col("sigma") > 0,
+          round((col("dist") - col("mu")) / col("sigma"), 4) + lit(0.0))
           .otherwise(lit(0.0)))
       .select(col("vec_id"), col("cluster_id"), col("dist"), col("z"),
         (col("z") >= OutlierZ).cast("int").as("flagged"))
@@ -195,13 +208,19 @@ object KMeans {
       s"""asg AS (
          |  SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist
          |  FROM fin WHERE rk = 1),
-         |st AS (
-         |  SELECT cluster_id, round(avg(dist), 6) AS mu,
-         |    round(sqrt(greatest(avg(dist*dist) - avg(dist)*avg(dist), 0)), 6) AS sigma
+         |ss AS (
+         |  SELECT cluster_id, count(*) AS n,
+         |    sum(CAST(round(dist*1e4) AS BIGINT)) AS s,
+         |    sum(CAST(round(dist*1e4) AS BIGINT)*CAST(round(dist*1e4) AS BIGINT)) AS q
          |  FROM asg GROUP BY 1),
+         |st AS (
+         |  SELECT cluster_id, round(CAST(s AS DOUBLE)/n/1e4, 6) AS mu,
+         |    round(sqrt(greatest(CAST(q AS DOUBLE)/n/1e8
+         |      - (CAST(s AS DOUBLE)/n/1e4)*(CAST(s AS DOUBLE)/n/1e4), 0)), 6) AS sigma
+         |  FROM ss),
          |zz AS (
          |  SELECT a.vec_id, a.cluster_id, a.dist,
-         |    CASE WHEN s.sigma > 0 THEN round((a.dist - s.mu)/s.sigma, 4) ELSE 0.0 END AS z
+         |    CASE WHEN s.sigma > 0 THEN round((a.dist - s.mu)/s.sigma, 4) + 0.0 ELSE 0.0 END AS z
          |  FROM asg a JOIN st s USING (cluster_id))
          |SELECT vec_id, cluster_id, dist, z,
          |  CAST(z >= $OutlierZ AS INTEGER) AS flagged

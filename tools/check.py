@@ -3,6 +3,7 @@
 parquet dumps against the DuckDB oracle SQL on the same tables."""
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -56,10 +57,32 @@ for name in names:
         continue
     try:
         pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
-        passes.append(name)
     except AssertionError as e:
         msg = str(e).split("\n")[0:6]
         fails.append((name, " | ".join(msg)))
+        continue
+    # Bit-level float gate (the r11 failure class): the driver hashes
+    # RENDERED values, so −0.0 vs +0.0 (pandas check_exact calls them
+    # equal) or any last-ulp divergence is a driver hash-FAIL. Compare
+    # float columns by their raw float64 bit pattern (NaN-vs-NaN
+    # excluded — both engines emit the canonical quiet NaN).
+    bitdrift = []
+    for c in s.columns:
+        if s[c].dtype.kind == "f" and d[c].dtype.kind == "f":
+            sv = s[c].to_numpy(dtype="float64")
+            dv = d[c].to_numpy(dtype="float64")
+            diff = (sv.view("uint64") != dv.view("uint64")) \
+                   & ~(np.isnan(sv) & np.isnan(dv))
+            if diff.any():
+                i = int(np.argmax(diff))
+                bitdrift.append(f"{c}[{int(diff.sum())} rows, e.g. "
+                                f"{sv[i]!r} vs {dv[i]!r}]")
+    if bitdrift:
+        fails.append((name, "float bit drift (values equal but driver hash "
+                      "would fail — signed zero or last-ulp; canonicalize "
+                      f"with '+ 0.0' in BOTH engines): {bitdrift}"))
+        continue
+    passes.append(name)
 
 print(f"PASS ({len(passes)}): {', '.join(passes)}")
 print(f"ROWS-ONLY ({len(rows_only)}): {', '.join(f'{n}[{r}]' for n, r in rows_only)}")
