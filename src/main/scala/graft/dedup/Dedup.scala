@@ -419,6 +419,114 @@ object Dedup {
       |WHERE round(inter * 1.0 / least(sa.sz, sb.sz), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Posting-sampling probability (percent) for the approximate
+    * containment tier. p=50 halves posting volume and quarters the
+    * pair-explosion mass while keeping the estimator tight on the
+    * ≥0.8-containment pairs the face reports (a 0.8·min-sz
+    * intersection at the corpus's shingle-set sizes concentrates well
+    * within the rounding at p²=0.25 expected retention).
+    */
+  val ContainmentSamplePct = 50
+
+  /** Approximate n-gram containment — the SCALE TIER of
+    * [[ngramContainment]]. The exact face cannot take the PPJoin
+    * size-ratio prune (the asymmetric metric is precisely about
+    * extreme size ratios), so its pair explosion is the full
+    * Θ(Σ min(df,cap)²) — the steepest certified cost in the roster at
+    * 10× data. This face is the DOULION treatment (Tsourakakis et al.,
+    * KDD '09 — the same recipe as [[graft.queries.Graph.triangleCountApprox]]):
+    * sample each RARE posting (doc, shingle) independently with
+    * probability p via a deterministic salted md5 coin on the SHINGLE
+    * STRING (replayable in both engines), count pair intersections
+    * EXACTLY on the sampled postings, and scale by 1/p² (a shared
+    * shingle survives for a pair iff both its postings survive —
+    * probability p²). The denominator min(¦A¦, ¦B¦) uses the EXACT
+    * rare-set sizes (one cheap doc-keyed aggregation, no pair cost),
+    * so only the intersection is estimated. Posting volume shrinks ~p
+    * and pair mass ~p² — the knob that makes containment runnable at
+    * 100 TB without changing the metric's semantics the way a df-cap
+    * tightening would.
+    *
+    * p=100 degenerates bit-equal to the exact face (coin always true,
+    * 1/p² = 1) — asserted in spec; the estimator-vs-exact concentration
+    * is spec'd at the default p. Hash-certified: the oracle replays the
+    * coin and the sampled count verbatim.
+    */
+  def ngramContainmentApprox(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, pPct: Int = ContainmentSamplePct,
+      salt: Int = 0, maxDf: Int = MaxShingleDf): DataFrame = {
+    // coin needs the shingle STRING (the cross-engine-replayable key),
+    // so this face re-shingles rather than reading cachedShingles'
+    // already-hashed postings — one corpus pass, amortized nothing,
+    // but the pair stage it feeds is the part that matters at scale
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("__t"))
+      .select(col("doc_id"), explode(ngramsOfToks(col("__t"), 3)).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"),
+        (conv(substring(md5(concat_ws(":", col("s"), col("doc_id"), lit(salt))),
+          1, 8), 16, 10).cast("long") % 100 < pPct).as("keep"))
+      .localCheckpoint(true)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    // pack the EXACT rare-set size with the id; posting arrays keep
+    // only the coin-surviving elements (the ~p-thinned explosion)
+    val postings = sh.join(hot, Seq("sh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("sh"), col("keep"))).as("es"))
+      .select(explode(filter(col("es"), e => e.getField("keep"))).as("e"),
+        packIdSz(col("doc_id"), size(col("es"))).as("packed"))
+      .select(col("e.sh").as("sh"), col("packed"))
+      .groupBy("sh").agg(sort_array(collect_list(col("packed"))).as("ids"))
+      .select("ids")
+    val p = pPct / 100.0
+    postings
+      .filter(size(col("ids")) >= 2)
+      .select(explode(postingPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("a"), col("p.id_b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(unpackId(col("a")).as("id_a"), unpackId(col("b")).as("id_b"),
+        col("inter").as("n_sampled"),
+        round(col("inter").cast("double") / lit(p * p) /
+          least(unpackSz(col("a")), unpackSz(col("b"))), 4).as("containment_est"))
+      .filter(col("containment_est") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[ngramContainmentSql]] with the posting sample + 1/p² scaling
+    * spliced in — the coin replayed verbatim on the string shingle.
+    */
+  val ngramContainmentApproxSql: String = {
+    val pPct = ContainmentSamplePct
+    val p2 = pPct / 100.0 * (pPct / 100.0)
+    s"""WITH l AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+       |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+       |samp AS (
+       |  SELECT * FROM pruned
+       |  WHERE ('0x' || substr(md5(sh || ':' || CAST(doc_id AS VARCHAR) || ':0'),
+       |    1, 8))::UBIGINT % 100 < $pPct),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM samp a JOIN samp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter AS n_sampled,
+       |  round(inter / $p2 / least(sa.sz, sb.sz), 4) AS containment_est
+       |FROM pairs
+       | JOIN sizes sa ON sa.doc_id = id_a
+       | JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(inter / $p2 / least(sa.sz, sb.sz), 4) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Near-dup pair table memoized per (dir, threshold, maxDf) — the
     * three driver entries that consume it (`dedup_ngram_jaccard`,
     * `dedup_clusters`, `near_dedup_keep`) share ONE materialized pair

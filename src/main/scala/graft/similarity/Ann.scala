@@ -1405,7 +1405,7 @@ object Ann {
       "sq" -> sqTopK(embs), "pq" -> pqTopK(embs),
       "ivfpq" -> ivfpqTopK(embs)))
 
-  private def recallReportFrom(brute: DataFrame, tiers: Seq[(String, DataFrame)]): DataFrame = {
+  private[graft] def recallReportFrom(brute: DataFrame, tiers: Seq[(String, DataFrame)]): DataFrame = {
     val truth = brute
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     // materialized: BOTH the hit semi-join and the returned-count agg
@@ -1432,12 +1432,49 @@ object Ann {
   /** Driver face: the gate consumes the SAME memoized tier tables the
     * standalone entries serve, so a verify/bench pass computes each
     * tier once — the report's own cost shrinks to tiny-table joins.
+    * Reports the five SQL-replayable tiers so the WHOLE report is
+    * hash-certified ([[recallReportSql]] composes the five certified
+    * tier CTE chains + the brute truth); the PCA tier's recall lives
+    * on its own spectral-invariant specs (`ann_pca_topk` —
+    * eigendecomposition is not SQL-expressible, so including it here
+    * would demote the report back to rows-only).
     */
   def recallReport(spark: SparkSession, dir: String): DataFrame =
     recallReportFrom(bruteForceTopK(spark, dir), Seq(
       "lsh" -> lshTopK(spark, dir), "ivf" -> ivfTopK(spark, dir),
       "sq" -> sqTopK(spark, dir), "pq" -> pqTopK(spark, dir),
-      "ivfpq" -> ivfpqTopK(spark, dir), "pca" -> pcaTopK(spark, dir)))
+      "ivfpq" -> ivfpqTopK(spark, dir)))
+
+  /** ann_recall_report replayed end-to-end: the five certified tier
+    * oracles (each a complete WITH chain) composed as subquery CTEs,
+    * unioned under their method tags, semi-probed against the brute
+    * truth replay, and folded to the same integer-ratio recall — the
+    * report machinery is certified because every input to it is.
+    */
+  lazy val recallReportSql: String =
+    s"""WITH brute AS ($bruteForceSql),
+       |t_lsh AS ($lshTopKSql),
+       |t_ivf AS ($ivfTopKSql),
+       |t_sq AS ($sqTopKSql),
+       |t_pq AS ($pqTopKSql),
+       |t_ivfpq AS ($ivfpqTopKSql),
+       |tagged AS (
+       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM t_lsh
+       |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM t_ivf
+       |  UNION ALL SELECT 'sq', query_id, neighbor_id FROM t_sq
+       |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM t_pq
+       |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM t_ivfpq),
+       |truth AS (SELECT query_id, neighbor_id FROM brute),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM truth),
+       |h AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM tagged JOIN truth USING (query_id, neighbor_id) GROUP BY 1),
+       |r AS (SELECT method, CAST(count(*) AS BIGINT) AS n_returned
+       |  FROM tagged GROUP BY 1)
+       |SELECT r.method, r.n_returned,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(coalesce(h.n_hits, 0) / tt.n_truth, 4) AS recall_at_k
+       |FROM r LEFT JOIN h USING (method), tt
+       |ORDER BY method""".stripMargin
 
   /** Per-label embedding health stats: count, L2-norm spread — the
     * sanity sweep before any similarity work (zero vectors, norm drift

@@ -270,7 +270,14 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getAs[String]("method") ->
         (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))
       .toMap
-    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq", "ivfpq", "pca"))
+    assert(rep.keySet === Set("lsh", "ivf", "sq", "pq", "ivfpq"))
+    // the PCA tier (not SQL-replayable, so outside the certified report)
+    // still rides the same report machinery through the library face
+    val withPca = Ann.recallReportFrom(Ann.bruteForceTopK(spark, sfDir),
+      Seq("pca" -> Ann.pcaTopK(spark, sfDir))).collect()
+    assert(withPca.map(_.getAs[String]("method")).toSet === Set("pca"))
+    assert(withPca.forall(r => r.getAs[Double]("recall_at_k") >= 0.0
+      && r.getAs[Double]("recall_at_k") <= 1.0))
     rep.foreach { case (m, (ret, hits, rec)) =>
       assert(ret > 0 && hits <= ret, s"$m: hits must not exceed returned")
       assert(rec >= 0.0 && rec <= 1.0, s"$m: recall $rec out of range")

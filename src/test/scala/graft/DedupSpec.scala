@@ -378,6 +378,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(jac.count() === 0, "jaccard misses the subsumption the containment face finds")
   }
 
+  test("containment approx at p=100 degenerates bit-equal to the exact face") {
+    val exact = Dedup.ngramContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p100 = Dedup.ngramContainmentApprox(spark, sfDir, pPct = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(p100 === exact,
+      "with every coin true and 1/p² = 1 the estimator IS the exact containment")
+  }
+
+  test("containment approx estimator concentrates at the default sample rate") {
+    val exact = Dedup.ngramContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "the synthetic corpus carries containment pairs")
+    // score every sampled pair (threshold 0 = no report cut) and check
+    // the estimator against the exact value on the true ≥0.8 pairs:
+    // unbiased with std ~1.64/√min_sz at p=50 — a deterministic corpus
+    // + deterministic coin make this a fixed, replayable outcome
+    val est = Dedup.ngramContainmentApprox(spark, sfDir, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val recovered = exact.keySet.count(k => est.getOrElse(k, 0.0) >= 0.5)
+    assert(recovered >= (exact.size * 0.6).toInt,
+      s"only $recovered/${exact.size} exact pairs recovered at est ≥ 0.5")
+    val errs = exact.collect { case (k, v) if est.contains(k) => math.abs(est(k) - v) }
+    assert(errs.sum / errs.size <= 0.35,
+      f"mean |est − exact| ${errs.sum / errs.size}%.3f exceeds the concentration bound")
+  }
+
   test("leakage-safe split never separates near-duplicates across folds") {
     val split = Dedup.leakageSafeSplit(spark, sfDir).localCheckpoint(true)
     val docs = Tables.documents(spark, sfDir)
