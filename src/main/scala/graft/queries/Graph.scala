@@ -409,36 +409,46 @@ object Graph {
     * exactly the sentence-shaped input skip-gram graph-embedding
     * training consumes.
     *
-    * Scale design: the ranked adjacency is one per-key window over the
-    * edge list (never global); each hop is ONE equi-join of the
-    * frontier on node=src (the coin-selected rank is a post-join
-    * filter, so a hop costs one Σdeg edge scan), checkpointed so the
-    * unrolled plan stays constant-size. All-integer arithmetic — no
-    * float anywhere, hash-certified without any rounding rule.
+    * Scale design: the adjacency is aggregated ONCE into per-node
+    * sorted neighbor ARRAYS (¦V¦ rows carrying ¦E¦ longs — one edge
+    * shuffle, checkpointed because every hop joins it), and each hop is
+    * ONE node-keyed equi-join of the frontier against those ¦V¦ rows
+    * with the coin-selected neighbor read by element_at — the ¦V¦-row
+    * join sides replace the r11 formulation's ¦E¦-row ranked-edge join
+    * per hop. The walk PATH rides the frontier row as an array, so the
+    * whole corpus is ONE linear plan — no per-hop checkpoint and no
+    * K-way union (the r11 formulation checkpointed every hop and
+    * unioned all K frontiers; at K=3 the materialization cost more
+    * than it truncated — the "checkpoint what is consumed twice" rule:
+    * here nothing is consumed twice, so only [[cachedWalks]]'s final
+    * corpus materializes). The inner join never truncates a walk:
+    * [[cachedGraph]] symmetrizes, so every reachable node has out-
+    * degree ≥ 1. All-integer arithmetic — no float anywhere,
+    * hash-certified without any rounding rule.
     */
   def randomWalks(spark: SparkSession, dir: String,
       steps: Int = WalkSteps): DataFrame = {
     val (edges, deg, _) = cachedGraph(spark, dir)
-    val radj = edges.select(col("src"), col("dst"), col("sdeg").as("deg"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long"))
+    // sorted neighbor array per node: element_at(nbrs, coin % deg + 1)
+    // IS the dst-ranked pick the oracle replays (deg = ¦nbrs¦ — the
+    // same edge rows aggregate into both)
+    val adj = edges.groupBy(col("src").as("anode"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(true)
-    var cur = deg.select(col("node").as("start_id"), col("node"))
-    val hops = scala.collection.mutable.ArrayBuffer(
-      cur.withColumn("step", lit(0)))
+    var cur = deg.select(col("node").as("start_id"), col("node"),
+      array(col("node")).as("path"))
     for (t <- 1 to steps) {
       val coin = conv(substring(
         md5(concat(col("start_id").cast("string"), lit(s"_$t"))), 1, 8), 16, 10)
         .cast("long")
       cur = cur
-        .join(radj, col("node") === col("src") &&
-          col("rk") === coin % col("deg") + lit(1L))
-        .select(col("start_id"), col("dst").as("node"))
-        .localCheckpoint(true)
-      hops += cur.withColumn("step", lit(t))
+        .join(adj, col("node") === col("anode"))
+        .withColumn("nxt", element_at(col("nbrs"),
+          (coin % size(col("nbrs")) + lit(1L)).cast("int")))
+        .select(col("start_id"), col("nxt").as("node"),
+          concat(col("path"), array(col("nxt"))).as("path"))
     }
-    hops.reduce(_ unionAll _)
-      .select(col("start_id"), col("step"), col("node").as("node_id"))
+    cur.select(col("start_id"), posexplode(col("path")).as(Seq("step", "node_id")))
       .orderBy("start_id", "step")
   }
 
