@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -341,7 +341,22 @@ object CdcQueries {
     * documented swap is percentile_approx (the t-digest face
     * price_percentiles_approx already certifies the pattern for).
     */
-  def changeCadence(spark: SparkSession, dir: String): DataFrame = {
+  def changeCadence(spark: SparkSession, dir: String): DataFrame =
+    changeCadenceWith(spark, dir, q => expr(s"percentile(gap_ms, $q)"))
+
+  /** [[changeCadence]]'s 100 TB scale twin — the percentile roll-up
+    * from the mergeable t-digest (`percentile_approx`), the swap the
+    * exact face documents, as code. Keys / gaps / mean / max are exact
+    * either way; spec'd ≤ 5% relative on the quantiles. Rows-only.
+    */
+  def changeCadenceApprox(spark: SparkSession, dir: String): DataFrame =
+    // cast: percentile_approx preserves the input's LONG type, but the
+    // twin must present the exact face's DOUBLE schema
+    changeCadenceWith(spark, dir,
+      q => expr(s"percentile_approx(gap_ms, $q, 1000)").cast("double"))
+
+  private def changeCadenceWith(spark: SparkSession, dir: String,
+      pct: Double => Column): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "seq")
     CdcOps.cachedChangelog(spark, dir)
       .select(col("user_id"), col("ts_ms"), col("seq"))
@@ -351,9 +366,9 @@ object CdcQueries {
         countDistinct(col("user_id")).as("n_keys"),
         count(lit(1)).as("n_gaps"),
         round(avg(col("gap_ms")), 4).as("mean_ms"),
-        round(expr("percentile(gap_ms, 0.5)"), 4).as("p50_ms"),
-        round(expr("percentile(gap_ms, 0.9)"), 4).as("p90_ms"),
-        round(expr("percentile(gap_ms, 0.99)"), 4).as("p99_ms"),
+        round(pct(0.5), 4).as("p50_ms"),
+        round(pct(0.9), 4).as("p90_ms"),
+        round(pct(0.99), 4).as("p99_ms"),
         max(col("gap_ms")).as("max_ms"))
   }
 

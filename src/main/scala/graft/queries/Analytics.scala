@@ -1464,13 +1464,36 @@ object Analytics {
     * identical smoothed proportions in both engines; ln + 4 dp is the
     * zipf precedent.
     */
-  def valuePsi(spark: SparkSession, dir: String): DataFrame = {
+  def valuePsi(spark: SparkSession, dir: String): DataFrame =
+    valuePsiWith(spark, dir, psiBounds)
+
+  /** [[valuePsi]]'s 100 TB scale twin: identical halves / bucketing /
+    * smoothed fold, but the reference-decile fit uses the mergeable
+    * t-digest `percentile_approx` instead of the exact full-sort
+    * percentile — the swap the exact face documents, as code. Decile
+    * boundaries land within t-digest error of the exact ones, so the
+    * PSI shifts by at most the mass the boundary slide re-buckets
+    * (spec'd ≤ 0.05 absolute against the exact face). Rows-only: the
+    * t-digest fit is engine-specific.
+    */
+  def valuePsiApprox(spark: SparkSession, dir: String): DataFrame =
+    // accuracy 10000: boundary placement IS the PSI signal, and a
+    // decile that slides re-buckets real mass — unlike the latency
+    // twins, this face buys the extra sketch centroids (still a few KB
+    // per type, mergeable, far from the exact face's full sort)
+    valuePsiWith(spark, dir, df => df.groupBy("event_type")
+      .agg(expr("percentile_approx(value, 0.1, 10000)").as("b1"),
+        (2 to 9).map(i =>
+          expr(s"percentile_approx(value, 0.$i, 10000)").as(s"b$i")): _*))
+
+  private def valuePsiWith(spark: SparkSession, dir: String,
+      boundsOf: DataFrame => DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
     val bounds = ev.agg(min("event_id").as("lo"), max("event_id").as("hi"))
     val halves = ev.crossJoin(broadcast(bounds))
       .withColumn("half",
         when(col("event_id") < expr("(lo + hi + 1) div 2"), 0).otherwise(1))
-    val qs = psiBounds(halves.filter(col("half") === 0))
+    val qs = boundsOf(halves.filter(col("half") === 0))
     val g = halves.join(broadcast(qs), "event_type")
       .withColumn("bucket", psiBucket)
       .groupBy("event_type", "bucket")
@@ -1657,11 +1680,26 @@ object Analytics {
     * projection. Std is the explicit E[x²]−μ² form both engines
     * compute identically (the embedding_outliers rule).
     */
-  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame =
+    winsorizedStatsWith(spark, dir,
+      expr("percentile(value, 0.05)"), expr("percentile(value, 0.95)"))
+
+  /** [[winsorizedStats]]' 100 TB scale twin: the clamp bounds come from
+    * the mergeable t-digest instead of the exact full-sort percentile.
+    * A bound that slides by t-digest error re-clamps only the tail mass
+    * between the two bounds, so the winsorized moments move by O(error
+    * × tail weight) — spec'd ≤ 5% relative against the exact face.
+    * Rows-only: the t-digest fit is engine-specific.
+    */
+  def winsorizedStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    winsorizedStatsWith(spark, dir,
+      expr("percentile_approx(value, 0.05, 1000)"),
+      expr("percentile_approx(value, 0.95, 1000)"))
+
+  private def winsorizedStatsWith(spark: SparkSession, dir: String,
+      lo: Column, hi: Column): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val bounds = ev.groupBy("event_type").agg(
-      expr("percentile(value, 0.05)").as("b_lo"),
-      expr("percentile(value, 0.95)").as("b_hi"))
+    val bounds = ev.groupBy("event_type").agg(lo.as("b_lo"), hi.as("b_hi"))
     ev.join(broadcast(bounds), "event_type")
       .withColumn("wv", least(greatest(col("value"), col("b_lo")), col("b_hi")))
       .groupBy("event_type")
@@ -1759,7 +1797,23 @@ object Analytics {
     * rollup is a 2-group agg with the exact interpolated percentile
     * (the documented 100 TB swap is percentile_approx).
     */
-  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatencyWith(spark, dir,
+      expr("percentile(gap_ms, 0.5)"), expr("percentile(gap_ms, 0.9)"))
+
+  /** [[funnelLatency]]'s 100 TB scale twin — p50/p90 from the mergeable
+    * t-digest (n / mean / max are exact either way). Spec'd ≤ 5%
+    * relative against the exact face; rows-only (engine-specific fit).
+    */
+  def funnelLatencyApprox(spark: SparkSession, dir: String): DataFrame =
+    // cast: percentile_approx preserves the input's LONG type, but the
+    // twin must present the exact face's DOUBLE schema
+    funnelLatencyWith(spark, dir,
+      expr("percentile_approx(gap_ms, 0.5, 1000)").cast("double"),
+      expr("percentile_approx(gap_ms, 0.9, 1000)").cast("double"))
+
+  private def funnelLatencyWith(spark: SparkSession, dir: String,
+      p50: Column, p90: Column): DataFrame = {
     val st = funnelUserStages(Tables.events(spark, dir))
     val g1 = st.filter(col("t_click").isNotNull)
       .select(lit("1_view_to_click").as("step"),
@@ -1771,8 +1825,8 @@ object Analytics {
       .groupBy("step")
       .agg(count(lit(1)).as("n"),
         round(avg(col("gap_ms")), 4).as("mean_ms"),
-        round(expr("percentile(gap_ms, 0.5)"), 4).as("p50_ms"),
-        round(expr("percentile(gap_ms, 0.9)"), 4).as("p90_ms"),
+        round(p50, 4).as("p50_ms"),
+        round(p90, 4).as("p90_ms"),
         max(col("gap_ms")).as("max_ms"))
       .orderBy("step")
   }

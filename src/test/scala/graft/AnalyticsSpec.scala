@@ -85,6 +85,53 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("monitor scale twins (t-digest) agree with their exact faces") {
+    def rel(a: Double, b: Double): Double =
+      if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+    // percentile_approx returns an ACTUAL value (no interpolation), so
+    // at tiny n a quantile slides by a full order-statistic gap; assert
+    // the twins at sf0.01 (~10x the rows) — the regime the scale twin
+    // exists for, where the slide is O(1/n) of the mass.
+    val twinDir = "/root/testdata/sf0.01"
+
+    // value_psi: same halves/fold, approx decile fit
+    val psiE = Analytics.valuePsi(spark, twinDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val psiA = Analytics.valuePsiApprox(spark, twinDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(psiA.keySet === psiE.keySet)
+    psiE.foreach { case (t, v) =>
+      assert(math.abs(psiA(t) - v) <= 0.02, s"$t psi: ${psiA(t)} vs $v") }
+
+    // winsorized_stats: approx clamp bounds — moments within 5% relative
+    val wE = Analytics.winsorizedStats(spark, twinDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val wA = Analytics.winsorizedStatsApprox(spark, twinDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    wE.foreach { case (t, (mw, sw)) =>
+      assert(rel(wA(t)._1, mw) <= 0.05, s"$t mean_winsor: ${wA(t)._1} vs $mw")
+      assert(rel(wA(t)._2, sw) <= 0.05, s"$t std_winsor: ${wA(t)._2} vs $sw") }
+
+    // funnel_latency: approx p50/p90; n/mean/max identical by construction
+    val fE = Analytics.funnelLatency(spark, twinDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val fA = Analytics.funnelLatencyApprox(spark, twinDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    fE.foreach { case (s, (n, p50, p90)) =>
+      assert(fA(s)._1 === n, s"$s: exact columns must be identical")
+      assert(rel(fA(s)._2, p50) <= 0.05, s"$s p50: ${fA(s)._2} vs $p50")
+      assert(rel(fA(s)._3, p90) <= 0.05, s"$s p90: ${fA(s)._3} vs $p90") }
+
+    // cdc_change_cadence: approx gap quantiles, exact counts/mean/max
+    val cE = graft.cdc.CdcQueries.changeCadence(spark, twinDir).head()
+    val cA = graft.cdc.CdcQueries.changeCadenceApprox(spark, twinDir).head()
+    assert(cA.getLong(0) === cE.getLong(0) && cA.getLong(1) === cE.getLong(1),
+      "key/gap counts must be identical")
+    Seq(3, 4, 5).foreach { i =>
+      assert(rel(cA.getDouble(i), cE.getDouble(i)) <= 0.05,
+        s"cadence col $i: ${cA.getDouble(i)} vs ${cE.getDouble(i)}") }
+  }
+
   test("stratified sample hits per-stratum fractions within tolerance") {
     val docs = Tables.documents(spark, sfDir)
     val totals = docs.groupBy("lang").count()
