@@ -225,6 +225,36 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       "republish must replace, not append")
   }
 
+  test("Avro envelope round-trips and matches the JSON path row-for-row") {
+    val ch = CdcOps.userChangelog(spark, sfDir).localCheckpoint(true)
+    val after = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val before = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+
+    val decoded = AvroEnvelope.decode(
+      AvroEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+        after, before, "users", lsnCol = col("seq")),
+      CdcQueries.userPkSchema, CdcQueries.userRowSchema).localCheckpoint(true)
+    val parsed = DebeziumEnvelope.parse(
+      DebeziumEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+        after, before, "users", lsnCol = col("seq")),
+      CdcQueries.userPkSchema, CdcQueries.userRowSchema).localCheckpoint(true)
+    assert(decoded.count() === ch.count(), "one decoded row per change")
+    assert(decoded.exceptAll(parsed).count() === 0
+        && parsed.exceptAll(decoded).count() === 0,
+      "Avro and JSON wire formats must yield the identical typed change frame")
+
+    // Confluent wire framing (magic + schema id) strips symmetrically
+    val framed = AvroEnvelope.decode(
+      AvroEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+        after, before, "users", lsnCol = col("seq"), confluentFraming = true),
+      CdcQueries.userPkSchema, CdcQueries.userRowSchema, confluentFraming = true)
+    assert(framed.exceptAll(decoded).count() === 0
+        && decoded.exceptAll(framed).count() === 0,
+      "framing must be transparent to the decoded frame")
+  }
+
   test("CdcStreamJob end-to-end survives a restart from checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
 
