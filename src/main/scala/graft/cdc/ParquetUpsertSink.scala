@@ -191,6 +191,13 @@ class ParquetUpsertSink(spark: SparkSession, statePath: String,
   def exportSnapshot(path: String): Unit =
     readState().write.mode("overwrite").parquet(path)
 
+  /** [[exportSnapshot]] in Delta's public table layout — parquet plus a
+    * `_delta_log`, so external Delta/Trino readers consume the snapshot
+    * directly (the reference publishes Delta; see [[DeltaExport]]).
+    */
+  def exportSnapshotDelta(path: String): Int =
+    DeltaExport.write(readState(), path)
+
   /** Merge one changelog micro-batch (keyCols ++ dataCols ++ op, ts_ms,
     * seq) into the state. At-least-once replay from the stream
     * checkpoint is safe: replaying a committed batch re-applies the

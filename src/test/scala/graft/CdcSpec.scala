@@ -225,6 +225,44 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       "republish must replace, not append")
   }
 
+  test("Delta-layout export is a spec-compliant single-version table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    val state = CdcOps.latestState(
+        CdcOps.userChangelog(spark, sfDir), Seq("user_id"), CdcOps.userDataCols)
+      .localCheckpoint(true)
+    val nFiles = graft.cdc.DeltaExport.write(state, s"$tmp/tbl")
+
+    val logDir = new java.io.File(s"$tmp/tbl/_delta_log")
+    // hidden .crc sidecars are the local Hadoop FS's, not the table's
+    assert(logDir.listFiles().map(_.getName).filterNot(_.startsWith("."))
+      .toSeq === Seq("0" * 20 + ".json"), "exactly one version-0 commit")
+    val actions = spark.read.json(s"$tmp/tbl/_delta_log/" + "0" * 20 + ".json")
+    // protocol action: reader/writer versions an external reader accepts
+    val proto = actions.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion").collect()
+    assert(proto.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // metaData action: the schemaString round-trips to the state schema
+    val meta = actions.filter(col("metaData").isNotNull)
+      .select("metaData.schemaString", "metaData.format.provider").collect()
+    assert(meta.length === 1 && meta.head.getString(1) === "parquet")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta.head.getString(0))
+    assert(schema === state.schema, "schemaString must equal the exported schema")
+    // add actions: every listed file exists with the logged size, and
+    // reading EXACTLY those files reproduces the state row-for-row
+    val adds = actions.filter(col("add").isNotNull)
+      .select("add.path", "add.size").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(adds.length === nFiles && nFiles > 0)
+    adds.foreach { case (p, sz) =>
+      val f = new java.io.File(s"$tmp/tbl/$p")
+      assert(f.isFile && f.length() === sz, s"add action drifted from disk: $p") }
+    val readBack = spark.read.schema(state.schema)
+      .parquet(adds.map { case (p, _) => s"$tmp/tbl/$p" }: _*)
+    assert(readBack.exceptAll(state).count() === 0
+        && state.exceptAll(readBack).count() === 0,
+      "the add-listed files must reproduce the snapshot exactly")
+  }
+
   test("Avro envelope round-trips and matches the JSON path row-for-row") {
     val ch = CdcOps.userChangelog(spark, sfDir).localCheckpoint(true)
     val after = when(col("op") =!= "d",
