@@ -547,6 +547,14 @@ object Dedup {
     cachedJaccardPairs(spark, dir); ()
   }
 
+  /** Force the shared LSH band index + per-doc shingle arrays into the
+    * session cache (graft.Artifacts attribution — three driver faces
+    * consume them).
+    */
+  def prewarmLshIndex(spark: SparkSession, dir: String): Unit = {
+    cachedBandIndex(spark, dir); cachedShingledDocs(spark, dir); ()
+  }
+
   private def cachedJaccardPairs(spark: SparkSession, dir: String,
                                  threshold: Double = 0.5,
                                  maxDf: Int = MaxShingleDf): DataFrame =
