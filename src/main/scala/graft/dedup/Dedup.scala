@@ -457,16 +457,19 @@ object Dedup {
       salt: Int = 0, maxDf: Int = MaxShingleDf): DataFrame = {
     // coin needs the shingle STRING (the cross-engine-replayable key),
     // so this face re-shingles rather than reading cachedShingles'
-    // already-hashed postings — one corpus pass, amortized nothing,
-    // but the pair stage it feeds is the part that matters at scale
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("__t"))
-      .select(col("doc_id"), explode(ngramsOfToks(col("__t"), 3)).as("s"))
-      .filter(col("s") =!= "")
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"),
-        (conv(substring(md5(concat_ws(":", col("s"), col("doc_id"), lit(salt))),
-          1, 8), 16, 10).cast("long") % 100 < pPct).as("keep"))
-      .localCheckpoint(true)
+    // already-hashed postings — ONE memoized corpus pass per
+    // (dir, p, salt), the cachedShingles discipline; the pair stage it
+    // feeds is the part that matters at scale
+    val sh = graft.SessionCache.getOrElseUpdate(
+        spark, ("coinShingles", dir, pPct, salt))(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), toks(col("text")).as("__t"))
+        .select(col("doc_id"), explode(ngramsOfToks(col("__t"), 3)).as("s"))
+        .filter(col("s") =!= "")
+        .select(col("doc_id"), xxhash64(col("s")).as("sh"),
+          (conv(substring(md5(concat_ws(":", col("s"), col("doc_id"), lit(salt))),
+            1, 8), 16, 10).cast("long") % 100 < pPct).as("keep"))
+        .localCheckpoint(true))
     val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
     // pack the EXACT rare-set size with the id; posting arrays keep

@@ -448,8 +448,10 @@ object Graph {
         .select(col("start_id"), col("nxt").as("node"),
           concat(col("path"), array(col("nxt"))).as("path"))
     }
+    // no presentation sort here: [[cachedWalks]] materializes this frame
+    // and its main consumer (skip-grams) is order-free — the driver face
+    // sorts AFTER the cache, so the artifact never pays a global sort
     cur.select(col("start_id"), posexplode(col("path")).as(Seq("step", "node_id")))
-      .orderBy("start_id", "step")
   }
 
   /** Skip-gram context window (hops either side of the center). */
