@@ -54,6 +54,7 @@ object Artifacts {
     "ann_tier_ivfpq" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfpqTopK(s, d); () }),
     "ann_tier_ivfpq_refine" -> ((s: SparkSession, d: String) => { similarity.Ann.ivfpqRefineTopK(s, d); () }),
     "layout_bucketed" -> ((s: SparkSession, d: String) => { sources.Layout.bucketedTables(s, d); () }),
+    "corpus_jsonl" -> ((s: SparkSession, d: String) => { sources.CorpusIO.jsonlDocuments(s, d); () }),
     "layout_zordered" -> ((s: SparkSession, d: String) => { sources.Layout.zorderedEvents(s, d); () }),
     "layout_compacted" -> ((s: SparkSession, d: String) => { sources.Layout.compactedEvents(s, d); () }))
 }

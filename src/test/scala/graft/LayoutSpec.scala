@@ -163,4 +163,37 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val p = spark.read.parquet(s"$tmp/frag").queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"compaction read must not shuffle:\n$p")
   }
+
+  test("jsonl round-trip is lossless and the read stays schema'd") {
+    val docs = Tables.documents(spark, sfDir)
+    val parsed = graft.sources.CorpusIO.readJsonl(spark,
+      graft.sources.CorpusIO.jsonlDocuments(spark, sfDir)).localCheckpoint(true)
+    val (clean, bad) = graft.sources.CorpusIO.quarantine(parsed)
+    assert(bad.count() === 0, "an export of clean parquet must parse clean")
+    assert(clean.count() === docs.count())
+    val c = clean.select("doc_id", "text", "lang", "source", "n_chars")
+    val d = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    assert(c.exceptAll(d).isEmpty && d.exceptAll(c).isEmpty,
+      "jsonl round-trip must be lossless, row for row")
+    assert(clean.schema("doc_id").dataType.typeName === "long",
+      "explicit schema, not inference, governs the parse")
+  }
+
+  test("jsonl quarantine captures corrupt lines without dropping clean ones") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-bad").toString
+    val good = Seq(
+      """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "web", "n_chars": 5}""",
+      """{"doc_id": 2, "text": "beta", "lang": "de", "source": "web", "n_chars": 4}""")
+    val bad = Seq(
+      """{"doc_id": 3, "text": "truncated""",   // cut mid-string
+      """not json at all""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "part-0.jsonl"),
+      scala.util.Random.shuffle(good ++ bad).mkString("\n").getBytes("UTF-8"))
+    val parsed = graft.sources.CorpusIO.readJsonl(spark, tmp).localCheckpoint(true)
+    val (clean, quarantine) = graft.sources.CorpusIO.quarantine(parsed)
+    assert(clean.count() === 2, "both well-formed lines survive")
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    val q = quarantine.collect().map(_.getString(0)).toSet
+    assert(q === bad.toSet, "every malformed raw line lands in quarantine verbatim")
+  }
 }
