@@ -1225,9 +1225,20 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashDedupFrom(docs, simhashPairs(docs, maxHamming))
+
+  /** The hamming-pair table memoized per (session, dir, maxHamming):
+    * both the dedup rollup face and the quality report's simhash tier
+    * read one materialized band self-join instead of re-running it.
+    */
+  private def cachedSimhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("simhashPairs", dir, maxHamming))(
+      simhashPairs(Tables.documents(spark, dir), maxHamming).localCheckpoint(true))
+
+  private def simhashDedupFrom(docs: DataFrame, cand: DataFrame): DataFrame = {
     val sh = simhash(docs)
-    val cand = simhashPairs(docs, maxHamming)
     // single-evaluation symmetrization (see minhashLsh's sym note)
     val sym = cand.select(explode(array(
         struct(col("id_a").as("doc_id"), col("id_b").as("other")),
@@ -1244,7 +1255,7 @@ object Dedup {
   }
 
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
-    simhashDedup(Tables.documents(spark, dir))
+    simhashDedupFrom(Tables.documents(spark, dir), cachedSimhashPairs(spark, dir))
 
   /** The identical signature arithmetic in SQL: md5-derived token
     * hashes, ±1 bit votes, bit_or-assembled signature, brute-force
@@ -2125,7 +2136,7 @@ object Dedup {
     val truth = cachedJaccardPairs(spark, dir).select("id_a", "id_b")
     val tier = qualityTier(truth, truth.agg(count(lit(1)).as("n_truth"))) _
     tier("minhash_bands", lshCandidatesFromIndex(cachedBandIndex(spark, dir)))
-      .unionByName(tier("simhash_h3", simhashPairs(docs)))
+      .unionByName(tier("simhash_h3", cachedSimhashPairs(spark, dir)))
       .orderBy("tier")
   }
 
