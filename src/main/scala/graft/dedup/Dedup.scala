@@ -371,11 +371,14 @@ object Dedup {
     * off the memoized shared postings, so the marginal cost is the
     * pair aggregation alone.
     */
-  private def containmentFromPostings(postings: DataFrame,
-                                      threshold: Double): DataFrame =
+  private def containmentFromPostings(postings: DataFrame, threshold: Double,
+                                      pairFilter: Column = lit(true)): DataFrame =
     postings
       .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
+      // map-side pair prune BEFORE the exchange (the incremental face's
+      // parity cut rides here — excluded pairs never cost shuffle bytes)
+      .filter(pairFilter)
       .groupBy(col("p.id_a").as("a"), col("p.id_b").as("b"))
       .agg(count(lit(1)).as("inter"))
       .select(unpackId(col("a")).as("id_a"), unpackId(col("b")).as("id_b"),
@@ -391,6 +394,63 @@ object Dedup {
                        threshold: Double = 0.8): DataFrame =
     containmentFromPostings(cachedPostings(spark, dir), threshold)
       .orderBy("id_a", "id_b")
+
+  /** Incremental containment — the daily-batch pattern for the
+    * asymmetric metric (the subsumption check a scrape pipeline runs:
+    * is today's batch quoted whole inside — or quoting whole — the
+    * existing corpus?). Even doc_ids play the already-indexed corpus,
+    * odd ids the new batch; corpus-internal (even, even) pairs are cut
+    * MAP-SIDE at pair expansion, so the shuffle carries only
+    * batch-touching pairs — cost scales with the batch's pair mass,
+    * exactly as [[incrementalCandidates]] scales with the batch's band
+    * mass. Rolled up per origin (batch_vs_corpus / within_batch) —
+    * the dedup_incremental output shape. Rides the SAME memoized
+    * posting substrate as the exact face (the persisted-index premise:
+    * nothing old is re-shingled).
+    */
+  def ngramContainmentIncremental(spark: SparkSession, dir: String,
+                                  threshold: Double = 0.8): DataFrame = {
+    val touchesBatch = !(pmod(unpackId(col("p.id_a")), lit(2L)) === 0 &&
+      pmod(unpackId(col("p.id_b")), lit(2L)) === 0)
+    containmentFromPostings(cachedPostings(spark, dir), threshold, touchesBatch)
+      .select(
+        when(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)),
+          "batch_vs_corpus").otherwise("within_batch").as("origin"),
+        col("id_b"))
+      .groupBy("origin")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_docs_b"))
+      .orderBy("origin")
+  }
+
+  /** [[ngramContainmentSql]]'s posting chain with the parity cut in the
+    * pair join and the origin rollup tail.
+    */
+  val ngramContainmentIncrementalSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      |pruned AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+      |  GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT id_a, id_b FROM pairs
+      |   JOIN sizes sa ON sa.doc_id = id_a
+      |   JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(inter * 1.0 / least(sa.sz, sb.sz), 4) >= 0.8)
+      |SELECT CASE WHEN id_a % 2 <> id_b % 2 THEN 'batch_vs_corpus'
+      |            ELSE 'within_batch' END AS origin,
+      |  count(*) AS n_pairs, count(DISTINCT id_b) AS n_docs_b
+      |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** dedup_containment replayed: the jaccard oracle's posting CTEs
     * with the containment formula in place of inter/union.

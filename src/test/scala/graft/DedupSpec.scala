@@ -378,6 +378,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(jac.count() === 0, "jaccard misses the subsumption the containment face finds")
   }
 
+  test("containment incremental equals a parity filter over the exact pair table") {
+    val exact = Dedup.ngramContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = exact.filterNot { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+      .groupBy { case (a, b) => if (a % 2 != b % 2) "batch_vs_corpus" else "within_batch" }
+      .map { case (o, ps) => o -> (ps.size.toLong, ps.map(_._2).distinct.size.toLong) }
+    val got = Dedup.ngramContainmentIncremental(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want,
+      "the map-side parity cut must reproduce the post-filtered exact face")
+  }
+
   test("containment approx at p=100 degenerates bit-equal to the exact face") {
     val exact = Dedup.ngramContainment(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
