@@ -1634,6 +1634,57 @@ object TextFunctions {
       |SELECT doc_id, n_chars, sample_key
       |FROM s ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Per-source token budget for [[tokenBudgetSample]] — sized so the
+    * synthetic corpus exercises BOTH outcomes (kept and dropped) at the
+    * verify SF (sf0.01 carries ~1.1–1.6k tokens per source).
+    */
+  val TokenBudget = 800L
+
+  /** Token-budget sampling — EXECUTING a corpus-mix plan, not planning
+    * it: [[corpusMix]]/[[mixTemperaturePlan]] decide how many tokens
+    * each source contributes; this face materializes that decision into
+    * a per-document keep-list. Within each source, documents are
+    * visited in deterministic md5-coin order (an unbiased shuffle that
+    * replays across runs/engines/retries — the [[weightedSample]]
+    * discipline) and kept while the running token total fits the
+    * budget; the flag rides every row so the drop set is auditable.
+    *
+    * Scale design: token counting is the map-side certified tokenizer
+    * projection; the cumulative sum is a SOURCE-partitioned window
+    * (key-partitioned, never global — the gini/vocab rule); at 100 TB
+    * each source's cumsum is a range-partitioned prefix sum, no
+    * driver-side anything.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String,
+      budget: Long = TokenBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy("coin", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("coin"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS coin
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY coin, doc_id)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, cum_tokens,
+       |  CAST(cum_tokens <= $TokenBudget AS INTEGER) AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** n-gram-profile language identification heuristic: score each
     * alphabetic language by density of its characteristic stopwords;
     * CJK languages by ideograph density (they have no whitespace

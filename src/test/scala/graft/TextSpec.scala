@@ -432,6 +432,30 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(kLight - expected) < 1e-6, s"$kLight vs $expected")
   }
 
+  test("token budget sample keeps exactly the coin-order prefix that fits per source") {
+    val out = TextFunctions.tokenBudgetSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // flag is a pure function of the running total
+    out.foreach { case (_, _, _, cum, kept) =>
+      assert((cum <= TextFunctions.TokenBudget) === (kept == 1)) }
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val keptRows = rows.filter(_._5 == 1)
+      // per-source budget holds over the kept set
+      assert(keptRows.map(_._3).sum <= TextFunctions.TokenBudget,
+        s"$src kept tokens exceed the budget")
+      // prefix property: every kept cum < every dropped cum (the cut is
+      // one boundary in the deterministic coin order, not cherry-picking)
+      val dropped = rows.filter(_._5 == 0)
+      if (keptRows.nonEmpty && dropped.nonEmpty)
+        assert(keptRows.map(_._4).max < dropped.map(_._4).min,
+          s"$src kept/dropped sets interleave in the coin order")
+    }
+    // determinism across partitionings (retry-safe, like weighted_sample)
+    val again = TextFunctions.tokenBudgetSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(again.toSeq === out.map(r => (r._1, r._5)).toSeq)
+  }
+
   test("vocab growth: buckets partition the corpus and the curve accumulates to the full vocabulary") {
     val rows = TextFunctions.vocabGrowth(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq == (0 until 10), "all ten buckets, in order")
