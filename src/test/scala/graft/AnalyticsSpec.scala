@@ -208,14 +208,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(ad - ed) <= math.max(ed * 0.05, 2.0),
         s"$c: approx $ad vs exact $ed")
     }
-    // the scale property: the sketch plan must NOT Expand the scan
-    // (the exact form duplicates every row once per distinct column)
+    // the scale property: NEITHER face Expands the scan any more — the
+    // sketch face is one fused agg, and the exact face (r12 rewrite) is
+    // per-column single-distinct aggs unioned, each over a one-column
+    // pruned scan
     val plan = Analytics.profileColumnsApprox(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
-    assert(Analytics.profileColumns(spark, sfDir)
-      .queryExecution.executedPlan.toString.contains("Expand"),
-      "the exact face pays Expand by design — this assertion documents the trade")
+    val exactPlan = Analytics.profileColumns(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      s"the exact face's per-column rewrite must not Expand:\n$exactPlan")
   }
 
   test("retention cohorts: first month sets the cohort, later months count returns") {
