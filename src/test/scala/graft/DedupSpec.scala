@@ -387,7 +387,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val got = Dedup.ngramContainmentIncremental(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got === want,
-      "the map-side parity cut must reproduce the post-filtered exact face")
+      "the shared-pair-table face must reproduce the post-filtered exact face")
+    // the production form (map-side parity cut at pair expansion) is
+    // result-identical — the commuting-cut premise the driver face uses
+    val prod = Dedup.ngramContainmentIncrementalFrom(
+        Dedup.postingsOf(Tables.documents(spark, sfDir))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prod === want, "map-side cut and post-filter must agree")
   }
 
   test("containment approx at p=100 degenerates bit-equal to the exact face") {
