@@ -540,6 +540,35 @@ object Graph {
     * CTE — one definition serving both the walk-corpus face and the
     * skip-gram pair face.
     */
+  /** Degree histogram of the co-purchase graph — the first diagnostic
+    * any graph workload reads before planning: the hub tail decides
+    * whether joins need salting, what DOULION sampling rate the
+    * triangle tier can afford (wedge mass is Σdeg²), and how skewed the
+    * per-key state of every iterative face will be. (degree, n_nodes)
+    * rows over the shared symmetrized graph.
+    *
+    * Scale design: degrees are already materialized in [[cachedGraph]]'s
+    * ¦V¦-row table; the histogram is one dims-scale aggregation over it
+    * — nothing corpus-sized moves.
+    */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val (_, deg, _) = cachedGraph(spark, dir)
+    deg.groupBy(col("deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** The walk oracle's graph CTEs reduced to the degree rollup. */
+  val degreeDistributionSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |d AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY src)
+      |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM d GROUP BY degree ORDER BY degree""".stripMargin
+
   private def walkCtes: String = {
     val steps = (1 to WalkSteps).map { i =>
       s"""w$i AS MATERIALIZED (

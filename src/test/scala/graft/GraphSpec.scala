@@ -145,6 +145,17 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("degree distribution partitions the node set and carries the edge mass") {
+    val (edges, deg, nNodes) = Graph.cachedGraph(spark, sfDir)
+    val hist = Graph.degreeDistribution(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(hist.map(_._2).sum === nNodes, "bucket counts must partition |V|")
+    assert(hist.map { case (d, n) => d * n }.sum === edges.count(),
+      "sum degree×count must equal the directed edge count")
+    assert(hist.map(_._1).toSeq === hist.map(_._1).sorted.toSeq, "ascending degrees")
+    assert(hist.forall(_._1 >= 1), "the symmetrized graph has no isolated rows")
+  }
+
   test("walk skipgrams equal a literal window-pair recompute over the walks") {
     val walks = Graph.cachedWalks(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("start_id"), r.getAs[Int]("step"), r.getAs[Long]("node_id")))
