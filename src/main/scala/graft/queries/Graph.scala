@@ -30,8 +30,9 @@ import graft.Tables
   *     eager localCheckpoint per iteration, the standard guard against
   *     the exponential-plan-growth failure mode of iterative DataFrame
   *     jobs. For a graph whose |V| outgrows broadcast (billions of
-  *     nodes), pre-partition adjacency and ranks on src once and the
-  *     same loop runs shuffle-joined and exchange-reusing.
+  *     nodes), the [[gatedBuild]] budget flips the SAME loop onto a
+  *     co-partitioned shuffled hash join against the src-partitioned
+  *     cached adjacency — certified row-identical by GraphGateSpec.
   *   - Triangles use degree-ordered orientation (each edge directed
   *     from its lower-(degree, id) endpoint), which provably bounds
   *     out-degrees near O(√|E|) and minimizes the wedge mass Σ outdeg²;
@@ -40,9 +41,10 @@ import graft.Tables
   *     join against the packed oriented edge set (|E| longs), and the
   *     only post-expansion shuffle carries 3 rows per found triangle
   *     into a map-side-partial node count. At 100 TB the edge set
-  *     outgrows broadcast; the same wedge stream then shuffle-joins on
-  *     the packed (b,c) key — the design keeps the 83M-row wedge
-  *     expansion (sf0.1 figure) out of every exchange either way.
+  *     outgrows broadcast; the [[gatedBuild]] budget flips the same
+  *     probes to co-partitioned shuffled hash joins on the packed keys
+  *     — the design keeps the 83M-row wedge expansion (sf0.1 figure)
+  *     out of every exchange either way.
   */
 object Graph {
 
@@ -53,6 +55,34 @@ object Graph {
     */
   private val NodeBits = 32
   private val NodeMask = (1L << NodeBits) - 1
+
+  /** Broadcast budget (rows) for the iterative family's node/edge-scale
+    * build sides — the [[graft.dedup.Dedup.MaxExactBroadcastRows]]
+    * pattern applied to graph state. While a rank/label/adjacency table
+    * fits, broadcasting it is the cheapest plan (one exchange per
+    * round); past the budget the SAME loop runs as a co-partitioned
+    * shuffled hash join via [[gatedBuild]]. Default 2·10⁷ rows (~320 MB
+    * of packed rank state — the practical per-executor broadcast
+    * ceiling); a 100 TB deployment tunes the runtime conf
+    * `graft.graph.maxBroadcastRows` to its executor budget, and
+    * GraphGateSpec forces 0 to certify the shuffle face row-identical
+    * against the broadcast face.
+    */
+  val DefaultMaxBroadcastRows = 20000000L
+
+  private[graft] def maxBroadcastRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.graph.maxBroadcastRows")
+      .map(_.toLong).getOrElse(DefaultMaxBroadcastRows)
+
+  /** Broadcast `df` while `rows` fits the budget; otherwise pin it as
+    * the build side of a co-partitioned SHUFFLED hash join — the hint
+    * (not a bare un-hinted join) so AQE can never re-broadcast a side
+    * the budget rejected. Both sides then exchange on the join key; the
+    * iterative loops keep their streamed adjacency pre-partitioned so
+    * only the state side moves per round.
+    */
+  private[graft] def gatedBuild(spark: SparkSession, df: DataFrame, rows: Long): DataFrame =
+    if (rows <= maxBroadcastRows(spark)) broadcast(df) else df.hint("shuffle_hash")
 
   /** Canonical (src < dst) co-purchase pairs with their co-occurrence
     * weight `w` = number of distinct orders carrying both parts —
@@ -123,12 +153,14 @@ object Graph {
       val deg = both.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
-      // deg is |V| rows — broadcast onto the edge list, never a shuffle
+      val n = deg.count()
+      // deg is |V| rows — broadcast onto the edge list while it fits
+      // the budget, co-partitioned shuffle join past it
       val edges = both
-        .join(broadcast(deg), col("src") === col("node"))
+        .join(gatedBuild(spark, deg, n), col("src") === col("node"))
         .select(col("src"), col("dst"), col("deg").as("sdeg"))
         .localCheckpoint(true)
-      (edges, deg, deg.count())
+      (edges, deg, n)
     }
 
   /** PageRank over the co-purchase graph: `iters` synchronous power
@@ -156,19 +188,40 @@ object Graph {
     * presentation slice above.
     */
   def pageRankRanks(spark: SparkSession, dir: String, iters: Int = 8): DataFrame = {
-    val (edges, deg, n) = cachedGraph(spark, dir)
+    val (edges0, deg, n) = cachedGraph(spark, dir)
+    val bc = n <= maxBroadcastRows(spark)
+    // past the broadcast budget the adjacency pre-partitions on src
+    // ONCE (cached — an InMemoryRelation advertises its partitioning,
+    // the LPA lesson), so each shuffle-face iteration exchanges only
+    // the rank vector + the dst agg, never the edges
+    val edges = if (bc) edges0 else cachedSrcEdges(spark, dir)
     var ranks = deg.select(col("node"), lit(1.0 / n.toDouble).as("rank"))
     for (_ <- 1 to iters)
-      ranks = pageRankIter(edges, ranks, n).localCheckpoint(true)
+      ranks = pageRankIter(edges, ranks, n, bc).localCheckpoint(true)
     ranks.withColumn("n_nodes", lit(n.toDouble))
   }
 
-  /** One synchronous power iteration — broadcast contribution join +
-    * a single dst-keyed aggregation (the plan shape PlanSpec locks).
+  /** The adjacency pre-partitioned on src and cached — built only when
+    * the broadcast gate rejects the rank vector; shared by the pagerank
+    * and ppr shuffle-face loops.
     */
-  private[graft] def pageRankIter(edges: DataFrame, ranks: DataFrame, n: Long): DataFrame =
+  private def cachedSrcEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("graphSrcEdges", dir)) {
+      val e = cachedGraph(spark, dir)._1.repartition(col("src")).cache()
+      e.count()
+      e
+    }
+
+  /** One synchronous power iteration — contribution join + a single
+    * dst-keyed aggregation (the plan shape PlanSpec locks). The rank
+    * vector broadcasts on the default face; past the gate it arrives as
+    * the build side of a co-partitioned shuffled hash join on src.
+    */
+  private[graft] def pageRankIter(edges: DataFrame, ranks: DataFrame, n: Long,
+      broadcastRanks: Boolean = true): DataFrame =
     edges
-      .join(broadcast(ranks), col("src") === col("node"))
+      .join(if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash"),
+        col("src") === col("node"))
       .select(col("dst"), (col("rank") / col("sdeg").cast("double")).as("c"))
       .groupBy("dst")
       .agg(sum(col("c")).as("m"))
@@ -235,7 +288,9 @@ object Graph {
     */
   def pprRanks(spark: SparkSession, dir: String,
       iters: Int = PprIters): DataFrame = {
-    val (edges, deg, n) = cachedGraph(spark, dir)
+    val (edges0, deg, n) = cachedGraph(spark, dir)
+    val bc = n <= maxBroadcastRows(spark)
+    val edges = if (bc) edges0 else cachedSrcEdges(spark, dir)
     val seeds = deg.select("node").orderBy("node").limit(PprSeeds)
       .localCheckpoint(true)
     val nS = seeds.count().toDouble
@@ -244,18 +299,20 @@ object Graph {
       .select(col("node"), coalesce(col("t"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters)
-      ranks = pprIter(edges, ranks, seeds, nS).localCheckpoint(true)
+      ranks = pprIter(edges, ranks, seeds, nS, bc).localCheckpoint(true)
     ranks.withColumn("n_nodes", lit(n.toDouble))
   }
 
-  /** One synchronous PPR round — [[pageRankIter]]'s broadcast
-    * contribution join + dst agg, with the uniform teleport swapped
-    * for a seed-set broadcast left join.
+  /** One synchronous PPR round — [[pageRankIter]]'s contribution join
+    * + dst agg (rank vector broadcast or gated shuffle face), with the
+    * uniform teleport swapped for a seed-set broadcast left join (the
+    * |S|-row seed side stays a broadcast at any scale).
     */
   private[graft] def pprIter(edges: DataFrame, ranks: DataFrame,
-      seeds: DataFrame, nS: Double): DataFrame =
+      seeds: DataFrame, nS: Double, broadcastRanks: Boolean = true): DataFrame =
     edges
-      .join(broadcast(ranks), col("src") === col("node"))
+      .join(if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash"),
+        col("src") === col("node"))
       .select(col("dst"), (col("rank") / col("sdeg").cast("double")).as("c"))
       .groupBy("dst")
       .agg(sum(col("c")).as("m"))
@@ -350,11 +407,15 @@ object Graph {
       .withColumn("s", lit(1.0)).localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // each half-step's score vector is side-sized — broadcast while
+      // it fits the budget, co-partitioned shuffled hash join past it
       auth = ratioNormalize(
-        e.join(broadcast(hub), "cust").groupBy("part").agg(sum(col("s")).as("r")),
+        e.join(gatedBuild(spark, hub, nC.toLong), "cust")
+          .groupBy("part").agg(sum(col("s")).as("r")),
         nP).localCheckpoint(true)
       hub = ratioNormalize(
-        e.join(broadcast(auth), "part").groupBy("cust").agg(sum(col("s")).as("r")),
+        e.join(gatedBuild(spark, auth, nP.toLong), "part")
+          .groupBy("cust").agg(sum(col("s")).as("r")),
         nC).localCheckpoint(true)
     }
     (auth, hub)
@@ -644,24 +705,29 @@ object Graph {
     * sizes. One number out; the substrate of the DOULION tier.
     */
   private[graft] def triangleTotal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val both = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nV = deg.count()
     val ore = both
-      .join(broadcast(deg), col("src") === col("node"))
+      .join(gatedBuild(spark, deg, nV), col("src") === col("node"))
       .select(col("src"), col("dst"), col("deg").as("sdeg"))
-      .join(broadcast(deg.withColumnRenamed("node", "n2")),
+      .join(gatedBuild(spark, deg.withColumnRenamed("node", "n2"), nV),
         col("dst") === col("n2"))
       .select(okey(col("sdeg"), col("src")).as("sk"),
         okey(col("deg"), col("dst")).as("dk"))
       .filter(col("sk") < col("dk"))
       .localCheckpoint(true)
+    // the adjacency payload is |E| longs — gate on edge mass, not rows
+    val nE = ore.count()
     val adj = ore.groupBy(col("sk").as("node_key"))
       .agg(sort_array(collect_list(col("dk"))).as("nbrs"))
     ore
-      .join(broadcast(adj), col("sk") === col("node_key"))
+      .join(gatedBuild(spark, adj, nE), col("sk") === col("node_key"))
       .select(col("sk"), col("dk"), col("nbrs").as("na"))
-      .join(broadcast(adj), col("dk") === col("node_key"))
+      .join(gatedBuild(spark, adj, nE), col("dk") === col("node_key"))
       .select(size(array_intersect(col("na"), col("nbrs"))).cast("long").as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
   }
@@ -701,27 +767,28 @@ object Graph {
   }
 
   def triangleCounts(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val (edges, deg, _) = cachedGraph(spark, dir)
+    val (edges, deg, n) = cachedGraph(spark, dir)
     // orient each edge from its lower (deg, id) endpoint; sdeg rides
-    // the edge row, the dst degree arrives from the broadcast degree
-    // table
+    // the edge row, the dst degree arrives from the gated degree table
     val ore = edges
-      .join(broadcast(deg), col("dst") === col("node"))
+      .join(gatedBuild(spark, deg, n), col("dst") === col("node"))
       .select(okey(col("sdeg"), col("src")).as("sk"),
         okey(col("deg"), col("dst")).as("dk"))
       .filter(col("sk") < col("dk"))
       .localCheckpoint(true) // feeds the adjacency build AND the edge scan
     // sorted out-neighbor okey arrays, keyed by okey — ¦V¦ rows
-    // carrying ¦E¦ longs total, the broadcast side of both fetches
+    // carrying ¦E¦ longs total, the build side of both fetches; the
+    // payload is edge mass, so the gate reads the oriented-edge count
+    val nE = ore.count()
     val adj = ore.groupBy(col("sk").as("node_key"))
       .agg(sort_array(collect_list(col("dk"))).as("nbrs"))
     // common = N⁺(a) ∩ N⁺(b): every element closes one triangle.
     // Inner joins are exact: a's adjacency contains b so sk is always
     // present, and a dk with no out-edges closes nothing.
     val withCommon = ore
-      .join(broadcast(adj), col("sk") === col("node_key"))
+      .join(gatedBuild(spark, adj, nE), col("sk") === col("node_key"))
       .select(col("sk"), col("dk"), col("nbrs").as("na"))
-      .join(broadcast(adj), col("dk") === col("node_key"))
+      .join(gatedBuild(spark, adj, nE), col("dk") === col("node_key"))
       .select(col("sk"), col("dk"),
         array_intersect(col("na"), col("nbrs")).as("common"))
       .filter(size(col("common")) > 0)
@@ -926,6 +993,8 @@ object Graph {
   def neighborhoodJaccard(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val e = thresholdedEdges(spark, dir)
     val (both, deg) = cachedThresholdedBoth(spark, dir)
+    val nV = deg.count()
+    val nE = e.count()
     val wedges = both
       .groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
@@ -939,11 +1008,11 @@ object Graph {
       .filter(col("n_common") >= 2)
     val adjacent = e.select((shiftleft(col("src"), NodeBits) + col("dst")).as("bc"))
     wedges
-      .join(broadcast(adjacent),
+      .join(gatedBuild(spark, adjacent, nE),
         shiftleft(col("b"), NodeBits) + col("c") === col("bc"), "left_anti")
-      .join(broadcast(deg), col("b") === col("node"))
+      .join(gatedBuild(spark, deg, nV), col("b") === col("node"))
       .select(col("b"), col("c"), col("n_common"), col("deg").as("deg_b"))
-      .join(broadcast(deg), col("c") === col("node"))
+      .join(gatedBuild(spark, deg, nV), col("c") === col("node"))
       .select(col("b").as("part_a"), col("c").as("part_b"), col("n_common"),
         round(col("n_common").cast("double") /
           (col("deg_b") + col("deg") - col("n_common")).cast("double"), 6)
@@ -1567,15 +1636,18 @@ object Graph {
     * wrongly in any round hash-mismatches the final core.
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    var edges = cachedThresholdedBoth(spark, dir)._1
+    val (both, degT) = cachedThresholdedBoth(spark, dir)
+    // survivors shrink monotonically, so the initial |V| gates every round
+    val nV = degT.count()
+    var edges = both
     for (_ <- 1 to KCoreRounds) {
       val keep = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
         .select("node")
       edges = edges
-        .join(broadcast(keep), col("src") === col("node"), "left_semi")
-        .join(broadcast(keep), col("dst") === col("node"), "left_semi")
+        .join(gatedBuild(spark, keep, nV), col("src") === col("node"), "left_semi")
+        .join(gatedBuild(spark, keep, nV), col("dst") === col("node"), "left_semi")
         .localCheckpoint(true)
     }
     edges.groupBy(col("src").as("part_id"))
@@ -1621,10 +1693,11 @@ object Graph {
     */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     val (both, deg) = cachedThresholdedBoth(spark, dir)
+    val nV = deg.count()
     both
-      .join(broadcast(deg), col("src") === col("node"))
+      .join(gatedBuild(spark, deg, nV), col("src") === col("node"))
       .select(col("dst"), col("deg").as("dx"))
-      .join(broadcast(deg), col("dst") === col("node"))
+      .join(gatedBuild(spark, deg, nV), col("dst") === col("node"))
       .select(col("dx"), col("deg").as("dy"))
       .agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
         sum(col("dx") * col("dy")).as("sxy"),
@@ -1695,36 +1768,43 @@ object Graph {
   private[graft] def cachedLpaLabels(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("graph_lpa_labels", dir)) {
       val e = thresholdedEdges(spark, dir)
-      // pre-partitioned on src ONCE and CACHED (not checkpointed — a
+      val bc = cachedThresholdedBoth(spark, dir)._2.count() <= maxBroadcastRows(spark)
+      // pre-partitioned ONCE and CACHED (not checkpointed — a
       // LogicalRDD under AQE forgets its partitioning, an
-      // InMemoryRelation advertises it): the broadcast vote join
-      // preserves hashpartitioning(src), which satisfies BOTH
-      // per-round groupings (src,lbl ⊇ src) — so every LPA round runs
-      // exchange-free (plan-locked in the spec). Lineage is one scan
-      // deep; nothing to truncate.
+      // InMemoryRelation advertises it). Broadcast face: partition on
+      // src — the broadcast vote join preserves hashpartitioning(src),
+      // which satisfies BOTH per-round groupings (src,lbl ⊇ src), so
+      // every round runs exchange-free (plan-locked in the spec).
+      // Shuffle face (labels past the budget): partition on dst — the
+      // co-partitioned label probe then exchanges only the label side,
+      // and the vote agg is the round's one edge-volume shuffle.
       val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
+        .repartition(col(if (bc) "src" else "dst"))
         .cache()
       edges.count()
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"))
         .localCheckpoint(true)
       for (_ <- 1 to LpaRounds) {
-        labels = lpaVoteRound(edges, labels).localCheckpoint(true)
+        labels = lpaVoteRound(edges, labels, bc).localCheckpoint(true)
       }
       labels
     }
 
-  /** One synchronous LPA vote round: broadcast the label table onto the
-    * src-partitioned edge list, count neighbor votes, argmax with the
-    * (count DESC, label ASC) tie-break. Both aggregations cluster on a
-    * superset of {src}, so over [[cachedLpaLabels]]' pre-partitioned
-    * edges the round plans with ZERO shuffle exchanges (spec-locked) —
-    * per round the cluster moves only the |V|-row broadcast.
+  /** One synchronous LPA vote round: join the label table onto the
+    * pre-partitioned edge list (broadcast within the budget, shuffled
+    * hash join past it), count neighbor votes, argmax with the
+    * (count DESC, label ASC) tie-break. On the broadcast face both
+    * aggregations cluster on a superset of {src}, so over
+    * [[cachedLpaLabels]]' src-partitioned edges the round plans with
+    * ZERO shuffle exchanges (spec-locked) — per round the cluster moves
+    * only the |V|-row broadcast.
     */
-  private[graft] def lpaVoteRound(edges: DataFrame, labels: DataFrame): DataFrame =
+  private[graft] def lpaVoteRound(edges: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = true): DataFrame =
     edges
-      .join(broadcast(labels), col("dst") === col("node"))
+      .join(if (broadcastLabels) broadcast(labels) else labels.hint("shuffle_hash"),
+        col("dst") === col("node"))
       .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
       .groupBy(col("src"))
       .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
@@ -1780,14 +1860,15 @@ object Graph {
       .select(col("node").as("part_id"), col("lbl").as("community_id"))
     val e = thresholdedEdges(spark, dir)
     val deg = cachedThresholdedBoth(spark, dir)._2
+    val nV = deg.count()
     val m = e.agg(count(lit(1)).as("n_edges"))
     val lin = e
-      .join(broadcast(lab.select(col("part_id").as("src"), col("community_id").as("ca"))), Seq("src"))
-      .join(broadcast(lab.select(col("part_id").as("dst"), col("community_id").as("cb"))), Seq("dst"))
+      .join(gatedBuild(spark, lab.select(col("part_id").as("src"), col("community_id").as("ca")), nV), Seq("src"))
+      .join(gatedBuild(spark, lab.select(col("part_id").as("dst"), col("community_id").as("cb")), nV), Seq("dst"))
       .filter(col("ca") === col("cb"))
       .agg(count(lit(1)).as("l_in"))
     val dsums = lab
-      .join(broadcast(deg.select(col("node").as("part_id"), col("deg"))), Seq("part_id"))
+      .join(gatedBuild(spark, deg.select(col("node").as("part_id"), col("deg")), nV), Seq("part_id"))
       .groupBy("community_id").agg(sum("deg").as("d_c"))
       .agg(count(lit(1)).as("n_communities"), sum(col("d_c") * col("d_c")).as("sdc2"))
     dsums.crossJoin(lin).crossJoin(m)
