@@ -36,20 +36,28 @@ object BinaryPipeline {
       (256 + math.abs(h % 512), 256 + math.abs((h >> 9) % 512), 3)
     }
 
-    /** "Extract" a FeatureDim-dim feature vector — a rolling statistic
-      * over the bytes, standing in for a real embedding model forward
-      * pass. Deterministic in the payload.
+    /** "Extract" a FeatureDim-dim feature vector — per-bucket byte sums
+      * (positions ≡ k mod FeatureDim) normalized by 255 and the bucket
+      * width, standing in for a real embedding model forward pass.
+      * Deterministic AND order-free: the bucket sums are exact integers
+      * and the single double division chain + float32 cast are
+      * IEEE-determined, so an external engine recomputes the vector
+      * bit-identically from the payload bytes — [[featureExtractSql]]
+      * does exactly that, which is what promotes mm_feature_extract /
+      * mm_similar_topk to hash-certified while the codec stays an
+      * honest stub (a real deployment still swaps this object out).
       */
     def features(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](FeatureDim)
+      val sums = new Array[Long](FeatureDim)
       var i = 0
       while (i < payload.length) {
-        acc(i % FeatureDim) += (payload(i) & 0xFF) / 255.0f
+        sums(i % FeatureDim) += (payload(i) & 0xFF)
         i += 1
       }
       val n = math.max(payload.length / FeatureDim, 1)
+      val acc = new Array[Float](FeatureDim)
       var j = 0
-      while (j < FeatureDim) { acc(j) /= n.toFloat; j += 1 }
+      while (j < FeatureDim) { acc(j) = (sums(j) / 255.0 / n).toFloat; j += 1 }
       acc
     }
   }
@@ -309,13 +317,76 @@ object BinaryPipeline {
       .orderBy("cluster_id")
   }
 
-  /** Driver-facing [[featureVectors]]: vector → (norm, hash) scalars. */
+  /** Driver-facing [[featureVectors]]: the full stub feature vector
+    * unpacked into FeatureDim scalar columns (f0..f15, float widened to
+    * double — exact), hash-CERTIFIED: [[featureExtractSql]] recomputes
+    * every component from the payload bytes, so a wrong bucket sum,
+    * normalization, or batch boundary anywhere in the mapPartitions
+    * decode pipeline hash-mismatches.
+    */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions
+    val fs = (0 until StubCodec.FeatureDim).map(k =>
+      col("features").getItem(k).cast("double").as(s"f$k"))
     pipelineRaw(spark, dir)
-      .select(col("item_id"),
-        round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"),
-        xxhash64(col("features").cast("string")).as("feat_hash"))
+      .select(col("item_id") +: col("payload_bytes") +: fs: _*)
       .orderBy("item_id")
   }
+
+  /** Shared oracle CTEs rebuilding the stub feature from the payload
+    * blob: hex-expand the UTF-8 bytes, bucket positions mod FeatureDim,
+    * exact integer sums, then the codec's own double-division chain +
+    * REAL cast — bit-identical to [[StubCodec.features]] because every
+    * step is order-free integer arithmetic until one IEEE-determined
+    * division/cast. Yields `f(doc_id, len, k, fv)` over `documents`.
+    */
+  private def featureCtes: String = {
+    val dim = StubCodec.FeatureDim
+    s"""b AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, CAST((i - 1) % $dim AS INTEGER) AS k,
+       |    ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT AS byte
+       |  FROM (SELECT doc_id, hx, unnest(range(1, CAST(len + 1 AS INTEGER))) AS i FROM b)),
+       |s0 AS (SELECT doc_id, k, sum(byte) AS bs FROM v GROUP BY 1, 2),
+       |ks AS (SELECT unnest(range(0, $dim)) AS k),
+       |f AS (
+       |  SELECT b.doc_id, b.len, ks.k,
+       |    CAST(CAST(coalesce(s0.bs, 0) AS DOUBLE) / 255.0
+       |      / greatest(b.len // $dim, 1) AS REAL) AS fv
+       |  FROM b CROSS JOIN ks
+       |  LEFT JOIN s0 ON s0.doc_id = b.doc_id AND s0.k = ks.k)""".stripMargin
+  }
+
+  /** mm_feature_extract replayed byte-for-byte in the oracle. */
+  def featureExtractSql: String = {
+    val pivot = (0 until StubCodec.FeatureDim).map(k =>
+      s"CAST(max(CASE WHEN k = $k THEN fv END) AS DOUBLE) AS f$k").mkString(",\n  ")
+    s"""WITH $featureCtes
+       |SELECT doc_id AS item_id, CAST(any_value(len) AS INTEGER) AS payload_bytes,
+       |  $pivot
+       |FROM f GROUP BY doc_id ORDER BY item_id""".stripMargin
+  }
+
+  /** mm_similar_topk replayed: the stub features rebuilt from the
+    * payload bytes ([[featureCtes]]) feed the ann_bruteforce_topk
+    * oracle verbatim — certifying the binary→vector→similarity
+    * composition end-to-end.
+    */
+  def similarTopKSql: String =
+    s"""WITH $featureCtes,
+       |fl AS MATERIALIZED (
+       |  SELECT doc_id, list(CAST(fv AS DOUBLE) ORDER BY k) AS v FROM f GROUP BY doc_id),
+       |q AS (SELECT doc_id AS query_id, v AS qv FROM fl WHERE doc_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.doc_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv, e.v), 4) AS cosine
+       |  FROM q JOIN fl e ON e.doc_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }
