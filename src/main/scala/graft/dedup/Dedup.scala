@@ -2271,38 +2271,48 @@ object Dedup {
       .orderBy("tier")
   }
 
+  /** The word-3-gram shingle + df base CTEs shared by the quality-report
+    * oracles (`l`, `sh`, `df` over `documents`).
+    */
+  private def shingleBaseCtes: String =
+    """l AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+      |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+      |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+      |df AS (SELECT sh, count(*) AS n FROM sh GROUP BY sh)""".stripMargin
+
+  /** Exact-Jaccard truth pairs (threshold 0.5) under a df cap — the
+    * `j$tag` CTE both quality oracles probe.
+    */
+  private def truthPairCtes(tag: String, cap: Int): String =
+    s"""pr$tag AS (SELECT s.doc_id, s.sh FROM sh s
+       |  WHERE s.sh NOT IN (SELECT sh FROM df WHERE n > $cap)),
+       |sz$tag AS (SELECT doc_id, count(*) AS sz FROM pr$tag GROUP BY doc_id),
+       |j$tag AS (
+       |  SELECT id_a, id_b,
+       |    round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |        FROM pr$tag a JOIN pr$tag b
+       |          ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) p
+       |  JOIN sz$tag sa ON sa.doc_id = id_a
+       |  JOIN sz$tag sb ON sb.doc_id = id_b
+       |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5)""".stripMargin
+
   val dedupQualityTruthSql: String = {
-    def pairsAt(tag: String, cap: Int): String =
-      s"""pr$tag AS (SELECT s.doc_id, s.sh FROM sh s
-         |  WHERE s.sh NOT IN (SELECT sh FROM df WHERE n > $cap)),
-         |sz$tag AS (SELECT doc_id, count(*) AS sz FROM pr$tag GROUP BY doc_id),
-         |j$tag AS (
-         |  SELECT id_a, id_b,
-         |    round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
-         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |        FROM pr$tag a JOIN pr$tag b
-         |          ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |        GROUP BY 1, 2) p
-         |  JOIN sz$tag sa ON sa.doc_id = id_a
-         |  JOIN sz$tag sb ON sb.doc_id = id_b
-         |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.5)""".stripMargin
     def tierSel(name: String, from: String): String =
       s"""SELECT '$name' AS tier,
          |  (SELECT count(*) FROM $from) AS n_pairs,
          |  (SELECT count(*) FROM $from t WHERE EXISTS (
          |     SELECT 1 FROM j100 w WHERE w.id_a = t.id_a AND w.id_b = t.id_b)) AS n_hits,
          |  (SELECT count(*) FROM j100) AS n_truth""".stripMargin
-    s"""WITH l AS (
-       |  SELECT doc_id,
-       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
-       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
-       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
-       |df AS (SELECT sh, count(*) AS n FROM sh GROUP BY sh),
-       |${pairsAt("100", MaxShingleDf)},
-       |${pairsAt("20", 20)},
+    s"""WITH $shingleBaseCtes,
+       |${truthPairCtes("100", MaxShingleDf)},
+       |${truthPairCtes("20", 20)},
        |t75 AS (SELECT id_a, id_b FROM j100 WHERE jaccard >= 0.75),
        |rows0 AS (
        |  ${tierSel("exact_df100", "j100")}
@@ -2314,5 +2324,94 @@ object Dedup {
        |  round(CASE WHEN n_pairs > 0 THEN n_hits * 1.0 / n_pairs END, 4) AS precision,
        |  round(CASE WHEN n_truth > 0 THEN n_hits * 1.0 / n_truth END, 4) AS recall
        |FROM rows0 ORDER BY tier""".stripMargin
+  }
+
+  /** The MinHash band index in md5 CERTIFICATION MODE — the
+    * dedup_simhash precedent applied to the LSH tier: same shingles,
+    * same [[NumHashes]]×[[BandRows]] geometry, same affine permutation
+    * family ([[minhashA]]/[[minhashB]] mod [[MinhashPrime]]), but the
+    * shingle hash is the replayable md5 coin (first 8 hex chars mod
+    * 2³¹−1) instead of xxhash64, and band mixing is md5 over the
+    * comma-joined minima (first 16 hex chars) instead of the native
+    * FNV-1a kernel — every step an external engine reproduces verbatim.
+    * The production tier ([[lshBandIndex]]) is UNCHANGED: xxhash64 +
+    * the fused codegen kernel stay the throughput path; this mode
+    * exists so the banding machinery itself is hash-certified, not
+    * merely spec-trusted.
+    */
+  private[graft] def md5BandIndex(docs: DataFrame): DataFrame = {
+    val h = transform(filter(col("__sh"), s => s =!= ""),
+      s => pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(2147483647L)))
+    val nBands = NumHashes / BandRows
+    val bandStructs = (0 until nBands).map { i =>
+      struct(lit(i).as("band_id"),
+        substring(md5(concat_ws(",",
+          (0 until BandRows).map(j =>
+            element_at(col("sig"), i * BandRows + j + 1).cast("string")): _*)), 1, 16)
+          .as("band_hash"))
+    }
+    shingled(docs)
+      .select(col("doc_id"), h.as("__h"))
+      // a doc with no non-empty shingle has no signature on either
+      // engine (the oracle's hash CTE simply has no rows for it)
+      .filter(size(col("__h")) > 0)
+      .select(col("doc_id"), minhashFromHashes(col("__h")).as("sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+  }
+
+  /** dedup_quality_report's ORACLE-CERTIFIED md5-mode twin: the LSH
+    * candidate tier ([[qualityTier]] arithmetic included) driven by the
+    * [[md5BandIndex]] signatures, so DuckDB replays shingle hash →
+    * 64 permutation minima → 16 band keys → band-bucket pairs →
+    * precision/recall verbatim ([[dedupQualityReportMd5Sql]]). The
+    * production xxhash64 report keeps its rows-only status by
+    * throughput necessity; this twin certifies the same machinery.
+    */
+  def dedupQualityReportMd5(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cachedJaccardPairs(spark, dir).select("id_a", "id_b")
+    val tier = qualityTier(truth, truth.agg(count(lit(1)).as("n_truth"))) _
+    val bands = md5BandIndex(Tables.documents(spark, dir)).localCheckpoint(true)
+    tier("minhash_bands_md5", lshCandidatesFromIndex(bands))
+  }
+
+  val dedupQualityReportMd5Sql: String = {
+    val aList = minhashA.mkString("[", ", ", "]")
+    val bList = minhashB.mkString("[", ", ", "]")
+    s"""WITH $shingleBaseCtes,
+       |${truthPairCtes("100", MaxShingleDf)},
+       |hx AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(sh), 1, 8))::UBIGINT AS BIGINT) % 2147483647 AS x
+       |  FROM sh WHERE sh <> ''),
+       |xs AS (SELECT doc_id, list(DISTINCT x) AS xs FROM hx GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min(list_transform(xs, x ->
+       |       ($aList[k] * x + $bList[k]) % $MinhashPrime))
+       |     FOR k IN range(1, ${NumHashes + 1})] AS sig
+       |  FROM xs),
+       |bh AS (
+       |  SELECT doc_id, band_id,
+       |    substr(md5(array_to_string(
+       |      sig[band_id * $BandRows + 1 : band_id * $BandRows + $BandRows], ',')),
+       |      1, 16) AS band_hash
+       |  FROM (SELECT doc_id, sig, unnest(range(0, ${NumHashes / BandRows})) AS band_id
+       |        FROM sig)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bh a JOIN bh b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT 'minhash_bands_md5' AS tier,
+       |    (SELECT count(*) FROM cand) AS n_pairs,
+       |    (SELECT count(*) FROM cand t WHERE EXISTS (
+       |       SELECT 1 FROM j100 w WHERE w.id_a = t.id_a AND w.id_b = t.id_b)) AS n_hits,
+       |    (SELECT count(*) FROM j100) AS n_truth)
+       |SELECT tier, n_pairs, n_hits, n_truth,
+       |  round(CASE WHEN n_pairs > 0 THEN n_hits * 1.0 / n_pairs END, 4) AS precision,
+       |  round(CASE WHEN n_truth > 0 THEN n_hits * 1.0 / n_truth END, 4) AS recall
+       |FROM r""".stripMargin
   }
 }

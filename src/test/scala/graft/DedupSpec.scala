@@ -359,6 +359,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"LSH candidate recall ${rep("minhash_bands")._4} below the design floor")
   }
 
+  test("md5 certification mode holds the production banding's recall floor") {
+    val rep = Dedup.dedupQualityReportMd5(spark, sfDir).collect()
+    assert(rep.length === 1 && rep.head.getString(0) === "minhash_bands_md5")
+    val nTruth = rep.head.getLong(3)
+    assert(nTruth === Dedup.ngramJaccard(Tables.documents(spark, sfDir)).count(),
+      "truth column must equal the oracled exact-pair count")
+    // same geometry + same permutation family, only the hash coin
+    // differs — the s-curve recall floor must hold for md5 too
+    assert(rep.head.getDouble(5) >= 0.8,
+      s"md5-mode LSH recall ${rep.head.getDouble(5)} below the design floor")
+  }
+
   test("ngram containment scores full subsumption 1.0 where jaccard dilutes it") {
     import spark.implicits._
     val core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
