@@ -836,6 +836,37 @@ object Analytics {
       .orderBy("o_orderpriority", "quartile")
   }
 
+  /** [[ntileQuartiles]]' SCALE twin — the last exact-percentile entry
+    * whose 100 TB swap was prose: the exact per-group `percentile`
+    * buffers every group value in executor memory, so one skewed
+    * priority group at 100 TB is an OOM. This face computes the three
+    * boundaries with `percentile_approx` (Greenwald–Khanna sketch,
+    * bounded state per group regardless of group size) and keeps the
+    * IDENTICAL broadcast + map-side-assign plan. Rows-only by sketch
+    * nature (the monitor-twin discipline); AnalyticsSpec asserts ≤5%
+    * per-bucket count disagreement against the exact face at sf0.01.
+    * Note percentile_approx returns an ACTUAL value of the column (no
+    * interpolation), so boundaries sit on real prices — the `<=`
+    * tie-to-lower rule is unchanged.
+    */
+  def ntileQuartilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.groupBy("o_orderpriority").agg(
+      expr(s"percentile_approx(o_totalprice, 0.25, $accuracy)").as("b1"),
+      expr(s"percentile_approx(o_totalprice, 0.5, $accuracy)").as("b2"),
+      expr(s"percentile_approx(o_totalprice, 0.75, $accuracy)").as("b3"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .withColumn("quartile",
+        when(col("o_totalprice") <= col("b1"), lit(1))
+          .when(col("o_totalprice") <= col("b2"), lit(2))
+          .when(col("o_totalprice") <= col("b3"), lit(3))
+          .otherwise(lit(4)))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   val ntileQuartilesSql: String =
     """WITH b AS (
       |  SELECT o_orderpriority,

@@ -85,6 +85,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ntile_quartiles_approx tracks the exact quartile buckets within 5%") {
+    // sf0.01 — the agreement-twin regime (at sf0.001 one order-statistic
+    // slide moves a whole-percent of a tiny bucket)
+    val twinDir = "/root/testdata/sf0.01"
+    val exact = Analytics.ntileQuartiles(spark, twinDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val approx = Analytics.ntileQuartilesApprox(spark, twinDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet == exact.keySet, "bucket scaffold must match")
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k bucket count ${approx(k)} vs exact $n")
+    }
+    // each priority still partitions its full group across the buckets
+    val byPrio = approx.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val exactByPrio = exact.groupBy(_._1._1).view.mapValues(_.values.sum)
+    byPrio.foreach { case (p, tot) => assert(tot == exactByPrio(p),
+      s"$p total drifted: $tot vs ${exactByPrio(p)}") }
+  }
+
   test("monitor scale twins (t-digest) agree with their exact faces") {
     def rel(a: Double, b: Double): Double =
       if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
