@@ -146,18 +146,28 @@ object AvroEnvelope {
           reader.read(null, DecoderFactory.get.binaryDecoder(body, null))
         }
         it.map { r =>
-          val k = read(kReader, r.getAs[Array[Byte]](0))
-          val v = read(vReader, r.getAs[Array[Byte]](1))
-          val src = v.get("source").asInstanceOf[GenericRecord]
+          val kBytes = r.getAs[Array[Byte]](0)
+          val vBytes = r.getAs[Array[Byte]](1)
+          // Debezium emits a null-value TOMBSTONE after every delete on
+          // compacted topics (and routing can null a key) — mirror the
+          // JSON path, where from_json over a null payload yields null
+          // fields instead of crashing the task: the key (when present)
+          // still identifies the record, everything else is null and a
+          // downstream `op IS NOT NULL` filter drops tombstones.
+          val k = if (kBytes == null) null else read(kReader, kBytes)
+          val v = if (vBytes == null) null else read(vReader, vBytes)
+          val src =
+            if (v == null) null else v.get("source").asInstanceOf[GenericRecord]
           val lsn: Any =
             if (src == null) null
             else Option(src.get("lsn")).orElse(Option(src.get("pos"))).orNull
           Row.fromSeq(
-            pk.fields.toIndexedSeq.map(f => fromAvro(k.get(f.name), f.dataType)) ++ Seq(
-              fromAvro(v.get("op"), StringType),
-              fromAvro(v.get("ts_ms"), LongType),
-              fromAvro(v.get("before"), rs),
-              fromAvro(v.get("after"), rs),
+            pk.fields.toIndexedSeq.map(f =>
+              if (k == null) null else fromAvro(k.get(f.name), f.dataType)) ++ Seq(
+              if (v == null) null else fromAvro(v.get("op"), StringType),
+              if (v == null) null else fromAvro(v.get("ts_ms"), LongType),
+              if (v == null) null else fromAvro(v.get("before"), rs),
+              if (v == null) null else fromAvro(v.get("after"), rs),
               if (src == null) null else fromAvro(src.get("table"), StringType),
               lsn))
         }

@@ -70,7 +70,10 @@ object DeltaExport {
         s""""schemaString":"${esc(schemaJson)}","partitionColumns":[],""" +
         s""""configuration":{},"createdTime":$created}}""") ++
       files.map { st =>
-        s"""{"add":{"path":"${esc(st.getPath.getName)}","partitionValues":{},""" +
+        // Delta requires add.path to be a percent-encoded RELATIVE URI;
+        // Spark part-file names pass through unchanged, but a name with
+        // a reserved character would otherwise produce an unreadable log
+        s"""{"add":{"path":"${esc(new java.net.URI(null, null, st.getPath.getName, null).toASCIIString)}","partitionValues":{},""" +
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
           s""""dataChange":true}}"""
       }

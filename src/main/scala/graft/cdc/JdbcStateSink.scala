@@ -15,18 +15,28 @@ import org.apache.spark.sql.DataFrame
   * publishing a FILTERED projection (a serving mart) per batch, which
   * `publish(df)` supports by taking an arbitrary DataFrame.
   *
-  * No database ships in this container, so this class is exercised only
-  * for its option plumbing in specs; the write path is the standard
-  * DataFrameWriter jdbc sink.
+  * The write path is exercised for real against embedded Derby
+  * (CdcSpec "jdbc round trip": publish via this sink, read back with a
+  * partitioned `spark.read.jdbc`, row-for-row equality — strictly more
+  * than the reference IT's `rs != null` assertion), in addition to the
+  * option-plumbing specs.
   */
-class JdbcStateSink(jdbc: JdbcConfig, batchSize: Int = 10000) {
+class JdbcStateSink(jdbc: JdbcConfig, batchSize: Int = 10000,
+    numPartitions: Int = 8) {
 
+  /** `numPartitions` caps the writer's connection fan-out — a serving
+    * mart publish must not open one connection per upstream shuffle
+    * partition (the default parallelism at 100 TB), so the bound sits
+    * next to `batchsize` where the reference's JDBCConfig carries its
+    * connection knobs.
+    */
   def writerOptions: Map[String, String] = Map(
     "url" -> jdbc.url,
     "dbtable" -> jdbc.tableName,
     "user" -> jdbc.user,
     "password" -> jdbc.password,
     "batchsize" -> batchSize.toString,
+    "numPartitions" -> numPartitions.toString,
     "truncate" -> "true",
     "isolationLevel" -> "READ_COMMITTED")
 

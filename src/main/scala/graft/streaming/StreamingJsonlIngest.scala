@@ -49,13 +49,32 @@ class StreamingJsonlIngestJob(spark: SparkSession, corpusPath: String,
       batchId)
   }
 
-  /** The ingested corpus (batch partition column dropped). */
-  def readCorpus(): DataFrame =
-    spark.read.parquet(corpusPath).drop("batch")
+  /** True when `path` exists with at least one batch subdirectory —
+    * before the first micro-batch commits, neither output root exists
+    * and a bare read would throw AnalysisException; the readers return
+    * an empty frame of the contract schema instead.
+    */
+  private def hasBatches(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+  }
 
-  /** Quarantined raw lines across all batches. */
+  private def emptyOf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** The ingested corpus (batch partition column dropped); empty with
+    * the corpus schema before any batch has been processed.
+    */
+  def readCorpus(): DataFrame =
+    if (!hasBatches(corpusPath)) emptyOf(CorpusIO.DocSchema)
+    else spark.read.parquet(corpusPath).drop("batch")
+
+  /** Quarantined raw lines across all batches; empty before any batch. */
   def readQuarantine(): DataFrame =
-    spark.read.text(s"$quarantinePath/batch=*").toDF("raw_line")
+    if (!hasBatches(quarantinePath))
+      emptyOf(org.apache.spark.sql.types.StructType(Seq(StructField("raw_line", StringType))))
+    else spark.read.text(s"$quarantinePath/batch=*").toDF("raw_line")
 
   /** (k, n) ingest counters: clean / corrupt line totals. */
   def readStats(): DataFrame = {

@@ -223,6 +223,23 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     val got2 = readBack()
     assert(got2.exceptAll(mart).count() === 0 && mart.exceptAll(got2).count() === 0,
       "republish must replace, not append")
+
+    // PARTITIONED read-back — the parallel-read face the serving-mart
+    // story implies (a BI engine range-splitting the published table):
+    // key-range predicates per partition must tile the table exactly
+    val bounds = mart.agg(min("user_id"), max("user_id")).head
+    val gotPart = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "user_state")
+      .option("user", "test").option("password", "Test123")
+      .option("partitionColumn", "user_id")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", bounds.getLong(1).toString)
+      .option("numPartitions", "4").load()
+      .select(col("user_id").cast("long"), col("last_event_type"),
+        col("last_value"), col("last_ts_ms").cast("long"))
+    assert(gotPart.rdd.getNumPartitions === 4, "range split must fan out")
+    assert(gotPart.exceptAll(mart).count() === 0 && mart.exceptAll(gotPart).count() === 0,
+      "partitioned JDBC read must tile the table without loss or overlap")
   }
 
   test("Delta-layout export is a spec-compliant single-version table") {
@@ -291,6 +308,34 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(framed.exceptAll(decoded).count() === 0
         && decoded.exceptAll(framed).count() === 0,
       "framing must be transparent to the decoded frame")
+  }
+
+  test("Avro decode survives Debezium tombstones (null value) and null keys") {
+    val ch = CdcOps.userChangelog(spark, sfDir).limit(4).localCheckpoint(true)
+    val after = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val before = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val wire = AvroEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+      after, before, "users", lsnCol = col("seq")).localCheckpoint(true)
+    // compacted-topic reality: a tombstone (key, null) follows every
+    // delete, and exotic routing can null a key — neither may crash
+    val withTombs = wire
+      .unionAll(wire.limit(2).select(col("key"), lit(null).cast("binary").as("value")))
+      .unionAll(wire.limit(1).select(lit(null).cast("binary").as("key"), col("value")))
+    val decoded = AvroEnvelope.decode(withTombs,
+      CdcQueries.userPkSchema, CdcQueries.userRowSchema).localCheckpoint(true)
+    assert(decoded.count() === wire.count() + 3, "every record decodes to a row")
+    val tombs = decoded.filter(col("op").isNull)
+    assert(tombs.count() === 2, "tombstones surface as null-op rows")
+    assert(tombs.filter(col("user_id").isNull || col("after").isNotNull
+        || col("before").isNotNull).count() === 0,
+      "a tombstone keeps its key and nothing else")
+    assert(decoded.filter(col("user_id").isNull).count() === 1,
+      "a null key decodes to null pk fields, value intact")
+    // the op IS NOT NULL filter recovers exactly the real changelog
+    assert(decoded.filter(col("op").isNotNull && col("user_id").isNotNull).count()
+      === wire.count(), "filtering tombstones recovers the changelog")
   }
 
   test("CdcStreamJob end-to-end survives a restart from checkpoint") {

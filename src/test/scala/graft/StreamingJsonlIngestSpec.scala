@@ -20,6 +20,18 @@ class StreamingJsonlIngestSpec extends AnyFunSuite with SparkSpec {
     CorpusIO.readJsonl(spark, tmp)
   }
 
+  test("readers return empty contract-schema frames before any batch exists") {
+    val base = java.nio.file.Files.createTempDirectory("sji-empty").toString
+    val job = new StreamingJsonlIngestJob(spark,
+      s"$base/corpus", s"$base/quarantine", s"$base/stats")
+    val corpus = job.readCorpus()
+    assert(corpus.schema === CorpusIO.DocSchema && corpus.count() === 0,
+      "pre-first-batch corpus read must be empty, not an AnalysisException")
+    val q = job.readQuarantine()
+    assert(q.columns.toSeq === Seq("raw_line") && q.count() === 0,
+      "pre-first-batch quarantine read must be empty")
+  }
+
   test("clean/corrupt split lands on the right sinks; replay is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("sji").toString
     val job = new StreamingJsonlIngestJob(spark,
