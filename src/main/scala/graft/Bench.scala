@@ -102,7 +102,21 @@ object Bench {
     // load-sensitive point statistic available at this budget. Each
     // trial is guarded independently, so a trial-2 failure still keeps
     // trial 1's real measurement (the query is flaky, not free).
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Timed ORDER is a fixed pseudo-random permutation (sort by md5 of
+    // the entry name), not alphabetical: the first-timed entries absorb
+    // whatever post-warmup contention the box still carries, and
+    // alphabetical order pinned that cost on the same c-prefixed
+    // entries every round (the r12 driver run read curation_*/corpus_*
+    // at 4–6× their idle-box pins purely by position). The name-hash
+    // order spreads the settling across unrelated families while
+    // staying identical across rounds and boxes — deterministic with no
+    // seed to drift, so cross-round per-query diffs stay like-for-like.
+    val timedOrder = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(n.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    }
+    val runs = timedOrder.map { case (name, fn) =>
       def trial(): Option[Double] =
         try {
           val t0 = System.nanoTime()
