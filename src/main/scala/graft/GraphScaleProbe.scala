@@ -46,6 +46,25 @@ object GraphScaleProbe {
         println(f"PROBE $dir $n ${ts.min}%.2f s")
       }
     }
+    // SHUFFLE-FACE pass: the iterative entries with the broadcast
+    // budget forced to 0 (graft.graph.maxBroadcastRows) — every gated
+    // build side runs as a co-partitioned shuffled hash join, the plan
+    // a 100 TB graph forces. Fresh sibling session per dir so the
+    // shared artifacts rebuild under the forced gate.
+    val gated = Seq("graph_pagerank", "graph_ppr", "graph_hits", "graph_lpa",
+      "graph_triangles", "graph_jaccard", "graph_kcore")
+    dirs.foreach { dir =>
+      val s = spark.newSession()
+      s.conf.set("graft.graph.maxBroadcastRows", "0")
+      try gated.foreach { n =>
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(s, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROBE-SHUFFLE $dir $n ${ts.min}%.2f s")
+      } finally SessionCache.invalidate(s)
+    }
     spark.stop()
   }
 }
