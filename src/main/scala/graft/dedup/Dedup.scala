@@ -2340,22 +2340,48 @@ object Dedup {
     * merely spec-trusted.
     */
   private[graft] def md5BandIndex(docs: DataFrame): DataFrame = {
-    val h = transform(filter(col("__sh"), s => s =!= ""),
-      s => pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), lit(2147483647L)))
     val nBands = NumHashes / BandRows
+    // band key: first 15 hex chars of md5 over the comma-joined minima,
+    // parsed to a LONG (< 2⁶⁰ — positive, cheap join key on both sides)
     val bandStructs = (0 until nBands).map { i =>
       struct(lit(i).as("band_id"),
-        substring(md5(concat_ws(",",
+        conv(substring(md5(concat_ws(",",
           (0 until BandRows).map(j =>
-            element_at(col("sig"), i * BandRows + j + 1).cast("string")): _*)), 1, 16)
-          .as("band_hash"))
+            element_at(col("sig"), i * BandRows + j + 1).cast("string")): _*)), 1, 15),
+          16, 10).cast("long").as("band_hash"))
     }
-    shingled(docs)
-      .select(col("doc_id"), h.as("__h"))
-      // a doc with no non-empty shingle has no signature on either
-      // engine (the oracle's hash CTE simply has no rows for it)
-      .filter(size(col("__h")) > 0)
-      .select(col("doc_id"), minhashFromHashes(col("__h")).as("sig"))
+    // md5 shingle hashing runs EXPLODED in [[explodedNgrams]]' safe plan
+    // shape (explode of the n-gram EXPRESSION over the materialized
+    // token attribute — exploding a shingle-array attribute instead
+    // trips the SPARK-33544 InferFiltersFromGenerate landmine and
+    // re-runs the interpreted shingle build serially in the scan task:
+    // 10 s of this entry's first sf0.1 pin), with codegen'd md5/conv on
+    // plain columns and one doc-keyed shuffle to re-gather arrays. A
+    // doc with no non-empty shingle has no row here on either engine
+    // (the oracle's hash CTE likewise).
+    val hashes = docs
+      .select(col("doc_id"), toks(col("text")).as("__t"))
+      .select(col("doc_id"), explode(ngramsOfToks(col("__t"), 3)).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"),
+          lit(2147483647L)).as("x"))
+      .groupBy("doc_id").agg(collect_list(col("x")).as("__h"))
+    // the signature frame MUST materialize before the band projection:
+    // CollapseProject would otherwise inline the `sig` alias into all
+    // 16 bands × 4 element_at references — 64 re-executions of the
+    // whole minima loop per row (measured 13 s of the first sf0.1 pin;
+    // 0.2 s materialized). |docs| rows × 64 longs — a trivial
+    // checkpoint. Same landmine family as lshBandIndex's
+    // explode-of-expression note.
+    val sig = hashes
+      // the fused native minima loop — the interpreted HOF form
+      // (minhashFromHashes) is spec-held arithmetically identical
+      .select(col("doc_id"),
+        graft.functions.MinHashExpression.minhashMins(col("__h"),
+          minhashA.toIndexedSeq, minhashB.toIndexedSeq, MinhashPrime).as("sig"))
+      .localCheckpoint(true)
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
   }
@@ -2393,9 +2419,9 @@ object Dedup {
        |  FROM xs),
        |bh AS (
        |  SELECT doc_id, band_id,
-       |    substr(md5(array_to_string(
+       |    CAST(('0x' || substr(md5(array_to_string(
        |      sig[band_id * $BandRows + 1 : band_id * $BandRows + $BandRows], ',')),
-       |      1, 16) AS band_hash
+       |      1, 15))::UBIGINT AS BIGINT) AS band_hash
        |  FROM (SELECT doc_id, sig, unnest(range(0, ${NumHashes / BandRows})) AS band_id
        |        FROM sig)),
        |cand AS (

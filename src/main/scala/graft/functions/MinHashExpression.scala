@@ -40,6 +40,18 @@ object MinHashExpression {
   def minhashBandHashes(hashes: Column, a: IndexedSeq[Long], b: IndexedSeq[Long],
                         prime: Long, bandRows: Int): Column =
     GraftExpressionBridge.column(MinHashBands(expr(hashes), a, b, prime, bandRows))
+
+  /** The RAW K permutation minima (no band mixing) — the certification-
+    * mode face: the md5-banded oracle twin needs the minima themselves
+    * so an external engine can replay the banding with a published hash
+    * (md5) instead of the internal FNV kernel. Same fused primitive
+    * loop as [[minhashBandHashes]] (the K interpreted HOF passes it
+    * replaces were the dominant cost of the md5 twin — 16 s of its
+    * first sf0.1 pin).
+    */
+  def minhashMins(hashes: Column, a: IndexedSeq[Long], b: IndexedSeq[Long],
+                  prime: Long): Column =
+    GraftExpressionBridge.column(MinHashMins(expr(hashes), a, b, prime))
 }
 
 /** See [[MinHashExpression.minhashBandHashes]]. `a`/`b` are IndexedSeq
@@ -127,6 +139,74 @@ case class MinHashBands(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Lo
          |  $bands[$t] = $acc;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($bands);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** See [[MinHashExpression.minhashMins]] — the minima loop of
+  * [[MinHashBands]] without the band fold, identical affine arithmetic.
+  */
+case class MinHashMins(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Long],
+                       prime: Long) extends UnaryExpression {
+  require(a.length == b.length && a.nonEmpty,
+    "coefficient arrays must be equal-length and non-empty")
+  private val numHashes = a.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_mins"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${t.sql}")
+  }
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[ArrayData]
+    val n = h.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!h.isNullAt(i)) {
+        val x = h.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val v = (aArr(k) * x + bArr(k)) % prime
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, h => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val x = ctx.freshName("x"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $h.numElements();
+         |final long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$h.isNullAt($i)) {
+         |    final long $x = $h.getLong($i);
+         |    for (int $k = 0; $k < $numHashes; $k++) {
+         |      final long $v = ($aRef[$k] * $x + $bRef[$k]) % ${prime}L;
+         |      if ($v < $mins[$k]) $mins[$k] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
        """.stripMargin
     })
   }

@@ -359,6 +359,19 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"LSH candidate recall ${rep("minhash_bands")._4} below the design floor")
   }
 
+  test("fused minhash minima equal the HOF formulation element-for-element") {
+    val h = Dedup.shingleHashes(Dedup.shingles(col("text")))
+    val both = Tables.documents(spark, sfDir).limit(200)
+      .select(h.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(Dedup.minhashFromHashes(col("hs")).as("hof"),
+        graft.functions.MinHashExpression.minhashMins(col("hs"),
+          Dedup.minhashA.toIndexedSeq, Dedup.minhashB.toIndexedSeq,
+          Dedup.MinhashPrime).as("fused"))
+    assert(both.filter(col("hof") =!= col("fused")).count() === 0,
+      "the native loop must reproduce the certified affine-min arithmetic")
+  }
+
   test("md5 certification mode holds the production banding's recall floor") {
     val rep = Dedup.dedupQualityReportMd5(spark, sfDir).collect()
     assert(rep.length === 1 && rep.head.getString(0) === "minhash_bands_md5")
