@@ -252,8 +252,8 @@ object BinaryPipeline {
     * for: stub-extracted features fed straight into the similarity
     * tier's exact top-k (broadcast queries, one corpus scan). A real
     * deployment swaps the codec, not this plumbing; at scale the same
-    * frame feeds the LSH/IVF candidate generators instead. Rows-only
-    * checked (values are stub-codec-specific).
+    * frame feeds the LSH/IVF candidate generators instead.
+    * Hash-certified since r13 (byte-replayable stub features).
     */
   def similarTopK(spark: SparkSession, dir: String): DataFrame = {
     val feats = pipelineRaw(spark, dir)
@@ -267,8 +267,10 @@ object BinaryPipeline {
     * probe the persisted-index path (`ivfTopKFromIndex`). Brute force
     * scores every (query, item) pair; this touches nProbe cells per
     * query — the same swap a real deployment makes once the corpus
-    * outgrows one scan per query batch. Rows-only (centroid-specific);
-    * recall vs brute force is spec-asserted.
+    * outgrows one scan per query batch. r13: PROMOTED rows-only →
+    * hash-certified ([[similarTopKIvfSql]] — ann_ivf_topk's certified
+    * quantizer CTEs over byte-replayed features); recall vs brute
+    * force stays spec-asserted.
     */
   def similarTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     // pipelineRaw is already checkpoint-memoized, so quantizer
@@ -286,8 +288,10 @@ object BinaryPipeline {
     * ADC scoring only inside probed cells (`Ann.ivfpqTopK`). The
     * feature vectors are 16-dim, so 8 subspaces of 2 dims each keep
     * the codebooks honest (16 codes per 2-dim subspace ≈ lossless at
-    * this dim). Rows-only (centroid/codebook-specific); recall vs the
-    * exact tier is spec-asserted next to the flat-IVF variant's.
+    * this dim). r13: PROMOTED rows-only → hash-certified
+    * ([[similarTopKIvfPqSql]] — the certified quantizer + PQ/ADC CTEs
+    * over byte-replayed features); recall vs the exact tier stays
+    * spec-asserted next to the flat-IVF variant's.
     */
   def similarTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val feats = pipelineRaw(spark, dir)
@@ -300,9 +304,12 @@ object BinaryPipeline {
     * over the stub feature vectors, rolled up per cluster — the
     * "group my corpus into visual/audio buckets" pass a multimodal
     * curation pipeline runs for stratified sampling and mix control.
-    * Rows-only (the features are codec-specific); the k-means
-    * machinery itself is hash-certified by `embedding_kmeans`, so
-    * this entry only adds the composition, spec-held deterministic.
+    * r13: PROMOTED rows-only → hash-certified — the features are
+    * byte-replayable since the stub rework, so [[mediaKmeansSql]]
+    * composes the shared Lloyd replay over them; the per-cluster mean
+    * distance folds over 4-dp-quantized INTEGER sufficient stats (the
+    * embedding_outliers discipline) so no cross-row double summation
+    * order can hash-diverge.
     */
   def mediaKmeans(spark: SparkSession, dir: String): DataFrame = {
     import graft.similarity.KMeans
@@ -313,7 +320,8 @@ object BinaryPipeline {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_items"),
         min(col("vec_id")).as("min_item"), max(col("vec_id")).as("max_item"),
-        round(avg(col("dist")), 4).as("mean_dist"))
+        round(sum(round(col("dist") * 1e4).cast("long")).cast("double")
+          / count(lit(1)) / 1e4, 4).as("mean_dist"))
       .orderBy("cluster_id")
   }
 
@@ -369,15 +377,21 @@ object BinaryPipeline {
        |FROM f GROUP BY doc_id ORDER BY item_id""".stripMargin
   }
 
+  /** [[featureCtes]] extended with the per-doc DOUBLE[] vector list
+    * `fl` — the prefix every vector-consuming mm oracle composes over.
+    */
+  private def featureListCtes: String =
+    s"""$featureCtes,
+       |fl AS MATERIALIZED (
+       |  SELECT doc_id, list(CAST(fv AS DOUBLE) ORDER BY k) AS v FROM f GROUP BY doc_id)""".stripMargin
+
   /** mm_similar_topk replayed: the stub features rebuilt from the
     * payload bytes ([[featureCtes]]) feed the ann_bruteforce_topk
     * oracle verbatim — certifying the binary→vector→similarity
     * composition end-to-end.
     */
   def similarTopKSql: String =
-    s"""WITH $featureCtes,
-       |fl AS MATERIALIZED (
-       |  SELECT doc_id, list(CAST(fv AS DOUBLE) ORDER BY k) AS v FROM f GROUP BY doc_id),
+    s"""WITH $featureListCtes,
        |q AS (SELECT doc_id AS query_id, v AS qv FROM fl WHERE doc_id < 10),
        |scored AS (
        |  SELECT q.query_id, e.doc_id AS neighbor_id,
@@ -389,4 +403,38 @@ object BinaryPipeline {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, cosine FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val FeatureECte: String = "SELECT doc_id AS vec_id, v FROM fl"
+
+  /** mm_similar_ivf replayed: the certified IVF coarse-quantizer replay
+    * (ann_ivf_topk's CTEs) composed over the byte-replayed stub
+    * features — binary → vector → trained index, all hash-certified.
+    */
+  def similarTopKIvfSql: String =
+    graft.similarity.Ann.ivfTopKSqlWith(featureListCtes, FeatureECte)
+
+  /** mm_similar_ivfpq replayed: the certified IVF-PQ replay
+    * (quantizer + PQ codebooks + ADC LUTs) over the stub features,
+    * at the mm tier's 16-dim / 8-subspace geometry.
+    */
+  def similarTopKIvfPqSql: String =
+    graft.similarity.Ann.ivfpqTopKSqlWith(featureListCtes, FeatureECte,
+      dim = StubCodec.FeatureDim, nSub = 8)
+
+  /** mm_kmeans replayed: the shared Lloyd replay
+    * ([[graft.similarity.KMeans.kmeansReplayCtes]]) over the exploded
+    * stub features, rolled up per cluster with the integer-quantized
+    * mean (the embedding_outliers sufficient-stat discipline — a plain
+    * avg over doubles would hash on summation order).
+    */
+  def mediaKmeansSql: String =
+    s"""WITH $featureListCtes,
+       |${graft.similarity.KMeans.kmeansReplayCtes(
+           "SELECT doc_id AS vec_id, CAST(k + 1 AS INT) AS d, CAST(fv AS DOUBLE) AS x FROM f")},
+       |asg AS (SELECT vec_id, cid AS cluster_id, dist FROM fin WHERE rk = 1)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_items,
+       |  min(vec_id) AS min_item, max(vec_id) AS max_item,
+       |  round(CAST(sum(CAST(round(dist * 1e4) AS BIGINT)) AS DOUBLE) / count(*) / 1e4, 4)
+       |    AS mean_dist
+       |FROM asg GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 }

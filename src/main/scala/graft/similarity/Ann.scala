@@ -1507,7 +1507,9 @@ object Ann {
     * `asg` (vec_id, cell).
     */
   private[graft] def ivfQuantizerCtes(nCells: Int = 16, trainSize: Int = 4096,
-      trainWhere: String = "TRUE"): String = {
+      trainWhere: String = "TRUE",
+      eCte: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+      : String = {
     val rounds = (1 to 3).map { i =>
       s"""a$i AS (SELECT rn, cid FROM (
          |  SELECT s.rn, c.cid, row_number() OVER (PARTITION BY s.rn
@@ -1521,8 +1523,8 @@ object Ann {
          |    SELECT cid, list(m ORDER BY d) AS cl FROM m$i GROUP BY cid) nl
          |  USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |p AS (SELECT greatest((SELECT count(*) FROM embeddings
+    s"""e AS ($eCte),
+       |p AS (SELECT greatest((SELECT count(*) FROM e
        |                       WHERE $trainWhere) // $trainSize, 1) AS stride),
        |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v
        |      FROM e, p WHERE ($trainWhere) AND vec_id % stride = 0),
@@ -1590,8 +1592,8 @@ object Ann {
     * `codes` (vec_id, m, cid), `dn` (vec_id, dnorm2), `lut`
     * (query_id, m, cid, qnorm, dot).
     */
-  private def pqAdcCtes(nSub: Int = 16, nQueries: Int = 10): String = {
-    val subDim = Dim / nSub
+  private def pqAdcCtes(nSub: Int = 16, nQueries: Int = 10, dim: Int = Dim): String = {
+    val subDim = dim / nSub
     val rounds = (1 to 3).map { i =>
       s"""pa$i AS (SELECT m, rn, cid FROM (
          |  SELECT sv.m, sv.rn, c.cid, row_number() OVER (PARTITION BY sv.m, sv.rn
@@ -1732,12 +1734,14 @@ object Ann {
     * probes its nProbe nearest cells and ranks candidates by the same
     * 4-dp cosine / vec_id ordering the Spark tier uses.
     */
-  val ivfTopKSql: String =
-    s"""WITH ${ivfQuantizerCtes()},
-       |qp AS (SELECT query_id, cell FROM (
+  /** The probe + exact-rescore + rank tail of the flat-IVF replay —
+    * generic over whatever `e` the quantizer CTEs were built on.
+    */
+  private def ivfRankTail(nProbe: Int = 4, k: Int = 5): String =
+    s"""qp AS (SELECT query_id, cell FROM (
        |  SELECT e.vec_id AS query_id, c.cid AS cell, row_number() OVER (
        |    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cl), c.cid) AS rk
-       |  FROM e, c3 c WHERE e.vec_id < 10) WHERE rk <= 4),
+       |  FROM e, c3 c WHERE e.vec_id < 10) WHERE rk <= $nProbe),
        |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
        |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
        |  FROM qp JOIN asg a USING (cell)
@@ -1747,7 +1751,34 @@ object Ann {
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
        |SELECT query_id, neighbor_id, rank, cosine FROM ranked
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  val ivfTopKSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |${ivfRankTail()}""".stripMargin
+
+  /** The flat-IVF replay over an EXTERNAL vector source: `prefixCtes`
+    * supplies whatever builds it, `eCte` the (vec_id, v DOUBLE[])
+    * projection — how mm_similar_ivf composes the certified quantizer
+    * over the byte-replayed stub features.
+    */
+  private[graft] def ivfTopKSqlWith(prefixCtes: String, eCte: String): String =
+    s"""WITH $prefixCtes,
+       |${ivfQuantizerCtes(eCte = eCte)},
+       |${ivfRankTail()}""".stripMargin
+
+  /** The IVF-PQ replay over an external vector source (the
+    * mm_similar_ivfpq composition): same quantizer/codebook/ADC CTEs,
+    * parameterized by the source dimension and subspace count.
+    */
+  private[graft] def ivfpqTopKSqlWith(prefixCtes: String, eCte: String,
+      dim: Int, nSub: Int): String =
+    s"""WITH $prefixCtes,
+       |${ivfQuantizerCtes(eCte = eCte)},
+       |${pqAdcCtes(nSub = nSub, dim = dim)},
+       |${probeCte(6)},
+       |$ivfpqDotsCte,
+       |${adcRankTail("dotsp")}""".stripMargin
 
   /** ann_ivf_incremental replayed: identical pipeline to
     * [[ivfTopKSql]] except the quantizer trains on the EVEN-id half of

@@ -169,7 +169,13 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
         s => round(s.getField("m"), 6)).as("c"))
 
-  val embeddingKmeansSql: String = {
+  /** The shared Lloyd replay WITH-chain through `fin` over an arbitrary
+    * exploded (vec_id, d, x) vector source — the embeddings faces
+    * instantiate it on the embeddings table, mm_kmeans on the
+    * byte-replayed stub features (the composed-certified-pieces
+    * discipline of ann_recall_report).
+    */
+  private[graft] def kmeansReplayCtes(evSource: String): String = {
     val steps = (1 to Iters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
@@ -178,23 +184,28 @@ object KMeans {
          |c$i AS (SELECT a$i.cid, ev.d, round(avg(ev.x), 6) AS m
          |  FROM a$i JOIN ev ON a$i.vec_id = ev.vec_id AND a$i.rk = 1 GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ev AS (
-       |  SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) AS INT) AS d,
-       |    CAST(unnest(embedding) AS DOUBLE) AS x
-       |  FROM embeddings),
+    s"""ev AS ($evSource),
        |c0 AS (
        |  SELECT ids.cid, ev.d, round(ev.x, 6) AS m FROM (
        |    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid FROM (
-       |      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)) ids
+       |      SELECT DISTINCT vec_id FROM ev ORDER BY vec_id LIMIT $K)) ids
        |  JOIN ev USING (vec_id)),
        |$steps,
        |fin AS (
        |  SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
        |  FROM (SELECT ev.vec_id, c.cid, sum((ev.x - c.m)*(ev.x - c.m)) AS dist
-       |        FROM ev JOIN c$Iters c ON ev.d = c.d GROUP BY 1, 2))
+       |        FROM ev JOIN c$Iters c ON ev.d = c.d GROUP BY 1, 2))""".stripMargin
+  }
+
+  private[graft] val EmbeddingsEvSource: String =
+    """SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) AS INT) AS d,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings""".stripMargin
+
+  val embeddingKmeansSql: String =
+    s"""WITH ${kmeansReplayCtes(EmbeddingsEvSource)}
        |SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist
        |FROM fin WHERE rk = 1 ORDER BY vec_id""".stripMargin
-  }
 
   /** [[embeddingKmeansSql]] with its per-vector tail swapped for the
     * cluster-stat + z-score CTEs — one Lloyd replay, two certified
