@@ -2332,7 +2332,8 @@ object Dedup {
     * family ([[minhashA]]/[[minhashB]] mod [[MinhashPrime]]), but the
     * shingle hash is the replayable md5 coin (first 8 hex chars mod
     * 2³¹−1) instead of xxhash64, and band mixing is md5 over the
-    * comma-joined minima (first 16 hex chars) instead of the native
+    * comma-joined minima (first 15 hex chars, parsed to a positive
+    * LONG) instead of the native
     * FNV-1a kernel — every step an external engine reproduces verbatim.
     * The production tier ([[lshBandIndex]]) is UNCHANGED: xxhash64 +
     * the fused codegen kernel stay the throughput path; this mode

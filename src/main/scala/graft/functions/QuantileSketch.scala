@@ -102,8 +102,12 @@ object QuantileSketch {
   }
 
   /** Per-event-type quantile estimates from bounded sketches — the
-    * driver entry. Approximate (hash-specific sample) → rows-only;
-    * mergeability and rank-error floors live in the spec.
+    * driver entry. Approximate as a QUANTILE (rank error ~√(p(1−p)/k),
+    * spec'd) but fully DETERMINISTIC as a computation: the sample is
+    * the bottom-k of 60-bit md5 keys with a (key, value)-minimal
+    * collision rule, so [[quantileSketchSql]] replays the exact sample
+    * and both nearest-rank reads — hash-CERTIFIED since r14 (one wrong
+    * sample member, collision resolution, or rank index mismatches).
     */
   def quantileSketch(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
@@ -117,4 +121,32 @@ object QuantileSketch {
         round(estimate(col("sketch"), 0.9), 2).as("p90_est"))
       .orderBy("event_type")
   }
+
+  /** [[quantileSketch]] replayed: the same 60-bit md5 keys, the same
+    * per-key value-min collision rule, the same bottom-k cut and the
+    * same nearest-rank indices (ceil(n·p), floored at 1) — the sketch
+    * is a pure function of the row set, so the oracle rebuilds it
+    * verbatim instead of tolerating it.
+    */
+  def quantileSketchSql(k: Int = DefaultK): String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hkey,
+       |    value
+       |  FROM events),
+       |d AS (SELECT event_type, hkey, min(value) AS value FROM h GROUP BY 1, 2),
+       |r AS (SELECT event_type, hkey, value,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY hkey) AS rn
+       |      FROM d),
+       |s AS (SELECT event_type, value FROM r WHERE rn <= $k),
+       |r2 AS (SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |       FROM s)
+       |SELECT event_type, CAST(max(n) AS INTEGER) AS n_sample,
+       |  round(max(CASE WHEN vr = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+       |    THEN value END), 2) AS p50_est,
+       |  round(max(CASE WHEN vr = greatest(1, CAST(ceil(n * 0.9) AS BIGINT))
+       |    THEN value END), 2) AS p90_est
+       |FROM r2 GROUP BY event_type ORDER BY event_type""".stripMargin
 }

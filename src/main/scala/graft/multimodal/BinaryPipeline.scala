@@ -29,11 +29,17 @@ object BinaryPipeline {
 
     /** "Decode" a payload into (width, height, channels) — derived
       * deterministically from the bytes, standing in for a real header
-      * parse.
+      * parse. The dimensions come from the payload's md5 (first two
+      * hex quads mod 512) rather than a JVM-private hash so an
+      * external engine replays them verbatim — what promotes
+      * mm_binary_pipeline to hash-certified while the decode stays an
+      * honest stub.
       */
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (256 + math.abs(h % 512), 256 + math.abs((h >> 9) % 512), 3)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      val hx = md.take(4).map("%02x".format(_)).mkString
+      (256 + Integer.parseInt(hx.substring(0, 4), 16) % 512,
+        256 + Integer.parseInt(hx.substring(4, 8), 16) % 512, 3)
     }
 
     /** "Extract" a FeatureDim-dim feature vector — per-bucket byte sums
@@ -121,20 +127,39 @@ object BinaryPipeline {
         .orderBy("item_id").localCheckpoint(true))
 
   /** Driver-facing view of [[pipelineRaw]]: the feature vector is
-    * reduced to two check-friendly scalars (rounded L2 norm + xxhash64
-    * of its canonical string form) because the correctness harness
+    * reduced to its rounded L2 norm because the correctness harness
     * canonicalizes result rows by sorting every column and array cells
-    * are not sortable there. Same rows, scalar-only schema.
+    * are not sortable there. Same rows, scalar-only schema —
+    * hash-CERTIFIED since r14 ([[pipelineSql]] replays the md5-derived
+    * stub dimensions and the byte-rebuilt feature norm), the
+    * per-component certification living in mm_feature_extract.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     pipelineRaw(spark, dir)
       .select(col("item_id"), col("payload_bytes"), col("width"), col("height"),
         col("channels"), col("origin"),
-        round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"),
-        xxhash64(col("features").cast("string")).as("feat_hash"))
+        round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"))
       .orderBy("item_id")
   }
+
+  /** mm_binary_pipeline replayed: the md5-quad stub dimensions plus the
+    * norm of the byte-rebuilt feature vector ([[featureListCtes]]) —
+    * `md5(text)` hashes the identical UTF-8 bytes as the Scala digest
+    * over the payload (the mm_dedup-certified equivalence), and the
+    * `sqrt(list_sum(list_transform(...)))` fold is the
+    * embedding_stats-certified twin of [[graft.functions.VectorFunctions.l2norm]].
+    */
+  def pipelineSql: String =
+    s"""WITH $featureListCtes,
+       |m AS (SELECT doc_id, source AS origin, md5(text) AS mh FROM documents)
+       |SELECT b.doc_id AS item_id, CAST(b.len AS INTEGER) AS payload_bytes,
+       |  CAST(256 + ('0x' || substr(m.mh, 1, 4))::BIGINT % 512 AS INTEGER) AS width,
+       |  CAST(256 + ('0x' || substr(m.mh, 5, 4))::BIGINT % 512 AS INTEGER) AS height,
+       |  CAST(3 AS INTEGER) AS channels, m.origin,
+       |  round(sqrt(list_sum(list_transform(fl.v, x -> x * x))), 4) AS feat_norm
+       |FROM b JOIN m USING (doc_id) JOIN fl USING (doc_id)
+       |ORDER BY item_id""".stripMargin
 
   /** STUB resize: a real deployment swaps in libvips/PIL behind the same
     * signature. The stand-in deterministically downsamples the payload
@@ -168,8 +193,43 @@ object BinaryPipeline {
     }(enc)
   }
 
+  /** Driver-facing [[resize]]: the resized payload surfaces as its hex
+    * string (binary stays the library API; the harness hashes strings)
+    * — hash-CERTIFIED since r14: [[resizeSql]] rebuilds every sampled
+    * byte position from the payload blob, so a wrong stride, a floor
+    * instead of ceil, or an off-by-one at the tail hash-mismatches.
+    */
   def resize(spark: SparkSession, dir: String): DataFrame =
-    resize(asBinaryTable(Tables.documents(spark, dir))).orderBy("item_id")
+    resize(asBinaryTable(Tables.documents(spark, dir)))
+      .select(col("item_id"), col("orig_bytes"), col("resized_bytes"),
+        hex(col("resized")).as("resized_hex"))
+      .orderBy("item_id")
+
+  /** mm_resize replayed: ceil-stride byte sampling over the hex-expanded
+    * payload — out_len = min(target, len), stride = ceil(len/out_len),
+    * byte i taken at min(i·stride, len−1), re-joined in position order.
+    */
+  def resizeSql: String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, hx, len, least($ResizeTargetBytes, len) AS out_len,
+       |    greatest((len + greatest(least($ResizeTargetBytes, len), 1) - 1)
+       |      // greatest(least($ResizeTargetBytes, len), 1), 1) AS stride
+       |  FROM b),
+       |s AS (
+       |  SELECT doc_id, i,
+       |    substr(hx, CAST(2 * least(i * stride, len - 1) + 1 AS INTEGER), 2) AS hb
+       |  FROM (SELECT doc_id, hx, len, stride,
+       |          unnest(range(0, CAST(out_len AS INTEGER))) AS i FROM p))
+       |SELECT p.doc_id AS item_id, CAST(p.len AS INTEGER) AS orig_bytes,
+       |  CAST(p.out_len AS INTEGER) AS resized_bytes,
+       |  coalesce(string_agg(s.hb, '' ORDER BY s.i), '') AS resized_hex
+       |FROM p LEFT JOIN s ON s.doc_id = p.doc_id
+       |GROUP BY p.doc_id, p.len, p.out_len
+       |ORDER BY item_id""".stripMargin
 
   /** STUB frame sampling: treats the payload as a "video" of fixed-size
     * frames and keeps every `everyK`-th frame — one output row per kept
@@ -203,16 +263,64 @@ object BinaryPipeline {
   }
 
   /** Driver-facing frame sampling: per-frame feature vectors reduced to
-    * scalars (norm + hash) for the same harness reason as [[pipeline]];
-    * the binary frame payload itself is hashable and stays.
+    * the rounded norm for the same harness reason as [[pipeline]]; the
+    * frame payload surfaces as its hex string. hash-CERTIFIED since
+    * r14: [[frameSampleSql]] rebuilds every kept frame's byte range AND
+    * its stub feature norm from the payload blob, so a wrong frame
+    * boundary, a skipped tail, or a per-frame bucket-sum error
+    * hash-mismatches.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     frameSample(asBinaryTable(Tables.documents(spark, dir)))
-      .select(col("item_id"), col("frame_idx"), col("frame"),
-        round(VectorFunctions.l2norm(col("frame_features")), 4).as("frame_norm"),
-        xxhash64(col("frame_features").cast("string")).as("frame_hash"))
+      .select(col("item_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        hex(col("frame")).as("frame_hex"),
+        round(VectorFunctions.l2norm(col("frame_features")), 4).as("frame_norm"))
       .orderBy("item_id", "frame_idx")
+  }
+
+  /** mm_frame_sample replayed: every-4th fixed-width frame slice over
+    * the hex-expanded payload (nFrames = max(len/$FrameBytes, 1), frame
+    * f covers [f·w, min(f·w+w, len))), plus the per-frame stub feature
+    * norm rebuilt with the [[featureCtes]] arithmetic over each frame's
+    * own bytes.
+    */
+  def frameSampleSql: String = {
+    val w = FrameBytes
+    val dim = StubCodec.FeatureDim
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |    least(f * $w + $w, len) - f * $w AS flen,
+       |    substr(hx, CAST(2 * f * $w + 1 AS INTEGER),
+       |      CAST(2 * (least(f * $w + $w, len) - f * $w) AS INTEGER)) AS fhx
+       |  FROM (SELECT doc_id, hx, len,
+       |          unnest(range(0, greatest(len // $w, 1), 4)) AS f FROM b)),
+       |v AS (
+       |  SELECT doc_id, frame_idx, CAST((j - 1) % $dim AS INTEGER) AS k,
+       |    ('0x' || substr(fhx, CAST(2 * j - 1 AS INTEGER), 2))::BIGINT AS byte
+       |  FROM (SELECT doc_id, frame_idx, fhx,
+       |          unnest(range(1, CAST(flen + 1 AS INTEGER))) AS j FROM fx)),
+       |s0 AS (SELECT doc_id, frame_idx, k, sum(byte) AS bs FROM v GROUP BY 1, 2, 3),
+       |ks AS (SELECT unnest(range(0, $dim)) AS k),
+       |ff AS (
+       |  SELECT fx.doc_id, fx.frame_idx, ks.k,
+       |    CAST(CAST(coalesce(s0.bs, 0) AS DOUBLE) / 255.0
+       |      / greatest(fx.flen // $dim, 1) AS REAL) AS fv
+       |  FROM fx CROSS JOIN ks
+       |  LEFT JOIN s0 ON s0.doc_id = fx.doc_id
+       |    AND s0.frame_idx = fx.frame_idx AND s0.k = ks.k),
+       |fl2 AS (SELECT doc_id, frame_idx, list(CAST(fv AS DOUBLE) ORDER BY k) AS v
+       |        FROM ff GROUP BY 1, 2)
+       |SELECT fx.doc_id AS item_id, fx.frame_idx,
+       |  CAST(fx.flen AS INTEGER) AS frame_bytes, fx.fhx AS frame_hex,
+       |  round(sqrt(list_sum(list_transform(fl2.v, x -> x * x))), 4) AS frame_norm
+       |FROM fx JOIN fl2 USING (doc_id, frame_idx)
+       |ORDER BY item_id, frame_idx""".stripMargin
   }
 
   /** Feature extraction surfaced for similarity search: item_id +

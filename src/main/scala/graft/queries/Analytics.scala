@@ -403,6 +403,62 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct estimate — the
+    * CERTIFIED member of the distinct-sketch family. Same bounded
+    * mergeable state shape as the HLL face (k 60-bit keys per group,
+    * map-side partials via the [[graft.functions.BottomKSketch]]
+    * aggregator, shard sketches union to exactly the sketch of the
+    * union), but every ingredient is the replayable md5 coin, so the
+    * oracle rebuilds the k-th minimum hash and the (k−1)/u_(k)
+    * estimator verbatim instead of tolerating an engine-private
+    * sketch: groups under k distinct keys degenerate to the EXACT
+    * count, groups over it estimate with standard error ~1/√(k−2).
+    * The 100 TB story is the HLL face's with certification added —
+    * state is k longs per group, nothing rescans.
+    */
+  def distinctUsersKmv(spark: SparkSession, dir: String,
+                       k: Int = graft.functions.QuantileSketch.DefaultK): DataFrame = {
+    import graft.functions.QuantileSketch
+    val agg = QuantileSketch.bottomK(k)
+    val kth = element_at(col("sketch"), -1).getField("_1").cast("double")
+    Tables.events(spark, dir)
+      .select(col("event_type"), QuantileSketch.hashKey(col("user_id")).as("hkey"))
+      .groupBy("event_type")
+      .agg(agg(col("hkey"), lit(0.0)).as("sketch"), count(lit(1)).as("events_n"))
+      .select(col("event_type"),
+        size(col("sketch")).as("sketch_size"),
+        // under k distinct keys the sketch IS the distinct set; at k
+        // the estimator is (k−1) / u_(k) with u the hash normalized
+        // by the 60-bit key space — both branches one IEEE division
+        // from exact integers, so the oracle replays them bit-for-bit
+        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * lit(math.pow(2, 60)) / kth, 4))
+          .as("est_users"),
+        col("events_n"))
+      .orderBy("event_type")
+  }
+
+  def distinctUsersKmvSql(k: Int = graft.functions.QuantileSketch.DefaultK): String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+       |  FROM events),
+       |g AS (SELECT event_type, count(*) AS events_n FROM h GROUP BY 1),
+       |d AS (SELECT DISTINCT event_type, hkey FROM h),
+       |r AS (SELECT event_type, hkey,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY hkey) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS nd
+       |      FROM d)
+       |SELECT g.event_type,
+       |  CAST(least(max(r.nd), $k) AS INTEGER) AS sketch_size,
+       |  CASE WHEN max(r.nd) < $k THEN CAST(max(r.nd) AS DOUBLE)
+       |       ELSE round(${(k - 1).toDouble} * ${math.pow(2, 60)}
+       |         / CAST(max(CASE WHEN r.rn = $k THEN r.hkey END) AS DOUBLE), 4)
+       |  END AS est_users,
+       |  max(g.events_n) AS events_n
+       |FROM g JOIN r USING (event_type)
+       |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin
+
   /** Deterministic stratified sample — the downsample-by-stratum
     * primitive a training-data pipeline uses for corpus mixing: keep a
     * hash-uniform half of the over-represented stratum ('en'), all of
@@ -2076,6 +2132,60 @@ object Analytics {
       .toDF("user_id", "n_events", "cms_estimate")
       .orderBy("user_id")
   }
+
+  /** Count-min sketch in md5 CERTIFICATION MODE — the dedup_simhash /
+    * dedup_quality_report_md5 precedent applied to the frequency
+    * sketch: the counter table itself becomes a DATAFRAME of
+    * (row, bucket, count) built with replayable md5 row-hashes, so an
+    * external engine rebuilds every counter and every min-over-rows
+    * estimate verbatim. This is also the sketch's distributed form at
+    * 100 TB: the depth×width table (4×2048 longs here) is one
+    * partial-aggregated groupBy — union two tables and re-sum to merge
+    * shards, persist it as parquet for repeated probes — where the
+    * driver-side production face ([[heavyHittersCms]]) collects one
+    * ~200 KB sketch. Same guarantee surfaces: never under-counts
+    * (cms_estimate ≥ n_events, spec'd), over-counts bounded by
+    * colliding mass.
+    */
+  def heavyHittersCmsMd5(spark: SparkSession, dir: String, k: Int = 20,
+                         depth: Int = 4, width: Int = 2048): DataFrame = {
+    def bucket(row: Column, key: Column): Column =
+      conv(substring(md5(concat(row.cast("string"), lit(":"), key.cast("string"))),
+        1, 8), 16, 10).cast("long") % width
+    val rows = array((0 until depth).map(lit): _*)
+    val counters = Tables.events(spark, dir)
+      .select(col("user_id"), explode(rows).as("r"))
+      .groupBy(col("r"), bucket(col("r"), col("user_id")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("r").as("cr"), col("bucket").as("cb"), col("c"))
+    userTopk(spark, dir, k)
+      .select(col("user_id"), col("n_events"), explode(rows).as("r"))
+      .withColumn("pb", bucket(col("r"), col("user_id")))
+      .join(counters, col("cr") === col("r") && col("cb") === col("pb"))
+      .groupBy(col("user_id"), col("n_events"))
+      .agg(min(col("c")).as("cms_estimate"))
+      .orderBy("user_id")
+  }
+
+  def heavyHittersCmsMd5Sql(k: Int = 20, depth: Int = 4, width: Int = 2048): String =
+    s"""WITH tk AS (
+       |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+       |  ORDER BY n_events DESC, user_id LIMIT $k),
+       |rs AS (SELECT unnest(range(0, $depth)) AS r),
+       |b AS (
+       |  SELECT rs.r,
+       |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' ||
+       |      CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % $width AS bucket,
+       |    count(*) AS c
+       |  FROM events e CROSS JOIN rs GROUP BY 1, 2),
+       |p AS (
+       |  SELECT tk.user_id, tk.n_events, rs.r,
+       |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' ||
+       |      CAST(tk.user_id AS VARCHAR)), 1, 8))::BIGINT % $width AS bucket
+       |  FROM tk CROSS JOIN rs)
+       |SELECT p.user_id, p.n_events, min(b.c) AS cms_estimate
+       |FROM p JOIN b ON b.r = p.r AND b.bucket = p.bucket
+       |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
 
   /** Per-type z-score anomaly flagging: events whose value sits more
     * than `z` standard deviations from their type's mean — the cheap

@@ -1636,18 +1636,26 @@ object Graph {
     * wrongly in any round hash-mismatches the final core.
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val (both, degT) = cachedThresholdedBoth(spark, dir)
-    // survivors shrink monotonically, so the initial |V| gates every round
-    val nV = degT.count()
+    val (both, _) = cachedThresholdedBoth(spark, dir)
     var edges = both
     for (_ <- 1 to KCoreRounds) {
+      // survivors shrink monotonically, so each round gates its build
+      // side on the CURRENT keep count rather than the initial |V|:
+      // a graph that starts past the broadcast budget flips back to
+      // the broadcast face as soon as peeling shrinks the survivor set
+      // under it (gating on the initial |V| would pin every round onto
+      // the shuffled face). The eager checkpoint both prices the count
+      // at a metadata read and stops the two semi-joins from
+      // re-deriving the degree aggregation twice.
       val keep = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
         .select("node")
+        .localCheckpoint(true)
+      val nKeep = keep.count()
       edges = edges
-        .join(gatedBuild(spark, keep, nV), col("src") === col("node"), "left_semi")
-        .join(gatedBuild(spark, keep, nV), col("dst") === col("node"), "left_semi")
+        .join(gatedBuild(spark, keep, nKeep), col("src") === col("node"), "left_semi")
+        .join(gatedBuild(spark, keep, nKeep), col("dst") === col("node"), "left_semi")
         .localCheckpoint(true)
     }
     edges.groupBy(col("src").as("part_id"))
@@ -1776,8 +1784,12 @@ object Graph {
       // which satisfies BOTH per-round groupings (src,lbl ⊇ src), so
       // every round runs exchange-free (plan-locked in the spec).
       // Shuffle face (labels past the budget): partition on dst — the
-      // co-partitioned label probe then exchanges only the label side,
-      // and the vote agg is the round's one edge-volume shuffle.
+      // co-partitioned label probe then exchanges only the |V|-row
+      // label side, and the round's one edge-volume shuffle is the
+      // explicit src re-key inside lpaVoteRound, whose
+      // hashpartitioning(src) satisfies BOTH downstream aggregations
+      // ((src,lbl) ⊇ {src}), so the vote count and the argmax run
+      // exchange-free on top of it (plan-locked in the spec).
       val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col(if (bc) "src" else "dst"))
         .cache()
@@ -1798,17 +1810,26 @@ object Graph {
     * aggregations cluster on a superset of {src}, so over
     * [[cachedLpaLabels]]' src-partitioned edges the round plans with
     * ZERO shuffle exchanges (spec-locked) — per round the cluster moves
-    * only the |V|-row broadcast.
+    * only the |V|-row broadcast. On the shuffle face the joined rows
+    * are re-keyed on src ONCE: hashpartitioning(src) satisfies the
+    * clustered distribution of both the (src,lbl) vote count and the
+    * (src) argmax, so the round's aggregation chain costs a single
+    * edge-volume exchange instead of the two vote-row exchanges the
+    * default plan would run (hashpartitioning(src,lbl) does NOT
+    * satisfy ClusteredDistribution(src), so without the re-key the
+    * argmax would exchange again).
     */
   private[graft] def lpaVoteRound(edges: DataFrame, labels: DataFrame,
-      broadcastLabels: Boolean = true): DataFrame =
-    edges
+      broadcastLabels: Boolean = true): DataFrame = {
+    val joined = edges
       .join(if (broadcastLabels) broadcast(labels) else labels.hint("shuffle_hash"),
         col("dst") === col("node"))
+    (if (broadcastLabels) joined else joined.repartition(col("src")))
       .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
       .groupBy(col("src"))
       .agg(max(struct(col("c"), (-col("lbl")).as("neg"), col("lbl"))).as("top"))
       .select(col("src").as("node"), col("top.lbl").as("lbl"))
+  }
 
   val LpaRounds = 4
 

@@ -51,6 +51,12 @@ class GraphGateSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"), s"expected a shuffled hash join:\n$p")
     assert(!p.contains("BroadcastHashJoin"), s"gate=0 must not broadcast:\n$p")
+    // exchange budget: 2 for the un-partitioned join inputs here + the
+    // single src re-key; the (src,lbl) vote count and the (src) argmax
+    // must BOTH ride hashpartitioning(src) exchange-free (a 4th
+    // exchange means the argmax re-shuffled the vote rows)
+    val exchanges = "(?<!AQE)Exchange".r.findAllIn(p).size
+    assert(exchanges == 3, s"expected 3 exchanges (join x2 + src re-key), got $exchanges:\n$p")
   }
 
   test("default budget broadcasts; the conf overrides it per session") {
