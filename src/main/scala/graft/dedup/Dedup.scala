@@ -2193,6 +2193,142 @@ object Dedup {
       |WHERE levenshtein(a.s, b.s) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Sort-key prefix length for [[sortedNeighborhood]]. */
+  val SnKeyLen = 24
+
+  /** Default sliding-window width for [[sortedNeighborhood]]. */
+  val SnWindow = 8
+
+  /** GLOBAL rank over a total order without the single-partition
+    * WindowExec: range-partition on the order columns, rank WITHIN each
+    * range (a partitioned window — every executor sorts only its own
+    * range), then add each partition's prefix row count, collected as
+    * one nPartitions-sized array (driver payload bounded by
+    * parallelism, never data). Range partitions are ordered by key, so
+    * per-range rank + prefix offset IS the global rank for any boundary
+    * placement; the checkpoint pins one sampling of the boundaries so
+    * the count job and the rank job cannot diverge. This is the
+    * 100 TB-safe form of `row_number() OVER (ORDER BY ...)` — the
+    * naive global window moves the whole corpus to ONE task.
+    */
+  private[graft] def globalRank(df: DataFrame, order: Seq[String],
+                                nRanges: Int): DataFrame = {
+    val orderCols = order.map(col)
+    val parted = df.repartitionByRange(nRanges, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (p, c) => val row = (p, acc); acc += c; row }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCols: _*)
+    parted.join(broadcast(offDf), "__pid")
+      .withColumn("rn", row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo's
+    * Merge/Purge, SIGMOD 1995 — the classic entity-resolution
+    * alternative to LSH banding): sort the corpus by a fuzzy key (the
+    * [[SnKeyLen]]-char prefix of the normalized text, doc_id tiebreak
+    * for a strict total order), slide a [[SnWindow]]-row window down
+    * the sorted order, and verify each in-window pair with exact
+    * distinct-3-shingle Jaccard. Candidate mass is n·(window−1) BY
+    * CONSTRUCTION — a boilerplate-hot shingle fattens an LSH bucket
+    * but cannot fatten a fixed window, which is why this tier needs no
+    * df cap on the verify (and why its Jaccard is the plain uncapped
+    * one, unlike the posting tiers).
+    *
+    * Plan: the sort is [[globalRank]] (range partitions + partitioned
+    * window + prefix offsets — never a single-partition global
+    * window); window pairs expand map-side from an explode over gaps
+    * 1..window−1 and meet partners with ONE rank-keyed equi-join
+    * (uniform by construction — ranks are a permutation); the verify
+    * joins each side's materialized shingle array once and intersects
+    * map-side (`array_intersect`, no shingle-grain shuffle at all).
+    * Misses only near-dups whose first [[SnKeyLen]] chars diverge —
+    * the classic single-pass blind spot; production runs union
+    * several passes with different keys (the multi-pass Merge/Purge),
+    * each pass this same plan.
+    */
+  def sortedNeighborhood(docs: DataFrame, window: Int = SnWindow,
+                         threshold: Double = 0.5,
+                         nRanges: Int = 32): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val keyed = docs.select(col("doc_id"),
+      substring(normText(col("text")), 1, SnKeyLen).as("sk"))
+    val ranked = globalRank(keyed, Seq("sk", "doc_id"), nRanges)
+      .select(col("doc_id"), col("rn"))
+    val probe = ranked
+      .select(col("doc_id").as("d_a"), col("rn"),
+        explode(sequence(lit(1), lit(window - 1))).as("gap"))
+      .select(col("d_a"), col("gap"), (col("rn") + col("gap")).as("rn_b"))
+    val cand = probe
+      .join(ranked.select(col("doc_id").as("d_b"), col("rn").as("rn_b")), "rn_b")
+      .select(least(col("d_a"), col("d_b")).as("id_a"),
+        greatest(col("d_a"), col("d_b")).as("id_b"), col("gap"))
+    val sh = shingled(docs)
+    val sa = sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("gap"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborhood(Tables.documents(spark, dir))
+
+  /** [[sortedNeighborhood]] replayed: the same normalized prefix key,
+    * the same (sk, doc_id) total order (plain `row_number` — the
+    * single-relation sort Spark-side [[globalRank]] exists to avoid),
+    * the same n·(w−1) window pairs, and the same uncapped
+    * distinct-shingle Jaccard via a shared-shingle count.
+    */
+  def sortedNeighborhoodSql(window: Int = SnWindow): String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+       |      1, $SnKeyLen) AS sk
+       |  FROM documents),
+       |r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM k),
+       |pairs AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    CAST(b.rn - a.rn AS INTEGER) AS gap
+       |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + ${window - 1}),
+       |l AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id_a, p.id_b, p.gap, count(*) AS i
+       |  FROM pairs p
+       |    JOIN sh x ON x.doc_id = p.id_a
+       |    JOIN sh y ON y.doc_id = p.id_b AND y.sh = x.sh
+       |  GROUP BY 1, 2, 3)
+       |SELECT i.id_a, i.id_b, i.gap,
+       |  round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) AS jaccard
+       |FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.id_a
+       |  JOIN sizes sb ON sb.doc_id = i.id_b
+       |WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Candidate-quality report for the near-dup tiers — the dedup
     * family's counterpart of `ann_recall_report`: each approximate
     * tier's pair set measured against the EXACT shingle-Jaccard truth

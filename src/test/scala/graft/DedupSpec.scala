@@ -504,4 +504,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       prevPairs = got(t)._1
     }
   }
+
+  test("sorted-neighborhood equals windowed brute force and is range-count-independent") {
+    val docs = Tables.documents(spark, sfDir)
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    def shingleSet(s: String): Set[String] = {
+      val t = norm(s).split(" ", -1)
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else Set(t.mkString(" "))
+    }
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sorted = raw.map { case (id, t) => (norm(t).take(Dedup.SnKeyLen), id, t) }
+      .sortBy(x => (x._1, x._2))
+    val expected = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + Dedup.SnWindow, sorted.length)
+      a = shingleSet(sorted(i)._3)
+      b = shingleSet(sorted(j)._3)
+      inter = (a & b).size
+      jac = round4(inter.toDouble / (a.size + b.size - inter))
+      if jac >= 0.5
+    } yield (math.min(sorted(i)._2, sorted(j)._2),
+             math.max(sorted(i)._2, sorted(j)._2), j - i, jac)).toSet
+    val got = Dedup.sortedNeighborhood(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("gap"), r.getAs[Double]("jaccard"))).toSet
+    assert(expected.nonEmpty, "degenerate corpus: no in-window near-dups at all")
+    assert(got === expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the globalRank decomposition must not depend on how many ranges split
+    // the sort (boundary pairs cross partitions in the many-range run)
+    val oneRange = Dedup.sortedNeighborhood(docs, nRanges = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val manyRanges = Dedup.sortedNeighborhood(docs, nRanges = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(oneRange === got && manyRanges === got,
+      "rank assignment leaked the range layout into the result")
+  }
 }
