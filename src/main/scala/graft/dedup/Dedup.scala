@@ -2199,40 +2199,6 @@ object Dedup {
   /** Default sliding-window width for [[sortedNeighborhood]]. */
   val SnWindow = 8
 
-  /** GLOBAL rank over a total order without the single-partition
-    * WindowExec: range-partition on the order columns, rank WITHIN each
-    * range (a partitioned window — every executor sorts only its own
-    * range), then add each partition's prefix row count, collected as
-    * one nPartitions-sized array (driver payload bounded by
-    * parallelism, never data). Range partitions are ordered by key, so
-    * per-range rank + prefix offset IS the global rank for any boundary
-    * placement; the checkpoint pins one sampling of the boundaries so
-    * the count job and the rank job cannot diverge. This is the
-    * 100 TB-safe form of `row_number() OVER (ORDER BY ...)` — the
-    * naive global window moves the whole corpus to ONE task.
-    */
-  private[graft] def globalRank(df: DataFrame, order: Seq[String],
-                                nRanges: Int): DataFrame = {
-    val orderCols = order.map(col)
-    val parted = df.repartitionByRange(nRanges, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = parted.groupBy("__pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      counts.map { case (p, c) => val row = (p, acc); acc += c; row }
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(orderCols: _*)
-    parted.join(broadcast(offDf), "__pid")
-      .withColumn("rn", row_number().over(w).cast("long") + col("__off"))
-      .drop("__pid", "__off")
-  }
-
   /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo's
     * Merge/Purge, SIGMOD 1995 — the classic entity-resolution
     * alternative to LSH banding): sort the corpus by a fuzzy key (the
@@ -2245,8 +2211,9 @@ object Dedup {
     * df cap on the verify (and why its Jaccard is the plain uncapped
     * one, unlike the posting tiers).
     *
-    * Plan: the sort is [[globalRank]] (range partitions + partitioned
-    * window + prefix offsets — never a single-partition global
+    * Plan: the sort is [[graft.functions.Ranks.globalRank]] (range
+    * partitions + partitioned window + prefix offsets — never a
+    * single-partition global
     * window); window pairs expand map-side from an explode over gaps
     * 1..window−1 and meet partners with ONE rank-keyed equi-join
     * (uniform by construction — ranks are a permutation); the verify
@@ -2263,7 +2230,8 @@ object Dedup {
     require(window >= 2, s"window must be >= 2, got $window")
     val keyed = docs.select(col("doc_id"),
       substring(normText(col("text")), 1, SnKeyLen).as("sk"))
-    val ranked = globalRank(keyed, Seq("sk", "doc_id"), nRanges)
+    val ranked = graft.functions.Ranks
+      .globalRank(keyed, Seq(col("sk"), col("doc_id")), nRanges)
       .select(col("doc_id"), col("rn"))
     val probe = ranked
       .select(col("doc_id").as("d_a"), col("rn"),

@@ -373,18 +373,18 @@ object TextFunctions {
     * doc/token mass and the quality range — the stage plan a
     * curriculum-ordered training run consumes (feed high-quality
     * buckets late/more, low-quality early/less). The exact face sorts
-    * once on a 2-column projection; at 100 TB the same plan swaps the
-    * global ntile for approx-quantile boundaries + a map-side bucket
-    * assign (the `price_percentiles_approx` discipline) without
-    * changing this contract.
+    * a 3-column projection once, as [[graft.functions.Ranks.globalNtile]]
+    * — range partitions + exact ntile arithmetic, never a
+    * single-partition window (r14: the former global-ntile prose made
+    * code); the approx-quantile-boundary + map-side-assign swap (the
+    * `price_percentiles_approx` discipline) remains the documented
+    * looser tier for when even the doc-grain sort is unwelcome.
     */
   def curriculumBuckets(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col("doc_id"),
       size(wsTokens(col("text"))).cast("long").as("toks"),
       qualityExpr(col("text")).as("quality"))
-    val w = Window.orderBy(col("quality"), col("doc_id"))
-    scored.withColumn("bucket", ntile(4).over(w))
+    Ranks.globalNtile(scored, 4, Seq(col("quality"), col("doc_id")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
         round(avg("quality"), 4).as("avg_quality"),

@@ -1725,17 +1725,21 @@ object Analytics {
     * ratio near 1 means plain hash partitioning balances; a high ratio
     * with concentrated top-k share says exactly which keys need salt.
     *
-    * One key agg + a dims-scale top-k window + one fold.
+    * One key agg + a distributed top-k (TakeOrdered, never a global
+    * window — the keys are order-grain, fact-volume/4) + one fold.
     */
   def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.lineitem(spark, dir)
       .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("l_orderkey"))))
+    // the 10 hottest keys via TakeOrdered (per-partition top-10, tiny
+    // driver merge) — replaces an order-grain single-partition rank
+    // window; the mass sums n only, so tie choice cannot move it
+    val top10 = counts.orderBy(col("n").desc, col("l_orderkey")).limit(10)
+      .agg(sum(col("n")).as("top_mass"))
     counts.agg(
         count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
-        max(col("n")).as("max_rows"),
-        sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("top_mass"))
+        max(col("n")).as("max_rows"))
+      .crossJoin(broadcast(top10))
       .select(col("n_keys"), col("n_rows"), col("max_rows"),
         round(col("n_rows").cast("double") / col("n_keys"), 4).as("mean_rows"),
         round(col("max_rows") * col("n_keys") / col("n_rows").cast("double"), 4).as("skew_ratio"),
@@ -1827,9 +1831,9 @@ object Analytics {
     * deterministic. All-integer sums until the final two divisions.
     *
     * Scale design: per-user counts are one key agg; the ascending rank
-    * is a dims-scale global window over |users| rows (the vocab/ntile
-    * rule — range-partitioned sort at 100 TB); the Gini fold is one
-    * aggregate.
+    * is [[graft.functions.Ranks.globalRank]] over |users| rows — a
+    * range-partitioned sort, never a single-partition window (r14:
+    * code, not prose); the Gini fold is one aggregate.
     */
   def userActivityGini(spark: SparkSession, dir: String): DataFrame =
     giniFace(Tables.events(spark, dir)
@@ -1837,16 +1841,26 @@ object Analytics {
 
   /** The Gini/top-decile projection over a (user_id, x) counts
     * relation — shared with the streaming maintained face.
+    *
+    * r14: the ascending rank rides [[graft.functions.Ranks.globalRank]]
+    * (range partitions + prefix offsets), replacing THREE
+    * single-partition windows (rank asc, rank desc, full-frame count):
+    * the descending rank's only consumer was the top-decile mass, and
+    * the q = ceil(n/10) largest counts are exactly the rows with
+    * ascending rank > n − q (within an x-tie block the two tiebreak
+    * orders pick different user_ids but identical x values, and the
+    * mass sums x only — tie-commutative, so the value and the oracle
+    * hash are unchanged); the full-frame count is the rank pass's own
+    * prefix total, already on the driver.
     */
   private[graft] def giniFace(counts: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = counts
-      .withColumn("i", row_number().over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
-      .withColumn("rd", row_number().over(Window.orderBy(col("x").desc, col("user_id"))).cast("long"))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy()).cast("long"))
-    ranked.agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
+    val (ranked, n) = graft.functions.Ranks.globalRankWithN(
+      counts, Seq(col("x"), col("user_id")))
+    val topQ = math.ceil(n / 10.0).toLong
+    ranked.withColumn("i", col("rn"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
         sum(col("i") * col("x")).as("ix"),
-        sum(when(col("rd") <= ceil(col("nn") / 10.0), col("x"))
+        sum(when(col("i") > lit(n - topQ), col("x"))
           .otherwise(0L)).as("top_mass"))
       .select(col("n_users"), col("total_events"),
         round(lit(2.0) * col("ix") / (col("n_users") * col("total_events"))
@@ -2690,25 +2704,33 @@ object Analytics {
     * the quartile boundaries are deterministic on both engines.
     *
     * Plan: one orders scan aggregates the per-customer triple
-    * (map-side partials); the three ntiles are global ranks over the
-    * |customers|-row aggregate — at 100 TB that is the standard
-    * range-partitioned global sort (the ntile_quartiles entry's
-    * shape), paid on dims-scale data, never on the fact table; the
-    * segment rollup is ≤64 rows.
+    * (map-side partials); the three ntiles ride
+    * [[graft.functions.Ranks.globalNtile]] over the |customers|-row
+    * aggregate — range-partitioned sorts (r14: code, not prose), paid
+    * on dims-scale data, never on the fact table; the segment rollup
+    * is ≤64 rows.
     */
   def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perCust = Tables.orders(spark, dir)
+    import graft.functions.Ranks
+    // r14: the three customer-grain ntiles ride Ranks.globalNtile
+    // (range-partitioned, exact ntile arithmetic from rank + count) and
+    // the full-frame reference-day max becomes a broadcast 1-row agg —
+    // zero single-partition windows left in the plan (PlanSpec-locked)
+    val perCust0 = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(max(to_date(col("o_orderdate"))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice")).as("monetary"))
-      .withColumn("ref_day", max(col("last_day")).over(Window.partitionBy()))
+    val perCust = perCust0
+      .crossJoin(broadcast(perCust0.agg(max(col("last_day")).as("ref_day"))))
       .withColumn("r_days", datediff(col("ref_day"), col("last_day")))
-    val scored = perCust
-      .withColumn("r", ntile(4).over(Window.orderBy(col("r_days"), col("custkey"))))
-      .withColumn("f", ntile(4).over(Window.orderBy(col("freq").desc, col("custkey"))))
-      .withColumn("m", ntile(4).over(Window.orderBy(col("monetary").desc, col("custkey"))))
+    val scored = Seq[(String, Seq[Column])](
+      ("r", Seq(col("r_days"), col("custkey"))),
+      ("f", Seq(col("freq").desc, col("custkey"))),
+      ("m", Seq(col("monetary").desc, col("custkey"))))
+      .foldLeft(perCust) { case (df, (name, order)) =>
+        Ranks.globalNtile(df, 4, order).withColumnRenamed("bucket", name)
+      }
     scored
       .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -3594,22 +3616,20 @@ object Analytics {
     * flips a row.
     *
     * Plan: one lineitem scan partially aggregates per part; the
-    * cumulative window is a global ordered pass over the |parts|-row
-    * aggregate (it rides Spark's range-partitioned sort at scale),
+    * cumulative pass rides [[graft.functions.Ranks.globalCumsum]]
+    * (range partitions + exact integer prefix sums — r14: code, not
+    * prose; the grand total is the same pass's own prefix statistic),
     * and the final rollup is 3 rows.
     */
   def ordersAbc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perPart = Tables.lineitem(spark, dir)
       .groupBy("l_partkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * 100, 0)
         .cast("long").as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wall = Window.partitionBy()
-    perPart
-      .withColumn("cum", sum(col("cents")).over(w))
-      .withColumn("total", sum(col("cents")).over(wall))
+    val (cum, total) = graft.functions.Ranks.globalCumsum(
+      perPart, col("cents"), Seq(col("cents").desc, col("l_partkey")))
+    cum
+      .withColumn("total", lit(total))
       .withColumn("abc_class",
         when(col("cum") * 100 <= col("total") * 80, "A")
           .when(col("cum") * 100 <= col("total") * 95, "B")
