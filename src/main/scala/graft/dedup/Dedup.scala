@@ -353,6 +353,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** PPJoin-style prefix-filtered exact Jaccard pairs — the THIRD
+    * candidate-generation plan for the same certified pair set
+    * (prefix filtering: Chaudhuri et al., ICDE 2006; PPJoin: Xiao et
+    * al., WWW 2008): order every doc's rare-shingle set by GLOBAL
+    * ascending document frequency (df, then shingle hash — rarest
+    * first), index only each doc's PREFIX of length
+    * |x| − ⌈t′·|x|⌉ + 1, and expand candidates from prefix postings
+    * alone. Completeness: jac(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉,
+    * and an intersection that large cannot hide entirely in both
+    * suffixes (pigeonhole over the shared total order), so every
+    * qualifying pair collides on a prefix token; t′ = t − 1e-4 keeps
+    * the pairs that ROUND up to t at the 4-dp presentation rounding
+    * (the [[jaccardFromPostings]] slack, applied to the prefix too).
+    *
+    * Same posting-array pair expansion and size-ratio prune as the
+    * df-cap plan, but the posting volume is prefix-bounded: a doc with
+    * 200 rare shingles indexes ~101 at t=0.5 — and because the global
+    * order is ASCENDING df, the prefix postings are the rarest
+    * shingles, so per-posting fan-out shrinks twice over. Verification
+    * is exact (per-doc set arrays, map-side `array_intersect`), so the
+    * OUTPUT is row-identical to [[ngramJaccard]] and rides the same
+    * DuckDB oracle; the spec asserts the identity plus the
+    * candidate-volume reduction vs the df-cap plan.
+    */
+  def ppjoinJaccard(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5,
+                    maxDf: Int = MaxShingleDf): DataFrame = {
+    val sh = cachedShingles(spark, dir)
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val rare = sh.join(hot, Seq("sh"), "left_anti")
+    // ONE doc-grain pass serves both the prefix expansion and the
+    // verify sets (the checkpoint stops the candidate and verify
+    // branches re-deriving the df join + doc agg)
+    val docArr = ppjoinDocArrays(rare).localCheckpoint(true)
+    val cand = ppjoinCandidatesFromArr(docArr, threshold)
+    val docSets = docArr.select(col("doc_id"),
+      transform(col("arr"), s => s.getField("sh")).as("shs"))
+    cand
+      .select(unpackId(col("a")).as("id_a"), unpackSz(col("a")).as("sza"),
+        unpackId(col("b")).as("id_b"), unpackSz(col("b")).as("szb"))
+      .join(docSets.select(col("doc_id").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(docSets.select(col("doc_id").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (doc_id, arr: array<struct<df,sh>> sorted rarest-first, sz) —
+    * the shared doc-grain substrate of the prefix expansion and the
+    * verify sets.
+    */
+  private def ppjoinDocArrays(rare: DataFrame): DataFrame = {
+    val dfs = rare.groupBy("sh").agg(count(lit(1)).as("df"))
+    rare.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("sz"))
+  }
+
+  /** Distinct packed candidate pairs from the prefix postings (exposed
+    * for the spec's candidate-volume comparison vs [[ngramCandidates]]).
+    */
+  private[graft] def ppjoinCandidates(rare: DataFrame,
+                                      threshold: Double): DataFrame =
+    ppjoinCandidatesFromArr(ppjoinDocArrays(rare), threshold)
+
+  private def ppjoinCandidatesFromArr(docArr: DataFrame,
+                                      threshold: Double): DataFrame = {
+    val tSlack = threshold - 1e-4
+    val prefixLen = (col("sz") - ceil(col("sz") * lit(tSlack)) + 1).cast("int")
+    docArr
+      .select(packIdSz(col("doc_id"), col("sz")).as("e"),
+        explode(slice(col("arr"), lit(1), prefixLen)).as("s"))
+      .select(col("s.sh").as("sh"), col("e"))
+      .groupBy("sh").agg(sort_array(collect_list(col("e"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(postingPairs(col("ids"))).as("p"))
+      .filter(least(unpackSz(col("p.id_a")), unpackSz(col("p.id_b"))) >=
+        (greatest(unpackSz(col("p.id_a")), unpackSz(col("p.id_b"))) * lit(tSlack)))
+      .select(col("p.id_a").as("a"), col("p.id_b").as("b"))
+      .distinct()
+  }
+
   /** Exact n-gram CONTAINMENT pairs — the asymmetric partial-dup
     * metric: C(A,B) = ¦grams(A) ∩ grams(B)¦ / min(¦grams(A)¦,
     * ¦grams(B)¦). Jaccard misses subsumption (a short doc quoted

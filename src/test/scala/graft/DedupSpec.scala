@@ -544,4 +544,30 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(oneRange === got && manyRanges === got,
       "rank assignment leaked the range layout into the result")
   }
+
+  test("ppjoin is row-identical to the df-cap jaccard plan with fewer candidates") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaPostings = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup.ppjoinJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix.nonEmpty, "degenerate corpus: no near-dup pairs at all")
+    assert(viaPrefix === viaPostings,
+      s"missing=${(viaPostings -- viaPrefix).take(3)} " +
+        s"extra=${(viaPrefix -- viaPostings).take(3)}")
+    // the efficiency claim: prefix postings expand strictly fewer
+    // candidate pairs than the full rare postings on this corpus
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"))).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val hot = sh.groupBy("sh").count().filter(col("count") > 100).select("sh")
+    val rare = sh.join(hot, Seq("sh"), "left_anti")
+    val prefixCand = Dedup.ppjoinCandidates(rare, 0.5).count()
+    val fullCand = Dedup.ngramCandidates(docs).count()
+    assert(prefixCand <= fullCand,
+      s"prefix candidates ($prefixCand) exceed posting candidates ($fullCand)")
+    assert(prefixCand < fullCand,
+      "prefix filter pruned nothing on this corpus — claim is vacuous")
+  }
 }
