@@ -32,6 +32,8 @@ object Artifacts {
     "dedup_pair_table" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPairs(s, d)),
     "dedup_lsh_index" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmLshIndex(s, d)),
     "dedup_containment_pairs" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmContainmentPairs(s, d)),
+    "dedup_sn_pairs" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmSnPairs(s, d)),
+    "dedup_ppjoin_pairs" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPpjoinPairs(s, d)),
     "graph_epochs" -> ((s: SparkSession, d: String) => { queries.Graph.cachedEpochPairs(s, d); () }),
     "graph_wpairs" -> ((s: SparkSession, d: String) => { queries.Graph.cachedWeightedPairs(s, d); () }),
     "graph_edges" -> ((s: SparkSession, d: String) => { queries.Graph.cachedGraph(s, d); () }),

@@ -82,6 +82,6 @@ class RanksSpec extends AnyFunSuite with SparkSpec {
     assertNoGlobalWindow("curriculum_buckets",
       graft.functions.TextFunctions.curriculumBuckets(spark, sfDir))
     assertNoGlobalWindow("dedup_sorted_neighborhood",
-      graft.dedup.Dedup.sortedNeighborhood(spark, sfDir))
+      graft.dedup.Dedup.sortedNeighborhood(Tables.documents(spark, sfDir)))
   }
 }
