@@ -406,8 +406,7 @@ object Dedup {
     // branches re-deriving the df join + doc agg)
     val docArr = ppjoinDocArrays(rare).localCheckpoint(true)
     val cand = ppjoinCandidatesFromArr(docArr, threshold)
-    val docSets = docArr.select(col("doc_id"),
-      transform(col("arr"), s => s.getField("sh")).as("shs"))
+    val docSets = docArr.select(col("doc_id"), col("arr").as("shs"))
     cand
       .select(unpackId(col("a")).as("id_a"), unpackSz(col("a")).as("sza"),
         unpackId(col("b")).as("id_b"), unpackSz(col("b")).as("szb"))
@@ -472,16 +471,21 @@ object Dedup {
        |  round(hits * 1.0 / n_truth, 4) AS recall
        |FROM agg, tot ORDER BY strategy""".stripMargin
 
-  /** (doc_id, arr: array<struct<df,sh>> sorted rarest-first, sz) —
-    * the shared doc-grain substrate of the prefix expansion and the
-    * verify sets.
+  /** (doc_id, arr: array<long> of shingle hashes sorted rarest-first
+    * by (df, sh), sz) — the shared doc-grain substrate of the prefix
+    * expansion and the verify sets. The df rides only the per-doc sort
+    * and is dropped BEFORE the checkpoint: the materialized arrays and
+    * every downstream join payload carry bare longs (halves the
+    * artifact, the packed-posting discipline).
     */
   private def ppjoinDocArrays(rare: DataFrame): DataFrame = {
     val dfs = rare.groupBy("sh").agg(count(lit(1)).as("df"))
     rare.join(dfs, "sh")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
-      .select(col("doc_id"), col("arr"), size(col("arr")).cast("long").as("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr0"))
+      .select(col("doc_id"),
+        transform(col("arr0"), s => s.getField("sh")).as("arr"),
+        size(col("arr0")).cast("long").as("sz"))
   }
 
   /** Distinct packed candidate pairs from the prefix postings (exposed
@@ -497,8 +501,7 @@ object Dedup {
     val prefixLen = (col("sz") - ceil(col("sz") * lit(tSlack)) + 1).cast("int")
     docArr
       .select(packIdSz(col("doc_id"), col("sz")).as("e"),
-        explode(slice(col("arr"), lit(1), prefixLen)).as("s"))
-      .select(col("s.sh").as("sh"), col("e"))
+        explode(slice(col("arr"), lit(1), prefixLen)).as("sh"))
       .groupBy("sh").agg(sort_array(collect_list(col("e"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(postingPairs(col("ids"))).as("p"))
