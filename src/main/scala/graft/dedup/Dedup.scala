@@ -1935,6 +1935,109 @@ object Dedup {
       | JOIN sizes sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** KMV scale twin of [[sourceOverlap]] — the cross-source overlap
+    * matrix from BOUNDED per-source sketches instead of the full
+    * distinct-shingle table. The exact face materializes one row per
+    * distinct corpus shingle (its `bySh` checkpoint is corpus-sized);
+    * at 100 TB that intermediate is the job. This face reduces each
+    * source to the k smallest 60-bit md5 shingle hashes (the
+    * [[graft.functions.BottomKSketch]] aggregator — set-semantics
+    * bottom-k, map-side partials, shard-union == direct), so the only
+    * corpus-volume work is one map-side hash projection + one
+    * |sources|-group aggregation with k-entry state; everything after
+    * is |sources|²-pair arithmetic over k-long arrays.
+    *
+    * Estimators (Beyer et al., SIGMOD 2007): for a pair (A, B) the
+    * union sketch is the k smallest of sketch(A) ∪ sketch(B) — itself
+    * the KMV sketch of A∪B because both inputs retain every hash below
+    * their k-th minimum; Jaccard ≈ |{x ∈ U : x ∈ A ∧ x ∈ B}| / |U|,
+    * and the distinct-union size uses the (k−1)/u₍k₎ branch discipline
+    * of `distinct_users_kmv` (exact when the union sketch is under k).
+    * Every ingredient is the replayable md5 coin, so the DuckDB oracle
+    * rebuilds each source's bottom-k list, the union cut, both match
+    * counts and both estimator branches verbatim — a CERTIFIED sketch,
+    * approximate as an ESTIMATE but deterministic as a computation.
+    */
+  def sourceOverlapKmv(docs: DataFrame,
+                       k: Int = graft.functions.QuantileSketch.DefaultK): DataFrame = {
+    import graft.functions.QuantileSketch
+    val agg = QuantileSketch.bottomK(k)
+    val sketches = docs
+      .select(col("source"), toks(col("text")).as("__t"))
+      .select(col("source"), explode(shinglesOfToks(col("__t"))).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("source"), QuantileSketch.hashKey(col("s")).as("hk"))
+      .groupBy("source")
+      .agg(agg(col("hk"), lit(0.0)).as("sketch"))
+      .select(col("source"),
+        transform(col("sketch"), e => e.getField("_1")).as("keys"))
+    val pairs = sketches.select(col("source").as("src_a"), col("keys").as("ka"))
+      .join(sketches.select(col("source").as("src_b"), col("keys").as("kb")),
+        col("src_a") < col("src_b"))
+    // union sketch: k smallest of the merged key sets (arrays are
+    // sorted ascending by construction; array_union dedups)
+    val u = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    val nBoth = size(array_intersect(u, array_intersect(col("ka"), col("kb"))))
+    val jac = nBoth.cast("double") / size(u).cast("double")
+    // (k−1)/u_k with u_k normalized by the 60-bit key space; exact
+    // count branch when the union sketch holds every distinct key
+    val estUnion = when(size(u) < k, size(u).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+        element_at(u, -1).cast("double"))
+    pairs.select(col("src_a"), col("src_b"),
+        size(col("ka")).as("sketch_a"), size(col("kb")).as("sketch_b"),
+        size(u).as("n_union_sample"), nBoth.as("n_both"),
+        round(jac, 4).as("kmv_jaccard"),
+        round(estUnion, 2).as("est_union"),
+        round(jac * estUnion, 2).as("est_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapKmv(Tables.documents(spark, dir))
+
+  /** [[sourceOverlapKmv]] replayed — the exact face's shingle CTE, the
+    * md5 60-bit keys, each source's bottom-k list, the union cut and
+    * both estimator branches, all rebuilt verbatim.
+    */
+  def sourceOverlapKmvSql(k: Int = graft.functions.QuantileSketch.DefaultK): String =
+    s"""WITH l AS (
+       |  SELECT source,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT source, unnest(CASE WHEN len(l) >= 3 THEN list_distinct(
+       |    [l[i] || ' ' || l[i+1] || ' ' || l[i+2] FOR i IN range(1, len(l) - 1)])
+       |    ELSE [array_to_string(l, ' ')] END) AS sh FROM l),
+       |d AS (SELECT DISTINCT source,
+       |        ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hk
+       |      FROM sh WHERE sh <> ''),
+       |r AS (SELECT source, hk,
+       |        row_number() OVER (PARTITION BY source ORDER BY hk) AS rn
+       |      FROM d),
+       |s AS (SELECT source, list(hk ORDER BY hk) AS keys
+       |      FROM r WHERE rn <= $k GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |        a.keys AS ka, b.keys AS kb,
+       |        list_sort(list_distinct(list_concat(a.keys, b.keys)))[1:$k] AS u
+       |      FROM s a JOIN s b ON a.source < b.source),
+       |c AS (SELECT src_a, src_b, len(ka) AS sketch_a, len(kb) AS sketch_b,
+       |        len(u) AS n_union_sample,
+       |        len(list_intersect(u, list_intersect(ka, kb))) AS n_both,
+       |        CASE WHEN len(u) < $k THEN CAST(len(u) AS DOUBLE)
+       |             ELSE ${(k - 1).toDouble} * ${math.pow(2, 60)}
+       |               / CAST(u[len(u)] AS DOUBLE) END AS est_u
+       |      FROM p)
+       |SELECT src_a, src_b,
+       |  CAST(sketch_a AS INTEGER) AS sketch_a,
+       |  CAST(sketch_b AS INTEGER) AS sketch_b,
+       |  CAST(n_union_sample AS INTEGER) AS n_union_sample,
+       |  CAST(n_both AS INTEGER) AS n_both,
+       |  round(n_both * 1.0 / n_union_sample, 4) AS kmv_jaccard,
+       |  round(est_u, 2) AS est_union,
+       |  round(n_both * 1.0 / n_union_sample * est_u, 2) AS est_shared
+       |FROM c ORDER BY src_a, src_b""".stripMargin
+
   // ------------------------------------------------------------------
   // 7. Near-dup cluster assignment (connected components).
   // ------------------------------------------------------------------

@@ -659,6 +659,116 @@ object Ann {
        |  round(coalesce(n_sampled, 0) * 1.0 / n_total, 4) AS kept_frac
        |FROM cnt LEFT JOIN kept USING (cell) ORDER BY cell""".stripMargin
 
+  /** Cell-bounded k-NN GRAPH over the whole corpus — every point's
+    * top-k cosine neighbors among its IVF cellmates, the substrate
+    * graph-based curation stands on (SemDeDup-style semantic dedup,
+    * density/novelty scoring, label propagation over embeddings,
+    * diversity-aware sampling all consume exactly this edge list).
+    * The ANN faces answer "top-k for these FEW queries"; this face
+    * answers it for EVERY corpus point at once, which is a different
+    * plan: no broadcast query set, instead ONE cell-keyed self-join
+    * whose pairwise work is Σ|cell|² — the SemDeDup bound already
+    * carried by dedup_semantic, tuned by nCells (cells scale with the
+    * corpus, so |cell| stays ~constant and the join stays linear-ish;
+    * a boundary-straddling true neighbor is the recall cost, bought
+    * back with [[assignCellsMulti]] soft assignment at higher cell
+    * counts). Scoring/ranking is the certified brute discipline:
+    * 4-dp cosine, neighbor-id tie-break, per-point row_number window
+    * whose partition is bounded by the cell size.
+    *
+    * Rides the memoized [[cachedIvfIndex]] substrate (shared with
+    * corpus_buckets / balanced_sample), so a verify pass trains the
+    * quantizer once.
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    cachedTier(spark, dir, "knnGraph") {
+      val (_, assigned) = cachedIvfIndex(spark, dir)
+      knnGraphEdges(assigned, k)
+    }
+
+  /** The edge list from an (vec_id, embedding, cell) assignment. */
+  private[graft] def knnGraphEdges(assigned: DataFrame, k: Int = 5): DataFrame = {
+    val a = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__nv"), col("cell"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("embedding"), col("__nv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** [[knnGraph]] replayed: the certified quantizer/assignment CTEs,
+    * a cell-keyed self-join, and the brute tier's 4-dp cosine /
+    * neighbor-id ranking — per corpus point this time, not per query.
+    */
+  val knnGraphSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
+       |SELECT vec_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  /** Acceptance readout over the [[knnGraph]] edge list — the three
+    * numbers a curation pipeline checks before trusting a k-NN graph:
+    * per rank, the edge count, the mean neighbor cosine (does
+    * similarity decay sanely with rank?) and the MUTUALITY rate (the
+    * fraction of a→b edges whose reverse b→a edge is also in the
+    * graph — low mutuality means the cell partition is splitting true
+    * neighborhoods and nCells/soft-assignment needs retuning; it is
+    * also the signal SemDeDup-style pruning uses to pick which of a
+    * near-dup pair to keep). One self-join of the k·n edge list on the
+    * reversed key + a rank-keyed aggregation — edge-list-sized, never
+    * corpus-pairwise.
+    */
+  def knnGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraph(spark, dir)
+    val rev = edges.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), lit(1).as("__mutual"))
+    edges.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_edges"),
+        // integer-quantized sufficient stats: the 4-dp cosines sum as
+        // exact 1e-4 units (BIGINT), so the mean is one IEEE division
+        // from exact integers — immune to FP summation order
+        sum(round(col("cosine") * 10000).cast("long")).as("__cu"),
+        sum(coalesce(col("__mutual"), lit(0)).cast("long")).as("__mu"))
+      .select(col("rank"), col("n_edges"),
+        round(col("__cu").cast("double") / (col("n_edges") * 10000), 4)
+          .as("mean_cosine"),
+        round(col("__mu").cast("double") / col("n_edges"), 4).as("mutual_rate"))
+      .orderBy("rank")
+  }
+
+  /** [[knnGraphStats]] replayed over the [[knnGraphSql]] edge CTEs. */
+  val knnGraphStatsSql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM cand),
+       |edges AS (SELECT vec_id, neighbor_id, rank, cosine FROM ranked
+       |          WHERE rank <= 5)
+       |SELECT CAST(e.rank AS INTEGER) AS rank, count(*) AS n_edges,
+       |  round(sum(CAST(round(e.cosine * 10000) AS BIGINT)) * 1.0
+       |    / (count(*) * 10000), 4) AS mean_cosine,
+       |  round(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |    / count(*), 4) AS mutual_rate
+       |FROM edges e LEFT JOIN edges r
+       |  ON r.vec_id = e.neighbor_id AND r.neighbor_id = e.vec_id
+       |GROUP BY e.rank ORDER BY rank""".stripMargin
+
   /** Scalar-quantized (int8) ANN — the storage tier every production
     * vector store offers: the corpus is encoded to per-dimension affine
     * int8 codes (4× smaller than float32, which is what lets 4× more

@@ -194,6 +194,47 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(Ann.ivfpqTopKFromIndex(ec, eb, ecodes, batch).count() === 0)
   }
 
+  test("knn graph: per-cell edges equal a literal within-cell brute force; stats readout is consistent") {
+    val (_, assigned) = Ann.cachedIvfIndex(spark, sfDir)
+    val edges = Ann.knnGraph(spark, sfDir)
+    // structural: ranks 1..m (m <= 5), no self-edges
+    assert(edges.filter(col("rank") < 1 || col("rank") > 5).count() === 0)
+    assert(edges.filter(col("vec_id") === col("neighbor_id")).count() === 0)
+    // literal truth: within each point's cell, the chosen top-1 edge
+    // must be the max-(cosine, -id) cellmate — recompute directly
+    val a = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    val truthTop1 = a.join(
+        a.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("c", round(graft.functions.VectorFunctions.cosine(
+        col("embedding"), col("nv")), 4))
+      .groupBy("vec_id")
+      .agg(max(struct(col("c"), (-col("nid")).as("negid"))).as("best"))
+      .select(col("vec_id"), col("best.c").as("best_cos"))
+    val top1 = edges.filter(col("rank") === 1)
+      .join(truthTop1, "vec_id")
+      .filter(col("cosine") =!= col("best_cos"))
+    assert(top1.count() === 0, "rank-1 edge must carry the within-cell max cosine")
+    // every point with at least one cellmate has edges
+    val withMates = a.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).join(a, "cell").select("vec_id").distinct().count()
+    assert(edges.select("vec_id").distinct().count() === withMates)
+    // stats face: n_edges non-increasing with rank, rates in [0,1]
+    val stats = Ann.knnGraphStats(spark, sfDir).orderBy("rank").collect()
+    assert(stats.nonEmpty)
+    stats.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi.getLong(1) >= lo.getLong(1))
+      case _ =>
+    }
+    stats.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+    // edge total is conserved between the two faces
+    assert(stats.map(_.getLong(1)).sum === edges.count())
+  }
+
   test("corpus buckets partition the corpus with sane dispersion") {
     val buckets = Ann.corpusBuckets(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

@@ -237,6 +237,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("source overlap KMV: exact under k distinct shingles, within estimator error on the corpus") {
+    import spark.implicits._
+    // tiny vocab => union sketch is exact => kmv_jaccard == exact jaccard
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "mirror_a"),
+      (2L, "eta theta iota kappa lambda mu", "mirror_a"),
+      (3L, "alpha beta gamma delta epsilon zeta", "mirror_b"),
+      (4L, "eta theta iota kappa lambda mu", "mirror_b"),
+      (5L, "alpha beta gamma uno dos tres cuatro", "partial"))
+      .toDF("doc_id", "text", "source")
+    val kmv = Dedup.sourceOverlapKmv(docs)
+      .select("src_a", "src_b", "kmv_jaccard", "est_union", "est_shared").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val exact = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(kmv.size === 3, "every source pair gets a KMV row")
+    exact.foreach { case (pair, j) =>
+      assert(kmv(pair)._1 === j,
+        s"under-k union sketch must reproduce the exact jaccard for $pair")
+    }
+    // mirror pair: jaccard 1.0 and est_shared == est_union (all shared)
+    val m = kmv(("mirror_a", "mirror_b"))
+    assert(m._1 === 1.0 && m._3 === m._2)
+    // corpus run: agreement with the exact face within the k=256
+    // estimator error (σ(J) ~ sqrt(J(1-J)/k) ≤ 0.031; allow ~4σ)
+    val corpusExact = Dedup.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val corpusKmv = Dedup.sourceOverlapKmv(spark, sfDir).collect()
+    assert(corpusKmv.nonEmpty)
+    corpusKmv.foreach { r =>
+      val j = corpusExact.getOrElse((r.getString(0), r.getString(1)), 0.0)
+      val est = r.getDouble(6)
+      assert(math.abs(est - j) <= 0.125,
+        s"${r.getString(0)}-${r.getString(1)}: kmv $est vs exact $j")
+    }
+  }
+
   test("scrub_dup_spans removes copied passages from later docs only, conserving token counts") {
     import spark.implicits._
     def words(prefix: String, k: Int): String =
