@@ -155,20 +155,27 @@ object TextFunctions {
     * (n_types, total_tokens, coverage_top10/100/1000, 4 dp).
     *
     * Scale design: the substrate is the memoized (token, n) totals;
-    * ranking is a vocabulary-sized global window (dims-scale, the
-    * ntile/vocab rule — range-partitioned sort at 100 TB), and the
-    * coverage fold is one conditional aggregate over it.
+    * only the top-1000 types can contribute to any coverage number, so
+    * they arrive via a distributed TakeOrdered (per-partition top-k +
+    * driver merge — never a vocabulary-sized global sort; r14,
+    * formerly a full-vocab single-partition rank window) and the rank
+    * window runs over those 1000 rows only. n_types/total_tokens come
+    * from a plain aggregate with map-side partials.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val totals = tokenTotals(cachedDocTokenCounts(spark, dir))
-    totals
+    val top = totals.select("token", "n")
+      .orderBy(col("n").desc, col("token")).limit(1000)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n").desc, col("token"))))
-      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("total_tokens"),
-        sum(when(col("rank") <= 10, col("n")).otherwise(0L)).as("m10"),
-        sum(when(col("rank") <= 100, col("n")).otherwise(0L)).as("m100"),
-        sum(when(col("rank") <= 1000, col("n")).otherwise(0L)).as("m1000"))
+    val masses = top.agg(
+      sum(when(col("rank") <= 10, col("n")).otherwise(0L)).as("m10"),
+      sum(when(col("rank") <= 100, col("n")).otherwise(0L)).as("m100"),
+      sum(col("n")).as("m1000"))
+    totals
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("total_tokens"))
+      .crossJoin(masses)
       .select(col("n_types"), col("total_tokens"),
         round(col("m10").cast("double") / col("total_tokens"), 4).as("coverage_top10"),
         round(col("m100").cast("double") / col("total_tokens"), 4).as("coverage_top100"),
