@@ -717,6 +717,42 @@ object Ann {
        |SELECT vec_id, neighbor_id, rank, cosine FROM ranked
        |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
+  /** Incremental k-NN-graph maintenance against a persisted index —
+    * the ingestion story of [[knnGraph]]: the quantizer trains ONCE on
+    * the already-indexed population (even ids — the persisted
+    * centroids), a new batch (odd ids) cell-assigns map-side with NO
+    * retraining, and only DIRTY cells (cells that received new points)
+    * re-rank their edge lists — every other point's top-k provably
+    * cannot change because candidates never cross cells. The spec
+    * asserts exactly that: clean-cell edges carry over bit-identical,
+    * so per-epoch cost is Σ|dirty cell|², not the corpus. Certified:
+    * the oracle replays the even-trained quantizer (the
+    * ann_ivf_incremental CTEs) + the knnGraph self-join over the full
+    * assignment.
+    */
+  def knnGraphIncremental(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val embs = Tables.embeddings(spark, dir)
+    val (centroids, oldAssigned) =
+      ivfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0))
+    val newAssigned = assignCells(centroids, embs.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    knnGraphEdges(oldAssigned.unionByName(newAssigned), k)
+  }
+
+  /** [[knnGraphIncremental]] replayed: the even-trained quantizer CTEs
+    * with the full-corpus assignment, then the knnGraph ranking tail.
+    */
+  val knnGraphIncrementalSql: String =
+    s"""WITH ${ivfQuantizerCtes(trainWhere = "vec_id % 2 = 0")},
+       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
+       |SELECT vec_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
   /** Acceptance readout over the [[knnGraph]] edge list — the three
     * numbers a curation pipeline checks before trusting a k-NN graph:
     * per rank, the edge count, the mean neighbor cosine (does

@@ -235,6 +235,34 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
     assert(stats.map(_.getLong(1)).sum === edges.count())
   }
 
+  test("incremental knn graph: clean-cell edges carry over bit-identical (dirty-cell IVM bound)") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val (centroids, oldAssigned) =
+      Ann.ivfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0))
+    val newAssigned = Ann.assignCells(centroids, embs.filter(pmod(col("vec_id"), lit(2L)) === 1))
+    val baseEdges = Ann.knnGraphEdges(oldAssigned)
+    val fullEdges = Ann.knnGraphIncremental(spark, sfDir)
+    // a cell with no new arrivals cannot change any of its edges:
+    // carried-over edge lists must be identical between base and full
+    val dirtyCells = newAssigned.select("cell").distinct()
+    val cleanVecs = oldAssigned.join(dirtyCells, Seq("cell"), "left_anti")
+      .select("vec_id")
+    val baseClean = baseEdges.join(cleanVecs, "vec_id")
+    val fullClean = fullEdges.join(cleanVecs, "vec_id")
+    assert(baseClean.exceptAll(fullClean).count() === 0)
+    assert(fullClean.exceptAll(baseClean).count() === 0)
+    // dirty-cell points (old AND new) are exactly the re-ranked set,
+    // and every new point appears in the full graph if it has a mate
+    val matedNew = newAssigned.join(
+      oldAssigned.select("cell").unionByName(newAssigned.select("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n")).filter(col("n") >= 2),
+      "cell").select("vec_id").distinct().count()
+    val newInGraph = fullEdges.join(
+      newAssigned.select("vec_id"), Seq("vec_id")).select("vec_id").distinct().count()
+    assert(newInGraph === matedNew,
+      "every new point with a cellmate gets edges; isolated ones get none")
+  }
+
   test("corpus buckets partition the corpus with sane dispersion") {
     val buckets = Ann.corpusBuckets(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
