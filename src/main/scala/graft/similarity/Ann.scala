@@ -701,21 +701,29 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** The knn edge CTEs shared by every graph-face oracle: cell-keyed
+    * self-join over the quantizer assignment + the brute ranking.
+    */
+  private val knnEdgeCtes: String =
+    """cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id),
+      |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand),
+      |edges AS (SELECT vec_id, neighbor_id, rank, cosine FROM ranked
+      |          WHERE rank <= 5)""".stripMargin
+
   /** [[knnGraph]] replayed: the certified quantizer/assignment CTEs,
     * a cell-keyed self-join, and the brute tier's 4-dp cosine /
     * neighbor-id ranking — per corpus point this time, not per query.
     */
   val knnGraphSql: String =
     s"""WITH ${ivfQuantizerCtes()},
-       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-       |  JOIN e ea ON ea.vec_id = a.vec_id
-       |  JOIN e eb ON eb.vec_id = b.vec_id),
-       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
-       |SELECT vec_id, neighbor_id, rank, cosine FROM ranked
-       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+       |$knnEdgeCtes
+       |SELECT vec_id, neighbor_id, rank, cosine FROM edges
+       |ORDER BY vec_id, rank""".stripMargin
 
   /** Incremental k-NN-graph maintenance against a persisted index —
     * the ingestion story of [[knnGraph]]: the quantizer trains ONCE on
@@ -743,15 +751,9 @@ object Ann {
     */
   val knnGraphIncrementalSql: String =
     s"""WITH ${ivfQuantizerCtes(trainWhere = "vec_id % 2 = 0")},
-       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-       |  JOIN e ea ON ea.vec_id = a.vec_id
-       |  JOIN e eb ON eb.vec_id = b.vec_id),
-       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM cand)
-       |SELECT vec_id, neighbor_id, rank, cosine FROM ranked
-       |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+       |$knnEdgeCtes
+       |SELECT vec_id, neighbor_id, rank, cosine FROM edges
+       |ORDER BY vec_id, rank""".stripMargin
 
   /** Acceptance readout over the [[knnGraph]] edge list — the three
     * numbers a curation pipeline checks before trusting a k-NN graph:
@@ -787,15 +789,7 @@ object Ann {
   /** [[knnGraphStats]] replayed over the [[knnGraphSql]] edge CTEs. */
   val knnGraphStatsSql: String =
     s"""WITH ${ivfQuantizerCtes()},
-       |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |    round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-       |  JOIN e ea ON ea.vec_id = a.vec_id
-       |  JOIN e eb ON eb.vec_id = b.vec_id),
-       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM cand),
-       |edges AS (SELECT vec_id, neighbor_id, rank, cosine FROM ranked
-       |          WHERE rank <= 5)
+       |$knnEdgeCtes
        |SELECT CAST(e.rank AS INTEGER) AS rank, count(*) AS n_edges,
        |  round(sum(CAST(round(e.cosine * 10000) AS BIGINT)) * 1.0
        |    / (count(*) * 10000), 4) AS mean_cosine,
@@ -804,6 +798,51 @@ object Ann {
        |FROM edges e LEFT JOIN edges r
        |  ON r.vec_id = e.neighbor_id AND r.neighbor_id = e.vec_id
        |GROUP BY e.rank ORDER BY rank""".stripMargin
+
+  /** Per-point embedding DENSITY over the [[knnGraph]] edge list — the
+    * D4-style redundancy signal (Tirumala et al., 2023: dense regions
+    * of embedding space are semantically duplicated; pruning them
+    * beats random subsampling): each point's mean top-k neighbor
+    * cosine (integer-quantized 1e-4 sufficient stats — one IEEE
+    * division from exact BIGINTs) plus its corpus decile under the
+    * (density, vec_id) total order, decile 10 = densest = first to
+    * prune. The decile rides [[graft.functions.Ranks.globalNtile]] —
+    * range partitions + exact ntile arithmetic, never a
+    * single-partition window. Edge aggregation is one k·n-row keyed
+    * agg with map-side partials; points with no cellmate have no
+    * density and are absent (by construction on both engines).
+    */
+  def embeddingDensity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Ranks
+    val per = knnGraph(spark, dir)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(round(col("cosine") * 10000).cast("long")).as("__cu"))
+      .select(col("vec_id"), col("n_edges"),
+        round(col("__cu").cast("double") / (col("n_edges") * 10000), 4)
+          .as("density"))
+    Ranks.globalNtile(per, 10, Seq(col("density"), col("vec_id")))
+      .withColumnRenamed("bucket", "density_decile")
+      .select("vec_id", "n_edges", "density", "density_decile")
+      .orderBy("vec_id")
+  }
+
+  /** [[embeddingDensity]] replayed over the knn edge CTEs: the same
+    * integer-unit mean and a plain ntile(10) — [[Ranks.globalNtile]]
+    * is spec'd bit-identical to the naive global ntile, so the oracle
+    * uses the naive form.
+    */
+  val embeddingDensitySql: String =
+    s"""WITH ${ivfQuantizerCtes()},
+       |$knnEdgeCtes,
+       |per AS (SELECT vec_id, count(*) AS n_edges,
+       |    round(sum(CAST(round(cosine * 10000) AS BIGINT)) * 1.0
+       |      / (count(*) * 10000), 4) AS density
+       |  FROM edges GROUP BY vec_id)
+       |SELECT vec_id, n_edges, density,
+       |  CAST(ntile(10) OVER (ORDER BY density, vec_id) AS INTEGER)
+       |    AS density_decile
+       |FROM per ORDER BY vec_id""".stripMargin
 
   /** Scalar-quantized (int8) ANN — the storage tier every production
     * vector store offers: the corpus is encoded to per-dimension affine

@@ -263,6 +263,28 @@ class AnnSpec extends AnyFunSuite with SparkSpec {
       "every new point with a cellmate gets edges; isolated ones get none")
   }
 
+  test("embedding density: per-point means recompute literally, deciles partition the graph points") {
+    val edges = Ann.knnGraph(spark, sfDir)
+    val dens = Ann.embeddingDensity(spark, sfDir)
+    // covers exactly the points that have edges
+    assert(dens.count() === edges.select("vec_id").distinct().count())
+    // literal recompute of the integer-unit mean
+    val truth = edges.groupBy("vec_id")
+      .agg((sum(round(col("cosine") * 10000).cast("long")).cast("double") /
+        (count(lit(1)) * 10000)).as("m"))
+      .select(col("vec_id"), round(col("m"), 4).as("m"))
+    assert(dens.join(truth, "vec_id").filter(col("density") =!= col("m")).count() === 0)
+    // deciles: 1..10, sizes differ by at most 1, densest points in 10
+    val sizes = dens.groupBy("density_decile").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.subsetOf((1 to 10).toSet))
+    if (sizes.size == 10)
+      assert(sizes.values.max - sizes.values.min <= 1)
+    val d10min = dens.filter(col("density_decile") === 10).agg(min("density")).head.getDouble(0)
+    val d1max = dens.filter(col("density_decile") === 1).agg(max("density")).head.getDouble(0)
+    assert(d10min >= d1max, "decile 10 holds the densest points")
+  }
+
   test("corpus buckets partition the corpus with sane dispersion") {
     val buckets = Ann.corpusBuckets(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
