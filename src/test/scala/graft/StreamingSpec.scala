@@ -321,6 +321,66 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("rebuild"))
   }
 
+  test("streaming knn maintenance equals the batch graph; clean cell partitions are not rewritten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingKnnMaintainJob
+    import graft.similarity.Ann
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-maintain").toString
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+
+    val job = new StreamingKnnMaintainJob(spark, s"$tmp/graph")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = job.start(stream.toDF().toDF("vec_id", "embedding"), s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    val half = embs.length / 2
+    stream.addData(embs.take(half).toSeq); q.processAllAvailable()
+
+    // snapshot a clean cell's partition files before the second batch
+    val secondAssigned = Ann.assignCells(job.readCentroids().get,
+      embs.drop(half).toSeq.toDF("vec_id", "embedding"))
+    val dirtyCells = secondAssigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val edgesDir = new java.io.File(s"$tmp/graph/edges")
+    val cleanCellDirs = edgesDir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("cell=") &&
+        !dirtyCells.contains(f.getName.stripPrefix("cell=").toInt))
+    val before = cleanCellDirs.map(d =>
+      d.getName -> d.listFiles().map(f => (f.getName, f.lastModified)).toSet).toMap
+
+    stream.addData(embs.drop(half).toSeq); q.processAllAvailable()
+    q.stop()
+
+    // the maintained graph equals the batch recompute over the same
+    // persisted quantizer + accumulated assignment
+    val batch = Ann.assignCells(job.readCentroids().get,
+      embs.toSeq.toDF("vec_id", "embedding"))
+    val expected = graft.similarity.Ann.knnGraphEdges(batch).collect().toSeq
+    val got = job.readGraph().orderBy("vec_id", "rank").collect().toSeq
+    assert(got === expected)
+
+    // clean cells' files were NOT rewritten by the dynamic overwrite
+    cleanCellDirs.foreach { d =>
+      val after = d.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      assert(after === before(d.getName),
+        s"${d.getName} is clean for batch 2 but its files changed")
+    }
+
+    // at-least-once replay of the second batch converges, not diverges
+    job.processBatch(embs.drop(half).toSeq.toDF("vec_id", "embedding"), 1L)
+    assert(job.readGraph().orderBy("vec_id", "rank").collect().toSeq === expected)
+
+    // a restart with different k must refuse the persisted graph
+    val wrong = new StreamingKnnMaintainJob(spark, s"$tmp/graph", k = 3)
+    val ex = intercept[IllegalStateException] {
+      wrong.processBatch(embs.take(2).toSeq.toDF("vec_id", "embedding"), 99L)
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("ANN ingest: empty first batch must not poison the index, and replay across compaction must not duplicate vec_ids") {
     import spark.implicits._
     import graft.streaming.StreamingAnnIngestJob
