@@ -1999,6 +1999,60 @@ object TextFunctions {
        |FROM j, sc, tot ORDER BY lang""".stripMargin
   }
 
+  /** Deterministic shuffle-and-shard assignment — the materialization
+    * step a pretraining data pipeline ends with: every doc gets a
+    * pseudorandom position (the replayable md5 coin as sort key — same
+    * order on every engine, every retry, every backfill) and a shard
+    * by round-robin over that shuffled order, which balances doc
+    * counts exactly (±1) and token mass in expectation WITHOUT a
+    * token-weighted bin-packing pass. The global position rides
+    * [[Ranks.globalRank]] — range partitions + prefix offsets, never a
+    * single-partition sort; the coin is order-free map-side work.
+    */
+  def corpusShardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    val coined = docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("toks"),
+      graft.functions.QuantileSketch.hashKey(col("doc_id")).as("__coin"))
+    Ranks.globalRank(coined, Seq(col("__coin"), col("doc_id")))
+      .withColumn("shard", ((col("rn") - 1) % nShards).cast("int"))
+      .select("doc_id", "toks", "rn", "shard")
+  }
+
+  /** Per-shard acceptance rollup of [[corpusShardAssign]] — doc count,
+    * token mass and token share per output shard. The number a 100 TB
+    * materialization checks before committing the write plan: docs are
+    * balanced ±1 by construction; token share tells whether round-robin
+    * suffices or a weighted packer is needed for this corpus.
+    */
+  def corpusShardPlan(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val assign = corpusShardAssign(graft.Tables.documents(spark, dir), nShards)
+    val shards = assign.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"))
+    shards
+      .crossJoin(broadcast(shards.agg(sum("tokens").cast("double").as("__t"))))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("__t"), 4).as("token_share"))
+      .orderBy("shard")
+  }
+
+  /** [[corpusShardPlan]] replayed: the md5 coin, the (coin, doc_id)
+    * global order (Ranks is spec'd bit-identical to the naive window),
+    * round-robin modulo, one rollup.
+    */
+  def corpusShardPlanSql(nShards: Int = 16): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS coin
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (ORDER BY coin, doc_id) AS rn FROM d),
+       |s AS (SELECT CAST((rn - 1) % $nShards AS INTEGER) AS shard,
+       |        count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens
+       |      FROM r GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS t FROM s)
+       |SELECT shard, n_docs, tokens, round(tokens / t, 4) AS token_share
+       |FROM s, tot ORDER BY shard""".stripMargin
+
   /** Temperature-reweighted mixture + epoch planner — the
     * data-constrained mixing stage [[corpusMix]] does not cover: where
     * corpusMix matches externally-given target shares, this derives the

@@ -676,4 +676,33 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       assert(g._5 >= 1.0, s"$lang fertility below 1 — BPE-ish regex lost tokens")
     }
   }
+
+  test("corpus shard plan: exact doc balance, full partition, deterministic, token conservation") {
+    val docs = Tables.documents(spark, sfDir)
+    val nShards = 16
+    val assign = TextFunctions.corpusShardAssign(docs, nShards)
+    // partition: every doc exactly once, shards in [0, n)
+    assert(assign.count() === docs.count())
+    assert(assign.select("doc_id").distinct().count() === docs.count())
+    assert(assign.filter(col("shard") < 0 || col("shard") >= nShards).count() === 0)
+    // round-robin over a total order balances doc counts to ±1
+    val plan = TextFunctions.corpusShardPlan(spark, sfDir, nShards).collect()
+    val docCounts = plan.map(_.getLong(1))
+    assert(docCounts.max - docCounts.min <= 1)
+    // token conservation and share arithmetic
+    val totalToks = assign.agg(sum("toks")).head.getLong(0)
+    assert(plan.map(_.getLong(2)).sum === totalToks)
+    assert(math.abs(plan.map(_.getDouble(3)).sum - 1.0) < 0.01)
+    // determinism: a rerun assigns every doc the same shard
+    val again = TextFunctions.corpusShardAssign(docs, nShards)
+      .select(col("doc_id"), col("shard").as("shard2"))
+    assert(assign.join(again, "doc_id")
+      .filter(col("shard") =!= col("shard2")).count() === 0)
+    // the order is the md5 shuffle, not doc_id order: consecutive
+    // doc_ids land on scattered shards (a contiguous assignment would
+    // put the first n/16 docs on shard 0)
+    val firstDocShards = assign.orderBy("doc_id").limit(nShards)
+      .select("shard").collect().map(_.getInt(0)).toSet
+    assert(firstDocShards.size > 1, "md5 order must scatter consecutive doc_ids")
+  }
 }
