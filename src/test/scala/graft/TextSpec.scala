@@ -705,4 +705,63 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .select("shard").collect().map(_.getInt(0)).toSet
     assert(firstDocShards.size > 1, "md5 order must scatter consecutive doc_ids")
   }
+
+  test("dsir: target separation, weight totals, and gumbel sample discipline") {
+    val rows = TextFunctions.dsirWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // one row per doc with >=1 bigram, weights finite
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // the target partition trained the numerator model: its mean log
+    // importance weight must exceed the raw pool's (DSIR's whole point)
+    val byFlag = rows.groupBy(_.getInt(1)).map { case (k, v) =>
+      k -> v.map(_.getDouble(3)).sum / v.length }
+    assert(byFlag(1) > byFlag(0),
+      s"target mean ${byFlag(1)} must exceed raw mean ${byFlag(0)}")
+    // sample: raw docs only, bounded size, keys descend, deterministic
+    val s = TextFunctions.dsirSample(spark, sfDir).collect()
+    val rawIds = rows.filter(_.getInt(1) == 0).map(_.getLong(0)).toSet
+    assert(s.forall(r => rawIds.contains(r.getLong(0))))
+    assert(s.length === math.min(TextFunctions.DsirSampleK, rawIds.size))
+    val keys = s.map(_.getDouble(3))
+    assert(keys.zip(keys.drop(1)).forall { case (a, b) => a >= b })
+    assert(TextFunctions.dsirSample(spark, sfDir).collect().map(_.getLong(0))
+      .sameElements(s.map(_.getLong(0))))
+  }
+
+  test("kneser-ney bigram logprob matches a hand-computed corpus and the add-k substrate") {
+    import spark.implicits._
+    // model over {doc1: "a b a b", doc2: "a c"}: c(ab)=2, c(ba)=1, c(ac)=1
+    // p(b|a) = 1.25/3 + .75*(2/3)*(1/3) = 0.583333…
+    // p(a|b) = .25/1 + .75*(1/1)*(1/3) = 0.5
+    // p(c|a) = .25/3 + .75*(2/3)*(1/3) = 0.25
+    val tiny = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextFunctions.knBigramLogprob(tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - 0.5904) < 1e-9) // (2·−ln .58333 + −ln .5)/3
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - 1.3863) < 1e-9) // −ln 0.25
+    // corpus run: finite positive scores, n_bigrams identical to the
+    // add-k face (same substrate)
+    val kn = TextFunctions.knBigramLogprob(spark, sfDir)
+    assert(kn.collect().forall(r => r.getDouble(2) > 0 && !r.getDouble(2).isInfinite))
+    val mismatch = kn.select(col("doc_id"), col("n_bigrams").as("n1"))
+      .join(TextFunctions.bigramLogprob(spark, sfDir)
+        .select(col("doc_id"), col("n_bigrams").as("n2")), "doc_id")
+      .filter(col("n1") =!= col("n2")).count()
+    assert(mismatch === 0)
+  }
+
+  test("ppl buckets: exact terciles, monotone in the score order, scores shared with unigram face") {
+    val b = TextFunctions.pplBuckets(spark, sfDir).collect()
+    val sizes = b.groupBy(_.getInt(3)).map { case (k, v) => k -> v.size }
+    assert(sizes.keySet === Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    val inOrder = b.sortBy(r => (r.getDouble(2), r.getLong(0))).map(_.getInt(3))
+    assert(inOrder.zip(inOrder.drop(1)).forall { case (x, y) => x <= y })
+    val scores = TextFunctions.unigramLogprob(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(b.forall(r => scores(r.getLong(0)) === r.getDouble(2)))
+  }
 }
