@@ -2287,28 +2287,59 @@ object TextFunctions {
     */
   private def cachedDsirLogw(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("dsirLogw", dir)) {
-      val perDocBucket = cachedDocBigrams(spark, dir)
-        .select(col("doc_id"), bigramBucket(col("a"), col("b")))
-        .groupBy("doc_id", "bucket")
-        .agg(count(lit(1)).as("n"))
-      val flags = Tables.documents(spark, dir).select(col("doc_id"),
-        (col("lang") === lit(DsirTargetLang)).cast("int").as("is_target"))
-      val rows = perDocBucket.join(flags, "doc_id")
-      val model = rows.groupBy("bucket").agg(
-        sum(when(col("is_target") === 1, col("n")).otherwise(0L)).as("c_t"),
-        sum(when(col("is_target") === 0, col("n")).otherwise(0L)).as("c_r"))
-      val totals = model.agg(sum("c_t").cast("double").as("tt"),
-        sum("c_r").cast("double").as("tr"))
-      val denom = DsirAlpha * DsirBuckets
-      val lambdas = model.crossJoin(broadcast(totals)).select(col("bucket"),
+      val rows = dsirBucketRowsFrom(cachedDocBigrams(spark, dir),
+        Tables.documents(spark, dir))
+      dsirScore(rows, dsirTrain(rows)).localCheckpoint(true)
+    }
+
+  /** (doc_id, bucket, n, is_target) hashed-bucket counts — the shared
+    * input of [[dsirTrain]] and [[dsirScore]] (and of the streaming
+    * serving face, [[graft.streaming.StreamingDsirJob]]).
+    */
+  private[graft] def dsirBucketRows(docs: DataFrame): DataFrame =
+    dsirBucketRowsFrom(docBigrams(docs), docs)
+
+  private def dsirBucketRowsFrom(bigramRows: DataFrame, docs: DataFrame): DataFrame =
+    bigramRows
+      .select(col("doc_id"), bigramBucket(col("a"), col("b")))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .join(docs.select(col("doc_id"),
+        (col("lang") === lit(DsirTargetLang)).cast("int").as("is_target")), "doc_id")
+
+  /** Fit the bucket model: (bucket, lam) log importance ratios, plus
+    * the UNSEEN-bucket default (both counts zero → λ =
+    * ln((tr+αB)/(tt+αB))) stored under bucket = −1 so the persisted
+    * model is one self-contained table a serving job can broadcast.
+    */
+  private[graft] def dsirTrain(rows: DataFrame): DataFrame = {
+    val model = rows.groupBy("bucket").agg(
+      sum(when(col("is_target") === 1, col("n")).otherwise(0L)).as("c_t"),
+      sum(when(col("is_target") === 0, col("n")).otherwise(0L)).as("c_r"))
+    val totals = model.agg(sum("c_t").cast("double").as("tt"),
+      sum("c_r").cast("double").as("tr"))
+    val denom = DsirAlpha * DsirBuckets
+    model.crossJoin(broadcast(totals)).select(col("bucket"),
         log(((col("c_t") + lit(DsirAlpha)) / (col("tt") + lit(denom))) /
             ((col("c_r") + lit(DsirAlpha)) / (col("tr") + lit(denom)))).as("lam"))
-      rows.join(broadcast(lambdas), "bucket")
-        .groupBy("doc_id", "is_target")
-        .agg(sum("n").cast("long").as("n_bigrams"),
-          sum(col("n") * col("lam")).as("logw_raw"))
-        .localCheckpoint(true)
-    }
+      .unionByName(totals.select(lit(-1L).as("bucket"),
+        log((col("tr") + lit(denom)) / (col("tt") + lit(denom))).as("lam")))
+  }
+
+  /** Score bucket rows against a (possibly frozen/persisted) model:
+    * broadcast-join the ≤[[DsirBuckets]]+1-row λ table, buckets the
+    * model never saw fall back to the bucket = −1 default, one
+    * doc-keyed aggregation. (doc_id, is_target, n_bigrams, logw_raw).
+    */
+  private[graft] def dsirScore(rows: DataFrame, model: DataFrame): DataFrame = {
+    val default = model.filter(col("bucket") === -1L)
+      .select(col("lam").as("lam_def"))
+    rows.join(broadcast(model.filter(col("bucket") =!= -1L)), Seq("bucket"), "left")
+      .crossJoin(broadcast(default))
+      .groupBy("doc_id", "is_target")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        sum(col("n") * coalesce(col("lam"), col("lam_def"))).as("logw_raw"))
+  }
 
   /** Bench attribution hook for the shared DSIR model+weights table
     * ([[graft.Artifacts]] `text_dsir_logw`).

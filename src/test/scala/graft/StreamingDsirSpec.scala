@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.streaming.StreamingDsirJob
+
+/** The streaming DSIR face must fit the SAME λ table the batch trainer
+  * produces on the bootstrap tranche, score later batches byte-stably
+  * against the frozen model (unseen buckets falling back to the
+  * persisted default), and keep the maintained per-class summary equal
+  * to a from-scratch recompute — under replay and across compaction.
+  */
+class StreamingDsirSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  private def tranches(n: Int): Seq[DataFrame] =
+    (0 until n).map(i => docs.filter(pmod(col("doc_id"), lit(n)) === i))
+
+  private def summaryOf(job: StreamingDsirJob): Map[Int, (Long, Double)] =
+    job.readSummary().collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("bootstrap fits on the first batch; later batches score against the frozen model") {
+    val dir = java.nio.file.Files.createTempDirectory("sdsir").toString
+    val job = new StreamingDsirJob(spark, dir)
+    val cuts = tranches(3)
+    cuts.zipWithIndex.foreach { case (cut, i) => job.processBatch(cut, i.toLong) }
+    // persisted model == the batch trainer on the bootstrap tranche alone
+    val got = job.readModel().get.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = TextFunctions.dsirTrain(
+        TextFunctions.dsirBucketRows(cuts.head).localCheckpoint(true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want, "persisted λ table must be the bootstrap-tranche fit")
+    assert(got.contains(-1L), "the unseen-bucket default must ride the model")
+    // every ingested doc with >=1 bigram scored exactly once, equal to a
+    // direct rescore of everything against the SAME frozen model
+    val streamed = job.readWeights().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.map(_._1).distinct.length === streamed.length)
+    val direct = TextFunctions.dsirScore(
+        TextFunctions.dsirBucketRows(docs).localCheckpoint(true),
+        job.readModel().get)
+      .select(col("doc_id"), round(col("logw_raw"), 4).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.length === direct.size)
+    streamed.foreach { case (id, _, _, w) =>
+      assert(w === direct(id), s"doc $id streamed $w, direct says ${direct(id)}")
+    }
+    // maintained summary == recompute from the weight table
+    val want2 = streamed.groupBy(_._2).map { case (t, rows) =>
+      t -> ((rows.length.toLong,
+        rows.map(r => math.round(r._4 * 10000)).sum / 10000.0 / rows.length))
+    }
+    val got2 = summaryOf(job)
+    assert(got2.keySet === want2.keySet)
+    got2.foreach { case (t, (n, m)) =>
+      assert(n === want2(t)._1, s"class $t count")
+      assert(math.abs(m - want2(t)._2) < 1e-9, s"class $t mean logw")
+    }
+  }
+
+  test("replay across compaction changes neither weights nor summary") {
+    val dir = java.nio.file.Files.createTempDirectory("sdsir-rp").toString
+    val job = new StreamingDsirJob(spark, dir, compactEvery = 2)
+    val cuts = tranches(3)
+    cuts.zipWithIndex.foreach { case (cut, i) => job.processBatch(cut, i.toLong) }
+    val beforeW = job.readWeights().collect().map(_.toSeq).sortBy(_.toString)
+    val beforeS = summaryOf(job)
+    cuts.zipWithIndex.foreach { case (cut, i) => job.processBatch(cut, i.toLong) }
+    assert(job.readWeights().collect().map(_.toSeq).sortBy(_.toString)
+      .sameElements(beforeW), "replayed weights must be byte-stable")
+    assert(summaryOf(job) === beforeS, "replayed summary must fold to the same state")
+  }
+
+  test("empty first batch must not bootstrap; a single-class batch refuses to train") {
+    val dir = java.nio.file.Files.createTempDirectory("sdsir-e").toString
+    val job = new StreamingDsirJob(spark, dir)
+    assert(job.readSummary().count() === 0)
+    job.processBatch(docs.limit(0), 0L)
+    assert(job.readModel().isEmpty, "empty batch must not bootstrap")
+    assert(job.readWeights().count() === 0)
+    val onlyTarget = docs.filter(col("lang") === TextFunctions.DsirTargetLang)
+    val e = intercept[IllegalArgumentException] {
+      job.processBatch(onlyTarget, 1L)
+    }
+    assert(e.getMessage.contains("both target and raw"))
+    assert(job.readModel().isEmpty, "refused fit must not persist a model")
+  }
+}
