@@ -48,6 +48,7 @@ object Artifacts {
     "ann_brute_scored" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedBruteScored(s, d); () }),
     "text_bigrams" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocBigrams(s, d); () }),
     "text_dsir_logw" -> ((s: SparkSession, d: String) => functions.TextFunctions.prewarmDsirLogw(s, d)),
+    "text_classifier" -> ((s: SparkSession, d: String) => functions.Classifier.prewarmModel(s, d)),
     "mm_codec" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.pipelineRaw(s, d); () }),
     "ann_ivf_index" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedIvfIndex(s, d); () }),
     "ann_tier_brute" -> ((s: SparkSession, d: String) => { similarity.Ann.bruteForceTopK(s, d); () }),

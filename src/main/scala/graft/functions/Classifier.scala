@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** In-engine linear text classifier — the fastText/FineWeb-Edu-style
+  * gate trained WITHOUT leaving the engine: logistic regression on
+  * hashed-bigram features by full-batch gradient descent, every step a
+  * pair of keyed aggregations and the weight vector quantized to 6 dp
+  * per round (the Lloyd-trainer discipline from
+  * [[graft.similarity.KMeans]] — per-step quantization resets
+  * cross-engine FP drift, which is what lets DuckDB replay the entire
+  * training run and the driver hash-certify a GRADIENT DESCENT).
+  *
+  * Model: p(target | doc) = σ(Σ_b x_b·w_b) over
+  * [[TextFunctions.DsirBuckets]] hashed-bigram buckets (md5 15-hex →
+  * 60-bit mod B, the replayable feature hashing shared with DSIR),
+  * x = per-doc L1-normalized bucket counts, labels = the DSIR
+  * target/raw split (lang = '[[TextFunctions.DsirTargetLang]]').
+  * Gradients are CLASS-BALANCED (each class contributes weight 1/2
+  * regardless of size), which centers the decision boundary at z = 0
+  * without an intercept term whose unit-scale feature would otherwise
+  * dominate the normalized bucket features.
+  *
+  * NOTE on the testdata: the corpus' lang labels are synthetic (every
+  * label draws from the same vocabulary), so accuracy here measures
+  * the machinery's FIT on the training set — the certified artifact is
+  * the training run itself, not a linguistic claim.
+  *
+  * Scale plan (100 TB): features hash map-side; the only token-volume
+  * shuffle is the (doc, bucket) count agg. Each GD step is: one
+  * ≤B-row broadcast join + doc-keyed agg (the forward pass), one
+  * doc-keyed join + bucket-keyed agg with map-side partials (the
+  * gradient), one ≤B-row update. T steps = T passes over the bounded
+  * feature table (checkpointed once), never over raw text; the model
+  * state is B rows on every engine at every moment. Nothing is
+  * collected.
+  */
+object Classifier {
+
+  /** Full-batch GD steps. */
+  val Steps = 5
+
+  /** Learning rate — sized for L1-normalized features (per-feature
+    * x ≈ 1/doc_len, so per-step weight movement is O(η·x̄·½) ≈ 0.2).
+    */
+  val Eta = 2000.0
+
+  /** (feat, labels): (doc_id, bucket, x) L1-normalized hashed-bigram
+    * features and (doc_id, y, cw) class-balanced labels — docs with no
+    * bigrams carry no features and are excluded from both.
+    */
+  private def features(docs: DataFrame): (DataFrame, DataFrame) = {
+    val bk = TextFunctions.docBigrams(docs)
+      .select(col("doc_id"), TextFunctions.bigramBucket(col("a"), col("b")))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val nd = bk.groupBy("doc_id").agg(sum("n").cast("double").as("nd"))
+    val feat = bk.join(nd, "doc_id")
+      .select(col("doc_id"), col("bucket"), (col("n") / col("nd")).as("x"))
+    val y0 = docs
+      .select(col("doc_id"),
+        (col("lang") === lit(TextFunctions.DsirTargetLang)).cast("int").as("y"))
+      .join(nd.select("doc_id"), "doc_id")
+    val cls = y0.groupBy("y").agg((lit(0.5) / count(lit(1))).as("cw"))
+    (feat, y0.join(broadcast(cls), "y").select("doc_id", "y", "cw"))
+  }
+
+  /** One forward pass: (doc_id, z) raw scores under a weight table. */
+  private def scores(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("x") * col("w")).as("z"))
+
+  /** The trained ≤B-row weight table (bucket, w) after [[Steps]]
+    * class-balanced GD rounds from w⁰ = 0, 6-dp quantized per round.
+    */
+  private def gdTrain(feat: DataFrame, labels: DataFrame): DataFrame = {
+    var w = feat.select("bucket").distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint(true)
+    for (_ <- 1 to Steps) {
+      val p = scores(feat, w)
+        .select(col("doc_id"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+      val g = feat.join(p, "doc_id").join(labels, "doc_id")
+        .groupBy("bucket")
+        .agg(sum((col("p") - col("y")) * col("x") * col("cw")).as("g"))
+      w = w.join(g, Seq("bucket"), "left")
+        .select(col("bucket"),
+          round(col("w") - lit(Eta) * coalesce(col("g"), lit(0.0)), 6).as("w"))
+        .localCheckpoint(true)
+    }
+    w
+  }
+
+  /** Memoized (features, labels, trained weights) — classifier_train
+    * and classifier_eval share one training run per session (bench
+    * attribution: the `text_classifier` artifact).
+    */
+  private def cachedModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark, ("textClassifier", dir)) {
+      val docs = Tables.documents(spark, dir)
+      val (feat, labels) = features(docs)
+      val f = feat.localCheckpoint(true)
+      val l = labels.localCheckpoint(true)
+      (f, l, gdTrain(f, l))
+    }
+
+  def prewarmModel(spark: SparkSession, dir: String): Unit = {
+    cachedModel(spark, dir); ()
+  }
+
+  /** The trained weight table — the model artifact a curation run
+    * persists and serves (every hashed bucket that occurs in the
+    * corpus, with its learned log-odds contribution).
+    */
+  def classifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, w) = cachedModel(spark, dir)
+    w.select(col("bucket"), col("w").as("weight")).orderBy("bucket")
+  }
+
+  /** Training-set fit readout per class: doc count, correct
+    * predictions at the z ≥ 0 boundary, accuracy, and mean raw score —
+    * the acceptance numbers that decide whether the gate is usable.
+    */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, labels, w) = cachedModel(spark, dir)
+    scores(feat, w)
+      .select(col("doc_id"), round(col("z"), 6).as("z"))
+      .join(labels, "doc_id")
+      .groupBy(col("y").as("is_target"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when((col("z") >= 0) === (col("y") === 1), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(sum(when((col("z") >= 0) === (col("y") === 1), 1.0).otherwise(0.0))
+          / count(lit(1)), 4).as("accuracy"),
+        round(avg(col("z")), 4).as("mean_score"))
+      .orderBy("is_target")
+  }
+
+  /** The shared training-replay WITH-chain through w[[Steps]] —
+    * feat/labels/per-step weights MATERIALIZED so DuckDB evaluates the
+    * chain once instead of inlining it recursively.
+    */
+  private def trainCtes: String = {
+    val b = TextFunctions.DsirBuckets
+    val steps = (1 to Steps).map { i =>
+      s"""z$i AS (
+         |  SELECT f.doc_id, sum(f.x * w.w) AS z
+         |  FROM feat f JOIN w${i - 1} w USING (bucket) GROUP BY 1),
+         |p$i AS (SELECT doc_id, 1.0/(1.0+exp(-z)) AS p FROM z$i),
+         |g$i AS (
+         |  SELECT f.bucket, sum((p.p - y.y) * f.x * y.cw) AS g
+         |  FROM feat f JOIN p$i p USING (doc_id) JOIN y USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.bucket, round(w.w - $Eta * coalesce(g.g, 0.0), 6) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |zz AS (
+       |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+       |  FROM toks WHERE len(t) >= 2),
+       |bg AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM zz
+       |       WHERE pr[1] <> '' AND pr[2] <> ''),
+       |bk AS (
+       |  SELECT doc_id, ('0x' || substr(md5(a || ' ' || b), 1, 15))::BIGINT % $b AS bucket,
+       |    count(*) AS n
+       |  FROM bg GROUP BY 1, 2),
+       |nd AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS nd FROM bk GROUP BY 1),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, bucket, n / nd AS x FROM bk JOIN nd USING (doc_id)),
+       |y0 AS (
+       |  SELECT doc_id, CAST(lang = '${TextFunctions.DsirTargetLang}' AS INTEGER) AS y
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM nd)),
+       |cls AS (SELECT y, 0.5 / count(*) AS cw FROM y0 GROUP BY y),
+       |y AS MATERIALIZED (
+       |  SELECT doc_id, y0.y, cls.cw FROM y0 JOIN cls USING (y)),
+       |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
+       |$steps""".stripMargin
+  }
+
+  val classifierTrainSql: String =
+    s"""$trainCtes
+       |SELECT bucket, w AS weight FROM w$Steps ORDER BY bucket""".stripMargin
+
+  val classifierEvalSql: String =
+    s"""$trainCtes,
+       |zf AS (
+       |  SELECT f.doc_id, round(sum(f.x * w.w), 6) AS z
+       |  FROM feat f JOIN w$Steps w USING (bucket) GROUP BY 1)
+       |SELECT y.y AS is_target, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN (zf.z >= 0) = (y.y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  round(sum(CASE WHEN (zf.z >= 0) = (y.y = 1) THEN 1.0 ELSE 0.0 END)
+       |    / count(*), 4) AS accuracy,
+       |  round(avg(zf.z), 4) AS mean_score
+       |FROM zf JOIN y USING (doc_id)
+       |GROUP BY 1 ORDER BY is_target""".stripMargin
+}

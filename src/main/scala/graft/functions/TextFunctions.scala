@@ -2265,7 +2265,7 @@ object TextFunctions {
     * applied to feature hashing, so DuckDB rebuilds the exact bucket
     * of every bigram.
     */
-  private def bigramBucket(a: Column, b: Column): Column =
+  private[functions] def bigramBucket(a: Column, b: Column): Column =
     (conv(substring(md5(concat(a, lit(" "), b).cast("binary")), 1, 15), 16, 10)
       .cast("long") % DsirBuckets).as("bucket")
 

@@ -753,6 +753,29 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(mismatch === 0)
   }
 
+  test("hashed-bigram classifier: training beats the majority baseline with separated class means") {
+    val w = graft.functions.Classifier.classifierTrain(spark, sfDir).collect()
+    // one weight per occurring bucket, quantized, learned (not all zero)
+    assert(w.map(_.getLong(0)).distinct.length === w.length)
+    assert(w.length <= graft.functions.TextFunctions.DsirBuckets)
+    assert(w.exists(_.getDouble(1) != 0.0), "five GD steps must move some weight")
+    val ev = graft.functions.Classifier.classifierEval(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(ev.keySet === Set(0, 1))
+    // class-balanced training separates the mean raw scores by sign
+    assert(ev(1)._3 > 0 && ev(0)._3 < 0,
+      s"mean scores must separate: target ${ev(1)._3}, raw ${ev(0)._3}")
+    // train-set accuracy beats predicting the majority class everywhere
+    val n = ev(0)._1 + ev(1)._1
+    val correct = ev(0)._2 + ev(1)._2
+    val majority = math.max(ev(0)._1, ev(1)._1).toDouble / n
+    assert(correct.toDouble / n > majority,
+      s"accuracy ${correct.toDouble / n} must beat majority $majority")
+    // deterministic across a recompute
+    assert(graft.functions.Classifier.classifierTrain(spark, sfDir).collect()
+      .map(_.toSeq).sameElements(w.map(_.toSeq)))
+  }
+
   test("ppl buckets: exact terciles, monotone in the score order, scores shared with unigram face") {
     val b = TextFunctions.pplBuckets(spark, sfDir).collect()
     val sizes = b.groupBy(_.getInt(3)).map { case (k, v) => k -> v.size }
