@@ -138,6 +138,50 @@ object Classifier {
       .orderBy("is_target")
   }
 
+  /** The gate APPLIED — per-source curation readout: scored docs,
+    * kept docs (z ≥ 0), keep rate and mean score per source. The
+    * decision a mix-planning run inspects before committing to the
+    * gate (a source whose keep rate collapses is the gate's blind
+    * spot, not necessarily bad data). Shares the memoized training
+    * run; one doc-keyed label join + source rollup on top.
+    */
+  def classifierGate(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, _, w) = cachedModel(spark, dir)
+    scores(feat, w)
+      .select(col("doc_id"), round(col("z"), 6).as("z"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("z") >= 0, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("keep_rate"),
+        round(avg(col("z")), 4).as("mean_score"))
+      .orderBy("source")
+  }
+
+  /** Rank-AUC of the trained gate: every scored doc globally ranked by
+    * (z, doc_id) — the deterministic total order standing in for
+    * midranks, both engines breaking score ties identically — and
+    * AUC = (Σ ranks₊ − n₊(n₊+1)/2) / (n₊·n₋). The threshold-free
+    * quality number next to 26p′'s fixed-boundary accuracy. The global
+    * rank rides [[Ranks.globalRank]] (range-decomposed, never a
+    * single-partition sort); everything after is one 1-row fold.
+    */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, labels, w) = cachedModel(spark, dir)
+    val scored = scores(feat, w)
+      .select(col("doc_id"), round(col("z"), 6).as("z"))
+      .join(labels.select("doc_id", "y"), "doc_id")
+    Ranks.globalRank(scored, Seq(col("z"), col("doc_id")))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("y") === 1, col("rn")).otherwise(0L)).as("rs"))
+      .select(col("n_pos"), col("n_neg"),
+        round((lit(2L) * col("rs") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double")
+          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 4).as("auc"))
+  }
+
   /** The shared training-replay WITH-chain through w[[Steps]] —
     * feat/labels/per-step weights MATERIALIZED so DuckDB evaluates the
     * chain once instead of inlining it recursively.
@@ -198,4 +242,35 @@ object Classifier {
        |  round(avg(zf.z), 4) AS mean_score
        |FROM zf JOIN y USING (doc_id)
        |GROUP BY 1 ORDER BY is_target""".stripMargin
+
+  val classifierGateSql: String =
+    s"""$trainCtes,
+       |zf AS (
+       |  SELECT f.doc_id, round(sum(f.x * w.w), 6) AS z
+       |  FROM feat f JOIN w$Steps w USING (bucket) GROUP BY 1)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN zf.z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(sum(CASE WHEN zf.z >= 0 THEN 1.0 ELSE 0.0 END) / count(*), 4)
+       |    AS keep_rate,
+       |  round(avg(zf.z), 4) AS mean_score
+       |FROM zf JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
+  val classifierAucSql: String =
+    s"""$trainCtes,
+       |zf AS (
+       |  SELECT f.doc_id, round(sum(f.x * w.w), 6) AS z
+       |  FROM feat f JOIN w$Steps w USING (bucket) GROUP BY 1),
+       |rk AS (
+       |  SELECT y.y, row_number() OVER (ORDER BY zf.z, zf.doc_id) AS rn
+       |  FROM zf JOIN y USING (doc_id))
+       |SELECT
+       |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |  round(CAST(2 * sum(CASE WHEN y = 1 THEN rn ELSE 0 END)
+       |      - sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |        * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+       |    / CAST(2 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |        * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE), 4) AS auc
+       |FROM rk""".stripMargin
 }

@@ -776,6 +776,24 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .map(_.toSeq).sameElements(w.map(_.toSeq)))
   }
 
+  test("classifier gate and auc compose the trained model consistently") {
+    val ev = graft.functions.Classifier.classifierEval(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val gate = graft.functions.Classifier.classifierGate(spark, sfDir).collect()
+    // the gate partitions exactly the scored docs, and per-source keeps
+    // sum to the eval's total positive predictions
+    assert(gate.map(_.getLong(1)).sum === ev(0)._1 + ev(1)._1)
+    gate.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-4)
+    }
+    val auc = graft.functions.Classifier.classifierAuc(spark, sfDir).collect().head
+    assert(auc.getLong(0) === ev(1)._1 && auc.getLong(1) === ev(0)._1)
+    // a gate that beats majority accuracy with separated means must rank
+    // better than coin-flip
+    assert(auc.getDouble(2) > 0.5 && auc.getDouble(2) <= 1.0)
+  }
+
   test("ppl buckets: exact terciles, monotone in the score order, scores shared with unigram face") {
     val b = TextFunctions.pplBuckets(spark, sfDir).collect()
     val sizes = b.groupBy(_.getInt(3)).map { case (k, v) => k -> v.size }
