@@ -22,7 +22,8 @@ object ScalingProbe {
     "dedup_clusters", "near_dedup_keep", "dedup_simhash", "dup_span_stats",
     "text_token_count", "text_ngrams", "text_char_ngrams", "doc_tfidf",
     "bm25_score", "doc_similar_tfidf", "token_pmi", "bigram_logprob",
-    "bpe_merges", "bpe_compression", "dedup_editdist")
+    "bpe_merges", "bpe_compression", "dedup_editdist",
+    "kn_bigram_logprob", "ppl_buckets", "dsir_weights", "classifier_train")
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("data/zipf_sf0.1")

@@ -51,7 +51,7 @@ object Classifier {
     * features and (doc_id, y, cw) class-balanced labels — docs with no
     * bigrams carry no features and are excluded from both.
     */
-  private def features(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def features(docs: DataFrame): (DataFrame, DataFrame) = {
     val bk = TextFunctions.docBigrams(docs)
       .select(col("doc_id"), TextFunctions.bigramBucket(col("a"), col("b")))
       .groupBy("doc_id", "bucket")
@@ -68,7 +68,7 @@ object Classifier {
   }
 
   /** One forward pass: (doc_id, z) raw scores under a weight table. */
-  private def scores(feat: DataFrame, w: DataFrame): DataFrame =
+  private[graft] def scores(feat: DataFrame, w: DataFrame): DataFrame =
     feat.join(broadcast(w), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("x") * col("w")).as("z"))
@@ -76,20 +76,27 @@ object Classifier {
   /** The trained ≤B-row weight table (bucket, w) after [[Steps]]
     * class-balanced GD rounds from w⁰ = 0, 6-dp quantized per round.
     */
+  /** One GD round: forward pass (≤B-row broadcast join + doc agg),
+    * class-balanced gradient (doc-keyed join + bucket agg with
+    * map-side partials), 6-dp-quantized weight update.
+    */
+  private[graft] def gdStep(feat: DataFrame, labels: DataFrame,
+                            w: DataFrame): DataFrame = {
+    val p = scores(feat, w)
+      .select(col("doc_id"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
+    val g = feat.join(p, "doc_id").join(labels, "doc_id")
+      .groupBy("bucket")
+      .agg(sum((col("p") - col("y")) * col("x") * col("cw")).as("g"))
+    w.join(g, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(col("w") - lit(Eta) * coalesce(col("g"), lit(0.0)), 6).as("w"))
+  }
+
   private def gdTrain(feat: DataFrame, labels: DataFrame): DataFrame = {
     var w = feat.select("bucket").distinct()
       .withColumn("w", lit(0.0)).localCheckpoint(true)
-    for (_ <- 1 to Steps) {
-      val p = scores(feat, w)
-        .select(col("doc_id"), (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("p"))
-      val g = feat.join(p, "doc_id").join(labels, "doc_id")
-        .groupBy("bucket")
-        .agg(sum((col("p") - col("y")) * col("x") * col("cw")).as("g"))
-      w = w.join(g, Seq("bucket"), "left")
-        .select(col("bucket"),
-          round(col("w") - lit(Eta) * coalesce(col("g"), lit(0.0)), 6).as("w"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to Steps)
+      w = gdStep(feat, labels, w).localCheckpoint(true)
     w
   }
 

@@ -500,4 +500,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"),
       "per-(vec, pc) scores must partially aggregate map-side")
   }
+
+  test("dsir scoring probes the λ table via broadcast, never a corpus-sized join") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.functions.TextFunctions.dsirBucketRows(docs)
+    val p = plan(graft.functions.TextFunctions.dsirScore(
+      rows, graft.functions.TextFunctions.dsirTrain(rows)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤1025-row λ model must broadcast into the bucket rows:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in the scoring")
+    assert(p.contains("partial_sum"),
+      "per-doc weight sums must partially aggregate map-side")
+  }
+
+  test("classifier GD step: broadcast forward pass, map-side partial gradient") {
+    val docs = Tables.documents(spark, sfDir)
+    val (feat, labels) = graft.functions.Classifier.features(docs)
+    val w0 = feat.select("bucket").distinct()
+      .withColumn("w", org.apache.spark.sql.functions.lit(0.0))
+    val p = plan(graft.functions.Classifier.gdStep(feat, labels, w0))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤B-row weight table must broadcast into the forward pass:\n$p")
+    assert(p.contains("partial_sum"),
+      "the bucket gradient must partially aggregate map-side")
+    assert(!p.contains("CartesianProduct"), "no cartesian in a GD step")
+  }
 }
