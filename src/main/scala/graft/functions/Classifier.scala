@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -193,44 +193,50 @@ object Classifier {
     * feat/labels/per-step weights MATERIALIZED so DuckDB evaluates the
     * chain once instead of inlining it recursively.
     */
-  private def trainCtes: String = {
+  /** The training-replay CTE body (no WITH), every name prefixed with
+    * `p` so the chain composes with other chains (gate_agreement).
+    */
+  private[functions] def trainBody(p: String): String = {
     val b = TextFunctions.DsirBuckets
     val steps = (1 to Steps).map { i =>
-      s"""z$i AS (
+      s"""${p}z$i AS (
          |  SELECT f.doc_id, sum(f.x * w.w) AS z
-         |  FROM feat f JOIN w${i - 1} w USING (bucket) GROUP BY 1),
-         |p$i AS (SELECT doc_id, 1.0/(1.0+exp(-z)) AS p FROM z$i),
-         |g$i AS (
+         |  FROM ${p}feat f JOIN ${p}w${i - 1} w USING (bucket) GROUP BY 1),
+         |${p}p$i AS (SELECT doc_id, 1.0/(1.0+exp(-z)) AS p FROM ${p}z$i),
+         |${p}g$i AS (
          |  SELECT f.bucket, sum((p.p - y.y) * f.x * y.cw) AS g
-         |  FROM feat f JOIN p$i p USING (doc_id) JOIN y USING (doc_id) GROUP BY 1),
-         |w$i AS MATERIALIZED (
+         |  FROM ${p}feat f JOIN ${p}p$i p USING (doc_id)
+         |  JOIN ${p}y y USING (doc_id) GROUP BY 1),
+         |${p}w$i AS MATERIALIZED (
          |  SELECT w.bucket, round(w.w - $Eta * coalesce(g.g, 0.0), 6) AS w
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (bucket))""".stripMargin
+         |  FROM ${p}w${i - 1} w LEFT JOIN ${p}g$i g USING (bucket))""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
+    s"""${p}toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |  FROM documents),
-       |zz AS (
+       |${p}zz AS (
        |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
-       |  FROM toks WHERE len(t) >= 2),
-       |bg AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM zz
+       |  FROM ${p}toks WHERE len(t) >= 2),
+       |${p}bg AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM ${p}zz
        |       WHERE pr[1] <> '' AND pr[2] <> ''),
-       |bk AS (
+       |${p}bk AS (
        |  SELECT doc_id, ('0x' || substr(md5(a || ' ' || b), 1, 15))::BIGINT % $b AS bucket,
        |    count(*) AS n
-       |  FROM bg GROUP BY 1, 2),
-       |nd AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS nd FROM bk GROUP BY 1),
-       |feat AS MATERIALIZED (
-       |  SELECT doc_id, bucket, n / nd AS x FROM bk JOIN nd USING (doc_id)),
-       |y0 AS (
+       |  FROM ${p}bg GROUP BY 1, 2),
+       |${p}nd AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS nd FROM ${p}bk GROUP BY 1),
+       |${p}feat AS MATERIALIZED (
+       |  SELECT doc_id, bucket, n / nd AS x FROM ${p}bk JOIN ${p}nd USING (doc_id)),
+       |${p}y0 AS (
        |  SELECT doc_id, CAST(lang = '${TextFunctions.DsirTargetLang}' AS INTEGER) AS y
-       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM nd)),
-       |cls AS (SELECT y, 0.5 / count(*) AS cw FROM y0 GROUP BY y),
-       |y AS MATERIALIZED (
-       |  SELECT doc_id, y0.y, cls.cw FROM y0 JOIN cls USING (y)),
-       |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM ${p}nd)),
+       |${p}cls AS (SELECT y, 0.5 / count(*) AS cw FROM ${p}y0 GROUP BY y),
+       |${p}y AS MATERIALIZED (
+       |  SELECT doc_id, y0.y, cls.cw FROM ${p}y0 y0 JOIN ${p}cls cls USING (y)),
+       |${p}w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM ${p}feat),
        |$steps""".stripMargin
   }
+
+  private def trainCtes: String = "WITH " + trainBody("")
 
   val classifierTrainSql: String =
     s"""$trainCtes
@@ -262,6 +268,70 @@ object Classifier {
        |  round(avg(zf.z), 4) AS mean_score
        |FROM zf JOIN documents d USING (doc_id)
        |GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Gate-agreement matrix — the capstone readout over the round's
+    * three certified curation gates: pairwise keep-set sizes,
+    * intersection, and Jaccard agreement between
+    *   - `clf`: the trained classifier at z ≥ 0 ([[classifierGate]]),
+    *   - `dsir`: positive DSIR log importance weight,
+    *   - `ppl`: the head perplexity tercile ([[TextFunctions.pplBuckets]]).
+    * Gates that mostly agree are redundant (run the cheap one); gates
+    * that disagree partition the corpus into zones worth auditing
+    * BEFORE a 100 TB run commits to one. Doc grain is the intersection
+    * of the three scored populations (docs with ≥1 bigram).
+    *
+    * Scale: all three signals are the memoized per-doc tables; the
+    * matrix is two doc-keyed joins + one 3-row fold.
+    */
+  def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, _, w) = cachedModel(spark, dir)
+    val ck = scores(feat, w)
+      .select(col("doc_id"), (round(col("z"), 6) >= 0).cast("int").as("ka"))
+    val dk = TextFunctions.dsirWeights(spark, dir)
+      .select(col("doc_id"), (col("dsir_logw") >= 0).cast("int").as("kb"))
+    val pk = TextFunctions.pplBuckets(spark, dir)
+      .select(col("doc_id"), (col("ppl_bucket") === 1).cast("int").as("kc"))
+    val j = ck.join(dk, "doc_id").join(pk, "doc_id")
+    def pairRow(name: String, a: Column, b: Column): DataFrame =
+      j.agg(sum(a).cast("long").as("n_a"), sum(b).cast("long").as("n_b"),
+          sum(a * b).cast("long").as("n_both"))
+        .select(lit(name).as("pair"), col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double")
+            / greatest(col("n_a") + col("n_b") - col("n_both"), lit(1L)), 4)
+            .as("jaccard"))
+    pairRow("clf_vs_dsir", col("ka"), col("kb"))
+      .unionByName(pairRow("clf_vs_ppl", col("ka"), col("kc")))
+      .unionByName(pairRow("dsir_vs_ppl", col("kb"), col("kc")))
+      .orderBy("pair")
+  }
+
+  val gateAgreementSql: String = {
+    def pairSel(name: String, a: String, b: String): String =
+      s"""SELECT '$name' AS pair,
+         |  CAST(sum($a) AS BIGINT) AS n_a, CAST(sum($b) AS BIGINT) AS n_b,
+         |  CAST(sum($a * $b) AS BIGINT) AS n_both,
+         |  round(CAST(sum($a * $b) AS DOUBLE)
+         |    / greatest(sum($a) + sum($b) - sum($a * $b), 1), 4) AS jaccard
+         |FROM j""".stripMargin
+    s"""WITH ${TextFunctions.dsirBody("d_")},
+       |${trainBody("c_")},
+       |${TextFunctions.pplBody("p_")},
+       |ck AS (
+       |  SELECT f.doc_id, CAST(round(sum(f.x * w.w), 6) >= 0 AS INTEGER) AS ka
+       |  FROM c_feat f JOIN c_w$Steps w USING (bucket) GROUP BY f.doc_id),
+       |dk AS (SELECT doc_id, CAST(round(logw_raw, 4) >= 0 AS INTEGER) AS kb FROM d_w),
+       |pk AS (
+       |  SELECT doc_id,
+       |    CAST(ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id) = 1 AS INTEGER) AS kc
+       |  FROM p_s),
+       |j AS (
+       |  SELECT ck.ka, dk.kb, pk.kc
+       |  FROM ck JOIN dk USING (doc_id) JOIN pk USING (doc_id))
+       |${pairSel("clf_vs_dsir", "ka", "kb")}
+       |UNION ALL ${pairSel("clf_vs_ppl", "ka", "kc")}
+       |UNION ALL ${pairSel("dsir_vs_ppl", "kb", "kc")}
+       |ORDER BY pair""".stripMargin
+  }
 
   val classifierAucSql: String =
     s"""$trainCtes,

@@ -2385,39 +2385,45 @@ object TextFunctions {
       .limit(k)
   }
 
-  private val dsirCtes: String =
-    s"""WITH toks AS (
+  /** The DSIR oracle CTE body (no WITH), every name prefixed with `p`
+    * so the chain composes with other chains in one statement
+    * (gate_agreement).
+    */
+  private[functions] def dsirBody(p: String): String =
+    s"""${p}toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
        |  FROM documents),
-       |z AS (
+       |${p}z AS (
        |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
-       |  FROM toks WHERE len(t) >= 2),
-       |bg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM z
+       |  FROM ${p}toks WHERE len(t) >= 2),
+       |${p}bg AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM ${p}z
        |       WHERE p[1] <> '' AND p[2] <> ''),
-       |bk AS (
+       |${p}bk AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(a || ' ' || b), 1, 15))::BIGINT % $DsirBuckets AS bucket,
        |    count(*) AS n
-       |  FROM bg GROUP BY 1, 2),
-       |fl AS (SELECT doc_id, CAST(lang = '$DsirTargetLang' AS INTEGER) AS is_target
+       |  FROM ${p}bg GROUP BY 1, 2),
+       |${p}fl AS (SELECT doc_id, CAST(lang = '$DsirTargetLang' AS INTEGER) AS is_target
        |       FROM documents),
-       |r AS (SELECT bk.doc_id, bk.bucket, bk.n, fl.is_target
-       |      FROM bk JOIN fl USING (doc_id)),
-       |m AS (SELECT bucket,
+       |${p}r AS (SELECT bk.doc_id, bk.bucket, bk.n, fl.is_target
+       |      FROM ${p}bk bk JOIN ${p}fl fl USING (doc_id)),
+       |${p}m AS (SELECT bucket,
        |        sum(CASE WHEN is_target = 1 THEN n ELSE 0 END) AS c_t,
        |        sum(CASE WHEN is_target = 0 THEN n ELSE 0 END) AS c_r
-       |      FROM r GROUP BY bucket),
-       |tot AS (SELECT CAST(sum(c_t) AS DOUBLE) AS tt, CAST(sum(c_r) AS DOUBLE) AS tr
-       |        FROM m),
-       |lam AS (SELECT bucket,
+       |      FROM ${p}r GROUP BY bucket),
+       |${p}tot AS (SELECT CAST(sum(c_t) AS DOUBLE) AS tt, CAST(sum(c_r) AS DOUBLE) AS tr
+       |        FROM ${p}m),
+       |${p}lam AS (SELECT bucket,
        |          ln(((c_t + $DsirAlpha) / (tt + ${DsirAlpha * DsirBuckets})) /
        |             ((c_r + $DsirAlpha) / (tr + ${DsirAlpha * DsirBuckets}))) AS lam
-       |        FROM m, tot),
-       |w AS (
+       |        FROM ${p}m, ${p}tot),
+       |${p}w AS (
        |  SELECT doc_id, is_target, CAST(sum(n) AS BIGINT) AS n_bigrams,
        |    sum(n * lam) AS logw_raw
-       |  FROM r JOIN lam USING (bucket)
+       |  FROM ${p}r r JOIN ${p}lam USING (bucket)
        |  GROUP BY 1, 2)""".stripMargin
+
+  private val dsirCtes: String = "WITH " + dsirBody("")
 
   val dsirWeightsSql: String =
     s"""$dsirCtes
@@ -2539,19 +2545,26 @@ object TextFunctions {
       .select("doc_id", "n_tokens", "avg_neg_logprob", "ppl_bucket")
       .orderBy("doc_id")
 
+  /** The ppl-tercile CTE body through `${p}s` (doc_id, n_tokens,
+    * avg_neg_logprob) — no WITH, names prefixed for composition.
+    */
+  private[functions] def pplBody(p: String): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |${p}c AS (SELECT doc_id, token, count(*) AS c FROM ${p}t
+       |       WHERE token <> '' GROUP BY doc_id, token),
+       |${p}m AS (SELECT token, CAST(sum(c) AS BIGINT) AS tn FROM ${p}c GROUP BY token),
+       |${p}tot AS (SELECT CAST(sum(tn) AS DOUBLE) AS tt FROM ${p}m),
+       |${p}s AS (
+       |  SELECT doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
+       |    round(sum(c.c * (ln(tot.tt) - ln(m.tn))) / sum(c.c), 4) AS avg_neg_logprob
+       |  FROM ${p}c c JOIN ${p}m m USING (token), ${p}tot tot
+       |  GROUP BY doc_id)""".stripMargin
+
   val pplBucketsSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-      |  FROM documents),
-      |c AS (SELECT doc_id, token, count(*) AS c FROM t WHERE token <> '' GROUP BY doc_id, token),
-      |m AS (SELECT token, CAST(sum(c) AS BIGINT) AS tn FROM c GROUP BY token),
-      |tot AS (SELECT CAST(sum(tn) AS DOUBLE) AS tt FROM m),
-      |s AS (
-      |  SELECT doc_id, CAST(sum(c.c) AS BIGINT) AS n_tokens,
-      |    round(sum(c.c * (ln(tot.tt) - ln(m.tn))) / sum(c.c), 4) AS avg_neg_logprob
-      |  FROM c JOIN m USING (token), tot
-      |  GROUP BY doc_id)
-      |SELECT doc_id, n_tokens, avg_neg_logprob,
-      |  CAST(ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS INTEGER) AS ppl_bucket
-      |FROM s ORDER BY doc_id""".stripMargin
+    s"""WITH ${pplBody("")}
+       |SELECT doc_id, n_tokens, avg_neg_logprob,
+       |  CAST(ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS INTEGER) AS ppl_bucket
+       |FROM s ORDER BY doc_id""".stripMargin
 }

@@ -794,6 +794,20 @@ class TextSpec extends AnyFunSuite with SparkSpec {
     assert(auc.getDouble(2) > 0.5 && auc.getDouble(2) <= 1.0)
   }
 
+  test("gate agreement: three pairs, jaccard bounds, intersection never exceeds either side") {
+    val rows = graft.functions.Classifier.gateAgreement(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("clf_vs_dsir", "clf_vs_ppl", "dsir_vs_ppl"))
+    rows.foreach { r =>
+      val (a, b, both, j) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(both <= math.min(a, b))
+      assert(j >= 0.0 && j <= 1.0)
+      // jaccard replays from the counts
+      val denom = math.max(a + b - both, 1L)
+      assert(math.abs(j - both.toDouble / denom) < 1e-4)
+    }
+  }
+
   test("ppl buckets: exact terciles, monotone in the score order, scores shared with unigram face") {
     val b = TextFunctions.pplBuckets(spark, sfDir).collect()
     val sizes = b.groupBy(_.getInt(3)).map { case (k, v) => k -> v.size }
