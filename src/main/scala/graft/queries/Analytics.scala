@@ -2163,18 +2163,25 @@ object Analytics {
     */
   def heavyHittersCmsMd5(spark: SparkSession, dir: String, k: Int = 20,
                          depth: Int = 4, width: Int = 2048): DataFrame = {
-    def bucket(row: Column, key: Column): Column =
-      conv(substring(md5(concat(row.cast("string"), lit(":"), key.cast("string"))),
-        1, 8), 16, 10).cast("long") % width
-    val rows = array((0 until depth).map(lit): _*)
+    require(depth * 8 <= 32, s"md5 has 32 hex chars; depth $depth needs ${depth * 8}")
+    // ONE md5 per key, sliced into `depth` disjoint 8-hex (32-bit)
+    // row-hashes — 4× less hashing than an md5 per (row, key) pair at
+    // identical replayability (r14; the slices play the pairwise-
+    // independent row functions, the md5-slice discipline of the KMV /
+    // band faces)
+    def buckets(key: Column): Column = {
+      val h = md5(key.cast("string").cast("binary"))
+      array((0 until depth).map(r =>
+        conv(substring(h, 1 + 8 * r, 8), 16, 10).cast("long") % width): _*)
+    }
     val counters = Tables.events(spark, dir)
-      .select(col("user_id"), explode(rows).as("r"))
-      .groupBy(col("r"), bucket(col("r"), col("user_id")).as("bucket"))
+      .select(posexplode(buckets(col("user_id"))).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("c"))
       .select(col("r").as("cr"), col("bucket").as("cb"), col("c"))
     userTopk(spark, dir, k)
-      .select(col("user_id"), col("n_events"), explode(rows).as("r"))
-      .withColumn("pb", bucket(col("r"), col("user_id")))
+      .select(col("user_id"), col("n_events"),
+        posexplode(buckets(col("user_id"))).as(Seq("r", "pb")))
       .join(counters, col("cr") === col("r") && col("cb") === col("pb"))
       .groupBy(col("user_id"), col("n_events"))
       .agg(min(col("c")).as("cms_estimate"))
@@ -2185,17 +2192,17 @@ object Analytics {
     s"""WITH tk AS (
        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
        |  ORDER BY n_events DESC, user_id LIMIT $k),
-       |rs AS (SELECT unnest(range(0, $depth)) AS r),
+       |rs AS (SELECT CAST(unnest(range(0, $depth)) AS INTEGER) AS r),
        |b AS (
        |  SELECT rs.r,
-       |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' ||
-       |      CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT % $width AS bucket,
+       |    ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1 + 8 * rs.r, 8))::BIGINT
+       |      % $width AS bucket,
        |    count(*) AS c
        |  FROM events e CROSS JOIN rs GROUP BY 1, 2),
        |p AS (
        |  SELECT tk.user_id, tk.n_events, rs.r,
-       |    ('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' ||
-       |      CAST(tk.user_id AS VARCHAR)), 1, 8))::BIGINT % $width AS bucket
+       |    ('0x' || substr(md5(CAST(tk.user_id AS VARCHAR)), 1 + 8 * rs.r, 8))::BIGINT
+       |      % $width AS bucket
        |  FROM tk CROSS JOIN rs)
        |SELECT p.user_id, p.n_events, min(b.c) AS cms_estimate
        |FROM p JOIN b ON b.r = p.r AND b.bucket = p.bucket

@@ -305,6 +305,17 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq === direct.toSeq)
   }
 
+  test("md5-mode CMS never undercounts and agrees with the exact face's keys") {
+    val rep = Analytics.heavyHittersCmsMd5(spark, sfDir).collect()
+    val exact = Analytics.userTopk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.length === exact.size)
+    rep.foreach { r =>
+      assert(r.getLong(1) === exact(r.getLong(0)), s"exact count mismatch: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"CMS must never undercount: $r")
+    }
+  }
+
   test("funnel conversion respects event ORDER, not just event presence") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
