@@ -63,6 +63,37 @@ class StreamingDsirSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a post-bootstrap batch of novel text scores via the persisted default λ") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdsir-nv").toString
+    val job = new StreamingDsirJob(spark, dir)
+    job.processBatch(docs, 0L) // bootstrap on the corpus
+    // novel vocabulary -> buckets the frozen model may never have seen
+    val novel = Seq(
+      (900001L, "qqxzv wplk jrtm qqxzv wplk nbvcx qqxzv jrtm", "en", "srcX", 40L),
+      (900002L, "zzyqw kkjhg mmnbv zzyqw kkjhg ppoiu zzyqw", "fr", "srcX", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    job.processBatch(novel, 1L)
+    val got = job.readWeights().filter(col("doc_id") >= 900000L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet === Set(900001L, 900002L))
+    assert(got.values.forall(w => !w.isNaN && !w.isInfinite))
+    // the novel docs' scores replay against the persisted model exactly
+    val direct = TextFunctions.dsirScore(
+        TextFunctions.dsirBucketRows(novel).localCheckpoint(true),
+        job.readModel().get)
+      .select(col("doc_id"), round(col("logw_raw"), 4).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === direct)
+    // and a bucket-level check: at least one novel bucket is absent from
+    // the model (the default-λ path genuinely fired)
+    val modelBuckets = job.readModel().get.collect().map(_.getLong(0)).toSet
+    val novelBuckets = TextFunctions.dsirBucketRows(novel)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert((novelBuckets -- modelBuckets).nonEmpty || modelBuckets.size > 1020,
+      "expected an unseen bucket (or a saturated model making unseen impossible)")
+  }
+
   test("replay across compaction changes neither weights nor summary") {
     val dir = java.nio.file.Files.createTempDirectory("sdsir-rp").toString
     val job = new StreamingDsirJob(spark, dir, compactEvery = 2)
