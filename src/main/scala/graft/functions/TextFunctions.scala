@@ -2439,6 +2439,45 @@ object TextFunctions {
        |FROM w WHERE is_target = 0
        |ORDER BY gumbel_key DESC, doc_id LIMIT $DsirSampleK""".stripMargin
 
+  /** DSIR acceptance readout — effective sample size of the raw pool
+    * under the importance weights: ESS = (Σwᵢ)²/Σwᵢ² over
+    * wᵢ = exp(logwᵢ − max) (log-sum-exp shift, so the exponentials
+    * never overflow regardless of weight magnitude). ESS/n is THE
+    * importance-sampling diagnostic: near 1 the weights are flat and
+    * resampling changes nothing; near 1/n one document dominates and
+    * the resample would degenerate — the number to check BEFORE
+    * spending a 100 TB pass on [[dsirSample]].
+    *
+    * One 1-row max broadcast + one fold over the memoized per-doc
+    * weights. Weights enter at their 4-dp certified rounding so both
+    * engines exponentiate identical inputs.
+    */
+  def dsirEss(spark: SparkSession, dir: String): DataFrame = {
+    val raw = cachedDsirLogw(spark, dir)
+      .filter(col("is_target") === 0)
+      .select(round(col("logw_raw"), 4).as("lw"))
+    raw.crossJoin(broadcast(raw.agg(max("lw").as("mx"))))
+      .select(col("lw"), exp(col("lw") - col("mx")).as("w"))
+      .agg(count(lit(1)).as("n_raw"),
+        round(avg(col("lw")), 4).as("mean_logw"),
+        round(max(col("lw")), 4).as("max_logw"),
+        sum(col("w")).as("s"), sum(col("w") * col("w")).as("q"))
+      .select(col("n_raw"), col("mean_logw"), col("max_logw"),
+        round(col("s") * col("s") / col("q"), 4).as("ess"),
+        round(col("s") * col("s") / col("q") / col("n_raw"), 4).as("ess_frac"))
+  }
+
+  val dsirEssSql: String =
+    s"""$dsirCtes,
+       |raw AS (SELECT round(logw_raw, 4) AS lw FROM w WHERE is_target = 0),
+       |mx AS (SELECT max(lw) AS mx FROM raw),
+       |e AS (SELECT lw, exp(lw - mx.mx) AS w FROM raw, mx)
+       |SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       |  round(avg(lw), 4) AS mean_logw, round(max(lw), 4) AS max_logw,
+       |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+       |  round(sum(w) * sum(w) / sum(w * w) / count(*), 4) AS ess_frac
+       |FROM e""".stripMargin
+
   // --------------------------------------------------------------------
   // Kneser–Ney bigram scoring — the published smoothing next to the
   // add-k face ([[bigramLogprob]]).

@@ -729,6 +729,21 @@ class TextSpec extends AnyFunSuite with SparkSpec {
       .sameElements(s.map(_.getLong(0))))
   }
 
+  test("dsir ess: bounded by the raw pool, replays from the per-doc weights") {
+    val r = TextFunctions.dsirEss(spark, sfDir).collect().head
+    val (n, ess, frac) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+    assert(ess >= 1.0 - 1e-9 && ess <= n + 1e-9)
+    assert(frac > 0.0 && frac <= 1.0 + 1e-9)
+    // literal recompute from the weights face
+    val lws = TextFunctions.dsirWeights(spark, sfDir)
+      .filter(col("is_target") === 0).collect().map(_.getDouble(3))
+    assert(n === lws.length)
+    val mx = lws.max
+    val ws = lws.map(l => math.exp(l - mx))
+    val want = math.pow(ws.sum, 2) / ws.map(w => w * w).sum
+    assert(math.abs(ess - want) < 1e-3, s"ess $ess vs recompute $want")
+  }
+
   test("kneser-ney bigram logprob matches a hand-computed corpus and the add-k substrate") {
     import spark.implicits._
     // model over {doc1: "a b a b", doc2: "a c"}: c(ab)=2, c(ba)=1, c(ac)=1
