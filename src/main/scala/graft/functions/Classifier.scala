@@ -73,9 +73,6 @@ object Classifier {
       .groupBy("doc_id")
       .agg(sum(col("x") * col("w")).as("z"))
 
-  /** The trained ≤B-row weight table (bucket, w) after [[Steps]]
-    * class-balanced GD rounds from w⁰ = 0, 6-dp quantized per round.
-    */
   /** One GD round: forward pass (≤B-row broadcast join + doc agg),
     * class-balanced gradient (doc-keyed join + bucket agg with
     * map-side partials), 6-dp-quantized weight update.
@@ -92,6 +89,9 @@ object Classifier {
         round(col("w") - lit(Eta) * coalesce(col("g"), lit(0.0)), 6).as("w"))
   }
 
+  /** The trained ≤B-row weight table (bucket, w) after [[Steps]]
+    * class-balanced GD rounds from w⁰ = 0, 6-dp quantized per round.
+    */
   private def gdTrain(feat: DataFrame, labels: DataFrame): DataFrame = {
     var w = feat.select("bucket").distinct()
       .withColumn("w", lit(0.0)).localCheckpoint(true)
@@ -184,9 +184,13 @@ object Classifier {
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"),
         sum(when(col("y") === 1, col("rn")).otherwise(0L)).as("rs"))
       .select(col("n_pos"), col("n_neg"),
+        // greatest(..., 1) guards the single-class corpus: without it
+        // Spark (non-ANSI) yields NULL while DuckDB yields ±Infinity —
+        // an engine divergence on a degenerate (and meaningless) AUC
         round((lit(2L) * col("rs") - col("n_pos") * (col("n_pos") + lit(1L)))
           .cast("double")
-          / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 4).as("auc"))
+          / greatest(lit(2L) * col("n_pos") * col("n_neg"), lit(1L))
+              .cast("double"), 4).as("auc"))
   }
 
   /** The shared training-replay WITH-chain through w[[Steps]] —
@@ -292,16 +296,28 @@ object Classifier {
     val pk = TextFunctions.pplBuckets(spark, dir)
       .select(col("doc_id"), (col("ppl_bucket") === 1).cast("int").as("kc"))
     val j = ck.join(dk, "doc_id").join(pk, "doc_id")
-    def pairRow(name: String, a: Column, b: Column): DataFrame =
-      j.agg(sum(a).cast("long").as("n_a"), sum(b).cast("long").as("n_b"),
-          sum(a * b).cast("long").as("n_both"))
-        .select(lit(name).as("pair"), col("n_a"), col("n_b"), col("n_both"),
-          round(col("n_both").cast("double")
-            / greatest(col("n_a") + col("n_b") - col("n_both"), lit(1L)), 4)
-            .as("jaccard"))
-    pairRow("clf_vs_dsir", col("ka"), col("kb"))
-      .unionByName(pairRow("clf_vs_ppl", col("ka"), col("kc")))
-      .unionByName(pairRow("dsir_vs_ppl", col("kb"), col("kc")))
+    // ONE aggregation computes all six sums (the "two joins + one
+    // 3-row fold" cost the docstring states — previously the fold ran
+    // three times, once per pair row); the pair rows are an
+    // explode-pivot of the single 1-row fold
+    def pairStruct(name: String, a: Column, b: Column, both: Column) =
+      struct(lit(name).as("pair"), a.as("n_a"), b.as("n_b"), both.as("n_both"))
+    j.agg(sum(col("ka")).cast("long").as("na"),
+        sum(col("kb")).cast("long").as("nb"),
+        sum(col("kc")).cast("long").as("nc"),
+        sum(col("ka") * col("kb")).cast("long").as("nab"),
+        sum(col("ka") * col("kc")).cast("long").as("nac"),
+        sum(col("kb") * col("kc")).cast("long").as("nbc"))
+      .select(explode(array(
+        pairStruct("clf_vs_dsir", col("na"), col("nb"), col("nab")),
+        pairStruct("clf_vs_ppl", col("na"), col("nc"), col("nac")),
+        pairStruct("dsir_vs_ppl", col("nb"), col("nc"), col("nbc")))).as("r"))
+      .select(col("r.pair").as("pair"), col("r.n_a").as("n_a"),
+        col("r.n_b").as("n_b"), col("r.n_both").as("n_both"))
+      .select(col("pair"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double")
+          / greatest(col("n_a") + col("n_b") - col("n_both"), lit(1L)), 4)
+          .as("jaccard"))
       .orderBy("pair")
   }
 
@@ -347,7 +363,7 @@ object Classifier {
        |  round(CAST(2 * sum(CASE WHEN y = 1 THEN rn ELSE 0 END)
        |      - sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
        |        * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1) AS DOUBLE)
-       |    / CAST(2 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
-       |        * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE), 4) AS auc
+       |    / CAST(greatest(2 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |        * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1) AS DOUBLE), 4) AS auc
        |FROM rk""".stripMargin
 }

@@ -11,13 +11,19 @@ import graft.functions.TextFunctions
   * bootstrap-then-immutable pattern of [[StreamingKMeansAssignJob]]
   * applied to the hashed-bigram importance model):
   *
-  *   1. the FIRST non-empty batch fits the λ table with the SAME
-  *      [[TextFunctions.dsirTrain]] machinery as the batch face —
-  *      refusing to train unless the batch carries BOTH target and raw
-  *      documents (a single-class model would be a division by the
-  *      smoothing floor dressed up as a fit) — and persists it,
-  *      immutable afterwards, which is what makes every score
-  *      replay-reproducible;
+  *   1. the FIRST non-empty batch that carries BOTH target and raw
+  *      documents fits the λ table with the SAME
+  *      [[TextFunctions.dsirTrain]] machinery as the batch face (a
+  *      single-class model would be a division by the smoothing floor
+  *      dressed up as a fit) and persists it, immutable afterwards,
+  *      which is what makes every score replay-reproducible. A
+  *      single-class (or zero-bigram) batch before bootstrap is SKIPPED
+  *      — logged, counted in [[StreamingDsirJob.skippedBootstraps]],
+  *      nothing scored or persisted — and bootstrap retries on the next
+  *      batch: throwing here would wedge the query permanently, since
+  *      the checkpointed batch replays identically on every restart
+  *      (first micro-batch all-target is a plausible ingest pattern,
+  *      not an operator error);
   *   2. every batch scores ITSELF against the broadcast persisted
   *      model ([[TextFunctions.dsirScore]]: ≤1025-row broadcast join +
   *      one doc-keyed agg — never a historical rescan); bigram buckets
@@ -49,6 +55,15 @@ class StreamingDsirJob(spark: SparkSession, modelPath: String,
   private[graft] val summary = new AdditiveDeltaState(spark, modelPath,
     "dsir_summary", Seq("is_target"), Seq("n_docs", "sum_logw_q"), compactEvery)
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Pre-bootstrap batches skipped for lacking both classes (liveness
+    * diagnostic: a stream stuck single-class never trains — visible
+    * here instead of wedging the query with a deterministic replay
+    * failure).
+    */
+  @volatile private[graft] var skippedBootstraps: Long = 0L
+
   /** The persisted λ table, once the bootstrap batch has committed it. */
   def readModel(): Option[DataFrame] =
     if (fs.exists(new Path(modelDir))) Some(spark.read.parquet(modelDir))
@@ -63,8 +78,19 @@ class StreamingDsirJob(spark: SparkSession, modelPath: String,
     val rows = TextFunctions.dsirBucketRows(docs).localCheckpoint(true)
     val model = readModel().getOrElse {
       val classes = rows.select("is_target").distinct().count()
-      require(classes == 2,
-        s"refusing to fit a DSIR model without both target and raw docs ($classes class(es)) for $modelPath")
+      if (classes != 2) {
+        // Skip, don't throw: the checkpointed batch replays
+        // deterministically, so a refusal here would wedge the query
+        // permanently on a first micro-batch that happens to be
+        // single-class (or all sub-2-token docs — 0 classes).
+        skippedBootstraps += 1
+        log.warn(
+          s"batch $batchId: skipping DSIR bootstrap for $modelPath — " +
+            (if (classes == 0) "no document produced a bigram"
+             else "batch lacks both target and raw docs") +
+            s" ($classes class(es)); retrying on the next batch")
+        return
+      }
       TextFunctions.dsirTrain(rows).write.mode("overwrite").parquet(modelDir)
       spark.read.parquet(modelDir)
     }

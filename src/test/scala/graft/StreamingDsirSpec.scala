@@ -107,18 +107,24 @@ class StreamingDsirSpec extends AnyFunSuite with SparkSpec {
     assert(summaryOf(job) === beforeS, "replayed summary must fold to the same state")
   }
 
-  test("empty first batch must not bootstrap; a single-class batch refuses to train") {
+  test("empty first batch must not bootstrap; a single-class batch skips (not wedges) and retries") {
     val dir = java.nio.file.Files.createTempDirectory("sdsir-e").toString
     val job = new StreamingDsirJob(spark, dir)
     assert(job.readSummary().count() === 0)
     job.processBatch(docs.limit(0), 0L)
     assert(job.readModel().isEmpty, "empty batch must not bootstrap")
     assert(job.readWeights().count() === 0)
+    // single-class pre-bootstrap batch: skipped (no throw — a throw
+    // would wedge the query, the checkpointed batch replays verbatim),
+    // nothing persisted, the skip counted
     val onlyTarget = docs.filter(col("lang") === TextFunctions.DsirTargetLang)
-    val e = intercept[IllegalArgumentException] {
-      job.processBatch(onlyTarget, 1L)
-    }
-    assert(e.getMessage.contains("both target and raw"))
-    assert(job.readModel().isEmpty, "refused fit must not persist a model")
+    job.processBatch(onlyTarget, 1L)
+    assert(job.skippedBootstraps === 1L, "skipped bootstrap must be counted")
+    assert(job.readModel().isEmpty, "skipped fit must not persist a model")
+    assert(job.readWeights().count() === 0, "skipped batch must score nothing")
+    // the NEXT two-class batch bootstraps normally — liveness restored
+    job.processBatch(docs, 2L)
+    assert(job.readModel().isDefined, "bootstrap must retry on the next batch")
+    assert(job.readWeights().count() > 0)
   }
 }
