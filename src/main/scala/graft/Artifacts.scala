@@ -47,6 +47,7 @@ object Artifacts {
     "text_tfidf_scored" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocSimilarScored(s, d); () }),
     "ann_brute_scored" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedBruteScored(s, d); () }),
     "text_bigrams" -> ((s: SparkSession, d: String) => { functions.TextFunctions.cachedDocBigrams(s, d); () }),
+    "text_kn_model" -> ((s: SparkSession, d: String) => functions.TextFunctions.prewarmKnModel(s, d)),
     "text_dsir_logw" -> ((s: SparkSession, d: String) => functions.TextFunctions.prewarmDsirLogw(s, d)),
     "text_classifier" -> ((s: SparkSession, d: String) => functions.Classifier.prewarmModel(s, d)),
     "mm_codec" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.pipelineRaw(s, d); () }),

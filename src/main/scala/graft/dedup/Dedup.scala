@@ -188,6 +188,17 @@ object Dedup {
     */
   val MaxExactBroadcastRows = 1000000L
 
+  /** Runtime override of [[MaxExactBroadcastRows]] — the
+    * `graft.graph.maxBroadcastRows` discipline for the dedup family: a
+    * deployment sizes the exact-tier cap to its executor budget via
+    * `spark.conf.set("graft.dedup.maxExactBroadcastRows", n)` instead
+    * of editing code, and a test pins it low to certify the refusal
+    * path on a small corpus.
+    */
+  private[graft] def maxExactBroadcastRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dedup.maxExactBroadcastRows")
+      .map(_.toLong).getOrElse(MaxExactBroadcastRows)
+
   /** Rare-shingle posting lists, materialized because every consumer
     * (pair generation AND per-doc sizes) reads them — Spark has no
     * common-subplan elimination, so leaving this lazy re-runs the
@@ -1603,7 +1614,8 @@ object Dedup {
   }
 
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
-    embeddingCosine(Tables.embeddings(spark, dir))
+    embeddingCosine(Tables.embeddings(spark, dir),
+      maxRows = maxExactBroadcastRows(spark))
 
   val embeddingCosineSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -2506,16 +2506,42 @@ object TextFunctions {
     * collected.
     */
   def knBigramLogprob(spark: SparkSession, dir: String): DataFrame =
-    knBigramLogprobFrom(cachedDocBigrams(spark, dir))
+    knBigramLogprobFrom(cachedDocBigrams(spark, dir),
+      Some(cachedKnModel(spark, dir)))
 
   def knBigramLogprob(docs: DataFrame): DataFrame =
-    knBigramLogprobFrom(docBigrams(docs))
+    knBigramLogprobFrom(docBigrams(docs), None)
 
-  private def knBigramLogprobFrom(bigramRows: DataFrame): DataFrame = {
+  /** The KN model tables — (a,b) counts plus the a-/b-keyed
+    * re-aggregations — memoized per dir off the shared `text_bigrams`
+    * artifact (the text_classifier-over-dsir_logw discipline): they are
+    * vocab-sized and immutable per corpus, so repeat scoring calls
+    * reuse one build instead of re-running three aggregations over the
+    * bigram table.
+    */
+  private def cachedKnModel(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark, ("textKnModel", dir)) {
+      val (m, a, b) = knModelFrom(cachedDocBigrams(spark, dir))
+      (m.localCheckpoint(true), a.localCheckpoint(true), b.localCheckpoint(true))
+    }
+
+  def prewarmKnModel(spark: SparkSession, dir: String): Unit = {
+    cachedKnModel(spark, dir); ()
+  }
+
+  private def knModelFrom(bigramRows: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val model = bigramRows.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     val aStats = model.groupBy("a")
       .agg(sum("c_ab").as("c_a"), count(lit(1)).as("n1p_a"))
     val bStats = model.groupBy("b").agg(count(lit(1)).as("cont_b"))
+    (model, aStats, bStats)
+  }
+
+  private def knBigramLogprobFrom(bigramRows: DataFrame,
+      cached: Option[(DataFrame, DataFrame, DataFrame)]): DataFrame = {
+    val (model, aStats, bStats) = cached.getOrElse(knModelFrom(bigramRows))
     val types = model.agg(count(lit(1)).cast("double").as("n_types"))
     val perDoc = bigramRows.groupBy("doc_id", "a", "b")
       .agg(count(lit(1)).as("n_occ"))

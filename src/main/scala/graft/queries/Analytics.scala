@@ -2164,22 +2164,30 @@ object Analytics {
   def heavyHittersCmsMd5(spark: SparkSession, dir: String, k: Int = 20,
                          depth: Int = 4, width: Int = 2048): DataFrame = {
     require(depth * 8 <= 32, s"md5 has 32 hex chars; depth $depth needs ${depth * 8}")
-    // ONE md5 per key, sliced into `depth` disjoint 8-hex (32-bit)
-    // row-hashes — 4× less hashing than an md5 per (row, key) pair at
-    // identical replayability (r14; the slices play the pairwise-
-    // independent row functions, the md5-slice discipline of the KMV /
-    // band faces)
+    // ONE md5 per DISTINCT key, sliced into `depth` disjoint 8-hex
+    // (32-bit) row-hashes (the slices play the pairwise-independent row
+    // functions, the md5-slice discipline of the KMV / band faces).
+    // The counter update is n-weighted, so hashing runs at KEY grain
+    // over the pre-aggregated (key, n) table — corpus-grain md5 (one
+    // hash per event row, the pre-r15 shape) bought nothing but cost:
+    // counters are identical, and the per-key count table is the SAME
+    // aggregate the exact top-k face needs, so it is computed once.
     def buckets(key: Column): Column = {
       val h = md5(key.cast("string").cast("binary"))
       array((0 until depth).map(r =>
         conv(substring(h, 1 + 8 * r, 8), 16, 10).cast("long") % width): _*)
     }
-    val counters = Tables.events(spark, dir)
-      .select(posexplode(buckets(col("user_id"))).as(Seq("r", "bucket")))
+    val keyCounts = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // feeds the counter table AND the top-k slice
+    val counters = keyCounts
+      .select(col("n_events"), posexplode(buckets(col("user_id"))).as(Seq("r", "bucket")))
       .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("n_events")).as("c"))
       .select(col("r").as("cr"), col("bucket").as("cb"), col("c"))
-    userTopk(spark, dir, k)
+    keyCounts
+      .orderBy(col("n_events").desc, col("user_id")).limit(k)
       .select(col("user_id"), col("n_events"),
         posexplode(buckets(col("user_id"))).as(Seq("r", "pb")))
       .join(counters, col("cr") === col("r") && col("cb") === col("pb"))
@@ -2189,16 +2197,18 @@ object Analytics {
   }
 
   def heavyHittersCmsMd5Sql(k: Int = 20, depth: Int = 4, width: Int = 2048): String =
-    s"""WITH tk AS (
-       |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    s"""WITH kc AS MATERIALIZED (
+       |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+       |tk AS (
+       |  SELECT user_id, n_events FROM kc
        |  ORDER BY n_events DESC, user_id LIMIT $k),
        |rs AS (SELECT CAST(unnest(range(0, $depth)) AS INTEGER) AS r),
        |b AS (
        |  SELECT rs.r,
-       |    ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1 + 8 * rs.r, 8))::BIGINT
+       |    ('0x' || substr(md5(CAST(kc.user_id AS VARCHAR)), 1 + 8 * rs.r, 8))::BIGINT
        |      % $width AS bucket,
-       |    count(*) AS c
-       |  FROM events e CROSS JOIN rs GROUP BY 1, 2),
+       |    CAST(sum(n_events) AS BIGINT) AS c
+       |  FROM kc CROSS JOIN rs GROUP BY 1, 2),
        |p AS (
        |  SELECT tk.user_id, tk.n_events, rs.r,
        |    ('0x' || substr(md5(CAST(tk.user_id AS VARCHAR)), 1 + 8 * rs.r, 8))::BIGINT

