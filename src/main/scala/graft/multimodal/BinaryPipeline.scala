@@ -8,59 +8,111 @@ import graft.Tables
 /** Multimodal column plumbing: opaque `binary` payloads + typed
   * metadata, batched decode/feature-extract via `mapPartitions`.
   *
-  * The actual media codecs (JPEG/PNG/audio) are NOT in this container,
-  * so [[StubCodec]] is a clearly-marked deterministic fake. Everything
-  * around it — schema, batch shape, partitioning, the executor-side
-  * iterator pipeline — is the real 100 TB design:
+  * Since r15 the image codec is REAL: payloads are genuine PNG files
+  * ([[PngCodec.encode]] — `javax.imageio`, JDK-standard, zero new
+  * dependencies) and every decode in the pipeline is an actual
+  * `ImageIO.read` of the container, not a header fake. The testdata
+  * images are manufactured from the documents table by rendering each
+  * document's UTF-8 bytes as an 8-bit grayscale raster (width
+  * ⌈√len⌉, zero-padded tail), which keeps the whole family
+  * hash-certified: PNG is lossless, so the DECODED pixels equal the
+  * source bytes + pad, and the DuckDB oracle replays every
+  * pixel-derived number from the text bytes without ever parsing a PNG
+  * — a wrong decode, a dropped pad byte, or a lossy round-trip
+  * hash-mismatches. (Audio/video codecs remain out of scope in this
+  * container; the frame-sampling face below keeps the byte-level
+  * "video" framing shape.)
+  *
+  * The Spark shapes are unchanged and are the real 100 TB design:
   *   - payloads stay binary end-to-end (no base64 inflation);
-  *   - decode happens per-partition with reusable scratch buffers, the
-  *     same shape a JNI/FFI decoder needs;
+  *   - decode happens per-partition, iterator in / iterator out — the
+  *     same shape a JNI/FFI codec needs;
   *   - feature vectors come out as fixed-width float arrays, ready for
   *     the graft.similarity operators.
   */
 object BinaryPipeline {
 
-  /** STUB: deterministic fake decoder. A real deployment replaces this
-    * object with the actual codec (libjpeg/ffmpeg behind JNI); the
-    * Spark plumbing does not change.
+  /** Real PNG image codec over `javax.imageio` (public JDK API).
+    * Encode renders a byte payload as an 8-bit grayscale PNG
+    * (the testdata manufacturer); decode is a genuine container parse
+    * + raster extraction and works on any PNG the JDK reader accepts.
+    * A non-image payload fails LOUDLY (decode refuses, never guesses).
     */
-  object StubCodec {
+  object PngCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
     val FeatureDim = 16
 
-    /** "Decode" a payload into (width, height, channels) — derived
-      * deterministically from the bytes, standing in for a real header
-      * parse. The dimensions come from the payload's md5 (first two
-      * hex quads mod 512) rather than a JVM-private hash so an
-      * external engine replays them verbatim — what promotes
-      * mm_binary_pipeline to hash-certified while the decode stays an
-      * honest stub.
+    /** Raster geometry for a rendered payload: width ⌈√len⌉, height
+      * ⌈len/width⌉, both clamped ≥ 1 — near-square, deterministic, and
+      * replayable from the byte length alone (IEEE sqrt is correctly
+      * rounded, so the ceil is exact in both engines).
       */
-    def decodeMeta(payload: Array[Byte]): (Int, Int, Int) = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      val hx = md.take(4).map("%02x".format(_)).mkString
-      (256 + Integer.parseInt(hx.substring(0, 4), 16) % 512,
-        256 + Integer.parseInt(hx.substring(4, 8), 16) % 512, 3)
+    def dims(len: Int): (Int, Int) = {
+      val w = math.max(math.ceil(math.sqrt(len.toDouble)).toInt, 1)
+      val h = math.max((len + w - 1) / w, 1)
+      (w, h)
     }
 
-    /** "Extract" a FeatureDim-dim feature vector — per-bucket byte sums
-      * (positions ≡ k mod FeatureDim) normalized by 255 and the bucket
-      * width, standing in for a real embedding model forward pass.
-      * Deterministic AND order-free: the bucket sums are exact integers
-      * and the single double division chain + float32 cast are
-      * IEEE-determined, so an external engine recomputes the vector
-      * bit-identically from the payload bytes — [[featureExtractSql]]
-      * does exactly that, which is what promotes mm_feature_extract /
-      * mm_similar_topk to hash-certified while the codec stays an
-      * honest stub (a real deployment still swaps this object out).
+    /** Render `payload` as a real grayscale PNG: pixel i = byte i,
+      * zero-padded to the [[dims]] raster. Lossless by construction
+      * (PNG stores 8-bit gray samples verbatim), so
+      * decode(encode(p)).pixels == p ++ pad — the round-trip identity
+      * the fixture spec pins and every oracle below relies on.
       */
-    def features(payload: Array[Byte]): Array[Float] = {
+    def encode(payload: Array[Byte]): Array[Byte] = {
+      val (w, h) = dims(payload.length)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      System.arraycopy(payload, 0, data, 0, math.min(payload.length, data.length))
+      val bos = new java.io.ByteArrayOutputStream(w * h / 2 + 256)
+      val ok = javax.imageio.ImageIO.write(img, "png", bos)
+      require(ok, "JDK has no PNG writer (headless ImageIO missing?)")
+      bos.toByteArray
+    }
+
+    /** REAL decode: parse the container with `ImageIO.read`, extract
+      * the raster row-major as (width, height, channels, pixel bytes).
+      * Refuses undecodable payloads instead of inventing metadata.
+      */
+    def decode(png: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val channels = raster.getNumBands
+      val out = new Array[Byte](w * h * channels)
+      val row = new Array[Int](w * channels)
+      var y = 0
+      var o = 0
+      while (y < h) {
+        raster.getPixels(0, y, w, 1, row)
+        var i = 0
+        while (i < row.length) { out(o) = row(i).toByte; o += 1; i += 1 }
+        y += 1
+      }
+      (w, h, channels, out)
+    }
+
+    /** FeatureDim-dim feature vector over a byte buffer (decoded
+      * pixels, or raw frame bytes for the framing face): per-bucket
+      * byte sums (positions ≡ k mod FeatureDim) normalized by 255 and
+      * the bucket width — a deterministic, order-free stand-in for an
+      * embedding-model forward pass. Exact integer sums + one
+      * IEEE-determined division chain + float32 cast, so an external
+      * engine recomputes the vector bit-identically.
+      */
+    def features(bytes: Array[Byte]): Array[Float] = {
       val sums = new Array[Long](FeatureDim)
       var i = 0
-      while (i < payload.length) {
-        sums(i % FeatureDim) += (payload(i) & 0xFF)
+      while (i < bytes.length) {
+        sums(i % FeatureDim) += (bytes(i) & 0xFF)
         i += 1
       }
-      val n = math.max(payload.length / FeatureDim, 1)
+      val n = math.max(bytes.length / FeatureDim, 1)
       val acc = new Array[Float](FeatureDim)
       var j = 0
       while (j < FeatureDim) { acc(j) = (sums(j) / 255.0 / n).toFloat; j += 1 }
@@ -68,9 +120,11 @@ object BinaryPipeline {
     }
   }
 
-  /** Manufacture the multimodal input table from `documents`: the text
-    * bytes play the role of a media payload (driver testdata only — a
-    * real pipeline reads payloads from parquet/lance binary columns).
+  /** Raw byte-payload table from `documents`: the text bytes AS the
+    * opaque payload (no container). This is the face for operations
+    * that must not decode — exact dedup hashes the stored bytes, frame
+    * sampling windows them — and the substrate [[asImageTable]] renders
+    * into PNGs.
     */
   def asBinaryTable(docs: DataFrame): DataFrame =
     docs.select(
@@ -79,164 +133,194 @@ object BinaryPipeline {
       struct(
         col("source").as("origin"),
         col("n_chars").cast("long").as("content_length"),
-        lit("text/fake-image").as("mime")).as("meta"))
+        lit("application/octet-stream").as("mime")).as("meta"))
+
+  /** The multimodal INPUT table: real PNG payloads (driver testdata —
+    * a production pipeline reads image blobs from parquet/lance binary
+    * columns; only this manufacturer changes, never the pipeline).
+    * Encode is per-partition, binary in / binary out.
+    */
+  def asImageTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("item_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("origin", StringType),
+        StructField("content_length", LongType),
+        StructField("mime", StringType))))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // positional access: rows arriving from a chained mapPartitions are
+    // schema-less GenericRows, so the explicit select pins the layout
+    asBinaryTable(docs).select("item_id", "payload", "meta").mapPartitions { rows =>
+      rows.map { r =>
+        val meta = r.getStruct(2)
+        Row(r.getLong(0), PngCodec.encode(r.getAs[Array[Byte]](1)),
+          Row(meta.getString(0), meta.getLong(1), "image/png"))
+      }
+    }(enc)
+  }
 
   val outSchema: StructType = StructType(Seq(
     StructField("item_id", LongType),
-    StructField("payload_bytes", IntegerType),
+    StructField("pixel_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("origin", StringType),
     StructField("features", ArrayType(FloatType))))
 
-  /** Decode + feature-extract, batched per partition. Binary-safe,
+  /** Decode + feature-extract, batched per partition. A REAL
+    * `ImageIO.read` per payload: dimensions/channels come from the
+    * parsed container, features from the decoded raster. Binary-safe,
     * constant memory per partition (iterator in, iterator out — no
     * partition-wide materialization).
     */
-  def decodeAndFeaturize(binTable: DataFrame): DataFrame = {
+  def decodeAndFeaturize(imgTable: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     // no repartition: the decode is purely row-local, and shuffling the
     // payload column (the largest in the pipeline) to rebalance would
     // cost more than it saves — the scan's own splits (plus
     // Tables.fanOut for tiny test files) set the parallelism
-    binTable
+    imgTable
+      .select("item_id", "payload", "meta")
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(r.fieldIndex("item_id"))
-          val payload = r.getAs[Array[Byte]]("payload")
-          val meta = r.getStruct(r.fieldIndex("meta"))
-          val (w, h, c) = StubCodec.decodeMeta(payload)
-          Row(id, payload.length, w, h, c, meta.getString(0), StubCodec.features(payload).toSeq)
+          val (w, h, c, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), pixels.length, w, h, c, r.getStruct(2).getString(0),
+            PngCodec.features(pixels).toSeq)
         }
       }(enc)
   }
 
-  /** End-to-end pipeline over the documents-derived binary table:
-    * binary → decode-stub → features → summary columns. Returns the raw
+  /** End-to-end pipeline over the documents-derived PNG table: binary
+    * → real decode → features → summary columns. Returns the raw
     * feature vectors (array<float>) — the shape downstream similarity
     * operators consume. Memoized per dir (the codec is the family's
     * dominant cost and FIVE driver entries re-run it otherwise — the
-    * shared-artifact discipline of the BPE/dedup/ANN caches); the
-    * checkpoint also keeps the codec's single execution, which the
-    * per-entry localCheckpoint calls previously re-ran per entry.
+    * shared-artifact discipline of the BPE/dedup/ANN caches).
     */
   def pipelineRaw(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("mmRaw", dir))(
-      decodeAndFeaturize(asBinaryTable(Tables.documents(spark, dir)))
+      decodeAndFeaturize(asImageTable(Tables.documents(spark, dir)))
         .orderBy("item_id").localCheckpoint(true))
 
   /** Driver-facing view of [[pipelineRaw]]: the feature vector is
     * reduced to its rounded L2 norm because the correctness harness
     * canonicalizes result rows by sorting every column and array cells
     * are not sortable there. Same rows, scalar-only schema —
-    * hash-CERTIFIED since r14 ([[pipelineSql]] replays the md5-derived
-    * stub dimensions and the byte-rebuilt feature norm), the
-    * per-component certification living in mm_feature_extract.
+    * hash-CERTIFIED: [[pipelineSql]] replays the raster geometry and
+    * the pixel-rebuilt feature norm from the source bytes (PNG is
+    * lossless, so decoded pixels == bytes + zero pad), certifying the
+    * real decode end-to-end.
     */
   def pipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     pipelineRaw(spark, dir)
-      .select(col("item_id"), col("payload_bytes"), col("width"), col("height"),
+      .select(col("item_id"), col("pixel_bytes"), col("width"), col("height"),
         col("channels"), col("origin"),
         round(VectorFunctions.l2norm(col("features")), 4).as("feat_norm"))
       .orderBy("item_id")
   }
 
-  /** mm_binary_pipeline replayed: the md5-quad stub dimensions plus the
-    * norm of the byte-rebuilt feature vector ([[featureListCtes]]) —
-    * `md5(text)` hashes the identical UTF-8 bytes as the Scala digest
-    * over the payload (the mm_dedup-certified equivalence), and the
-    * `sqrt(list_sum(list_transform(...)))` fold is the
-    * embedding_stats-certified twin of [[graft.functions.VectorFunctions.l2norm]].
+  /** mm_binary_pipeline replayed: the ⌈√len⌉ raster geometry plus the
+    * norm of the pixel-rebuilt feature vector ([[featureListCtes]]) —
+    * the pad bytes are zero, so bucket sums over the text bytes equal
+    * sums over the decoded raster, and only the normalization divisor
+    * carries the padded length.
     */
   def pipelineSql: String =
-    s"""WITH $featureListCtes,
-       |m AS (SELECT doc_id, source AS origin, md5(text) AS mh FROM documents)
-       |SELECT b.doc_id AS item_id, CAST(b.len AS INTEGER) AS payload_bytes,
-       |  CAST(256 + ('0x' || substr(m.mh, 1, 4))::BIGINT % 512 AS INTEGER) AS width,
-       |  CAST(256 + ('0x' || substr(m.mh, 5, 4))::BIGINT % 512 AS INTEGER) AS height,
-       |  CAST(3 AS INTEGER) AS channels, m.origin,
+    s"""WITH $featureListCtes
+       |SELECT d.doc_id AS item_id, CAST(d.plen AS INTEGER) AS pixel_bytes,
+       |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       |  CAST(1 AS INTEGER) AS channels, d.origin,
        |  round(sqrt(list_sum(list_transform(fl.v, x -> x * x))), 4) AS feat_norm
-       |FROM b JOIN m USING (doc_id) JOIN fl USING (doc_id)
+       |FROM d JOIN fl USING (doc_id)
        |ORDER BY item_id""".stripMargin
 
-  /** STUB resize: a real deployment swaps in libvips/PIL behind the same
-    * signature. The stand-in deterministically downsamples the payload
-    * bytes to a fixed target "resolution" (byte budget), preserving the
-    * binary-in/binary-out shape a resize stage has — payloads never
-    * inflate to strings, output size is bounded by construction.
-    */
-  val ResizeTargetBytes = 64
+  /** Output side length of the REAL image resize below (8×8). */
+  val ResizeSide = 8
+
   val resizeSchema: StructType = StructType(Seq(
     StructField("item_id", LongType),
     StructField("orig_bytes", IntegerType),
-    StructField("resized", BinaryType),
-    StructField("resized_bytes", IntegerType)))
+    StructField("orig_w", IntegerType),
+    StructField("orig_h", IntegerType),
+    StructField("resized", BinaryType)))
 
-  def resize(binTable: DataFrame): DataFrame = {
+  /** REAL image resize: decode the PNG, nearest-neighbor-sample the
+    * raster down (or up) to [[ResizeSide]]² — out(y,x) = src(⌊y·h/S⌋,
+    * ⌊x·w/S⌋) — the classic point-sampling kernel, chosen over
+    * bilinear because it is exactly integer-replayable (the oracle
+    * rebuilds every sampled pixel by index arithmetic; interpolation
+    * would put float pixel blends outside DuckDB's reach). Binary in /
+    * binary out, output size fixed by construction.
+    */
+  def resize(imgTable: DataFrame): DataFrame = {
+    val s = ResizeSide
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeSchema)
-    binTable.mapPartitions { rows =>
+    imgTable.select("item_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(r.fieldIndex("item_id"))
-        val payload = r.getAs[Array[Byte]]("payload")
-        val out = new Array[Byte](math.min(ResizeTargetBytes, payload.length))
-        // ceil division: samples must span the WHOLE payload (floor
-        // would copy only the first out.length bytes of payloads up to
-        // 2x the target, ignoring the tail entirely)
-        val stride = math.max(
-          (payload.length + math.max(out.length, 1) - 1) / math.max(out.length, 1), 1)
-        var i = 0
-        while (i < out.length) { out(i) = payload(math.min(i * stride, payload.length - 1)); i += 1 }
-        Row(id, payload.length, out, out.length)
+        val id = r.getLong(0)
+        val (w, h, _, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
+        val out = new Array[Byte](s * s)
+        var y = 0
+        while (y < s) {
+          val sy = y * h / s
+          var x = 0
+          while (x < s) {
+            out(y * s + x) = pixels(sy * w + x * w / s)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, pixels.length, w, h, out)
       }
     }(enc)
   }
 
-  /** Driver-facing [[resize]]: the resized payload surfaces as its hex
-    * string (binary stays the library API; the harness hashes strings)
-    * — hash-CERTIFIED since r14: [[resizeSql]] rebuilds every sampled
-    * byte position from the payload blob, so a wrong stride, a floor
-    * instead of ceil, or an off-by-one at the tail hash-mismatches.
+  /** Driver-facing [[resize]]: the resized raster surfaces as its hex
+    * string (binary stays the library API; the harness hashes strings).
+    * hash-CERTIFIED: [[resizeSql]] rebuilds every sampled pixel
+    * position from the source bytes, so a wrong stride, a transposed
+    * axis, or an off-by-one at the pad boundary hash-mismatches —
+    * certifying decode + point-sampling end-to-end.
     */
   def resize(spark: SparkSession, dir: String): DataFrame =
-    resize(asBinaryTable(Tables.documents(spark, dir)))
-      .select(col("item_id"), col("orig_bytes"), col("resized_bytes"),
+    resize(asImageTable(Tables.documents(spark, dir)))
+      .select(col("item_id"), col("orig_bytes"), col("orig_w"), col("orig_h"),
         hex(col("resized")).as("resized_hex"))
       .orderBy("item_id")
 
-  /** mm_resize replayed: ceil-stride byte sampling over the hex-expanded
-    * payload — out_len = min(target, len), stride = ceil(len/out_len),
-    * byte i taken at min(i·stride, len−1), re-joined in position order.
+  /** mm_resize replayed: the ⌈√len⌉ raster rebuilt from the text
+    * bytes (pad = 0x00), point-sampled at (⌊y·h/S⌋·w + ⌊x·w/S⌋),
+    * re-joined in raster order.
     */
-  def resizeSql: String =
-    s"""WITH b AS MATERIALIZED (
-       |  SELECT doc_id, hex(encode(text)) AS hx,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
-       |  FROM documents),
-       |p AS (
-       |  SELECT doc_id, hx, len, least($ResizeTargetBytes, len) AS out_len,
-       |    greatest((len + greatest(least($ResizeTargetBytes, len), 1) - 1)
-       |      // greatest(least($ResizeTargetBytes, len), 1), 1) AS stride
-       |  FROM b),
-       |s AS (
-       |  SELECT doc_id, i,
-       |    substr(hx, CAST(2 * least(i * stride, len - 1) + 1 AS INTEGER), 2) AS hb
-       |  FROM (SELECT doc_id, hx, len, stride,
-       |          unnest(range(0, CAST(out_len AS INTEGER))) AS i FROM p))
-       |SELECT p.doc_id AS item_id, CAST(p.len AS INTEGER) AS orig_bytes,
-       |  CAST(p.out_len AS INTEGER) AS resized_bytes,
-       |  coalesce(string_agg(s.hb, '' ORDER BY s.i), '') AS resized_hex
-       |FROM p LEFT JOIN s ON s.doc_id = p.doc_id
-       |GROUP BY p.doc_id, p.len, p.out_len
+  def resizeSql: String = {
+    val s = ResizeSide
+    s"""WITH $geomCtes,
+       |px AS (
+       |  SELECT d.doc_id, ty.range * $s + tx.range AS i,
+       |    CASE WHEN (ty.range * d.h // $s) * d.w + (tx.range * d.w // $s) < d.len
+       |      THEN substr(d.hx,
+       |        CAST(2 * ((ty.range * d.h // $s) * d.w + (tx.range * d.w // $s)) + 1 AS INTEGER), 2)
+       |      ELSE '00' END AS hb
+       |  FROM d CROSS JOIN range(0, $s) ty CROSS JOIN range(0, $s) tx)
+       |SELECT d.doc_id AS item_id, CAST(d.plen AS INTEGER) AS orig_bytes,
+       |  CAST(d.w AS INTEGER) AS orig_w, CAST(d.h AS INTEGER) AS orig_h,
+       |  string_agg(px.hb, '' ORDER BY px.i) AS resized_hex
+       |FROM d JOIN px USING (doc_id)
+       |GROUP BY d.doc_id, d.plen, d.w, d.h
        |ORDER BY item_id""".stripMargin
+  }
 
-  /** STUB frame sampling: treats the payload as a "video" of fixed-size
-    * frames and keeps every `everyK`-th frame — one output row per kept
-    * frame (item_id, frame_idx, frame payload, per-frame features). The
-    * explode-to-frame-rows shape is the real pipeline design: frame
-    * rows partition freely for downstream embedding/dedup regardless of
-    * source-file boundaries.
+  /** Byte-level frame sampling: treats the RAW payload as a "video" of
+    * fixed-size frames and keeps every `everyK`-th frame — one output
+    * row per kept frame (item_id, frame_idx, frame payload, per-frame
+    * features). The explode-to-frame-rows shape is the real pipeline
+    * design: frame rows partition freely for downstream embedding/dedup
+    * regardless of source-file boundaries. (Video containers are out of
+    * scope in this sandbox — this face keeps the framing SHAPE on raw
+    * bytes; the image path above is the genuinely-decoded one.)
     */
   val FrameBytes = 256
   val frameSchema: StructType = StructType(Seq(
@@ -247,16 +331,16 @@ object BinaryPipeline {
 
   def frameSample(binTable: DataFrame, everyK: Int = 4): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
-    binTable.mapPartitions { rows =>
+    binTable.select("item_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
-        val id = r.getLong(r.fieldIndex("item_id"))
-        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
         val nFrames = math.max(payload.length / FrameBytes, 1)
         (0 until nFrames by everyK).iterator.map { f =>
           val from = math.min(f * FrameBytes, payload.length)
           val until = math.min(from + FrameBytes, payload.length)
           val frame = java.util.Arrays.copyOfRange(payload, from, until)
-          Row(id, f, frame, StubCodec.features(frame).toSeq)
+          Row(id, f, frame, PngCodec.features(frame).toSeq)
         }
       }
     }(enc)
@@ -264,11 +348,10 @@ object BinaryPipeline {
 
   /** Driver-facing frame sampling: per-frame feature vectors reduced to
     * the rounded norm for the same harness reason as [[pipeline]]; the
-    * frame payload surfaces as its hex string. hash-CERTIFIED since
-    * r14: [[frameSampleSql]] rebuilds every kept frame's byte range AND
-    * its stub feature norm from the payload blob, so a wrong frame
-    * boundary, a skipped tail, or a per-frame bucket-sum error
-    * hash-mismatches.
+    * frame payload surfaces as its hex string. hash-CERTIFIED:
+    * [[frameSampleSql]] rebuilds every kept frame's byte range AND its
+    * feature norm from the payload bytes, so a wrong frame boundary, a
+    * skipped tail, or a per-frame bucket-sum error hash-mismatches.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
@@ -282,13 +365,13 @@ object BinaryPipeline {
 
   /** mm_frame_sample replayed: every-4th fixed-width frame slice over
     * the hex-expanded payload (nFrames = max(len/$FrameBytes, 1), frame
-    * f covers [f·w, min(f·w+w, len))), plus the per-frame stub feature
-    * norm rebuilt with the [[featureCtes]] arithmetic over each frame's
-    * own bytes.
+    * f covers [f·w, min(f·w+w, len))), plus the per-frame feature norm
+    * rebuilt with the bucket-sum arithmetic over each frame's own
+    * bytes.
     */
   def frameSampleSql: String = {
     val w = FrameBytes
-    val dim = StubCodec.FeatureDim
+    val dim = PngCodec.FeatureDim
     s"""WITH b AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
@@ -339,7 +422,9 @@ object BinaryPipeline {
     * keep the smallest item_id — byte-identical images/audio collapse in
     * ONE hash aggregation with map-side partials, the same single-
     * shuffle shape as text `dedup_exact` but over the binary column
-    * directly (no decode needed to kill exact copies).
+    * directly (no decode needed to kill exact copies — hashing the
+    * STORED bytes is both the cheapest and the right semantics for
+    * exact-copy elimination).
     */
   def binaryDedup(binTable: DataFrame): DataFrame =
     binTable
@@ -357,11 +442,12 @@ object BinaryPipeline {
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   /** Multimodal similarity — the composition the feature vectors exist
-    * for: stub-extracted features fed straight into the similarity
+    * for: decoded-raster features fed straight into the similarity
     * tier's exact top-k (broadcast queries, one corpus scan). A real
-    * deployment swaps the codec, not this plumbing; at scale the same
-    * frame feeds the LSH/IVF candidate generators instead.
-    * Hash-certified since r13 (byte-replayable stub features).
+    * deployment swaps the feature extractor for a model forward pass,
+    * not this plumbing; at scale the same frame feeds the LSH/IVF
+    * candidate generators instead. Hash-certified (pixel-replayable
+    * features).
     */
   def similarTopK(spark: SparkSession, dir: String): DataFrame = {
     val feats = pipelineRaw(spark, dir)
@@ -370,15 +456,15 @@ object BinaryPipeline {
   }
 
   /** IVF-index variant of [[similarTopK]] — the binary→vector→index
-    * composition end-to-end at the SCALE tier: stub features train the
-    * coarse quantizer, the corpus is cell-assigned map-side, queries
-    * probe the persisted-index path (`ivfTopKFromIndex`). Brute force
-    * scores every (query, item) pair; this touches nProbe cells per
-    * query — the same swap a real deployment makes once the corpus
-    * outgrows one scan per query batch. r13: PROMOTED rows-only →
-    * hash-certified ([[similarTopKIvfSql]] — ann_ivf_topk's certified
-    * quantizer CTEs over byte-replayed features); recall vs brute
-    * force stays spec-asserted.
+    * composition end-to-end at the SCALE tier: decoded features train
+    * the coarse quantizer, the corpus is cell-assigned map-side,
+    * queries probe the persisted-index path (`ivfTopKFromIndex`). Brute
+    * force scores every (query, item) pair; this touches nProbe cells
+    * per query — the same swap a real deployment makes once the corpus
+    * outgrows one scan per query batch. Hash-certified
+    * ([[similarTopKIvfSql]] — ann_ivf_topk's certified quantizer CTEs
+    * over pixel-replayed features); recall vs brute force stays
+    * spec-asserted.
     */
   def similarTopKIvf(spark: SparkSession, dir: String): DataFrame = {
     // pipelineRaw is already checkpoint-memoized, so quantizer
@@ -392,14 +478,13 @@ object BinaryPipeline {
   }
 
   /** IVF-PQ variant of [[similarTopKIvf]] — the multimodal tier at its
-    * DEPLOYABLE form: binary → stub features → coarse cells + PQ codes,
-    * ADC scoring only inside probed cells (`Ann.ivfpqTopK`). The
+    * DEPLOYABLE form: binary → decoded features → coarse cells + PQ
+    * codes, ADC scoring only inside probed cells (`Ann.ivfpqTopK`). The
     * feature vectors are 16-dim, so 8 subspaces of 2 dims each keep
     * the codebooks honest (16 codes per 2-dim subspace ≈ lossless at
-    * this dim). r13: PROMOTED rows-only → hash-certified
-    * ([[similarTopKIvfPqSql]] — the certified quantizer + PQ/ADC CTEs
-    * over byte-replayed features); recall vs the exact tier stays
-    * spec-asserted next to the flat-IVF variant's.
+    * this dim). Hash-certified ([[similarTopKIvfPqSql]] — the certified
+    * quantizer + PQ/ADC CTEs over pixel-replayed features); recall vs
+    * the exact tier stays spec-asserted next to the flat-IVF variant's.
     */
   def similarTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val feats = pipelineRaw(spark, dir)
@@ -409,12 +494,11 @@ object BinaryPipeline {
 
   /** Media clustering: Lloyd's k-means ([[graft.similarity.KMeans]] —
     * the same trainer the embedding entry certifies against DuckDB)
-    * over the stub feature vectors, rolled up per cluster — the
-    * "group my corpus into visual/audio buckets" pass a multimodal
+    * over the decoded-raster feature vectors, rolled up per cluster —
+    * the "group my corpus into visual/audio buckets" pass a multimodal
     * curation pipeline runs for stratified sampling and mix control.
-    * r13: PROMOTED rows-only → hash-certified — the features are
-    * byte-replayable since the stub rework, so [[mediaKmeansSql]]
-    * composes the shared Lloyd replay over them; the per-cluster mean
+    * Hash-certified — [[mediaKmeansSql]] composes the shared Lloyd
+    * replay over the pixel-replayed features; the per-cluster mean
     * distance folds over 4-dp-quantized INTEGER sufficient stats (the
     * embedding_outliers discipline) so no cross-row double summation
     * order can hash-diverge.
@@ -433,54 +517,67 @@ object BinaryPipeline {
       .orderBy("cluster_id")
   }
 
-  /** Driver-facing [[featureVectors]]: the full stub feature vector
-    * unpacked into FeatureDim scalar columns (f0..f15, float widened to
-    * double — exact), hash-CERTIFIED: [[featureExtractSql]] recomputes
-    * every component from the payload bytes, so a wrong bucket sum,
-    * normalization, or batch boundary anywhere in the mapPartitions
-    * decode pipeline hash-mismatches.
+  /** Driver-facing [[featureVectors]]: the full feature vector unpacked
+    * into FeatureDim scalar columns (f0..f15, float widened to double —
+    * exact), hash-CERTIFIED: [[featureExtractSql]] recomputes every
+    * component from the source bytes, so a wrong bucket sum, a lossy
+    * decode, or a batch boundary error anywhere in the mapPartitions
+    * pipeline hash-mismatches.
     */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
-    val fs = (0 until StubCodec.FeatureDim).map(k =>
+    val fs = (0 until PngCodec.FeatureDim).map(k =>
       col("features").getItem(k).cast("double").as(s"f$k"))
     pipelineRaw(spark, dir)
-      .select(col("item_id") +: col("payload_bytes") +: fs: _*)
+      .select(col("item_id") +: col("pixel_bytes") +: fs: _*)
       .orderBy("item_id")
   }
 
-  /** Shared oracle CTEs rebuilding the stub feature from the payload
-    * blob: hex-expand the UTF-8 bytes, bucket positions mod FeatureDim,
-    * exact integer sums, then the codec's own double-division chain +
-    * REAL cast — bit-identical to [[StubCodec.features]] because every
-    * step is order-free integer arithmetic until one IEEE-determined
-    * division/cast. Yields `f(doc_id, len, k, fv)` over `documents`.
+  /** Shared oracle CTE rebuilding the raster GEOMETRY from the payload
+    * blob: hex-expanded bytes, byte length, width ⌈√len⌉, height
+    * ⌈len/w⌉, padded pixel count plen = w·h. Yields
+    * `d(doc_id, origin, hx, len, w, h, plen)` over `documents`.
+    * (DuckDB resolves lateral column aliases, so w is defined once.)
+    */
+  private def geomCtes: String =
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id, source AS origin, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |    greatest(CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE))) AS BIGINT), 1) AS w,
+       |    greatest((len + w - 1) // w, 1) AS h,
+       |    w * greatest((len + w - 1) // w, 1) AS plen
+       |  FROM documents)""".stripMargin
+
+  /** [[geomCtes]] extended with the decoded-raster feature rebuild:
+    * bucket positions mod FeatureDim over the REAL bytes (the zero pad
+    * adds nothing to any bucket sum), exact integer sums, then the
+    * codec's own double-division chain + REAL cast with the PADDED
+    * length as divisor — bit-identical to [[PngCodec.features]] over
+    * the decoded pixels because PNG round-trips the raster losslessly.
+    * Yields `f(doc_id, k, fv)` on top of `d`.
     */
   private def featureCtes: String = {
-    val dim = StubCodec.FeatureDim
-    s"""b AS MATERIALIZED (
-       |  SELECT doc_id, hex(encode(text)) AS hx,
-       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
-       |  FROM documents),
+    val dim = PngCodec.FeatureDim
+    s"""$geomCtes,
        |v AS (
        |  SELECT doc_id, CAST((i - 1) % $dim AS INTEGER) AS k,
        |    ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT AS byte
-       |  FROM (SELECT doc_id, hx, unnest(range(1, CAST(len + 1 AS INTEGER))) AS i FROM b)),
+       |  FROM (SELECT doc_id, hx, unnest(range(1, CAST(len + 1 AS INTEGER))) AS i FROM d)),
        |s0 AS (SELECT doc_id, k, sum(byte) AS bs FROM v GROUP BY 1, 2),
        |ks AS (SELECT unnest(range(0, $dim)) AS k),
        |f AS (
-       |  SELECT b.doc_id, b.len, ks.k,
+       |  SELECT d.doc_id, d.plen, ks.k,
        |    CAST(CAST(coalesce(s0.bs, 0) AS DOUBLE) / 255.0
-       |      / greatest(b.len // $dim, 1) AS REAL) AS fv
-       |  FROM b CROSS JOIN ks
-       |  LEFT JOIN s0 ON s0.doc_id = b.doc_id AND s0.k = ks.k)""".stripMargin
+       |      / greatest(d.plen // $dim, 1) AS REAL) AS fv
+       |  FROM d CROSS JOIN ks
+       |  LEFT JOIN s0 ON s0.doc_id = d.doc_id AND s0.k = ks.k)""".stripMargin
   }
 
   /** mm_feature_extract replayed byte-for-byte in the oracle. */
   def featureExtractSql: String = {
-    val pivot = (0 until StubCodec.FeatureDim).map(k =>
+    val pivot = (0 until PngCodec.FeatureDim).map(k =>
       s"CAST(max(CASE WHEN k = $k THEN fv END) AS DOUBLE) AS f$k").mkString(",\n  ")
     s"""WITH $featureCtes
-       |SELECT doc_id AS item_id, CAST(any_value(len) AS INTEGER) AS payload_bytes,
+       |SELECT doc_id AS item_id, CAST(any_value(plen) AS INTEGER) AS pixel_bytes,
        |  $pivot
        |FROM f GROUP BY doc_id ORDER BY item_id""".stripMargin
   }
@@ -493,8 +590,8 @@ object BinaryPipeline {
        |fl AS MATERIALIZED (
        |  SELECT doc_id, list(CAST(fv AS DOUBLE) ORDER BY k) AS v FROM f GROUP BY doc_id)""".stripMargin
 
-  /** mm_similar_topk replayed: the stub features rebuilt from the
-    * payload bytes ([[featureCtes]]) feed the ann_bruteforce_topk
+  /** mm_similar_topk replayed: the decoded-raster features rebuilt from
+    * the source bytes ([[featureCtes]]) feed the ann_bruteforce_topk
     * oracle verbatim — certifying the binary→vector→similarity
     * composition end-to-end.
     */
@@ -515,25 +612,26 @@ object BinaryPipeline {
   private val FeatureECte: String = "SELECT doc_id AS vec_id, v FROM fl"
 
   /** mm_similar_ivf replayed: the certified IVF coarse-quantizer replay
-    * (ann_ivf_topk's CTEs) composed over the byte-replayed stub
-    * features — binary → vector → trained index, all hash-certified.
+    * (ann_ivf_topk's CTEs) composed over the pixel-replayed features —
+    * binary → vector → trained index, all hash-certified.
     */
   def similarTopKIvfSql: String =
     graft.similarity.Ann.ivfTopKSqlWith(featureListCtes, FeatureECte)
 
   /** mm_similar_ivfpq replayed: the certified IVF-PQ replay
-    * (quantizer + PQ codebooks + ADC LUTs) over the stub features,
-    * at the mm tier's 16-dim / 8-subspace geometry.
+    * (quantizer + PQ codebooks + ADC LUTs) over the pixel-replayed
+    * features, at the mm tier's 16-dim / 8-subspace geometry.
     */
   def similarTopKIvfPqSql: String =
     graft.similarity.Ann.ivfpqTopKSqlWith(featureListCtes, FeatureECte,
-      dim = StubCodec.FeatureDim, nSub = 8)
+      dim = PngCodec.FeatureDim, nSub = 8)
 
   /** mm_kmeans replayed: the shared Lloyd replay
     * ([[graft.similarity.KMeans.kmeansReplayCtes]]) over the exploded
-    * stub features, rolled up per cluster with the integer-quantized
-    * mean (the embedding_outliers sufficient-stat discipline — a plain
-    * avg over doubles would hash on summation order).
+    * pixel-replayed features, rolled up per cluster with the
+    * integer-quantized mean (the embedding_outliers sufficient-stat
+    * discipline — a plain avg over doubles would hash on summation
+    * order).
     */
   def mediaKmeansSql: String =
     s"""WITH $featureListCtes,

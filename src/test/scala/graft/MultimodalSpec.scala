@@ -7,15 +7,62 @@ import graft.Tables
 
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
+  // ---- PNG codec fixtures: the decode is REAL (ImageIO), so it is
+  // spec-gated against known images the way BPE is gated against known
+  // corpora ----
+
+  test("png codec: encode writes a real PNG container with the claimed geometry") {
+    val payload = Array.tabulate[Byte](10)(i => (i * 7).toByte) // 10 bytes -> 4x3
+    val png = BinaryPipeline.PngCodec.encode(payload)
+    // PNG magic, parsed independently of ImageIO
+    assert(png.take(8).map(_ & 0xFF).toSeq === Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    def be32(off: Int): Int =
+      ((png(off) & 0xFF) << 24) | ((png(off + 1) & 0xFF) << 16) |
+        ((png(off + 2) & 0xFF) << 8) | (png(off + 3) & 0xFF)
+    // IHDR: width @16, height @20, bit depth @24, color type @25
+    assert(be32(16) === 4, "IHDR width")
+    assert(be32(20) === 3, "IHDR height")
+    assert((png(24) & 0xFF) === 8, "bit depth 8")
+    assert((png(25) & 0xFF) === 0, "color type 0 = grayscale")
+  }
+
+  test("png codec: decode(encode(p)) round-trips pixels losslessly with zero pad") {
+    val payload = Array.tabulate[Byte](13)(i => (250 - i * 3).toByte) // 13 -> 4x4, 3 pad
+    val (w, h, c, pixels) = BinaryPipeline.PngCodec.decode(
+      BinaryPipeline.PngCodec.encode(payload))
+    assert((w, h, c) === (4, 4, 1))
+    assert(pixels.take(13).toSeq === payload.toSeq, "decoded pixels must equal source bytes")
+    assert(pixels.drop(13).toSeq === Seq[Byte](0, 0, 0), "tail must be zero pad")
+    // encode is deterministic (same bytes in -> same container out)
+    assert(BinaryPipeline.PngCodec.encode(payload).toSeq
+      === BinaryPipeline.PngCodec.encode(payload).toSeq)
+    // degenerate payloads still produce a decodable 1x1+ image
+    val (w0, h0, _, p0) = BinaryPipeline.PngCodec.decode(
+      BinaryPipeline.PngCodec.encode(Array.empty[Byte]))
+    assert(w0 === 1 && h0 === 1 && p0.toSeq === Seq[Byte](0))
+  }
+
+  test("png codec: a non-image payload is refused, not guessed") {
+    intercept[IllegalArgumentException] {
+      BinaryPipeline.PngCodec.decode("definitely not a png".getBytes("UTF-8"))
+    }
+  }
+
   test("binary pipeline preserves row count and emits fixed-dim features") {
     val out = BinaryPipeline.pipelineRaw(spark, sfDir)
     val n = Tables.documents(spark, sfDir).count()
     assert(out.count() === n)
-    assert(out.filter(size(col("features")) =!= BinaryPipeline.StubCodec.FeatureDim).count() === 0)
-    assert(out.filter(col("payload_bytes") <= 0).count() === 0)
+    assert(out.filter(size(col("features")) =!= BinaryPipeline.PngCodec.FeatureDim).count() === 0)
+    assert(out.filter(col("pixel_bytes") <= 0).count() === 0)
+    // geometry is the real decoded raster: pixel_bytes == width*height,
+    // single gray channel, near-square
+    assert(out.filter(col("pixel_bytes") =!= col("width") * col("height")).count() === 0)
+    assert(out.filter(col("channels") =!= 1).count() === 0)
+    assert(out.filter(col("width") < col("height")).count() === 0,
+      "ceil-sqrt geometry keeps width >= height")
   }
 
-  test("decode stub is deterministic (two runs identical)") {
+  test("real decode is deterministic (two runs identical)") {
     val a = BinaryPipeline.pipeline(spark, sfDir)
     val b = BinaryPipeline.pipeline(spark, sfDir)
     assert(a.exceptAll(b).count() === 0)
@@ -30,12 +77,30 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("resize bounds output bytes and is deterministic") {
+  test("resize point-samples the decoded raster to a fixed side and is deterministic") {
+    val s = BinaryPipeline.ResizeSide
     val r1 = BinaryPipeline.resize(spark, sfDir)
-    assert(r1.filter(col("resized_bytes") > BinaryPipeline.ResizeTargetBytes).count() === 0)
+    // every output is exactly s*s pixels (hex doubles the length)
+    assert(r1.filter(length(col("resized_hex")) =!= s * s * 2).count() === 0)
     assert(r1.count() === Tables.documents(spark, sfDir).count())
     val a = r1.collect(); val b = BinaryPipeline.resize(spark, sfDir).collect()
     assert(a.sameElements(b))
+  }
+
+  test("resize kernel fixture: nearest-neighbor indices on a known raster") {
+    import spark.implicits._
+    val s = BinaryPipeline.ResizeSide
+    // a 16x16 "image": byte at (y,x) = y*16+x, as one 256-byte payload
+    val payload = Array.tabulate[Byte](256)(_.toByte)
+    val img = Seq((1L, BinaryPipeline.PngCodec.encode(payload)))
+      .toDF("item_id", "payload")
+    val out = BinaryPipeline.resize(img).collect().head
+    assert(out.getAs[Int]("orig_w") === 16 && out.getAs[Int]("orig_h") === 16)
+    val resized = out.getAs[Array[Byte]]("resized")
+    // out(y,x) = src(y*16/8, x*16/8) = src(2y, 2x) -> byte 32y + 2x
+    for (y <- 0 until s; x <- 0 until s)
+      assert((resized(y * s + x) & 0xFF) === 32 * y + 2 * x,
+        s"pixel ($y,$x) must sample src(2y,2x)")
   }
 
   test("frame sampling keeps every k-th frame with per-frame features") {
@@ -46,7 +111,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val items = fs.select("item_id").distinct().count()
     assert(items === Tables.documents(spark, sfDir).count())
     assert(fs.filter(org.apache.spark.sql.functions.size(col("frame_features"))
-      =!= BinaryPipeline.StubCodec.FeatureDim).count() === 0)
+      =!= BinaryPipeline.PngCodec.FeatureDim).count() === 0)
+  }
+
+  test("image table payloads are genuine PNG containers") {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val bad = BinaryPipeline.asImageTable(Tables.documents(spark, sfDir))
+      .filter(substring(col("payload"), 1, 4) =!= lit(sig))
+    assert(bad.count() === 0, "every payload must start with the PNG signature")
   }
 
   test("binary dedup partitions items; byte-identical payloads collapse") {
