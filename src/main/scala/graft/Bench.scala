@@ -135,6 +135,18 @@ object Bench {
     // a query with NO successful trial is reported ONLY in `failed` —
     // a fake 0.0s timing would read as "infinitely fast" downstream
     val results = runs.collect { case (name, ts) if ts.nonEmpty => name -> ts.min }
+    // Streaming-throughput line (min-of-2, like every query): rows/s
+    // through the reference-shaped file-source → envelope-parse →
+    // merge → ParquetUpsertSink path, so continuous-substrate
+    // regressions surface round-over-round like batch ones.
+    val streaming: Option[(Long, Double)] =
+      try Some(StreamBench.run(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          failed ::= "streaming:cdc_upsert"
+          System.err.println(s"[bench] streaming throughput FAILED: ${e.getMessage}")
+          None
+      }
     val loadEnd = loadAvg()
     def fmt(v: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     def qJson(qs: Seq[(String, Double)], dec: Int): String =
@@ -154,9 +166,14 @@ object Bench {
       "\"" + k + "\":" + ts.filterNot(_.isNaN).map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
+    val streamingField = streaming match {
+      case Some((rows, sec)) =>
+        s""""streaming":{"path":"cdc_upsert","rows":$rows,"sec":${fmt(sec, 3)},"rows_per_sec":${fmt(if (sec > 0) rows / sec else 0.0, 1)}}"""
+      case None => s""""streaming":null"""
+    }
     // Complete full-precision record → file (survives regardless of log tail).
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","trials":2,$loadField,"artifacts":${qJson(artifacts, 3)},"queries":${qJson(results, 3)},"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","trials":2,$loadField,"artifacts":${qJson(artifacts, 3)},"queries":${qJson(results, 3)},"runs":$runsJson,$streamingField,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
@@ -169,6 +186,7 @@ object Bench {
     // Artifact build costs AFTER the chunks (just above the summary) so
     // they stay inside the driver's log-tail window — first position was
     // the most-clippable slot.
+    println(s"""{"metric":"streaming",$streamingField,$loadField}""")
     println(s"""{"metric":"artifacts","artifacts":${qJson(artifacts, 2)},$loadField}""")
     // Summary LAST so the driver's tail window always contains it whole;
     // carries the headline value plus the top-12 slowest for a quick read.
