@@ -118,6 +118,46 @@ object BinaryPipeline {
       while (j < FeatureDim) { acc(j) = (sums(j) / 255.0 / n).toFloat; j += 1 }
       acc
     }
+
+    /** dHash side: the perceptual hash point-samples the raster to a
+      * (Side+1)×Side gradient grid — the published 9×8 geometry.
+      */
+    val PhashSide = 8
+
+    /** dHash (difference hash) over a decoded raster — the standard
+      * perceptual near-dup signal of image-corpus curation: point-sample
+      * the raster to a 9×8 gray grid (nearest neighbor, the certified
+      * [[BinaryPipeline.resize]] kernel), then bit (y,x) = 1 iff
+      * g(y,x) > g(y,x+1) — 64 horizontal-gradient signs, invariant to
+      * global brightness/contrast shifts. Returned as (hi, lo) unsigned
+      * 32-bit halves so Hamming distances stay in exact integer bit ops
+      * on every engine.
+      */
+    def dhash(w: Int, h: Int, pixels: Array[Byte]): (Long, Long) = {
+      val s = PhashSide
+      val g = new Array[Int]((s + 1) * s)
+      var y = 0
+      while (y < s) {
+        val sy = y * h / s
+        var x = 0
+        while (x <= s) {
+          g(y * (s + 1) + x) = pixels(sy * w + x * w / (s + 1)) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      var b = 0
+      while (b < 64) {
+        val y0 = b / s
+        val x0 = b % s
+        val bit = if (g(y0 * (s + 1) + x0) > g(y0 * (s + 1) + x0 + 1)) 1L else 0L
+        if (b < 32) hi |= bit << (31 - b) else lo |= bit << (63 - b)
+        b += 1
+      }
+      (hi, lo)
+    }
   }
 
   /** Raw byte-payload table from `documents`: the text bytes AS the
@@ -167,7 +207,16 @@ object BinaryPipeline {
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("origin", StringType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("features", ArrayType(FloatType)),
+    // per-raster QC sufficient stats + perceptual hash, computed in the
+    // SAME decode pass (decode once, serve every consumer — the scale
+    // discipline; exact integers so every derived metric replays)
+    StructField("px_sum", LongType),
+    StructField("px_sumsq", LongType),
+    StructField("px_min", IntegerType),
+    StructField("px_max", IntegerType),
+    StructField("phash_hi", LongType),
+    StructField("phash_lo", LongType)))
 
   /** Decode + feature-extract, batched per partition. A REAL
     * `ImageIO.read` per payload: dimensions/channels come from the
@@ -186,8 +235,18 @@ object BinaryPipeline {
       .mapPartitions { rows =>
         rows.map { r =>
           val (w, h, c, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
+          var sum = 0L; var sumSq = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < pixels.length) {
+            val p = pixels(i) & 0xFF
+            sum += p; sumSq += p.toLong * p
+            if (p < mn) mn = p
+            if (p > mx) mx = p
+            i += 1
+          }
+          val (phHi, phLo) = PngCodec.dhash(w, h, pixels)
           Row(r.getLong(0), pixels.length, w, h, c, r.getStruct(2).getString(0),
-            PngCodec.features(pixels).toSeq)
+            PngCodec.features(pixels).toSeq, sum, sumSq, mn, mx, phHi, phLo)
         }
       }(enc)
   }
@@ -405,6 +464,172 @@ object BinaryPipeline {
        |FROM fx JOIN fl2 USING (doc_id, frame_idx)
        |ORDER BY item_id, frame_idx""".stripMargin
   }
+
+  /** Per-image pixel QC stats from the REAL decoded raster — the
+    * brightness/contrast screen an image-corpus curation pass runs
+    * before anything expensive (all-black thumbnails, blank scans and
+    * washed-out frames drop here): min/max/mean/std over the gray
+    * pixels, computed as exact integer sufficient stats in the one
+    * memoized decode pass and finished with a fixed IEEE expression
+    * tree, so DuckDB replays every number from the source bytes.
+    */
+  def pixelStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("pixel_bytes").cast("double")
+    val mean = col("px_sum").cast("double") / n
+    val variance = col("px_sumsq").cast("double") / n - mean * mean
+    pipelineRaw(spark, dir)
+      .select(col("item_id"), col("width"), col("height"),
+        col("px_min").as("pixel_min"), col("px_max").as("pixel_max"),
+        (col("px_max") - col("px_min")).as("contrast_range"),
+        round(mean, 4).as("pixel_mean"),
+        round(sqrt(greatest(variance, lit(0.0))), 4).as("pixel_std"))
+      .orderBy("item_id")
+  }
+
+  /** mm_pixel_stats replayed: exact byte sums over the raster (the
+    * zero pad adds nothing to sum/sumsq, forces min to 0 whenever the
+    * raster is padded, never raises max), then the same
+    * mean/variance/sqrt expression tree over the PADDED pixel count.
+    */
+  def pixelStatsSql: String =
+    s"""WITH $geomCtes,
+       |st AS (
+       |  SELECT doc_id,
+       |    sum(('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT) AS s1,
+       |    sum((('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT)
+       |      * (('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT)) AS s2,
+       |    min(('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT) AS mn,
+       |    max(('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT) AS mx
+       |  FROM (SELECT doc_id, hx, unnest(range(1, CAST(len + 1 AS INTEGER))) AS i FROM d)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id AS item_id, CAST(d.w AS INTEGER) AS width,
+       |  CAST(d.h AS INTEGER) AS height,
+       |  CAST(CASE WHEN d.plen > d.len THEN 0 ELSE st.mn END AS INTEGER) AS pixel_min,
+       |  CAST(coalesce(st.mx, 0) AS INTEGER) AS pixel_max,
+       |  CAST(coalesce(st.mx, 0) - CASE WHEN d.plen > d.len THEN 0 ELSE st.mn END
+       |    AS INTEGER) AS contrast_range,
+       |  round(CAST(coalesce(st.s1, 0) AS DOUBLE) / CAST(d.plen AS DOUBLE), 4)
+       |    AS pixel_mean,
+       |  round(sqrt(greatest(
+       |    CAST(coalesce(st.s2, 0) AS DOUBLE) / CAST(d.plen AS DOUBLE)
+       |      - (CAST(coalesce(st.s1, 0) AS DOUBLE) / CAST(d.plen AS DOUBLE))
+       |        * (CAST(coalesce(st.s1, 0) AS DOUBLE) / CAST(d.plen AS DOUBLE)),
+       |    0.0)), 4) AS pixel_std
+       |FROM d LEFT JOIN st USING (doc_id)
+       |ORDER BY item_id""".stripMargin
+
+  /** Perceptual hash (dHash) of every image from the real decoded
+    * raster: 9×8 nearest-neighbor gray grid → 64 horizontal-gradient
+    * sign bits — the standard near-dup signal of image curation,
+    * invariant to global brightness/contrast shifts (where mm_dedup's
+    * byte hash only catches bit-identical files). Surfaced as the
+    * 16-hex digest plus its gradient popcount; computed in the shared
+    * decode pass, map-side only.
+    */
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    pipelineRaw(spark, dir)
+      .select(col("item_id"),
+        format_string("%08X%08X", col("phash_hi"), col("phash_lo")).as("phash"),
+        (expr("bit_count(phash_hi)") + expr("bit_count(phash_lo)"))
+          .cast("int").as("n_gradient_bits"))
+      .orderBy("item_id")
+
+  /** Shared dHash replay: thumbnail g(y,x) by the certified
+    * nearest-neighbor index arithmetic over the padded raster, gradient
+    * bits, and the (hi, lo) unsigned 32-bit halves. Yields
+    * `ph(doc_id, hi, lo)` on top of `d`.
+    */
+  private def phashCtes: String = {
+    val s = PngCodec.PhashSide
+    s"""$geomCtes,
+       |g AS (
+       |  SELECT d.doc_id, ty.range AS y, tx.range AS x,
+       |    CASE WHEN (ty.range * d.h // $s) * d.w + (tx.range * d.w // ${s + 1}) < d.len
+       |      THEN ('0x' || substr(d.hx,
+       |        CAST(2 * ((ty.range * d.h // $s) * d.w + (tx.range * d.w // ${s + 1})) + 1
+       |          AS INTEGER), 2))::BIGINT
+       |      ELSE 0 END AS v
+       |  FROM d CROSS JOIN range(0, $s) ty CROSS JOIN range(0, ${s + 1}) tx),
+       |bits AS (
+       |  SELECT a.doc_id, a.y * $s + a.x AS b,
+       |    CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+       |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+       |  WHERE a.x < $s),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << (31 - b)) ELSE 0 END)
+       |      AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (63 - b)) ELSE 0 END)
+       |      AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** mm_phash replayed: the dHash grid, bit assembly and hex digest
+    * rebuilt from the source bytes.
+    */
+  def phashSql: String =
+    s"""WITH $phashCtes
+       |SELECT doc_id AS item_id, printf('%08X%08X', hi, lo) AS phash,
+       |  CAST(bit_count(hi) + bit_count(lo) AS INTEGER) AS n_gradient_bits
+       |FROM ph ORDER BY item_id""".stripMargin
+
+  /** Perceptual near-dup pair cap: Hamming radius of the banded
+    * search. 4 disjoint 16-bit bands + radius 3 ⇒ pigeonhole-complete
+    * (any pair within radius shares at least one band verbatim).
+    */
+  val PhashMaxHamming = 3
+
+  /** Perceptual near-dup pairs: images whose dHashes differ in ≤
+    * [[PhashMaxHamming]] of 64 bits — re-encoded, slightly-padded or
+    * contrast-shifted copies that byte-exact dedup misses. Candidate
+    * generation is the simhash pigeonhole discipline over the hash
+    * itself: 4 disjoint 16-bit bands bucket-join (never all pairs),
+    * and radius ≤ 3 guarantees a shared band, so the banding loses
+    * nothing. Verification is two exact XOR popcounts per candidate.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = pipelineRaw(spark, dir)
+      .select(col("item_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+    val bands = ph.select(col("item_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftrightunsigned(col("hi"), 16), col("hi").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("r", "band")))
+    val a = bands.select(col("item_id").as("id_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("r"), col("band"))
+    val b = bands.select(col("item_id").as("id_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("r"), col("band"))
+    a.join(b, Seq("r", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** mm_phash_dedup replayed: bands by integer div/mod, bucket
+    * self-join, XOR popcount verify — verbatim.
+    */
+  def phashDedupSql: String =
+    s"""WITH $phashCtes,
+       |bands AS (
+       |  SELECT doc_id, hi, lo, r,
+       |    CASE r WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+       |           WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS band
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+       |  FROM bands a JOIN bands b
+       |    ON a.r = b.r AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER)
+       |    AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= $PhashMaxHamming
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Feature extraction surfaced for similarity search: item_id +
     * feature vector + feature norm (plumbing check). Array-returning —

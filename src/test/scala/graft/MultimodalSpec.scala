@@ -114,6 +114,57 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       =!= BinaryPipeline.PngCodec.FeatureDim).count() === 0)
   }
 
+  test("pixel stats: bounds hold corpus-wide and a known ramp raster reads exactly") {
+    val st = BinaryPipeline.pixelStats(spark, sfDir)
+    assert(st.count() === Tables.documents(spark, sfDir).count())
+    assert(st.filter(col("pixel_min") > col("pixel_max")).count() === 0)
+    assert(st.filter(col("pixel_mean") < col("pixel_min")
+      || col("pixel_mean") > col("pixel_max")).count() === 0)
+    assert(st.filter(col("pixel_std") < 0).count() === 0)
+    // fixture: the 0..255 ramp on a 16x16 raster — mean 127.5, full range
+    val ramp = BinaryPipeline.PngCodec.decode(
+      BinaryPipeline.PngCodec.encode(Array.tabulate[Byte](256)(_.toByte)))._4
+    assert(ramp.map(_ & 0xFF).sum / 256.0 === 127.5)
+  }
+
+  test("phash: brightness shift leaves the hash invariant; monotone ramp hashes to zero") {
+    // gradient SIGNS are what dHash keys on — adding a constant to every
+    // pixel (no clamping: bytes kept in [50, 150]) must not change them
+    val base = Array.tabulate[Byte](100)(i => (50 + (i * 37) % 100).toByte)
+    val brighter = base.map(b => (b + 50).toByte)
+    def hashOf(p: Array[Byte]) = {
+      val (w, h, _, px) = BinaryPipeline.PngCodec.decode(BinaryPipeline.PngCodec.encode(p))
+      BinaryPipeline.PngCodec.dhash(w, h, px)
+    }
+    assert(hashOf(base) === hashOf(brighter),
+      "a global brightness shift must not move the dHash")
+    // a strictly increasing ramp has no falling gradient anywhere
+    val ramp = Array.tabulate[Byte](81)(i => (i * 3).toByte)
+    assert(hashOf(ramp) === ((0L, 0L)), "monotone ramp must hash to all-zero bits")
+    // driver face shape
+    val ph = BinaryPipeline.phash(spark, sfDir)
+    assert(ph.filter(length(col("phash")) =!= 16).count() === 0)
+    assert(ph.filter(col("n_gradient_bits") < 0 || col("n_gradient_bits") > 64).count() === 0)
+  }
+
+  test("phash dedup: banded candidates equal the brute-force radius-3 pair set") {
+    val hashes = BinaryPipeline.pipelineRaw(spark, sfDir)
+      .select("item_id", "phash_hi", "phash_lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force truth: every pair within Hamming <= 3 of 64 bits
+    val truth = (for {
+      (ia, ha, la) <- hashes.iterator
+      (ib, hb, lb) <- hashes.iterator
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= BinaryPipeline.PhashMaxHamming
+    } yield (ia, ib, d)).toSet
+    val got = BinaryPipeline.phashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth,
+      "4x16-bit banding at radius 3 is pigeonhole-complete: banded == brute force")
+  }
+
   test("image table payloads are genuine PNG containers") {
     val sig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
     val bad = BinaryPipeline.asImageTable(Tables.documents(spark, sfDir))
