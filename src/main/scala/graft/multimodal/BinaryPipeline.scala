@@ -579,6 +579,80 @@ object BinaryPipeline {
     */
   val PhashMaxHamming = 3
 
+  /** Version tag of the perceptual-hash family — pins a persisted
+    * index to the hashing that built it (the Dedup.BandFormat
+    * discipline).
+    */
+  val PhashFormat = "dhash-gray-9x8-v1"
+
+  /** Standalone (item_id, phash_hi, phash_lo) table from an image
+    * frame — the streaming face's per-batch hasher (real decode, one
+    * mapPartitions pass; batch entries read the memoized
+    * [[pipelineRaw]] instead).
+    */
+  def phashTable(imgTable: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("item_id", LongType),
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    imgTable.select("item_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
+        val (hi, lo) = PngCodec.dhash(w, h, pixels)
+        Row(r.getLong(0), hi, lo)
+      }
+    }(enc)
+  }
+
+  /** The 4 disjoint 16-bit bands of a (item_id, phash_hi, phash_lo)
+    * table — the pigeonhole candidate keys (radius ≤ 3 of 64 bits
+    * guarantees one shared band).
+    */
+  private def phashBands(ph: DataFrame): DataFrame =
+    ph.select(col("item_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+      .select(col("item_id"), col("hi"), col("lo"),
+        posexplode(array(
+          shiftrightunsigned(col("hi"), 16), col("hi").bitwiseAND(lit(0xFFFFL)),
+          shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xFFFFL))))
+          .as(Seq("r", "band")))
+
+  private def verifyPairs(cand: DataFrame): DataFrame =
+    cand.select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+
+  /** Within-set perceptual pairs (id_a < id_b) of one hash table. */
+  def phashPairsWithin(ph: DataFrame): DataFrame = {
+    val bands = phashBands(ph)
+    val a = bands.select(col("item_id").as("id_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("r"), col("band"))
+    val b = bands.select(col("item_id").as("id_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("r"), col("band"))
+    verifyPairs(a.join(b, Seq("r", "band")).filter(col("id_a") < col("id_b")))
+  }
+
+  /** Cross-set perceptual pairs (corpus index × new batch), surfaced
+    * canonically as (min id, max id) so the union of within- and
+    * cross-batch emissions over any tranche order equals the batch
+    * pair set.
+    */
+  def phashPairsBetween(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val a = phashBands(corpus).select(col("item_id").as("ida"),
+      col("hi").as("ha"), col("lo").as("la"), col("r"), col("band"))
+    val b = phashBands(batch).select(col("item_id").as("idb"),
+      col("hi").as("hb"), col("lo").as("lb"), col("r"), col("band"))
+    verifyPairs(a.join(b, Seq("r", "band")).filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        when(col("ida") < col("idb"), col("ha")).otherwise(col("hb")).as("hi_a"),
+        when(col("ida") < col("idb"), col("la")).otherwise(col("lb")).as("lo_a"),
+        when(col("ida") < col("idb"), col("hb")).otherwise(col("ha")).as("hi_b"),
+        when(col("ida") < col("idb"), col("lb")).otherwise(col("la")).as("lo_b")))
+  }
+
   /** Perceptual near-dup pairs: images whose dHashes differ in ≤
     * [[PhashMaxHamming]] of 64 bits — re-encoded, slightly-padded or
     * contrast-shifted copies that byte-exact dedup misses. Candidate
@@ -587,27 +661,10 @@ object BinaryPipeline {
     * and radius ≤ 3 guarantees a shared band, so the banding loses
     * nothing. Verification is two exact XOR popcounts per candidate.
     */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ph = pipelineRaw(spark, dir)
-      .select(col("item_id"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
-    val bands = ph.select(col("item_id"), col("hi"), col("lo"),
-      posexplode(array(
-        shiftrightunsigned(col("hi"), 16), col("hi").bitwiseAND(lit(0xFFFFL)),
-        shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("r", "band")))
-    val a = bands.select(col("item_id").as("id_a"), col("hi").as("hi_a"),
-      col("lo").as("lo_a"), col("r"), col("band"))
-    val b = bands.select(col("item_id").as("id_b"), col("hi").as("hi_b"),
-      col("lo").as("lo_b"), col("r"), col("band"))
-    a.join(b, Seq("r", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
-      .select(col("id_a"), col("id_b"),
-        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= PhashMaxHamming)
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairsWithin(pipelineRaw(spark, dir)
+      .select("item_id", "phash_hi", "phash_lo"))
       .orderBy("id_a", "id_b")
-  }
 
   /** mm_phash_dedup replayed: bands by integer div/mod, bucket
     * self-join, XOR popcount verify — verbatim.
@@ -630,6 +687,75 @@ object BinaryPipeline {
        |FROM cand
        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= $PhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Contrast floor of the image-curation funnel: a raster whose full
+    * dynamic range is narrower than this is a blank/washed-out frame.
+    */
+  val MinContrast = 32
+
+  /** Image-curation funnel — the acceptance readout of the mm family,
+    * mirroring the text `curation_funnel`: stage counts through
+    *   1. `1_decoded`   — every payload the REAL codec decodes,
+    *   2. `2_contrast`  — survivors of the pixel-QC contrast floor
+    *      ([[MinContrast]] over [[pixelStats]]' exact range),
+    *   3. `3_perceptual_unique` — contrast survivors with no
+    *      smaller-id contrast-surviving perceptual neighbor at
+    *      Hamming ≤ [[PhashMaxHamming]] (the near_dedup_keep rule over
+    *      [[phashDedup]]'s banded pairs).
+    * One row per stage; monotone by construction. Everything reads the
+    * memoized decode pass; the only join is the banded pair probe.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = pipelineRaw(spark, dir)
+    val pass = raw.filter(col("px_max") - col("px_min") >= MinContrast)
+      .select("item_id", "phash_hi", "phash_lo").localCheckpoint(true)
+    // drop rule over the SURVIVOR set: any smaller-id surviving neighbor
+    val dropped = phashPairsWithin(pass).select(col("id_b").as("item_id")).distinct()
+    val kept = pass.join(dropped, Seq("item_id"), "left_anti")
+    raw.agg(count(lit(1)).as("n")).select(lit("1_decoded").as("stage"), col("n"))
+      .unionByName(pass.agg(count(lit(1)).as("n"))
+        .select(lit("2_contrast").as("stage"), col("n")))
+      .unionByName(kept.agg(count(lit(1)).as("n"))
+        .select(lit("3_perceptual_unique").as("stage"), col("n")))
+      .orderBy("stage")
+  }
+
+  /** mm_curation_funnel replayed: stage 1 is the corpus, stage 2 the
+    * contrast floor over the padded-raster min/max, stage 3 the
+    * anti-join against smaller-id surviving perceptual neighbors —
+    * all rebuilt from the source bytes.
+    */
+  def curationFunnelSql: String =
+    s"""WITH $phashCtes,
+       |st AS (
+       |  SELECT doc_id,
+       |    min(('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT) AS mn,
+       |    max(('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT) AS mx
+       |  FROM (SELECT doc_id, hx, unnest(range(1, CAST(len + 1 AS INTEGER))) AS i FROM d)
+       |  GROUP BY doc_id),
+       |qc AS (
+       |  SELECT d.doc_id,
+       |    coalesce(st.mx, 0) - CASE WHEN d.plen > d.len THEN 0 ELSE st.mn END AS contrast
+       |  FROM d LEFT JOIN st USING (doc_id)),
+       |pass AS MATERIALIZED (
+       |  SELECT ph.doc_id, ph.hi, ph.lo FROM ph JOIN qc USING (doc_id)
+       |  WHERE qc.contrast >= $MinContrast),
+       |bands AS (
+       |  SELECT doc_id, hi, lo, r,
+       |    CASE r WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+       |           WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS band
+       |  FROM pass CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs),
+       |dropped AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM bands a JOIN bands b
+       |    ON a.r = b.r AND a.band = b.band AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |    <= $PhashMaxHamming)
+       |SELECT '1_decoded' AS stage, count(*) AS n FROM d
+       |UNION ALL SELECT '2_contrast', count(*) FROM pass
+       |UNION ALL SELECT '3_perceptual_unique', count(*) FROM pass
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY stage""".stripMargin
 
   /** Feature extraction surfaced for similarity search: item_id +
     * feature vector + feature norm (plumbing check). Array-returning —

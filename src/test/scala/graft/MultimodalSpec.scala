@@ -165,6 +165,16 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "4x16-bit banding at radius 3 is pigeonhole-complete: banded == brute force")
   }
 
+  test("image curation funnel: three monotone stages, stage 1 is the corpus") {
+    val f = BinaryPipeline.curationFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.keySet === Set("1_decoded", "2_contrast", "3_perceptual_unique"))
+    assert(f("1_decoded") === Tables.documents(spark, sfDir).count())
+    assert(f("1_decoded") >= f("2_contrast"), "contrast gate can only drop")
+    assert(f("2_contrast") >= f("3_perceptual_unique"), "dedup can only drop")
+    assert(f("3_perceptual_unique") > 0, "a non-degenerate corpus keeps something")
+  }
+
   test("image table payloads are genuine PNG containers") {
     val sig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
     val bad = BinaryPipeline.asImageTable(Tables.documents(spark, sfDir))
