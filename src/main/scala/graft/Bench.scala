@@ -45,6 +45,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // PIN HYGIENE (r15 verdict #1/#5): the full-precision JSON goes to a
+    // SCRATCH path by default, so a casual/driver rerun can never
+    // silently overwrite the committed pin files. Pinning is explicit
+    // (SPARK_GRAFT_BENCH_OUT=bench_full.json), and a pin run REFUSES to
+    // start on a loaded box — two rounds of pins taken at load 4.7–6.3
+    // drowned every per-entry cross-round comparison in host drift.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_scratch.json")
+    val pinning = sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    val maxPinLoad = sys.env.getOrElse("SPARK_GRAFT_PIN_MAX_LOAD", "1.5").toDouble
+    if (pinning && sys.env.get("SPARK_GRAFT_PIN_FORCE").isEmpty) {
+      val l = loadAvg()
+      if (l.head > maxPinLoad) {
+        System.err.println(f"[bench] REFUSING to pin to $outPath: 1-min load " +
+          f"${l.head}%.2f > $maxPinLoad%.1f — wait for an idle box or set " +
+          "SPARK_GRAFT_PIN_FORCE=1 (and expect drift-polluted numbers)")
+        sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -174,8 +192,7 @@ object Bench {
     // Complete full-precision record → file (survives regardless of log tail).
     val fullLine =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","trials":2,$loadField,"artifacts":${qJson(artifacts, 3)},"queries":${qJson(results, 3)},"runs":$runsJson,$streamingField,"failed":$failedJson,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    val fullPath = java.nio.file.Paths.get(outPath)
     java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
 
     // Chunk lines: ~20 queries each at 2 decimals keeps every line < ~700 B.

@@ -26,6 +26,15 @@ object StreamBench {
   /** Returns (changelog rows, best wall seconds over `trials`). */
   def run(spark: SparkSession, sfDir: String, trials: Int = 2): (Long, Double) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sbench")
+    // try/finally, not success-path-only cleanup: a failed trial leaks
+    // the encoded source + per-trial checkpoints/state on every failed
+    // bench round otherwise
+    try runTrials(spark, sfDir, trials, tmp)
+    finally deleteRecursively(tmp.toFile)
+  }
+
+  private def runTrials(spark: SparkSession, sfDir: String, trials: Int,
+                        tmp: java.nio.file.Path): (Long, Double) = {
     val srcDir = s"$tmp/in"
     val ch = CdcOps.userChangelog(spark, sfDir).localCheckpoint(true)
     val after = when(col("op") =!= "d",
@@ -52,7 +61,6 @@ object StreamBench {
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
-    deleteRecursively(tmp.toFile)
     (n, times.min)
   }
 

@@ -11,7 +11,8 @@ object TimeOne {
     spark.sparkContext.setLogLevel("WARN")
     // warm codegen once
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-    (1 to 3).foreach { i =>
+    val trials = args.lift(2).map(_.toInt).getOrElse(3)
+    (1 to trials).foreach { i =>
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       println(f"TIMING $name trial$i ${(System.nanoTime() - t0) / 1e9}%.2f s")

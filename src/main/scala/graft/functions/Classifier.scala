@@ -184,13 +184,15 @@ object Classifier {
         sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"),
         sum(when(col("y") === 1, col("rn")).otherwise(0L)).as("rs"))
       .select(col("n_pos"), col("n_neg"),
-        // greatest(..., 1) guards the single-class corpus: without it
-        // Spark (non-ANSI) yields NULL while DuckDB yields ±Infinity —
-        // an engine divergence on a degenerate (and meaningless) AUC
-        round((lit(2L) * col("rs") - col("n_pos") * (col("n_pos") + lit(1L)))
-          .cast("double")
-          / greatest(lit(2L) * col("n_pos") * col("n_neg"), lit(1L))
-              .cast("double"), 4).as("auc"))
+        // a single-class corpus has NO defined AUC — emit NULL on both
+        // engines (the old greatest(...,1) guard made it read 0.0,
+        // which a consumer parses as "perfectly inverted ranking")
+        when(col("n_pos") * col("n_neg") === 0L, lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2L) * col("rs") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 4))
+          .as("auc"))
   }
 
   /** The shared training-replay WITH-chain through w[[Steps]] —
@@ -360,10 +362,13 @@ object Classifier {
        |SELECT
        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-       |  round(CAST(2 * sum(CASE WHEN y = 1 THEN rn ELSE 0 END)
+       |  CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |          * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) = 0 THEN NULL
+       |  ELSE round(CAST(2 * sum(CASE WHEN y = 1 THEN rn ELSE 0 END)
        |      - sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
        |        * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1) AS DOUBLE)
-       |    / CAST(greatest(2 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
-       |        * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1) AS DOUBLE), 4) AS auc
+       |    / CAST(2 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+       |        * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE), 4)
+       |  END AS auc
        |FROM rk""".stripMargin
 }

@@ -73,6 +73,43 @@ object BinaryPipeline {
       bos.toByteArray
     }
 
+    /** 3-channel raster geometry for a rendered payload: ⌈len/3⌉
+      * interleaved RGB pixels laid out near-square — width ⌈√npx⌉,
+      * height ⌈npx/w⌉, both clamped ≥ 1. Deterministic and replayable
+      * from the byte length alone, like the grayscale [[dims]].
+      */
+    def dimsRgb(len: Int): (Int, Int) = {
+      val npx = math.max((len + 2) / 3, 1)
+      val w = math.max(math.ceil(math.sqrt(npx.toDouble)).toInt, 1)
+      val h = math.max((npx + w - 1) / w, 1)
+      (w, h)
+    }
+
+    /** Render `payload` as a real 3-channel RGB PNG: interleaved
+      * sample i = byte i (R,G,B,R,G,B,…), zero-padded to the
+      * [[dimsRgb]] raster. Lossless by construction (PNG truecolor
+      * stores the 8-bit samples verbatim), so decode(encodeRgb(p))
+      * yields channels == 3 and pixels == p ++ pad — the multi-channel
+      * round-trip identity the RGB oracles replay from source bytes.
+      */
+    def encodeRgb(payload: Array[Byte]): Array[Byte] = {
+      val (w, h) = dimsRgb(payload.length)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      // setPixels takes samples in BAND order (R,G,B per pixel)
+      // regardless of the underlying BGR byte layout, and decode's
+      // getPixels reads them back in the same band order — the
+      // container's storage order never leaks into the pipeline
+      val samples = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < payload.length) { samples(i) = payload(i) & 0xFF; i += 1 }
+      img.getRaster.setPixels(0, 0, w, h, samples)
+      val bos = new java.io.ByteArrayOutputStream(w * h + 256)
+      val ok = javax.imageio.ImageIO.write(img, "png", bos)
+      require(ok, "JDK has no PNG writer (headless ImageIO missing?)")
+      bos.toByteArray
+    }
+
     /** REAL decode: parse the container with `ImageIO.read`, extract
       * the raster row-major as (width, height, channels, pixel bytes).
       * Refuses undecodable payloads instead of inventing metadata.
@@ -132,16 +169,32 @@ object BinaryPipeline {
       * global brightness/contrast shifts. Returned as (hi, lo) unsigned
       * 32-bit halves so Hamming distances stay in exact integer bit ops
       * on every engine.
+      *
+      * Multi-channel rasters project to gray FIRST: sample s = mean of
+      * the pixel's `channels` interleaved samples under integer
+      * division — exact, engine-replayable, and identical to the raw
+      * sample when channels == 1. Indexing strides by `channels`, so an
+      * RGB payload hashes its true pixel grid instead of silently
+      * sampling channel-interleaved byte positions.
       */
-    def dhash(w: Int, h: Int, pixels: Array[Byte]): (Long, Long) = {
+    def dhash(w: Int, h: Int, channels: Int, pixels: Array[Byte]): (Long, Long) = {
       val s = PhashSide
+      require(channels >= 1 && pixels.length == w * h * channels,
+        s"raster shape mismatch: ${pixels.length} bytes != $w x $h x $channels")
+      def gray(py: Int, px: Int): Int = {
+        val base = (py * w + px) * channels
+        var acc = 0
+        var c = 0
+        while (c < channels) { acc += pixels(base + c) & 0xFF; c += 1 }
+        acc / channels
+      }
       val g = new Array[Int]((s + 1) * s)
       var y = 0
       while (y < s) {
         val sy = y * h / s
         var x = 0
         while (x <= s) {
-          g(y * (s + 1) + x) = pixels(sy * w + x * w / (s + 1)) & 0xFF
+          g(y * (s + 1) + x) = gray(sy, x * w / (s + 1))
           x += 1
         }
         y += 1
@@ -244,7 +297,7 @@ object BinaryPipeline {
             if (p > mx) mx = p
             i += 1
           }
-          val (phHi, phLo) = PngCodec.dhash(w, h, pixels)
+          val (phHi, phLo) = PngCodec.dhash(w, h, c, pixels)
           Row(r.getLong(0), pixels.length, w, h, c, r.getStruct(2).getString(0),
             PngCodec.features(pixels).toSeq, sum, sumSq, mn, mx, phHi, phLo)
         }
@@ -259,9 +312,14 @@ object BinaryPipeline {
     * shared-artifact discipline of the BPE/dedup/ANN caches).
     */
   def pipelineRaw(spark: SparkSession, dir: String): DataFrame =
+    // no global sort before the checkpoint: every consumer re-imposes
+    // its own order, and the trainers downstream sample by VALUE
+    // (k-smallest vec_ids, vec_id % stride), never by position — at
+    // 100 TB of images a corpus-wide orderBy here is a pure-waste
+    // shuffle of the largest intermediate in the family
     graft.SessionCache.getOrElseUpdate(spark, ("mmRaw", dir))(
       decodeAndFeaturize(asImageTable(Tables.documents(spark, dir)))
-        .orderBy("item_id").localCheckpoint(true))
+        .localCheckpoint(true))
 
   /** Driver-facing view of [[pipelineRaw]]: the feature vector is
     * reduced to its rounded L2 norm because the correctness harness
@@ -312,7 +370,10 @@ object BinaryPipeline {
     * bilinear because it is exactly integer-replayable (the oracle
     * rebuilds every sampled pixel by index arithmetic; interpolation
     * would put float pixel blends outside DuckDB's reach). Binary in /
-    * binary out, output size fixed by construction.
+    * binary out, output size fixed by construction. Multi-channel
+    * rasters keep every channel: the sample index strides by
+    * `channels` and the output is S²·channels interleaved bytes —
+    * identical to the single-plane kernel when channels == 1.
     */
   def resize(imgTable: DataFrame): DataFrame = {
     val s = ResizeSide
@@ -320,14 +381,16 @@ object BinaryPipeline {
     imgTable.select("item_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val (w, h, _, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
-        val out = new Array[Byte](s * s)
+        val (w, h, ch, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
+        val out = new Array[Byte](s * s * ch)
         var y = 0
         while (y < s) {
           val sy = y * h / s
           var x = 0
           while (x < s) {
-            out(y * s + x) = pixels(sy * w + x * w / s)
+            val src = (sy * w + x * w / s) * ch
+            var c = 0
+            while (c < ch) { out((y * s + x) * ch + c) = pixels(src + c); c += 1 }
             x += 1
           }
           y += 1
@@ -598,8 +661,8 @@ object BinaryPipeline {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     imgTable.select("item_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, _, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
-        val (hi, lo) = PngCodec.dhash(w, h, pixels)
+        val (w, h, c, pixels) = PngCodec.decode(r.getAs[Array[Byte]](1))
+        val (hi, lo) = PngCodec.dhash(w, h, c, pixels)
         Row(r.getLong(0), hi, lo)
       }
     }(enc)
@@ -756,6 +819,214 @@ object BinaryPipeline {
        |UNION ALL SELECT '3_perceptual_unique', count(*) FROM pass
        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |ORDER BY stage""".stripMargin
+
+  /** The 3-CHANNEL input table: real RGB PNG payloads (the testdata
+    * manufacturer interleaves the document bytes as R,G,B samples —
+    * lossless truecolor, so the decoded interleaved raster equals the
+    * source bytes + pad and every RGB face replays from text). A real
+    * multimodal corpus meets RGB before grayscale; this table is the
+    * pipeline's proof that nothing assumes a single plane.
+    */
+  def asRgbImageTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("item_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    asBinaryTable(docs).select("item_id", "payload").mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), PngCodec.encodeRgb(r.getAs[Array[Byte]](1))))
+    }(enc)
+  }
+
+  private val rgbRawSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("r_sum", LongType),
+    StructField("g_sum", LongType),
+    StructField("b_sum", LongType),
+    StructField("luma_sum", LongType),
+    StructField("luma_sumsq", LongType),
+    StructField("luma_min", IntegerType),
+    StructField("luma_max", IntegerType),
+    StructField("phash_hi", LongType),
+    StructField("phash_lo", LongType)))
+
+  /** One REAL 3-channel decode pass over [[asRgbImageTable]], memoized
+    * per dir: per-channel exact integer sums, integer-luma
+    * ((r+g+b)//3 per pixel — exact, engine-replayable) sufficient
+    * stats, and the luma dHash — every RGB face reads this single
+    * codec run (the decode-once discipline of [[pipelineRaw]]).
+    */
+  def rgbRaw(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("mmRgbRaw", dir)) {
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(rgbRawSchema)
+      asRgbImageTable(Tables.documents(spark, dir)).mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, c, px) = PngCodec.decode(r.getAs[Array[Byte]](1))
+          require(c == 3, s"RGB table decoded to $c channel(s)")
+          val chSum = new Array[Long](3)
+          var lSum = 0L; var lSumSq = 0L; var lMin = 255; var lMax = 0
+          var p = 0
+          val nPix = w * h
+          while (p < nPix) {
+            val base = p * 3
+            val r0 = px(base) & 0xFF
+            val g0 = px(base + 1) & 0xFF
+            val b0 = px(base + 2) & 0xFF
+            chSum(0) += r0; chSum(1) += g0; chSum(2) += b0
+            val l = (r0 + g0 + b0) / 3
+            lSum += l; lSumSq += l.toLong * l
+            if (l < lMin) lMin = l
+            if (l > lMax) lMax = l
+            p += 1
+          }
+          val (phHi, phLo) = PngCodec.dhash(w, h, 3, px)
+          Row(r.getLong(0), w, h, 3, chSum(0), chSum(1), chSum(2),
+            lSum, lSumSq, lMin, lMax, phHi, phLo)
+        }
+      }(enc).localCheckpoint(true)
+    }
+
+  /** Per-image RGB pixel QC from the real 3-channel decode: per-channel
+    * means plus integer-luma mean/std/min/max — the color-aware screen
+    * (color casts, blank planes, washed-out frames) an RGB curation
+    * pass runs where [[pixelStats]] screens single-plane rasters.
+    * hash-CERTIFIED: [[pixelStatsRgbSql]] replays channel c as byte
+    * positions ≡ c (mod 3) and luma as the per-pixel integer mean, all
+    * from the source bytes (the RGB render is lossless).
+    */
+  def pixelStatsRgb(spark: SparkSession, dir: String): DataFrame = {
+    val nPix = (col("width") * col("height")).cast("double")
+    val lMean = col("luma_sum").cast("double") / nPix
+    val lVar = col("luma_sumsq").cast("double") / nPix - lMean * lMean
+    rgbRaw(spark, dir)
+      .select(col("item_id"), col("width"), col("height"), col("channels"),
+        round(col("r_sum").cast("double") / nPix, 4).as("r_mean"),
+        round(col("g_sum").cast("double") / nPix, 4).as("g_mean"),
+        round(col("b_sum").cast("double") / nPix, 4).as("b_mean"),
+        col("luma_min"), col("luma_max"),
+        round(lMean, 4).as("luma_mean"),
+        round(sqrt(greatest(lVar, lit(0.0))), 4).as("luma_std"))
+      .orderBy("item_id")
+  }
+
+  /** Perceptual hash of every RGB image: the luma projection
+    * ((r+g+b)//3, exact integer) of the real 3-channel raster fed
+    * through the same 9×8 dHash as [[phash]] — re-encoded or
+    * color-cast copies of an image land within a small Hamming radius
+    * of their grayscale twin's hash family. Same output shape as
+    * mm_phash; hash-CERTIFIED via [[phashRgbSql]].
+    */
+  def phashRgb(spark: SparkSession, dir: String): DataFrame =
+    rgbRaw(spark, dir)
+      .select(col("item_id"),
+        format_string("%08X%08X", col("phash_hi"), col("phash_lo")).as("phash"),
+        (expr("bit_count(phash_hi)") + expr("bit_count(phash_lo)"))
+          .cast("int").as("n_gradient_bits"))
+      .orderBy("item_id")
+
+  /** Shared RGB oracle geometry: npx = ⌈len/3⌉ pixels, w = ⌈√npx⌉,
+    * h = ⌈npx/w⌉ — [[PngCodec.dimsRgb]] replayed. Yields
+    * `dr(doc_id, hx, len, w, h, npix)` over `documents`.
+    */
+  private def rgbGeomCtes: String =
+    s"""dr AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |    greatest(CAST(ceil(sqrt(CAST(
+       |      greatest((octet_length(encode(text)) + 2) // 3, 1) AS DOUBLE))) AS BIGINT), 1) AS w,
+       |    greatest((greatest((len + 2) // 3, 1) + w - 1) // w, 1) AS h,
+       |    w * greatest((greatest((len + 2) // 3, 1) + w - 1) // w, 1) AS npix
+       |  FROM documents)""".stripMargin
+
+  /** Per-pixel luma rebuilt from the source bytes: pixel p's three
+    * samples are bytes 3p, 3p+1, 3p+2 (0-based; out-of-range = pad 0),
+    * luma = (r+g+b) // 3. Yields `lm(doc_id, p, l)` for REAL pixels
+    * (p < ⌈len/3⌉); pad pixels are all-zero → luma 0, handled by each
+    * consumer's coalesce/count arithmetic.
+    */
+  private def rgbLumaCtes: String =
+    s"""$rgbGeomCtes,
+       |lm AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    (coalesce(CASE WHEN 3 * p < len
+       |        THEN ('0x' || substr(hx, CAST(6 * p + 1 AS INTEGER), 2))::BIGINT END, 0)
+       |     + coalesce(CASE WHEN 3 * p + 1 < len
+       |        THEN ('0x' || substr(hx, CAST(6 * p + 3 AS INTEGER), 2))::BIGINT END, 0)
+       |     + coalesce(CASE WHEN 3 * p + 2 < len
+       |        THEN ('0x' || substr(hx, CAST(6 * p + 5 AS INTEGER), 2))::BIGINT END, 0)) // 3 AS l
+       |  FROM (SELECT doc_id, hx, len,
+       |          unnest(range(0, CAST((len + 2) // 3 AS INTEGER))) AS p FROM dr))""".stripMargin
+
+  /** mm_pixel_stats_rgb replayed: channel sums over byte positions
+    * ≡ c (mod 3), luma sufficient stats over the real pixels (pad
+    * pixels contribute zero to the sums, force luma_min to 0 whenever
+    * the raster is padded, never raise luma_max), then the same
+    * mean/variance/sqrt tree over the PADDED pixel count.
+    */
+  def pixelStatsRgbSql: String =
+    s"""WITH $rgbLumaCtes,
+       |cs AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN (i - 1) % 3 = 0
+       |      THEN ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT ELSE 0 END) AS rs,
+       |    sum(CASE WHEN (i - 1) % 3 = 1
+       |      THEN ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT ELSE 0 END) AS gs,
+       |    sum(CASE WHEN (i - 1) % 3 = 2
+       |      THEN ('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2))::BIGINT ELSE 0 END) AS bs
+       |  FROM (SELECT doc_id, hx, unnest(range(1, CAST(len + 1 AS INTEGER))) AS i FROM dr)
+       |  GROUP BY doc_id),
+       |ls AS (
+       |  SELECT doc_id, sum(l) AS s1, sum(l * l) AS s2, min(l) AS mn, max(l) AS mx,
+       |    count(*) AS nreal
+       |  FROM lm GROUP BY doc_id)
+       |SELECT dr.doc_id AS item_id, CAST(dr.w AS INTEGER) AS width,
+       |  CAST(dr.h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+       |  round(CAST(coalesce(cs.rs, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS r_mean,
+       |  round(CAST(coalesce(cs.gs, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS g_mean,
+       |  round(CAST(coalesce(cs.bs, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS b_mean,
+       |  CAST(CASE WHEN dr.npix > ls.nreal THEN 0 ELSE ls.mn END AS INTEGER) AS luma_min,
+       |  CAST(coalesce(ls.mx, 0) AS INTEGER) AS luma_max,
+       |  round(CAST(coalesce(ls.s1, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS luma_mean,
+       |  round(sqrt(greatest(
+       |    CAST(coalesce(ls.s2, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE)
+       |      - (CAST(coalesce(ls.s1, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE))
+       |        * (CAST(coalesce(ls.s1, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE)),
+       |    0.0)), 4) AS luma_std
+       |FROM dr LEFT JOIN cs USING (doc_id) LEFT JOIN ls USING (doc_id)
+       |ORDER BY item_id""".stripMargin
+
+  /** mm_phash_rgb replayed: the 9×8 dHash grid over the per-pixel
+    * integer luma (grid cell (y,x) samples pixel
+    * (⌊y·h/8⌋·w + ⌊x·w/9⌋); pad pixels are luma 0), bit assembly and
+    * hex digest exactly as [[phashSql]].
+    */
+  def phashRgbSql: String = {
+    val s = PngCodec.PhashSide
+    s"""WITH $rgbLumaCtes,
+       |g AS (
+       |  SELECT dr.doc_id, ty.range AS y, tx.range AS x,
+       |    coalesce(lm.l, 0) AS v
+       |  FROM dr CROSS JOIN range(0, $s) ty CROSS JOIN range(0, ${s + 1}) tx
+       |  LEFT JOIN lm ON lm.doc_id = dr.doc_id
+       |    AND lm.p = (ty.range * dr.h // $s) * dr.w + (tx.range * dr.w // ${s + 1})),
+       |bits AS (
+       |  SELECT a.doc_id, a.y * $s + a.x AS b,
+       |    CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+       |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+       |  WHERE a.x < $s),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << (31 - b)) ELSE 0 END)
+       |      AS BIGINT) AS hi,
+       |    CAST(sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (63 - b)) ELSE 0 END)
+       |      AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_id AS item_id, printf('%08X%08X', hi, lo) AS phash,
+       |  CAST(bit_count(hi) + bit_count(lo) AS INTEGER) AS n_gradient_bits
+       |FROM ph ORDER BY item_id""".stripMargin
+  }
 
   /** Feature extraction surfaced for similarity search: item_id +
     * feature vector + feature norm (plumbing check). Array-returning —

@@ -37,7 +37,12 @@ class BatchedParquetIndex(spark: SparkSession, indexPath: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val formatMarker = new Path(indexPath, markerName)
   private def liveDir = new Path(indexDir)
-  private def preCompactDir = new Path(s"$indexPath/_pre_compact")
+  // staging/recovery dirs are namespaced BY SUBDIR: two indexes sharing
+  // one indexPath root (e.g. a bands index and a hashes index) must not
+  // be able to rename each other's crashed _pre_compact into their own
+  // live dir (the StreamingBigram _pre_compact_$name discipline)
+  private def preCompactDir = new Path(s"$indexPath/_pre_compact_$subdir")
+  private def compactingDir = new Path(s"$indexPath/_compacting_$subdir")
   // lives INSIDE the index dir (underscore-prefixed → invisible to the
   // parquet reader) so the publish rename commits marker + folded rows
   // as one atomic unit
@@ -119,7 +124,7 @@ class BatchedParquetIndex(spark: SparkSession, indexPath: String,
     val foldedThrough = (compactedThrough() +: fs.listStatus(liveDir).toSeq
       .map(_.getPath.getName).filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)).max
-    val staged = new Path(s"$indexPath/_compacting")
+    val staged = compactingDir
     fs.delete(staged, true)
     // keep the batch=<n> partition layout: later appends land beside
     // batch=0 without conflicting with partition discovery

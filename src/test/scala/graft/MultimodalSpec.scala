@@ -133,8 +133,8 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val base = Array.tabulate[Byte](100)(i => (50 + (i * 37) % 100).toByte)
     val brighter = base.map(b => (b + 50).toByte)
     def hashOf(p: Array[Byte]) = {
-      val (w, h, _, px) = BinaryPipeline.PngCodec.decode(BinaryPipeline.PngCodec.encode(p))
-      BinaryPipeline.PngCodec.dhash(w, h, px)
+      val (w, h, c, px) = BinaryPipeline.PngCodec.decode(BinaryPipeline.PngCodec.encode(p))
+      BinaryPipeline.PngCodec.dhash(w, h, c, px)
     }
     assert(hashOf(base) === hashOf(brighter),
       "a global brightness shift must not move the dHash")
@@ -238,5 +238,111 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     a.foreach { case (c, n, lo, hi, md) =>
       assert(n > 0 && lo <= hi && md >= 0, s"cluster $c roll-up invalid")
     }
+  }
+
+  // ---- RGB (3-channel) codec + faces: the multi-channel path must be
+  // as certified as the grayscale one ----
+
+  test("rgb codec: encode writes a truecolor PNG with the dimsRgb geometry") {
+    val payload = Array.tabulate[Byte](30)(i => (i * 11).toByte) // 10 px -> 4x3
+    val png = BinaryPipeline.PngCodec.encodeRgb(payload)
+    assert(png.take(8).map(_ & 0xFF).toSeq === Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    def be32(off: Int): Int =
+      ((png(off) & 0xFF) << 24) | ((png(off + 1) & 0xFF) << 16) |
+        ((png(off + 2) & 0xFF) << 8) | (png(off + 3) & 0xFF)
+    assert(be32(16) === 4, "IHDR width")
+    assert(be32(20) === 3, "IHDR height")
+    assert((png(24) & 0xFF) === 8, "bit depth 8")
+    assert((png(25) & 0xFF) === 2, "color type 2 = truecolor RGB")
+  }
+
+  test("rgb codec: decode(encodeRgb(p)) round-trips interleaved samples losslessly") {
+    // 13 bytes -> npx=5 -> 3x2 raster = 18 samples, 5 zero-pad (one
+    // PARTIAL pixel: byte 12 is the last real sample of pixel 4)
+    val payload = Array.tabulate[Byte](13)(i => (37 + i * 17).toByte)
+    val (w, h, c, px) = BinaryPipeline.PngCodec.decode(
+      BinaryPipeline.PngCodec.encodeRgb(payload))
+    assert((w, h, c) === (3, 2, 3))
+    assert(px.length === w * h * 3)
+    assert(px.take(13).toSeq === payload.toSeq,
+      "decoded interleaved samples must equal source bytes (band order leak?)")
+    assert(px.drop(13).forall(_ === 0), "tail must be zero pad")
+    assert(BinaryPipeline.PngCodec.encodeRgb(payload).toSeq
+      === BinaryPipeline.PngCodec.encodeRgb(payload).toSeq)
+  }
+
+  test("dhash: multi-channel raster hashes its integer-luma plane, strided correctly") {
+    val rnd = new java.util.Random(11)
+    val w = 17; val h = 13
+    val rgb = new Array[Byte](w * h * 3)
+    rnd.nextBytes(rgb)
+    // hand-build the luma plane and hash it single-channel: the
+    // 3-channel call must agree (a stride bug samples interleaved
+    // positions and diverges immediately on random data)
+    val luma = Array.tabulate[Byte](w * h) { p =>
+      (((rgb(3 * p) & 0xFF) + (rgb(3 * p + 1) & 0xFF) + (rgb(3 * p + 2) & 0xFF)) / 3).toByte
+    }
+    assert(BinaryPipeline.PngCodec.dhash(w, h, 3, rgb)
+      === BinaryPipeline.PngCodec.dhash(w, h, 1, luma))
+    // a raster/shape mismatch is refused, never guessed
+    intercept[IllegalArgumentException] {
+      BinaryPipeline.PngCodec.dhash(w, h, 1, rgb)
+    }
+  }
+
+  test("resize: 3-channel raster keeps every channel at the strided sample positions") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](48)(i => (i * 5).toByte) // 16 px -> 4x4
+    val imgTable = Seq((1L, BinaryPipeline.PngCodec.encodeRgb(payload)))
+      .toDF("item_id", "payload")
+    val out = BinaryPipeline.resize(imgTable).collect().head
+    val resized = out.getAs[Array[Byte]]("resized")
+    val s = BinaryPipeline.ResizeSide
+    assert(resized.length === s * s * 3, "output must be S^2 x channels samples")
+    // upsampling a 4x4: out(y,x) samples src(y*4/8, x*4/8) = src(y/2, x/2)
+    for (y <- 0 until s; x <- 0 until s; c <- 0 until 3) {
+      val src = ((y * 4 / s) * 4 + (x * 4 / s)) * 3 + c
+      assert(resized((y * s + x) * 3 + c) === payload(src),
+        s"sample ($y,$x,$c) must be src byte $src")
+    }
+  }
+
+  test("rgb pixel stats: per-channel means and luma stats replay a known fixture") {
+    // 6 bytes -> npx=2 -> 2x1(w=2,h=1): px0=(10,20,30) px1=(40,50,60)
+    import spark.implicits._
+    val fixtureStats = {
+      val (w, h, c, px) = BinaryPipeline.PngCodec.decode(
+        BinaryPipeline.PngCodec.encodeRgb(Array[Byte](10, 20, 30, 40, 50, 60)))
+      assert((w, h, c) === (2, 1, 3))
+      px
+    }
+    assert(fixtureStats.toSeq === Seq[Byte](10, 20, 30, 40, 50, 60))
+    val out = BinaryPipeline.pixelStatsRgb(spark, sfDir)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(out.count() === n)
+    // corpus-wide bounds: means in [0,255], luma_min <= mean <= max, std >= 0
+    assert(out.filter(col("r_mean") < 0 || col("r_mean") > 255
+      || col("g_mean") < 0 || col("g_mean") > 255
+      || col("b_mean") < 0 || col("b_mean") > 255).count() === 0)
+    assert(out.filter(col("luma_min") > col("luma_mean")
+      || col("luma_mean") > col("luma_max") || col("luma_std") < 0).count() === 0)
+    assert(out.filter(col("channels") =!= 3).count() === 0)
+  }
+
+  test("rgb phash: deterministic, well-formed, and brightness-shift invariant") {
+    val a = BinaryPipeline.phashRgb(spark, sfDir).collect()
+    val b = BinaryPipeline.phashRgb(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.forall(_.getString(1).matches("[0-9A-F]{16}")), "16-hex digest")
+    // brightness invariance on a raw raster: shifting every channel by a
+    // constant preserves every luma gradient sign
+    val rnd = new java.util.Random(3)
+    val w = 9; val h = 9
+    val rgb = new Array[Byte](w * h * 3)
+    rnd.nextBytes(rgb)
+    val base = rgb.map(v => ((v & 0xFF) % 150).toByte)
+    val shifted = base.map(v => ((v & 0xFF) + 60).toByte)
+    assert(BinaryPipeline.PngCodec.dhash(w, h, 3, base)
+      === BinaryPipeline.PngCodec.dhash(w, h, 3, shifted))
   }
 }

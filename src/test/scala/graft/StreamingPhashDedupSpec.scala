@@ -85,4 +85,31 @@ class StreamingPhashDedupSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalStateException] { job.processBatch(img, 0L) }
     assert(e.getMessage.contains("rebuild the index"))
   }
+
+  test("two index families at one root: a crashed compaction never crosses subdirs") {
+    import spark.implicits._
+    import graft.streaming.BatchedParquetIndex
+    val root = java.nio.file.Files.createTempDirectory("bpi-collide").toString
+    val bands = new BatchedParquetIndex(spark, root, subdir = "bands",
+      markerName = "_band_format", format = "fmt-a", columns = Seq("doc_id", "k"))
+    val hashes = new BatchedParquetIndex(spark, root, subdir = "hashes",
+      markerName = "_hash_format", format = "fmt-b", columns = Seq("doc_id", "k"))
+    bands.checkOrWriteFormat(); hashes.checkOrWriteFormat()
+    bands.append(Seq((1L, 10L)).toDF("doc_id", "k"), 0L)
+    hashes.append(Seq((2L, 20L)).toDF("doc_id", "k"), 0L)
+    // simulate the bands family crashing inside compact() between the
+    // two renames: its live dir sits displaced at the staging slot
+    val bandsLive = new java.io.File(s"$root/bands")
+    assert(bandsLive.renameTo(new java.io.File(s"$root/_pre_compact_bands")),
+      "fixture: displace the bands live dir")
+    // the OTHER family must neither adopt nor disturb the displaced dir
+    val hs = hashes.readIndex().map(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(hs === Some(Set((2L, 20L))), "hashes family reads only its own rows")
+    assert(new java.io.File(s"$root/_pre_compact_bands").exists(),
+      "hashes recovery must not consume the bands family's staging dir")
+    // the bands family recovers its own displaced index
+    val bs = bands.readIndex().map(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(bs === Some(Set((1L, 10L))), "bands family restores its displaced rows")
+    assert(!new java.io.File(s"$root/_pre_compact_bands").exists())
+  }
 }
