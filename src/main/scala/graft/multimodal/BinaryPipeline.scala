@@ -680,6 +680,60 @@ object BinaryPipeline {
           shiftrightunsigned(col("lo"), 16), col("lo").bitwiseAND(lit(0xFFFFL))))
           .as(Seq("r", "band")))
 
+  /** Hot-band cap of the perceptual band join: a (band position, band
+    * value) bucket holding more than this many hashes is SPLIT before
+    * pairing. Band values cap at 65,536 per position and natural-image
+    * corpora are NOT uniform over them (smooth/dark frames collapse
+    * into constant bands), so at web scale one hot bucket otherwise
+    * costs k² candidate verifications — the skew twin of the MinHash
+    * df-cap. Override per deployment via
+    * `spark.conf.set("graft.mm.maxBandBucket", n)`.
+    */
+  val MaxBandBucket = 1024
+
+  private def maxBandBucket(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.mm.maxBandBucket")
+      .map(_.toInt).getOrElse(MaxBandBucket)
+
+  /** Split over-populated band buckets WITHOUT losing pigeonhole
+    * completeness: members of a hot (r, band) bucket re-band on the 48
+    * COMPLEMENT bits (the other three bands, concatenated) sliced into
+    * 4 × 12-bit sub-bands. A pair at Hamming ≤ [[PhashMaxHamming]] that
+    * shares the hot band has all ≤ 3 differing bits inside those 48,
+    * so by the same pigeonhole it shares at least one 12-bit sub-band —
+    * the candidate survives, but the hot bucket's k² join cost drops to
+    * Σ(sub-bucket)² across 4 × 4096 finer keys. Cold buckets join
+    * directly under sub = -1 (hotness is a bucket property, so a pair
+    * never straddles the cold/hot paths). Duplicate candidates from
+    * multi-sub-band agreement collapse in the verifier's distinct.
+    */
+  private def cappedBands(bands: DataFrame, counts: DataFrame, cap: Int): DataFrame = {
+    val tagged = bands.join(counts, Seq("r", "band"))
+    def b(i: Int) = i match {
+      case 0 => shiftrightunsigned(col("hi"), 16)
+      case 1 => col("hi").bitwiseAND(lit(0xFFFFL))
+      case 2 => shiftrightunsigned(col("lo"), 16)
+      case 3 => col("lo").bitwiseAND(lit(0xFFFFL))
+    }
+    // complement bits: the three bands other than r, ascending index
+    def rem(r: Int): org.apache.spark.sql.Column = {
+      val o = (0 until 4).filterNot(_ == r)
+      shiftleft(b(o(0)), 32).bitwiseOR(shiftleft(b(o(1)), 16)).bitwiseOR(b(o(2)))
+    }
+    val remCol = (0 until 4).foldRight(lit(-1L): org.apache.spark.sql.Column) {
+      (r, acc) => when(col("r") === r, rem(r)).otherwise(acc)
+    }
+    // sub key = sub-band position * 4096 + 12-bit value (positions must
+    // not cross-match)
+    val subs = (0 until 4).map { j =>
+      lit(j * 4096L) + shiftrightunsigned(remCol, 36 - 12 * j).bitwiseAND(lit(0xFFFL))
+    }
+    tagged.filter(col("cnt") <= cap).withColumn("sub", lit(-1L))
+      .unionByName(tagged.filter(col("cnt") > cap)
+        .withColumn("sub", explode(array(subs: _*))))
+      .drop("cnt")
+  }
+
   private def verifyPairs(cand: DataFrame): DataFrame =
     cand.select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
       .select(col("id_a"), col("id_b"),
@@ -687,27 +741,38 @@ object BinaryPipeline {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)
 
-  /** Within-set perceptual pairs (id_a < id_b) of one hash table. */
+  /** Within-set perceptual pairs (id_a < id_b) of one hash table,
+    * through the hot-band-capped join ([[cappedBands]]).
+    */
   def phashPairsWithin(ph: DataFrame): DataFrame = {
     val bands = phashBands(ph)
-    val a = bands.select(col("item_id").as("id_a"), col("hi").as("hi_a"),
-      col("lo").as("lo_a"), col("r"), col("band"))
-    val b = bands.select(col("item_id").as("id_b"), col("hi").as("hi_b"),
-      col("lo").as("lo_b"), col("r"), col("band"))
-    verifyPairs(a.join(b, Seq("r", "band")).filter(col("id_a") < col("id_b")))
+    val counts = bands.groupBy("r", "band").agg(count(lit(1)).as("cnt"))
+    val cb = cappedBands(bands, counts, maxBandBucket(ph))
+    val a = cb.select(col("item_id").as("id_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("r"), col("band"), col("sub"))
+    val b = cb.select(col("item_id").as("id_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("r"), col("band"), col("sub"))
+    verifyPairs(a.join(b, Seq("r", "band", "sub")).filter(col("id_a") < col("id_b")))
   }
 
   /** Cross-set perceptual pairs (corpus index × new batch), surfaced
     * canonically as (min id, max id) so the union of within- and
     * cross-batch emissions over any tranche order equals the batch
-    * pair set.
+    * pair set. Hotness is judged on the COMBINED (corpus ∪ batch)
+    * bucket population, so both sides classify every bucket
+    * identically and a pair never straddles the cold/hot paths.
     */
   def phashPairsBetween(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val a = phashBands(corpus).select(col("item_id").as("ida"),
-      col("hi").as("ha"), col("lo").as("la"), col("r"), col("band"))
-    val b = phashBands(batch).select(col("item_id").as("idb"),
-      col("hi").as("hb"), col("lo").as("lb"), col("r"), col("band"))
-    verifyPairs(a.join(b, Seq("r", "band")).filter(col("ida") =!= col("idb"))
+    val ca = phashBands(corpus)
+    val cbnds = phashBands(batch)
+    val counts = ca.select("r", "band").unionByName(cbnds.select("r", "band"))
+      .groupBy("r", "band").agg(count(lit(1)).as("cnt"))
+    val cap = maxBandBucket(corpus)
+    val a = cappedBands(ca, counts, cap).select(col("item_id").as("ida"),
+      col("hi").as("ha"), col("lo").as("la"), col("r"), col("band"), col("sub"))
+    val b = cappedBands(cbnds, counts, cap).select(col("item_id").as("idb"),
+      col("hi").as("hb"), col("lo").as("lb"), col("r"), col("band"), col("sub"))
+    verifyPairs(a.join(b, Seq("r", "band", "sub")).filter(col("ida") =!= col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"),
         when(col("ida") < col("idb"), col("ha")).otherwise(col("hb")).as("hi_a"),

@@ -240,6 +240,42 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("phash dedup hot-band cap: capped plan loses no pair on a skewed corpus") {
+    import spark.implicits._
+    // adversarial skew: one 16-bit band value shared by EVERY hash
+    // (band 0 = 0xABCD — the constant-band collapse of smooth/dark
+    // frames), remaining 48 bits random, plus planted near-dup pairs
+    val rnd = new java.util.Random(42)
+    // real dHash halves live in the low 32 bits — keep the fixture in
+    // that domain (bands are hi[31:16], hi[15:0], lo[31:16], lo[15:0])
+    val hashes = (0 until 60).map { i =>
+      val hi = (0xABCDL << 16) | (rnd.nextLong() & 0xFFFFL)
+      val lo = rnd.nextLong() & 0xFFFFFFFFL
+      (i.toLong, hi, lo)
+    } ++ Seq(
+      // planted pairs at Hamming 1 and 3 of existing members
+      (100L, (0xABCDL << 16) | 0x0001L, 0L),
+      (101L, (0xABCDL << 16) | 0x0003L, 0L),          // Hamming 1 vs 100
+      (102L, (0xABCDL << 16) | 0x0003L, 0x7L))        // Hamming 3 vs 101
+    val ph = hashes.toDF("item_id", "phash_hi", "phash_lo")
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val brute = (for {
+      a <- hashes; b <- hashes if a._1 < b._1 && ham(a, b) <= BinaryPipeline.PhashMaxHamming
+    } yield (a._1, b._1, ham(a, b))).toSet
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs")
+    def pairs(): Set[(Long, Long, Int)] =
+      BinaryPipeline.phashPairsWithin(ph).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cold path (every bucket under the default cap)
+    assert(pairs() === brute)
+    // force EVERY bucket hot: the 4x12-bit sub-band split must still
+    // find every pair (pigeonhole over the 48 complement bits)
+    spark.conf.set("graft.mm.maxBandBucket", "1")
+    try assert(pairs() === brute, "capped plan dropped pairs")
+    finally spark.conf.unset("graft.mm.maxBandBucket")
+  }
+
   // ---- RGB (3-channel) codec + faces: the multi-channel path must be
   // as certified as the grayscale one ----
 

@@ -86,6 +86,27 @@ class StreamingPhashDedupSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("rebuild the index"))
   }
 
+  test("tranche emissions stay complete when every band bucket is forced hot") {
+    val emitted = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Int)]]
+    val tmp = java.nio.file.Files.createTempDirectory("sphash-cap").toString
+    val job = new StreamingPhashDedupJob(spark, s"$tmp/index",
+      (pairs, id) => emitted(id) = collectPairs(pairs))
+    val images = BinaryPipeline.asImageTable(Tables.documents(spark, sfDir))
+      .select("item_id", "payload").localCheckpoint(true)
+    // batch truth under the DEFAULT cap, streamed set under cap=1: the
+    // sub-band split must not change WHAT is found, only how it joins —
+    // including the combined corpus∪batch hotness classification
+    val batch = collectPairs(BinaryPipeline.phashDedup(spark, sfDir))
+    spark.conf.set("graft.mm.maxBandBucket", "1")
+    try {
+      (0 until 3).foreach { t =>
+        job.processBatch(images.filter(pmod(col("item_id"), lit(3)) === t), t.toLong)
+      }
+      assert(emitted.values.reduce(_ ++ _) === batch,
+        "forced-hot streamed pair set diverged from the batch face")
+    } finally spark.conf.unset("graft.mm.maxBandBucket")
+  }
+
   test("two index families at one root: a crashed compaction never crosses subdirs") {
     import spark.implicits._
     import graft.streaming.BatchedParquetIndex
