@@ -165,6 +165,17 @@ object Bench {
           System.err.println(s"[bench] streaming throughput FAILED: ${e.getMessage}")
           None
       }
+    // Image-ingest line: the continuous perceptual-dedup path with a
+    // REAL ImageIO decode per payload — the capacity number of the mm
+    // family, pinned beside the CDC line.
+    val streamingMm: Option[(Long, Double)] =
+      try Some(StreamBench.runPhash(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          failed ::= "streaming:phash_ingest"
+          System.err.println(s"[bench] mm streaming throughput FAILED: ${e.getMessage}")
+          None
+      }
     val loadEnd = loadAvg()
     def fmt(v: Double, dec: Int): String = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     def qJson(qs: Seq[(String, Double)], dec: Int): String =
@@ -184,11 +195,14 @@ object Bench {
       "\"" + k + "\":" + ts.filterNot(_.isNaN).map(fmt(_, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
-    val streamingField = streaming match {
-      case Some((rows, sec)) =>
-        s""""streaming":{"path":"cdc_upsert","rows":$rows,"sec":${fmt(sec, 3)},"rows_per_sec":${fmt(if (sec > 0) rows / sec else 0.0, 1)}}"""
-      case None => s""""streaming":null"""
-    }
+    def throughputJson(field: String, path: String, r: Option[(Long, Double)]): String =
+      r match {
+        case Some((rows, sec)) =>
+          s""""$field":{"path":"$path","rows":$rows,"sec":${fmt(sec, 3)},"rows_per_sec":${fmt(if (sec > 0) rows / sec else 0.0, 1)}}"""
+        case None => s""""$field":null"""
+      }
+    val streamingField = throughputJson("streaming", "cdc_upsert", streaming) + "," +
+      throughputJson("streaming_mm", "phash_ingest", streamingMm)
     // Complete full-precision record → file (survives regardless of log tail).
     val fullLine =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","trials":2,$loadField,"artifacts":${qJson(artifacts, 3)},"queries":${qJson(results, 3)},"runs":$runsJson,$streamingField,"failed":$failedJson,"sf":"$sfDir"}"""

@@ -64,6 +64,43 @@ object StreamBench {
     (n, times.min)
   }
 
+  /** Image-ingest throughput: rows/s through the continuous perceptual
+    * dedup path — file-source PNG payloads → REAL per-batch ImageIO
+    * decode + dHash → banded pair join against the persisted index →
+    * per-batch index append ([[graft.streaming.StreamingPhashDedupJob]]).
+    * The decode is the expensive stage of any image pipeline; its
+    * sustained rows/s is the capacity number an image-curation
+    * deployment asks first, pinned here so codec/band regressions
+    * surface round-over-round like the CDC line. Source data is the sf
+    * dir's documents rendered once to genuine PNGs; each trial streams
+    * them through a fresh index/checkpoint (a reused index would
+    * measure replay skips), min-of-trials.
+    */
+  def runPhash(spark: SparkSession, sfDir: String, trials: Int = 2): (Long, Double) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mmbench")
+    try {
+      val srcDir = s"$tmp/in"
+      val images = graft.multimodal.BinaryPipeline
+        .asImageTable(Tables.documents(spark, sfDir))
+        .select("item_id", "payload")
+      images.write.mode("overwrite").parquet(srcDir)
+      val n = spark.read.parquet(srcDir).count()
+      val schema = spark.read.parquet(srcDir).schema
+      val times = (1 to math.max(trials, 1)).map { t =>
+        val job = new graft.streaming.StreamingPhashDedupJob(
+          spark, s"$tmp/index$t", (pairs, _) => { pairs.count(); () })
+        val t0 = System.nanoTime()
+        val q = job.start(
+          spark.readStream.schema(schema).parquet(srcDir),
+          checkpoint = s"$tmp/ckpt$t",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (n, times.min)
+    } finally deleteRecursively(tmp.toFile)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()

@@ -49,6 +49,7 @@ class StreamingDsirJob(spark: SparkSession, modelPath: String,
 
   private def modelDir = s"$modelPath/lambda"
   private def weightsDir = s"$modelPath/weights"
+  private def pendingDir = s"$modelPath/pending"
   private def fs = new Path(modelPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -60,9 +61,50 @@ class StreamingDsirJob(spark: SparkSession, modelPath: String,
   /** Pre-bootstrap batches skipped for lacking both classes (liveness
     * diagnostic: a stream stuck single-class never trains — visible
     * here instead of wedging the query with a deterministic replay
-    * failure).
+    * failure). The DATA is not lost: each skipped batch's bucket rows
+    * persist under `pending/batch=<id>` and are backfill-scored by the
+    * first batch that finds a trained model (see [[drainPending]]), so
+    * the streamed weight set stays equal to the batch face's.
     */
   @volatile private[graft] var skippedBootstraps: Long = 0L
+
+  /** Score-and-commit every buffered pre-bootstrap batch against the
+    * frozen model, under the batch's ORIGINAL id. Runs at the start of
+    * any batch that has both a model and a pending buffer, so every
+    * crash window heals: weights rewrite byte-stable (the model is
+    * immutable), the summary delta re-appends idempotently (per-batch
+    * overwrite; a delta already folded by compaction is skipped by the
+    * marker), and the pending dir is deleted only after both commits.
+    */
+  private def drainPending(model: DataFrame): Unit = {
+    val pd = new Path(pendingDir)
+    if (!fs.exists(pd)) return
+    val dirs = fs.listStatus(pd).toSeq
+      .filter(_.getPath.getName.startsWith("batch="))
+      .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
+    dirs.foreach { d =>
+      val bid = d.getPath.getName.stripPrefix("batch=").toLong
+      val rows = spark.read.parquet(d.getPath.toString)
+      commitScores(TextFunctions.dsirScore(rows, model), bid)
+      log.info(s"backfilled pre-bootstrap batch $bid from $pendingDir")
+      fs.delete(d.getPath, true)
+    }
+    fs.delete(pd, true)
+  }
+
+  /** Shared weights+summary commit (weights first — see processBatch). */
+  private def commitScores(raw: DataFrame, batchId: Long): Unit = {
+    val scored = raw
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
+        round(col("logw_raw"), 4).as("dsir_logw"))
+      .localCheckpoint(true)
+    scored.write.mode("overwrite").parquet(s"$weightsDir/batch=$batchId")
+    summary.append(
+      scored.groupBy("is_target").agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("dsir_logw") * 10000).cast("long")).as("sum_logw_q")),
+      batchId)
+  }
 
   /** The persisted λ table, once the bootstrap batch has committed it. */
   def readModel(): Option[DataFrame] =
@@ -82,31 +124,31 @@ class StreamingDsirJob(spark: SparkSession, modelPath: String,
         // Skip, don't throw: the checkpointed batch replays
         // deterministically, so a refusal here would wedge the query
         // permanently on a first micro-batch that happens to be
-        // single-class (or all sub-2-token docs — 0 classes).
+        // single-class (or all sub-2-token docs — 0 classes). The
+        // batch is BUFFERED (per-batch overwrite — replay-idempotent),
+        // not dropped: the first post-bootstrap batch backfill-scores
+        // it, so the checkpoint advancing past it loses nothing.
+        rows.write.mode("overwrite").parquet(s"$pendingDir/batch=$batchId")
         skippedBootstraps += 1
         log.warn(
           s"batch $batchId: skipping DSIR bootstrap for $modelPath — " +
             (if (classes == 0) "no document produced a bigram"
              else "batch lacks both target and raw docs") +
-            s" ($classes class(es)); retrying on the next batch")
+            s" ($classes class(es)); buffered for backfill, retrying on the next batch")
         return
       }
       TextFunctions.dsirTrain(rows).write.mode("overwrite").parquet(modelDir)
       spark.read.parquet(modelDir)
     }
-    val scored = TextFunctions.dsirScore(rows, model)
-      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
-        round(col("logw_raw"), 4).as("dsir_logw"))
-      .localCheckpoint(true)
+    // drain BEFORE this batch's own commit: backfilled summary deltas
+    // keep their original (smaller) batch ids, which stays idempotent
+    // because no compaction can fold past an id before its delta's
+    // first append lands through this single-writer path
+    drainPending(model)
     // weights first, summary second: a crash between the writes is
     // healed by the replay overwriting both (the immutable model makes
     // the recompute byte-stable)
-    scored.write.mode("overwrite").parquet(s"$weightsDir/batch=$batchId")
-    summary.append(
-      scored.groupBy("is_target").agg(
-        count(lit(1)).as("n_docs"),
-        sum(round(col("dsir_logw") * 10000).cast("long")).as("sum_logw_q")),
-      batchId)
+    commitScores(TextFunctions.dsirScore(rows, model), batchId)
   }
 
   /** Every score committed so far. Empty before the first commit. */

@@ -118,13 +118,38 @@ class StreamingDsirSpec extends AnyFunSuite with SparkSpec {
     // would wedge the query, the checkpointed batch replays verbatim),
     // nothing persisted, the skip counted
     val onlyTarget = docs.filter(col("lang") === TextFunctions.DsirTargetLang)
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+    val rest = docs.join(onlyTarget.select("doc_id"), Seq("doc_id"), "left_anti")
     job.processBatch(onlyTarget, 1L)
     assert(job.skippedBootstraps === 1L, "skipped bootstrap must be counted")
     assert(job.readModel().isEmpty, "skipped fit must not persist a model")
-    assert(job.readWeights().count() === 0, "skipped batch must score nothing")
-    // the NEXT two-class batch bootstraps normally — liveness restored
-    job.processBatch(docs, 2L)
+    assert(job.readWeights().count() === 0, "skipped batch must score nothing yet")
+    // the NEXT two-class batch bootstraps normally — liveness restored —
+    // and BACKFILLS the buffered batch: its docs appear in readWeights
+    // under their original batch, so no document is permanently unscored
+    job.processBatch(rest, 2L)
     assert(job.readModel().isDefined, "bootstrap must retry on the next batch")
-    assert(job.readWeights().count() > 0)
+    val weights = job.readWeights()
+    val skippedIds = onlyTarget.select("doc_id").collect().map(_.getLong(0)).toSet
+    val scoredIds = weights.select("doc_id").collect().map(_.getLong(0)).toSet
+    val skippedWithBigrams = TextFunctions.dsirBucketRows(onlyTarget)
+      .select("doc_id").distinct().count()
+    assert(skippedWithBigrams > 0, "fixture: the skipped batch must carry scoreable docs")
+    assert((skippedIds intersect scoredIds).size === skippedWithBigrams,
+      "every scoreable doc of the skipped batch must be backfilled")
+    // backfilled scores equal a direct scoring against the same frozen model
+    val direct = TextFunctions.dsirScore(
+      TextFunctions.dsirBucketRows(onlyTarget), job.readModel().get)
+      .select(col("doc_id"), round(col("logw_raw"), 4).as("dsir_logw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val backfilled = weights.filter(col("doc_id").isin(skippedIds.toSeq: _*))
+      .select("doc_id", "dsir_logw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(backfilled === direct, "backfilled weights must replay the frozen model")
+    // the summary includes the backfilled docs and the buffer is drained
+    assert(summaryOf(job).values.map(_._1).sum === weights.count(),
+      "summary doc counts must include backfilled batches")
+    assert(!new java.io.File(s"$dir/pending").exists(),
+      "pending buffer must be deleted after backfill")
   }
 }
