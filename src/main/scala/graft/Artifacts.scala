@@ -35,6 +35,7 @@ object Artifacts {
     "dedup_sn_pairs" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmSnPairs(s, d)),
     "dedup_ppjoin_pairs" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmPpjoinPairs(s, d)),
     "graph_epochs" -> ((s: SparkSession, d: String) => { queries.Graph.cachedEpochPairs(s, d); () }),
+    "graph_degree_state" -> ((s: SparkSession, d: String) => { queries.Graph.cachedDegreePrefix(s, d); () }),
     "graph_wpairs" -> ((s: SparkSession, d: String) => { queries.Graph.cachedWeightedPairs(s, d); () }),
     "graph_edges" -> ((s: SparkSession, d: String) => { queries.Graph.cachedGraph(s, d); () }),
     "graph_lpa_labels" -> ((s: SparkSession, d: String) => { queries.Graph.cachedLpaLabels(s, d); () }),
