@@ -54,11 +54,14 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_scratch.json")
     val pinning = sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     val maxPinLoad = sys.env.getOrElse("SPARK_GRAFT_PIN_MAX_LOAD", "1.5").toDouble
+    // recorded in the JSON as load.guard: the PRE-WARMUP box state the
+    // pin decision was made on (load.start is measured after warmup and
+    // so mostly reads back this process's own 32-core warm-up pass)
+    val loadGuard = loadAvg()
     if (pinning && sys.env.get("SPARK_GRAFT_PIN_FORCE").isEmpty) {
-      val l = loadAvg()
-      if (l.head > maxPinLoad) {
+      if (loadGuard.head > maxPinLoad) {
         System.err.println(f"[bench] REFUSING to pin to $outPath: 1-min load " +
-          f"${l.head}%.2f > $maxPinLoad%.1f — wait for an idle box or set " +
+          f"${loadGuard.head}%.2f > $maxPinLoad%.1f — wait for an idle box or set " +
           "SPARK_GRAFT_PIN_FORCE=1 (and expect drift-polluted numbers)")
         sys.exit(2)
       }
@@ -189,7 +192,7 @@ object Bench {
     def loadJson(l: Seq[Double]): String =
       l.map(fmt(_, 2)).mkString("[", ",", "]")
     val loadField =
-      s""""load":{"start":${loadJson(loadStart)},"end":${loadJson(loadEnd)}}"""
+      s""""load":{"guard":${loadJson(loadGuard)},"start":${loadJson(loadStart)},"end":${loadJson(loadEnd)}}"""
     // both trials per query, full precision, for post-hoc noise analysis
     val runsJson = runs.map { case (k, ts) =>
       "\"" + k + "\":" + ts.filterNot(_.isNaN).map(fmt(_, 3)).mkString("[", ",", "]")

@@ -709,6 +709,13 @@ object BinaryPipeline {
     */
   private def cappedBands(bands: DataFrame, counts: DataFrame, cap: Int): DataFrame = {
     val tagged = bands.join(counts, Seq("r", "band"))
+    withSubBands(tagged, cap)
+  }
+
+  /** The cold/hot split + sub-band expansion over rows already carrying
+    * their bucket population in `cnt`.
+    */
+  private def withSubBands(tagged: DataFrame, cap: Int): DataFrame = {
     def b(i: Int) = i match {
       case 0 => shiftrightunsigned(col("hi"), 16)
       case 1 => col("hi").bitwiseAND(lit(0xFFFFL))
@@ -745,9 +752,12 @@ object BinaryPipeline {
     * through the hot-band-capped join ([[cappedBands]]).
     */
   def phashPairsWithin(ph: DataFrame): DataFrame = {
-    val bands = phashBands(ph)
-    val counts = bands.groupBy("r", "band").agg(count(lit(1)).as("cnt"))
-    val cb = cappedBands(bands, counts, maxBandBucket(ph))
+    // bucket population via a WINDOW over the same (r, band) shuffle
+    // the candidate join needs anyway — one exchange, not a separate
+    // counts aggregate + join (the count's sort rides the exchange)
+    val tagged = phashBands(ph).withColumn("cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("r", "band")))
+    val cb = withSubBands(tagged, maxBandBucket(ph))
     val a = cb.select(col("item_id").as("id_a"), col("hi").as("hi_a"),
       col("lo").as("lo_a"), col("r"), col("band"), col("sub"))
     val b = cb.select(col("item_id").as("id_b"), col("hi").as("hi_b"),
@@ -763,14 +773,17 @@ object BinaryPipeline {
     * identically and a pair never straddles the cold/hot paths.
     */
   def phashPairsBetween(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    val ca = phashBands(corpus)
-    val cbnds = phashBands(batch)
-    val counts = ca.select("r", "band").unionByName(cbnds.select("r", "band"))
-      .groupBy("r", "band").agg(count(lit(1)).as("cnt"))
-    val cap = maxBandBucket(corpus)
-    val a = cappedBands(ca, counts, cap).select(col("item_id").as("ida"),
+    // one union carries both sides through a single (r, band) window
+    // count — the combined population decides hotness for both, and
+    // the side marker splits the capped rows back into join inputs
+    val all = phashBands(corpus).withColumn("side", lit(0))
+      .unionByName(phashBands(batch).withColumn("side", lit(1)))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("r", "band")))
+    val cb = withSubBands(all, maxBandBucket(corpus)).localCheckpoint(false)
+    val a = cb.filter(col("side") === 0).select(col("item_id").as("ida"),
       col("hi").as("ha"), col("lo").as("la"), col("r"), col("band"), col("sub"))
-    val b = cappedBands(cbnds, counts, cap).select(col("item_id").as("idb"),
+    val b = cb.filter(col("side") === 1).select(col("item_id").as("idb"),
       col("hi").as("hb"), col("lo").as("lb"), col("r"), col("band"), col("sub"))
     verifyPairs(a.join(b, Seq("r", "band", "sub")).filter(col("ida") =!= col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
