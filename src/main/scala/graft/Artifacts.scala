@@ -52,6 +52,10 @@ object Artifacts {
     "text_dsir_logw" -> ((s: SparkSession, d: String) => functions.TextFunctions.prewarmDsirLogw(s, d)),
     "text_classifier" -> ((s: SparkSession, d: String) => functions.Classifier.prewarmModel(s, d)),
     "mm_codec" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.pipelineRaw(s, d); () }),
+    // AFTER mm_codec: both read the memoized decode pass, so their
+    // lines attribute only their own work (pair join / Lloyd replay)
+    "mm_phash_pairs" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.cachedPhashPairs(s, d); () }),
+    "mm_kmeans_assign" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.cachedMediaAssign(s, d); () }),
     "ann_ivf_index" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedIvfIndex(s, d); () }),
     "ann_tier_brute" -> ((s: SparkSession, d: String) => { similarity.Ann.bruteForceTopK(s, d); () }),
     "ann_tier_lsh" -> ((s: SparkSession, d: String) => { similarity.Ann.lshTopK(s, d); () }),

@@ -528,6 +528,105 @@ object BinaryPipeline {
        |ORDER BY item_id, frame_idx""".stripMargin
   }
 
+  /** Per-frame energy QC over the raw byte payload — the audio-shaped
+    * screen of the binary pipeline (silence/clipping detection before
+    * anything expensive), on the same fixed-width framing as
+    * [[frameSample]] but over EVERY frame: samples are the payload
+    * bytes centered at 128 (the unsigned-PCM convention), per frame
+    *   - RMS energy = √(Σ s² / frame_len), exact integer sum of
+    *     squares finished by one IEEE division + sqrt;
+    *   - zero crossings = adjacent sample pairs with a strict sign
+    *     change (zeros break runs) — the classic cheap
+    *     voiced/unvoiced signal.
+    * Audio CODECS stay out of scope in this container (the honest
+    * boundary §2 row 36 declares); the framing, energy fold and
+    * screen SHAPE are the real pipeline, byte-replayable end-to-end.
+    */
+  val frameEnergySchema: StructType = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("sum_sq", LongType),
+    StructField("n_zero_cross", IntegerType)))
+
+  def frameEnergy(binTable: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameEnergySchema)
+    binTable.select("item_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = math.max(payload.length / FrameBytes, 1)
+        (0 until nFrames).iterator.map { f =>
+          val from = math.min(f * FrameBytes, payload.length)
+          val until = math.min(from + FrameBytes, payload.length)
+          var sumSq = 0L
+          var zc = 0
+          var prev = 0
+          var i = from
+          while (i < until) {
+            val s = (payload(i) & 0xFF) - 128
+            sumSq += s.toLong * s
+            if (i > from && ((prev > 0 && s < 0) || (prev < 0 && s > 0))) zc += 1
+            prev = s
+            i += 1
+          }
+          Row(id, f, until - from, sumSq, zc)
+        }
+      }
+    }(enc)
+  }
+
+  def frameEnergy(spark: SparkSession, dir: String): DataFrame =
+    frameEnergy(asBinaryTable(Tables.documents(spark, dir)))
+      // RMS finished in the plan (exact integer sufficient stat → one
+      // IEEE division chain + the engine-shared round) — the certified
+      // rounding path every stats face uses
+      .select(col("item_id"), col("frame_idx"), col("frame_bytes"),
+        when(col("frame_bytes") > 0,
+          round(sqrt(col("sum_sq").cast("double") / col("frame_bytes").cast("double")), 4))
+          .otherwise(lit(0.0)).as("rms"),
+        col("n_zero_cross"))
+      .orderBy("item_id", "frame_idx")
+
+  /** mm_frame_energy replayed: every fixed-width frame slice, centered
+    * samples, exact integer sum of squares, and the lead()-paired
+    * strict sign changes — all from the payload bytes.
+    */
+  def frameEnergySql: String = {
+    val w = FrameBytes
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |    f * $w AS off, least(f * $w + $w, len) - f * $w AS flen
+       |  FROM (SELECT doc_id, hx, len,
+       |          unnest(range(0, greatest(len // $w, 1))) AS f FROM b)),
+       |v AS (
+       |  SELECT fx.doc_id, fx.frame_idx, j,
+       |    ('0x' || substr(b.hx, CAST(2 * (fx.off + j) + 1 AS INTEGER), 2))::BIGINT
+       |      - 128 AS s
+       |  FROM fx JOIN b USING (doc_id)
+       |  CROSS JOIN LATERAL (SELECT unnest(range(0, CAST(fx.flen AS INTEGER))) AS j) js),
+       |en AS (
+       |  SELECT doc_id, frame_idx, sum(s * s) AS ss, count(*) AS n FROM v GROUP BY 1, 2),
+       |zc AS (
+       |  SELECT doc_id, frame_idx,
+       |    sum(CASE WHEN (s > 0 AND s2 < 0) OR (s < 0 AND s2 > 0) THEN 1 ELSE 0 END) AS z
+       |  FROM (SELECT doc_id, frame_idx, s,
+       |          lead(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY j) AS s2 FROM v)
+       |  GROUP BY 1, 2)
+       |SELECT fx.doc_id AS item_id, fx.frame_idx,
+       |  CAST(fx.flen AS INTEGER) AS frame_bytes,
+       |  CASE WHEN fx.flen > 0
+       |    THEN round(sqrt(CAST(en.ss AS DOUBLE) / CAST(en.n AS DOUBLE)), 4)
+       |    ELSE 0.0 END AS rms,
+       |  CAST(coalesce(zc.z, 0) AS INTEGER) AS n_zero_cross
+       |FROM fx LEFT JOIN en USING (doc_id, frame_idx) LEFT JOIN zc USING (doc_id, frame_idx)
+       |ORDER BY item_id, frame_idx""".stripMargin
+  }
+
   /** Per-image pixel QC stats from the REAL decoded raster — the
     * brightness/contrast screen an image-corpus curation pass runs
     * before anything expensive (all-black thumbnails, blank scans and
@@ -802,10 +901,20 @@ object BinaryPipeline {
     * and radius ≤ 3 guarantees a shared band, so the banding loses
     * nothing. Verification is two exact XOR popcounts per candidate.
     */
+  /** The corpus-wide verified pair table, memoized per (session, dir)
+    * and surfaced as the `mm_phash_pairs` bench artifact: both the
+    * dedup face and the curation funnel consume it (the funnel's
+    * survivor-set pairs are exactly this set restricted to survivor
+    * endpoints — Hamming is subset-independent), so the banded join
+    * runs once per session instead of once per consumer.
+    */
+  private[graft] def cachedPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("mmPhashPairs", dir))(
+      phashPairsWithin(pipelineRaw(spark, dir)
+        .select("item_id", "phash_hi", "phash_lo")).localCheckpoint(true))
+
   def phashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashPairsWithin(pipelineRaw(spark, dir)
-      .select("item_id", "phash_hi", "phash_lo"))
-      .orderBy("id_a", "id_b")
+    cachedPhashPairs(spark, dir).orderBy("id_a", "id_b")
 
   /** mm_phash_dedup replayed: bands by integer div/mod, bucket
     * self-join, XOR popcount verify — verbatim.
@@ -849,9 +958,18 @@ object BinaryPipeline {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val raw = pipelineRaw(spark, dir)
     val pass = raw.filter(col("px_max") - col("px_min") >= MinContrast)
-      .select("item_id", "phash_hi", "phash_lo").localCheckpoint(true)
-    // drop rule over the SURVIVOR set: any smaller-id surviving neighbor
-    val dropped = phashPairsWithin(pass).select(col("id_b").as("item_id")).distinct()
+      .select("item_id").localCheckpoint(true)
+    // drop rule over the SURVIVOR set: any smaller-id surviving
+    // neighbor. Survivor-set pairs are the memoized corpus-wide pair
+    // table restricted to survivor ENDPOINTS (Hamming ≤ r between two
+    // images does not depend on which subset they sit in, and the
+    // banded candidate generation is complete for any subset), so the
+    // banded join is never recomputed here.
+    val pairs = cachedPhashPairs(spark, dir)
+    val dropped = pairs
+      .join(pass.select(col("item_id").as("id_a")), "id_a")
+      .join(pass.select(col("item_id").as("id_b")), "id_b")
+      .select(col("id_b").as("item_id")).distinct()
     val kept = pass.join(dropped, Seq("item_id"), "left_anti")
     raw.agg(count(lit(1)).as("n")).select(lit("1_decoded").as("stage"), col("n"))
       .unionByName(pass.agg(count(lit(1)).as("n"))
@@ -1037,6 +1155,45 @@ object BinaryPipeline {
        |  FROM (SELECT doc_id, hx, len,
        |          unnest(range(0, CAST((len + 2) // 3 AS INTEGER))) AS p FROM dr))""".stripMargin
 
+  /** Driver-facing RGB resize: the channel-strided nearest-neighbor
+    * kernel ([[resize]]) over the truecolor table, surfaced as hex —
+    * hash-CERTIFIES the multi-channel sampling end-to-end (the
+    * grayscale mm_resize can never catch a stride bug; this face
+    * rebuilds every (y, x, channel) sample position from the source
+    * bytes, so sampling interleaved byte positions instead of pixel
+    * positions hash-mismatches immediately).
+    */
+  def resizeRgb(spark: SparkSession, dir: String): DataFrame =
+    resize(asRgbImageTable(Tables.documents(spark, dir)))
+      .select(col("item_id"), col("orig_bytes"), col("orig_w"), col("orig_h"),
+        hex(col("resized")).as("resized_hex"))
+      .orderBy("item_id")
+
+  /** mm_resize_rgb replayed: the ⌈√⌈len/3⌉⌉ RGB raster point-sampled
+    * at ((⌊y·h/S⌋·w + ⌊x·w/S⌋)·3 + c) per channel, pad = 0x00,
+    * re-joined in interleaved raster order.
+    */
+  def resizeRgbSql: String = {
+    val s = ResizeSide
+    s"""WITH $rgbGeomCtes,
+       |px AS (
+       |  SELECT dr.doc_id, (ty.range * $s + tx.range) * 3 + ch.range AS i,
+       |    CASE WHEN ((ty.range * dr.h // $s) * dr.w + (tx.range * dr.w // $s)) * 3
+       |             + ch.range < dr.len
+       |      THEN substr(dr.hx,
+       |        CAST(2 * (((ty.range * dr.h // $s) * dr.w + (tx.range * dr.w // $s)) * 3
+       |          + ch.range) + 1 AS INTEGER), 2)
+       |      ELSE '00' END AS hb
+       |  FROM dr CROSS JOIN range(0, $s) ty CROSS JOIN range(0, $s) tx
+       |  CROSS JOIN range(0, 3) ch)
+       |SELECT dr.doc_id AS item_id, CAST(dr.npix * 3 AS INTEGER) AS orig_bytes,
+       |  CAST(dr.w AS INTEGER) AS orig_w, CAST(dr.h AS INTEGER) AS orig_h,
+       |  string_agg(px.hb, '' ORDER BY px.i) AS resized_hex
+       |FROM dr JOIN px USING (doc_id)
+       |GROUP BY dr.doc_id, dr.npix, dr.w, dr.h
+       |ORDER BY item_id""".stripMargin
+  }
+
   /** mm_pixel_stats_rgb replayed: channel sums over byte positions
     * ≡ c (mod 3), luma sufficient stats over the real pixels (pad
     * pixels contribute zero to the sums, force luma_min to 0 whenever
@@ -1203,19 +1360,28 @@ object BinaryPipeline {
     * embedding_outliers discipline) so no cross-row double summation
     * order can hash-diverge.
     */
-  def mediaKmeans(spark: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.KMeans
-    val feats = KMeans.widen(pipelineRaw(spark, dir)
-      .select(col("item_id").as("vec_id"), col("features").as("embedding")))
-      .localCheckpoint(true)
-    KMeans.assign(feats, KMeans.train(feats))
+  /** Trained-and-assigned media clusters, memoized per (session, dir)
+    * and surfaced as the `mm_kmeans_assign` bench artifact (the
+    * embeddings face's cachedAssignment discipline): the Lloyd
+    * training replay dominated the entry's marginal otherwise.
+    */
+  private[graft] def cachedMediaAssign(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("mmKmeansAssign", dir)) {
+      import graft.similarity.KMeans
+      val feats = KMeans.widen(pipelineRaw(spark, dir)
+        .select(col("item_id").as("vec_id"), col("features").as("embedding")))
+        .localCheckpoint(true)
+      KMeans.assign(feats, KMeans.train(feats)).localCheckpoint(true)
+    }
+
+  def mediaKmeans(spark: SparkSession, dir: String): DataFrame =
+    cachedMediaAssign(spark, dir)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_items"),
         min(col("vec_id")).as("min_item"), max(col("vec_id")).as("max_item"),
         round(sum(round(col("dist") * 1e4).cast("long")).cast("double")
           / count(lit(1)) / 1e4, 4).as("mean_dist"))
       .orderBy("cluster_id")
-  }
 
   /** Driver-facing [[featureVectors]]: the full feature vector unpacked
     * into FeatureDim scalar columns (f0..f15, float widened to double —

@@ -365,6 +365,43 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(col("channels") =!= 3).count() === 0)
   }
 
+  test("rgb resize driver face: full interleaved thumbnail, deterministic") {
+    val out = BinaryPipeline.resizeRgb(spark, sfDir)
+    val s = BinaryPipeline.ResizeSide
+    assert(out.filter(length(col("resized_hex")) =!= s * s * 3 * 2).count() === 0,
+      "every thumbnail must be S^2 x 3 samples")
+    assert(out.count() === Tables.documents(spark, sfDir).count())
+    val a = BinaryPipeline.resizeRgb(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = BinaryPipeline.resizeRgb(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("frame energy: alternating-extremes fixture reads exact RMS and crossings") {
+    import spark.implicits._
+    // 256-byte frame alternating 0x00 / 0xFF: samples -128 / +127 —
+    // every adjacent pair is a strict sign change
+    val payload = Array.tabulate[Byte](256)(i => if (i % 2 == 0) 0 else 0xFF.toByte)
+    val out = BinaryPipeline.frameEnergy(
+      Seq((7L, payload)).toDF("item_id", "payload"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getInt(2) === 256, "one full frame")
+    val expectSs = 128L * (128L * 128L + 127L * 127L)
+    assert(r.getLong(3) === expectSs, "exact integer sum of squares")
+    assert(r.getInt(4) === 255, "every adjacent pair crosses zero")
+    // silence: a constant-0x80 payload has zero energy and no crossings
+    val silent = BinaryPipeline.frameEnergy(
+      Seq((8L, Array.fill[Byte](300)(0x80.toByte))).toDF("item_id", "payload"))
+      .collect()
+    assert(silent.length === 1, "300 bytes -> one 256-byte frame (tail < frame is frame 1 at len/256=1)")
+    assert(silent.forall(x => x.getLong(3) === 0L && x.getInt(4) === 0))
+    // corpus-wide driver-face bounds
+    val face = BinaryPipeline.frameEnergy(spark, sfDir)
+    assert(face.filter(col("rms") < 0 || col("rms") > 128).count() === 0)
+    assert(face.filter(col("n_zero_cross") >= col("frame_bytes")).count() === 0)
+  }
+
   test("rgb phash: deterministic, well-formed, and brightness-shift invariant") {
     val a = BinaryPipeline.phashRgb(spark, sfDir).collect()
     val b = BinaryPipeline.phashRgb(spark, sfDir).collect()
