@@ -528,6 +528,92 @@ object BinaryPipeline {
        |ORDER BY item_id, frame_idx""".stripMargin
   }
 
+  /** Scene segmentation over the byte-framed "video": every
+    * consecutive-frame pair's feature delta (exact double fold over
+    * the per-frame vectors — index-ordered zip, so the sum replays),
+    * rolled up to the strongest boundary per item — the shot/scene
+    * cut a video-curation pass samples around instead of uniformly.
+    * Frames here are EVERY fixed-width slice (k=1, unlike 37b's
+    * every-4th sampling face); items too short for two frames report
+    * NULL cut columns. Codecs stay out of scope (§2 row 36's
+    * boundary); the framing, per-frame features and boundary fold are
+    * the real pipeline shape.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(asBinaryTable(Tables.documents(spark, dir)), everyK = 1)
+    val w = Window.partitionBy("item_id").orderBy("frame_idx")
+    val prev = lag(col("frame_features"), 1).over(w)
+    val deltas = frames
+      .withColumn("prev", prev)
+      .filter(col("prev").isNotNull)
+      .select(col("item_id"), col("frame_idx"),
+        round(aggregate(
+          zip_with(col("frame_features"), col("prev"), (a, b) =>
+            (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, v) => acc + v), 4).as("delta"))
+    val cuts = deltas
+      .groupBy("item_id")
+      .agg(max_by(col("frame_idx"), struct(col("delta"), -col("frame_idx"))).as("cut_idx"),
+        max(col("delta")).as("max_delta"))
+    frames.groupBy("item_id").agg(count(lit(1)).cast("int").as("n_frames"))
+      .join(cuts, Seq("item_id"), "left")
+      .select(col("item_id"), col("n_frames"), col("cut_idx"), col("max_delta"))
+      .orderBy("item_id")
+  }
+
+  /** mm_scene_cuts replayed: every frame's feature vector rebuilt from
+    * the payload bytes (the 37b CTEs at k=1), consecutive deltas via
+    * lag(), the strongest boundary by (delta DESC, frame_idx ASC).
+    */
+  def sceneCutsSql: String = {
+    val w = FrameBytes
+    val dim = PngCodec.FeatureDim
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |  FROM documents),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |    least(f * $w + $w, len) - f * $w AS flen,
+       |    substr(hx, CAST(2 * f * $w + 1 AS INTEGER),
+       |      CAST(2 * (least(f * $w + $w, len) - f * $w) AS INTEGER)) AS fhx
+       |  FROM (SELECT doc_id, hx, len,
+       |          unnest(range(0, greatest(len // $w, 1))) AS f FROM b)),
+       |v AS (
+       |  SELECT doc_id, frame_idx, CAST((j - 1) % $dim AS INTEGER) AS k,
+       |    ('0x' || substr(fhx, CAST(2 * j - 1 AS INTEGER), 2))::BIGINT AS byte
+       |  FROM (SELECT doc_id, frame_idx, fhx,
+       |          unnest(range(1, CAST(flen + 1 AS INTEGER))) AS j FROM fx)),
+       |s0 AS (SELECT doc_id, frame_idx, k, sum(byte) AS bs FROM v GROUP BY 1, 2, 3),
+       |ks AS (SELECT unnest(range(0, $dim)) AS k),
+       |ff AS (
+       |  SELECT fx.doc_id, fx.frame_idx, ks.k,
+       |    CAST(CAST(coalesce(s0.bs, 0) AS DOUBLE) / 255.0
+       |      / greatest(fx.flen // $dim, 1) AS REAL) AS fv
+       |  FROM fx CROSS JOIN ks
+       |  LEFT JOIN s0 ON s0.doc_id = fx.doc_id
+       |    AND s0.frame_idx = fx.frame_idx AND s0.k = ks.k),
+       |fl2 AS MATERIALIZED (
+       |  SELECT doc_id, frame_idx, list(CAST(fv AS DOUBLE) ORDER BY k) AS v
+       |  FROM ff GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT doc_id, frame_idx,
+       |    round(list_sum(list_transform(list_zip(v,
+       |      lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx)),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS delta
+       |  FROM fl2
+       |  QUALIFY lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NOT NULL),
+       |best AS (
+       |  SELECT doc_id, frame_idx AS cut_idx, delta AS max_delta
+       |  FROM dl QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY delta DESC, frame_idx) = 1),
+       |nf AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames FROM fx GROUP BY 1)
+       |SELECT nf.doc_id AS item_id, nf.n_frames, best.cut_idx, best.max_delta
+       |FROM nf LEFT JOIN best USING (doc_id)
+       |ORDER BY item_id""".stripMargin
+  }
+
   /** Per-frame energy QC over the raw byte payload — the audio-shaped
     * screen of the binary pipeline (silence/clipping detection before
     * anything expensive), on the same fixed-width framing as

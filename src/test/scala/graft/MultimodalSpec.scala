@@ -402,6 +402,41 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(face.filter(col("n_zero_cross") >= col("frame_bytes")).count() === 0)
   }
 
+  test("scene cuts: the boundary between two constant scenes is the max-delta frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // four 256-byte frames: two of 0x10, two of 0xF0 — identical
+    // within a scene (delta 0), one sharp boundary at frame 2
+    val payload = Array.tabulate[Byte](1024)(i => if (i < 512) 0x10 else 0xF0.toByte)
+    val rows = BinaryPipeline.sceneCuts(spark, sfDir) // driver face smoke below
+    val fixture = {
+      val docs = Seq((1L, payload), (2L, Array.fill[Byte](100)(7)))
+        .toDF("item_id", "payload")
+      val frames = BinaryPipeline.frameSample(docs, everyK = 1)
+      assert(frames.filter(c("item_id") === 1L).count() === 4)
+      assert(frames.filter(c("item_id") === 2L).count() === 1)
+      frames
+    }
+    // compose the same fold the entry runs, on the fixture
+    val deltas = fixture.collect()
+      .groupBy(_.getLong(0)).map { case (id, fs) =>
+        val byIdx = fs.sortBy(_.getInt(1)).map(_.getSeq[Float](3)).toSeq
+        id -> byIdx.sliding(2).collect { case Seq(a, b) =>
+          a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+        }.toSeq
+      }
+    assert(deltas(1L).count(_ == 0.0) === 2, "within-scene frames must read delta 0")
+    assert(deltas(1L).count(_ > 0.0) === 1, "exactly one scene boundary")
+    assert(deltas(2L).isEmpty, "a single-frame item has no consecutive pair")
+    // corpus-wide driver face invariants
+    assert(rows.count() === Tables.documents(spark, sfDir).count())
+    assert(rows.filter(c("n_frames") >= 2 && c("cut_idx").isNull).count() === 0,
+      "every multi-frame item must report its strongest boundary")
+    assert(rows.filter(c("n_frames") < 2 && c("cut_idx").isNotNull).count() === 0,
+      "single-frame items must report NULL cut columns")
+    assert(rows.filter(c("max_delta") < 0).count() === 0)
+  }
+
   test("rgb phash: deterministic, well-formed, and brightness-shift invariant") {
     val a = BinaryPipeline.phashRgb(spark, sfDir).collect()
     val b = BinaryPipeline.phashRgb(spark, sfDir).collect()
