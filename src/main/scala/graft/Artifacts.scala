@@ -56,6 +56,7 @@ object Artifacts {
     // lines attribute only their own work (pair join / Lloyd replay)
     "mm_phash_pairs" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.cachedPhashPairs(s, d); () }),
     "mm_kmeans_assign" -> ((s: SparkSession, d: String) => { multimodal.BinaryPipeline.cachedMediaAssign(s, d); () }),
+    "mm_ann_index" -> ((s: SparkSession, d: String) => multimodal.BinaryPipeline.prewarmMmAnnIndex(s, d)),
     "ann_ivf_index" -> ((s: SparkSession, d: String) => { similarity.Ann.cachedIvfIndex(s, d); () }),
     "ann_tier_brute" -> ((s: SparkSession, d: String) => { similarity.Ann.bruteForceTopK(s, d); () }),
     "ann_tier_lsh" -> ((s: SparkSession, d: String) => { similarity.Ann.lshTopK(s, d); () }),

@@ -73,6 +73,28 @@ object PhashSkewProbe {
     val (pu, uncappedSec) = run("uncapped", Int.MaxValue)
     require(pc == pu, s"CAP LOST PAIRS: capped=$pc uncapped=$pu")
     println(s"""{"probe":"phash_skew","n":$n,"pairs_equal":true,"speedup":${fmt(uncappedSec / cappedSec)}}""")
+
+    // The STREAMING face (corpus ∪ batch combined-count hotness,
+    // phashPairsBetween) on the same skewed corpus: evens play the
+    // persisted index, odds the incoming tranche — the shape every
+    // StreamingPhashDedupJob batch runs. Cross-side pair sets must be
+    // cap-invariant exactly like the batch join.
+    val corpus = hashes.filter(col("item_id") % 2 === 0).localCheckpoint(true)
+    val batch = hashes.filter(col("item_id") % 2 === 1).localCheckpoint(true)
+    def runStream(label: String, cap: Int): (Long, Double) = {
+      spark.conf.set("graft.mm.maxBandBucket", cap.toString)
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.BinaryPipeline.phashPairsBetween(corpus, batch).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"probe":"phash_skew_stream","plan":"$label","n":$n,"cap":$cap,"pairs":$pairs,"sec":${fmt(sec)}}""")
+      (pairs, sec)
+    }
+    graft.multimodal.BinaryPipeline.phashPairsBetween(
+      corpus.limit(500), batch.limit(500)).count() // warm
+    val (sc, sCapped) = runStream("capped", graft.multimodal.BinaryPipeline.MaxBandBucket)
+    val (su, sUncapped) = runStream("uncapped", Int.MaxValue)
+    require(sc == su, s"STREAM CAP LOST PAIRS: capped=$sc uncapped=$su")
+    println(s"""{"probe":"phash_skew_stream","n":$n,"pairs_equal":true,"speedup":${fmt(sUncapped / sCapped)}}""")
     spark.stop()
   }
 }

@@ -61,6 +61,49 @@ object CdcQueries {
        |  'users' AS src_table
        |FROM ch ORDER BY ts_ms, user_id""".stripMargin
 
+  /** The Avro ingest edge end-to-end: the changelog encoded into
+    * Debezium-shaped Avro binaries under the CONFLUENT wire framing
+    * (magic byte + schema id — the Schema Registry serializer path),
+    * decoded back by [[AvroEnvelope.decode]], and folded to the keyed
+    * latest state. Because the codec is lossless over the envelope
+    * contract, the wire roundtrip is an identity on the typed change
+    * frame — so this entry hash-certifies against the SAME latest-state
+    * oracle as the JSON path: any framing slip, schema drift, or field
+    * loss anywhere in encode→decode lands on the final state hash.
+    * CdcSpec additionally pins decode == DebeziumEnvelope.parse
+    * row-for-row (the cross-format equality) and tombstone survival.
+    * Cost shape: two per-record projections at the ingest edge (no
+    * shuffle) + the one latest-state key fold — what any
+    * registry-framed consumer pays.
+    */
+  def avroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ch = CdcOps.cachedChangelog(spark, dir)
+    val after = when(col("op") =!= "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val before = when(col("op") === "d",
+      struct(col("user_id"), col("last_event_type"), col("last_value"))).otherwise(lit(null))
+    val decoded = AvroEnvelope.decode(
+      AvroEnvelope.encode(ch, Seq("user_id"), col("op"), col("ts_ms"),
+        after, before, "users", lsnCol = col("seq"), confluentFraming = true),
+      userPkSchema, userRowSchema, confluentFraming = true)
+    // rebuild the changelog contract from the wire frame (deletes carry
+    // their image in `before`, everything else in `after`) and fold
+    val chBack = decoded.select(
+      col("user_id"), col("op"), col("ts_ms"), col("src_lsn").as("seq"),
+      coalesce(col("after.last_event_type"), col("before.last_event_type"))
+        .as("last_event_type"),
+      coalesce(col("after.last_value"), col("before.last_value")).as("last_value"))
+    CdcOps.latestState(chBack, Seq("user_id"), CdcOps.userDataCols)
+      .withColumn("last_value", round(col("last_value"), 2))
+      .orderBy("user_id")
+  }
+
+  /** The roundtrip is a wire-format identity, so the oracle IS the
+    * latest-state oracle (a def: `latestStateSql` initializes later in
+    * this object).
+    */
+  def avroRoundtripSql: String = latestStateSql
+
   /** Snapshot reconstruction — the continuous-upsert end state. Reads
     * the memoized latest-state, so the key aggregation runs once per
     * pass no matter how many entries consume it.

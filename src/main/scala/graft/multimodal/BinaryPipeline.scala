@@ -539,20 +539,27 @@ object BinaryPipeline {
     * boundary); the framing, per-frame features and boundary fold are
     * the real pipeline shape.
     */
-  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+  /** Consecutive-frame feature deltas (item_id, frame_idx, delta) over
+    * the k=1 framing — the shared signal both scene-cut faces rank.
+    * The lag window is per item over its bounded frame count, so the
+    * partition never exceeds one payload's frames.
+    */
+  private def sceneDeltas(frames: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val frames = frameSample(asBinaryTable(Tables.documents(spark, dir)), everyK = 1)
     val w = Window.partitionBy("item_id").orderBy("frame_idx")
-    val prev = lag(col("frame_features"), 1).over(w)
-    val deltas = frames
-      .withColumn("prev", prev)
+    frames
+      .withColumn("prev", lag(col("frame_features"), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("item_id"), col("frame_idx"),
         round(aggregate(
           zip_with(col("frame_features"), col("prev"), (a, b) =>
             (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
           lit(0.0), (acc, v) => acc + v), 4).as("delta"))
-    val cuts = deltas
+  }
+
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val frames = frameSample(asBinaryTable(Tables.documents(spark, dir)), everyK = 1)
+    val cuts = sceneDeltas(frames)
       .groupBy("item_id")
       .agg(max_by(col("frame_idx"), struct(col("delta"), -col("frame_idx"))).as("cut_idx"),
         max(col("delta")).as("max_delta"))
@@ -562,14 +569,44 @@ object BinaryPipeline {
       .orderBy("item_id")
   }
 
+  /** How many boundaries [[sceneCutsTopK]] keeps per item. */
+  val SceneCutsK = 3
+
+  /** Multi-cut scene segmentation — [[sceneCuts]]'s argmax generalized
+    * to the per-item top-[[SceneCutsK]] boundaries by (delta DESC,
+    * frame_idx ASC): real video curation samples around the strongest
+    * k cuts, not just the single sharpest one. One row per kept cut
+    * (items too short for two frames emit nothing); rank 1 reproduces
+    * the single-cut face's boundary. The rank window stays inside one
+    * item's bounded frame set — no global ordering anywhere.
+    * hash-CERTIFIED: [[sceneCutsTopKSql]] replays frames, deltas and
+    * the rank pick verbatim.
+    */
+  def sceneCutsTopK(spark: SparkSession, dir: String): DataFrame =
+    sceneCutsTopK(asBinaryTable(Tables.documents(spark, dir)))
+
+  private[graft] def sceneCutsTopK(binTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = Window.partitionBy("item_id").orderBy(col("delta").desc, col("frame_idx"))
+    sceneDeltas(frameSample(binTable, everyK = 1))
+      .withColumn("cut_rank", row_number().over(r))
+      .filter(col("cut_rank") <= SceneCutsK)
+      .select(col("item_id"), col("cut_rank"),
+        col("frame_idx").as("cut_idx"), col("delta"))
+      .orderBy("item_id", "cut_rank")
+  }
+
   /** mm_scene_cuts replayed: every frame's feature vector rebuilt from
     * the payload bytes (the 37b CTEs at k=1), consecutive deltas via
     * lag(), the strongest boundary by (delta DESC, frame_idx ASC).
     */
-  def sceneCutsSql: String = {
+  /** The shared scene-cut CTE chain (frames → per-frame features →
+    * consecutive deltas `dl`) both SQL faces rank over.
+    */
+  private def sceneDeltaCtes: String = {
     val w = FrameBytes
     val dim = PngCodec.FeatureDim
-    s"""WITH b AS MATERIALIZED (
+    s"""b AS MATERIALIZED (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
        |  FROM documents),
@@ -603,7 +640,11 @@ object BinaryPipeline {
        |      lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx)),
        |      p -> (p[1] - p[2]) * (p[1] - p[2]))), 4) AS delta
        |  FROM fl2
-       |  QUALIFY lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NOT NULL),
+       |  QUALIFY lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NOT NULL)""".stripMargin
+  }
+
+  def sceneCutsSql: String =
+    s"""WITH $sceneDeltaCtes,
        |best AS (
        |  SELECT doc_id, frame_idx AS cut_idx, delta AS max_delta
        |  FROM dl QUALIFY row_number() OVER (PARTITION BY doc_id
@@ -612,7 +653,20 @@ object BinaryPipeline {
        |SELECT nf.doc_id AS item_id, nf.n_frames, best.cut_idx, best.max_delta
        |FROM nf LEFT JOIN best USING (doc_id)
        |ORDER BY item_id""".stripMargin
-  }
+
+  /** mm_scene_cuts_topk replayed: the same delta chain, per-item
+    * row_number by (delta DESC, frame_idx ASC) kept to [[SceneCutsK]].
+    */
+  def sceneCutsTopKSql: String =
+    s"""WITH $sceneDeltaCtes
+       |SELECT doc_id AS item_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY delta DESC, frame_idx) AS INTEGER) AS cut_rank,
+       |  frame_idx AS cut_idx, delta
+       |FROM dl
+       |QUALIFY row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY delta DESC, frame_idx) <= $SceneCutsK
+       |ORDER BY item_id, cut_rank""".stripMargin
 
   /** Per-frame energy QC over the raw byte payload — the audio-shaped
     * screen of the binary pipeline (silence/clipping detection before
@@ -1043,8 +1097,8 @@ object BinaryPipeline {
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val raw = pipelineRaw(spark, dir)
-    val pass = raw.filter(col("px_max") - col("px_min") >= MinContrast)
-      .select("item_id").localCheckpoint(true)
+    val passed = col("px_max") - col("px_min") >= MinContrast
+    val pass = raw.filter(passed).select("item_id")
     // drop rule over the SURVIVOR set: any smaller-id surviving
     // neighbor. Survivor-set pairs are the memoized corpus-wide pair
     // table restricted to survivor ENDPOINTS (Hamming ≤ r between two
@@ -1056,12 +1110,23 @@ object BinaryPipeline {
       .join(pass.select(col("item_id").as("id_a")), "id_a")
       .join(pass.select(col("item_id").as("id_b")), "id_b")
       .select(col("id_b").as("item_id")).distinct()
-    val kept = pass.join(dropped, Seq("item_id"), "left_anti")
-    raw.agg(count(lit(1)).as("n")).select(lit("1_decoded").as("stage"), col("n"))
-      .unionByName(pass.agg(count(lit(1)).as("n"))
-        .select(lit("2_contrast").as("stage"), col("n")))
-      .unionByName(kept.agg(count(lit(1)).as("n"))
-        .select(lit("3_perceptual_unique").as("stage"), col("n")))
+    // all three stage counts off ONE corpus scan: stage 1 = every row,
+    // stage 2 = contrast survivors, stage 3 = survivors minus dropped
+    // neighbors (the left-join NULL test ≡ the anti-join). The r16
+    // shape — an eager per-call survivor checkpoint + a 3-branch agg
+    // union — paid a materialization job per call (the 0.25 → 0.64 s
+    // sf0.1 pin drift) for rows `raw` had already checkpointed.
+    raw.select(col("item_id"), passed.cast("long").as("p"))
+      .join(dropped.withColumn("d", lit(1L)), Seq("item_id"), "left")
+      .agg(count(lit(1)).as("c1"),
+        coalesce(sum(col("p")), lit(0L)).as("c2"),
+        coalesce(sum(when(col("p") === 1L && col("d").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("c3"))
+      .select(explode(array(
+        struct(lit("1_decoded").as("stage"), col("c1").as("n")),
+        struct(lit("2_contrast").as("stage"), col("c2").as("n")),
+        struct(lit("3_perceptual_unique").as("stage"), col("c3").as("n")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n").as("n"))
       .orderBy("stage")
   }
 
@@ -1307,7 +1372,7 @@ object BinaryPipeline {
        |  round(CAST(coalesce(cs.rs, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS r_mean,
        |  round(CAST(coalesce(cs.gs, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS g_mean,
        |  round(CAST(coalesce(cs.bs, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS b_mean,
-       |  CAST(CASE WHEN dr.npix > ls.nreal THEN 0 ELSE ls.mn END AS INTEGER) AS luma_min,
+       |  CAST(coalesce(CASE WHEN dr.npix > ls.nreal THEN 0 ELSE ls.mn END, 0) AS INTEGER) AS luma_min,
        |  CAST(coalesce(ls.mx, 0) AS INTEGER) AS luma_max,
        |  round(CAST(coalesce(ls.s1, 0) AS DOUBLE) / CAST(dr.npix AS DOUBLE), 4) AS luma_mean,
        |  round(sqrt(greatest(
@@ -1410,14 +1475,55 @@ object BinaryPipeline {
     * spec-asserted.
     */
   def similarTopKIvf(spark: SparkSession, dir: String): DataFrame = {
-    // pipelineRaw is already checkpoint-memoized, so quantizer
-    // training, cell assignment and the query slice all read one
-    // materialized codec run
-    val feats = pipelineRaw(spark, dir)
-      .select(col("item_id").as("vec_id"), col("features").as("embedding"))
-    val (centroids, assigned) = graft.similarity.Ann.ivfIndex(feats)
+    val (centroids, assigned) = cachedMmIvfIndex(spark, dir)
     graft.similarity.Ann.ivfTopKFromIndex(centroids, assigned,
-      feats.filter(col("vec_id") < 10))
+      mmFeatures(spark, dir).filter(col("vec_id") < 10))
+  }
+
+  /** The decoded-raster feature table in the ANN contract shape
+    * (vec_id, embedding) — every mm similarity face's input. Reads the
+    * checkpoint-memoized codec run, so repeated calls cost a select.
+    */
+  private def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    pipelineRaw(spark, dir)
+      .select(col("item_id").as("vec_id"), col("features").as("embedding"))
+
+  /** Memoized mm IVF index (coarse centroids + cell-assigned corpus)
+    * over the decoded-raster features, surfaced with the IVFPQ
+    * machinery as the `mm_ann_index` bench artifact: without the memo,
+    * every `mm_similar_ivf` call re-trains the quantizer and re-assigns
+    * the corpus — repeated training work the session-cache discipline
+    * exists to eliminate (the embeddings family's `ann_ivf_index`
+    * pattern applied to the mm feature table).
+    */
+  private[graft] def cachedMmIvfIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark, ("mmIvfIndex", dir)) {
+      val (c, a) = graft.similarity.Ann.ivfIndex(mmFeatures(spark, dir))
+      (c.localCheckpoint(true), a.localCheckpoint(true))
+    }
+
+  /** Memoized mm IVF-PQ machinery (coarse centroids, 8×2-dim PQ
+    * codebooks, encoded code table) — the `ann_tier_ivfpq` discipline
+    * for the mm corpus. Parameters are locked to [[similarTopKIvfPq]]'s
+    * face (nCells 16, nSub 8, nCodes 16, trainSize 4096); keep in step
+    * or the cache serves a foreign index.
+    */
+  private[graft] def cachedMmIvfpqMachinery(spark: SparkSession, dir: String)
+      : Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]], DataFrame)] =
+    graft.SessionCache.getOrElseUpdate(spark, ("mmIvfpqMachinery", dir)) {
+      graft.similarity.Ann.ivfpqMachinery(mmFeatures(spark, dir),
+        nCells = 16, nSub = 8, nCodes = 16, trainSize = 4096, materialize = true)
+    }
+
+  /** Force both mm ANN index memos — the `mm_ann_index` artifact line
+    * (runs after `mm_codec`, so it attributes only quantizer training
+    * + corpus assign/encode, not the decode).
+    */
+  private[graft] def prewarmMmAnnIndex(spark: SparkSession, dir: String): Unit = {
+    cachedMmIvfIndex(spark, dir)
+    cachedMmIvfpqMachinery(spark, dir)
+    ()
   }
 
   /** IVF-PQ variant of [[similarTopKIvf]] — the multimodal tier at its
@@ -1429,11 +1535,10 @@ object BinaryPipeline {
     * quantizer + PQ/ADC CTEs over pixel-replayed features); recall vs
     * the exact tier stays spec-asserted next to the flat-IVF variant's.
     */
-  def similarTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val feats = pipelineRaw(spark, dir)
-      .select(col("item_id").as("vec_id"), col("features").as("embedding"))
-    graft.similarity.Ann.ivfpqTopK(feats, nSub = 8)
-  }
+  def similarTopKIvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Ann.ivfpqTopKFromMachinery(
+      cachedMmIvfpqMachinery(spark, dir), mmFeatures(spark, dir),
+      nQueries = 10, k = 5, nProbe = 6)
 
   /** Media clustering: Lloyd's k-means ([[graft.similarity.KMeans]] —
     * the same trainer the embedding entry certifies against DuckDB)

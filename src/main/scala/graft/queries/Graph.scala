@@ -927,10 +927,23 @@ object Graph {
               merged.filter(col("w0") === 0L && col("dw") > 0L).select("src", "dst"))
           }
       }
-      val wFlat = st.generations.map(_._1).reduce(_ unionByName _)
-        .select("b", "src", "dst", "w").localCheckpoint(true)
+      val wFlat = flattenWeightState(st).localCheckpoint(true)
       (wFlat, deg.localCheckpoint(true))
     }
+
+  /** Flatten a [[BucketedWeightState]] to its CURRENT (b,src,dst,w)
+    * rows, filtering each generation frame by its LIVE bucket set — a
+    * frame keeps rows for buckets later generations superseded, so an
+    * unfiltered union would carry stale weights into the persisted
+    * state (harmless to the w0==0 novelty test only while every dw is
+    * a positive count; wrong the moment any consumer reads the flat
+    * frame as the current weights, or a delta carries dw<=0). Mirrors
+    * [[BucketedWeightState.merge]]'s dirtyW scan.
+    */
+  private[graft] def flattenWeightState(st: BucketedWeightState): DataFrame =
+    st.generations.map { case (f, bs) =>
+      f.filter(col("b").isin(bs.toSeq.sorted.map(Integer.valueOf): _*))
+    }.reduce(_ unionByName _).select("b", "src", "dst", "w")
 
   def degreeMaintain(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val (wPrefix, degPrefix) = cachedDegreePrefix(spark, dir)

@@ -1072,12 +1072,43 @@ object Ann {
   def ivfpqTopK(embs: DataFrame, nQueries: Int = 10, k: Int = 5,
                 nCells: Int = 16, nProbe: Int = 6,
                 nSub: Int = 16, nCodes: Int = 16, trainSize: Int = 4096): DataFrame =
-    trainFromCorpus(embs, nCells, trainSize) match {
+    ivfpqTopKFromMachinery(
+      ivfpqMachinery(embs, nCells, nSub, nCodes, trainSize, materialize = false),
+      embs, nQueries, k, nProbe)
+
+  /** Trained IVF-PQ machinery over an arbitrary corpus: coarse
+    * centroids, PQ codebooks, encoded code table. The one-build-many-
+    * consumers unit every ivfpq face shares — the embeddings driver
+    * faces memoize it per dir ([[cachedIvfpqMachinery]]) and the
+    * multimodal family memoizes its own over the decoded-raster
+    * features (BinaryPipeline.cachedMmIvfpqMachinery), because the
+    * training sample + corpus encode dominate a one-shot call.
+    * `materialize` checkpoint-pins the code table — set it iff the
+    * machinery outlives one query (a memo entry); a one-shot caller
+    * streams the encode straight into scoring instead.
+    */
+  private[graft] def ivfpqMachinery(embs: DataFrame, nCells: Int, nSub: Int,
+                                    nCodes: Int, trainSize: Int, materialize: Boolean)
+      : Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]], DataFrame)] =
+    trainFromCorpus(embs, nCells, trainSize).flatMap { refined =>
+      val books = pqCodebooks(embs, nSub, nCodes, trainSize)
+      if (books.isEmpty) None
+      else {
+        val codes = ivfpqEncode(embs, refined, books)
+        Some((refined, books, if (materialize) codes.localCheckpoint(true) else codes))
+      }
+    }
+
+  /** ADC-probe top-k over prebuilt [[ivfpqMachinery]] (None → the
+    * empty-corpus contract result).
+    */
+  private[graft] def ivfpqTopKFromMachinery(
+      machinery: Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]], DataFrame)],
+      embs: DataFrame, nQueries: Int = 10, k: Int = 5, nProbe: Int = 6): DataFrame =
+    machinery match {
       case None => emptyTopK(embs)
-      case Some(refined) =>
-        val books = pqCodebooks(embs, nSub, nCodes, trainSize)
-        if (books.isEmpty) emptyTopK(embs)
-        else ivfpqScore(ivfpqEncode(embs, refined, books), refined, books,
+      case Some((refined, books, codes)) =>
+        ivfpqScore(codes, refined, books,
           embs.filter(col("vec_id") < nQueries), k, nProbe)
     }
 
@@ -1173,24 +1204,14 @@ object Ann {
   private def cachedIvfpqMachinery(spark: SparkSession, dir: String)
       : Option[(Array[(Int, Array[Double])], Array[Array[Array[Double]]], DataFrame)] =
     graft.SessionCache.getOrElseUpdate(spark, ("ivfpqMachinery", dir)) {
-      val embs = Tables.embeddings(spark, dir)
-      trainFromCorpus(embs, nCells = 16, trainSize = 4096).flatMap { refined =>
-        val books = pqCodebooks(embs, nSub = 16, nCodes = 16, trainSize = 4096)
-        if (books.isEmpty) None
-        else Some((refined, books,
-          ivfpqEncode(embs, refined, books).localCheckpoint(true)))
-      }
+      ivfpqMachinery(Tables.embeddings(spark, dir),
+        nCells = 16, nSub = 16, nCodes = 16, trainSize = 4096, materialize = true)
     }
 
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
     cachedTier(spark, dir, "ivfpq") {
-      val embs = Tables.embeddings(spark, dir)
-      cachedIvfpqMachinery(spark, dir) match {
-        case None => emptyTopK(embs)
-        case Some((refined, books, codes)) =>
-          ivfpqScore(codes, refined, books,
-            embs.filter(col("vec_id") < 10), k = 5, nProbe = 6)
-      }
+      ivfpqTopKFromMachinery(cachedIvfpqMachinery(spark, dir),
+        Tables.embeddings(spark, dir), nQueries = 10, k = 5, nProbe = 6)
     }
 
   /** IVF-PQ with an exact re-rank tier — the standard FAISS refine step

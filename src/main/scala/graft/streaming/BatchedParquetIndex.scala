@@ -81,10 +81,25 @@ class BatchedParquetIndex(spark: SparkSession, indexPath: String,
     } else -1L
   }
 
+  // pre-r16 builds staged at the UN-namespaced `_pre_compact`; an index
+  // that crashed mid-compaction under that layout must still recover
+  private def legacyPreCompactDir = new Path(s"$indexPath/_pre_compact")
+
   private def recoverIfNeeded(): Unit =
-    if (!fs.exists(liveDir) && fs.exists(preCompactDir)) {
-      if (!fs.rename(preCompactDir, liveDir)) throw new IllegalStateException(
-        s"could not restore $preCompactDir to $liveDir after an interrupted compaction")
+    if (!fs.exists(liveDir)) {
+      if (fs.exists(preCompactDir)) {
+        if (!fs.rename(preCompactDir, liveDir)) throw new IllegalStateException(
+          s"could not restore $preCompactDir to $liveDir after an interrupted compaction")
+      } else if (fs.exists(legacyPreCompactDir)) {
+        // one-time migration: a legacy crash left the full previous
+        // index at the shared `_pre_compact` name. Only the index whose
+        // live dir is ABSENT can own it (compaction displaces exactly
+        // one live dir), so adopting it here is safe — and silently
+        // treating the index as empty would lose every pre-crash row.
+        if (!fs.rename(legacyPreCompactDir, liveDir)) throw new IllegalStateException(
+          s"could not restore legacy $legacyPreCompactDir to $liveDir " +
+            "after an interrupted pre-upgrade compaction")
+      }
     }
 
   /** The persisted index, if any batch has committed one yet. */

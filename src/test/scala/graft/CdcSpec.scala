@@ -310,6 +310,66 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
       "framing must be transparent to the decoded frame")
   }
 
+  test("cdc_avro_roundtrip: the framed wire roundtrip folds to the exact latest state") {
+    val viaAvro = CdcQueries.avroRoundtrip(spark, sfDir)
+    val direct = CdcQueries.latestState(spark, sfDir)
+    assert(viaAvro.schema === direct.schema,
+      "roundtrip entry must keep the latest-state contract schema")
+    assert(viaAvro.exceptAll(direct).count() === 0
+        && direct.exceptAll(viaAvro).count() === 0,
+      "encode→decode→fold must be an identity on the keyed state")
+    assert(viaAvro.count() > 0)
+  }
+
+  test("recorded Confluent wire bytes decode under both framing flags (no generator in the loop)") {
+    import spark.implicits._
+    // Hand-encoded per the Avro 1.12 binary spec + the Confluent wire
+    // format (magic 0x00 + 4-byte schema id, here 42), recorded as hex
+    // literals so the decoder is tested against INDEPENDENT bytes —
+    // not against its own encoder. Key record {user_id: 7}; value
+    // envelope {before: null, after: (7, "signup", 1.5),
+    // source: (2.5/graft/graftserver/1000/inventory/users/lsn 1/pos
+    // null), op: "c", ts_ms: 1000}. Unions are zigzag-varint branch
+    // indexes; longs zigzag; doubles little-endian IEEE; strings
+    // length-prefixed UTF-8.
+    val keyBody = "020E"
+    val valueBody =
+      "00" +                                   // before -> null (branch 0)
+      "02" + "020E" +                          // after  -> Row: user_id 7
+        "020C" + "7369676E7570" +              //   last_event_type "signup"
+        "02" + "000000000000F83F" +            //   last_value 1.5
+      "02" +                                   // source -> Source
+        "0206" + "322E35" +                    //   version "2.5"
+        "020A" + "6772616674" +                //   connector "graft"
+        "0216" + "6772616674736572766572" +    //   name "graftserver"
+        "02D00F" +                             //   ts_ms 1000
+        "0212" + "696E76656E746F7279" +        //   db "inventory"
+        "020A" + "7573657273" +                //   table "users"
+        "0202" +                               //   lsn 1
+        "00" +                                 //   pos null
+      "0202" + "63" +                          // op "c"
+      "02D00F"                                 // ts_ms 1000
+    val header = "000000002A"
+    def bytes(hx: String): Array[Byte] =
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def decodeOne(k: String, v: String, framing: Boolean) =
+      AvroEnvelope.decode(Seq((bytes(k), bytes(v))).toDF("key", "value"),
+        CdcQueries.userPkSchema, CdcQueries.userRowSchema,
+        confluentFraming = framing).collect().head
+    val framed = decodeOne(header + keyBody, header + valueBody, framing = true)
+    val plain = decodeOne(keyBody, valueBody, framing = false)
+    Seq(framed, plain).foreach { r =>
+      assert(r.getLong(0) === 7L && r.getString(1) === "c" && r.getLong(2) === 1000L)
+      assert(r.isNullAt(3), "before must decode null")
+      val after = r.getStruct(4)
+      assert(after.getLong(0) === 7L && after.getString(1) === "signup"
+        && after.getDouble(2) === 1.5)
+      assert(r.getString(5) === "users" && r.getLong(6) === 1L)
+    }
+    assert(framed.toSeq === plain.toSeq,
+      "the 5-byte registry header must be the ONLY wire difference")
+  }
+
   test("Avro decode survives Debezium tombstones (null value) and null keys") {
     val ch = CdcOps.userChangelog(spark, sfDir).limit(4).localCheckpoint(true)
     val after = when(col("op") =!= "d",

@@ -441,6 +441,24 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(w7 === Seq(3L), s"merged weight wrong: $w7")
   }
 
+  test("weight-state flatten carries NO stale superseded rows across rewrites") {
+    import spark.implicits._
+    // two merges hit the SAME key: its bucket is rewritten twice, so
+    // two older generation frames still physically hold its earlier
+    // weights — the flatten must read each bucket from its live
+    // generation only, or a key rewritten n times appears n+1 times
+    // (and a dw<=0 delta would resurrect a deleted weight)
+    val st = new Graph.BucketedWeightState(
+      Seq((1L, 2L, 5L), (3L, 4L, 7L)).toDF("src", "dst", "dw"))
+    st.merge(Seq((1L, 2L, 3L)).toDF("src", "dst", "dw"))
+    st.merge(Seq((1L, 2L, -8L), (5L, 6L, 1L)).toDF("src", "dst", "dw"))
+    val flat = Graph.flattenWeightState(st)
+      .select("src", "dst", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(flat === Seq((1L, 2L, 0L), (3L, 4L, 7L), (5L, 6L, 1L)),
+      s"flattened state must be exactly the current weights: $flat")
+  }
+
   test("cc maintenance: forced spill to the distributed label path matches driver mode") {
     import spark.implicits._
     def ep(rows: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =

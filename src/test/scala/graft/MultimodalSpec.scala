@@ -437,6 +437,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows.filter(c("max_delta") < 0).count() === 0)
   }
 
+  test("scene cuts top-k: two boundaries rank by delta, ties break to the earlier frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // six 256-byte frames in three constant scenes: 0x10 ×2, 0xF0 ×2,
+    // 0x80 ×2 — two true boundaries (frames 2 and 4), the 0x10→0xF0
+    // jump strictly larger than 0xF0→0x80; within-scene deltas are 0,
+    // so ranks 3+ are the zero-delta ties broken by frame index
+    val payload = Array.tabulate[Byte](1536) { i =>
+      if (i < 512) 0x10 else if (i < 1024) 0xF0.toByte else 0x80.toByte
+    }
+    val docs = Seq((1L, payload), (2L, Array.fill[Byte](100)(7)))
+      .toDF("item_id", "payload")
+    val out = BinaryPipeline.sceneCutsTopK(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.forall(_._1 == 1L), "a single-frame item emits no cut rows")
+    val item1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(item1.length === BinaryPipeline.SceneCutsK,
+      s"5 deltas cap to top-${BinaryPipeline.SceneCutsK}: ${item1.toSeq}")
+    assert(item1(0)._3 === 2 && item1(1)._3 === 4,
+      s"the two true boundaries must rank 1-2 in delta order: ${item1.toSeq}")
+    assert(item1(0)._4 > item1(1)._4 && item1(1)._4 > 0.0)
+    assert(item1(2)._4 === 0.0 && item1(2)._3 === 1,
+      s"rank 3 is the earliest zero-delta frame: ${item1.toSeq}")
+    // rank 1 reproduces the single-cut face on the real corpus
+    val single = BinaryPipeline.sceneCuts(spark, sfDir)
+      .filter(c("cut_idx").isNotNull)
+      .select(c("item_id"), c("cut_idx"), c("max_delta").as("delta"))
+    val top1 = BinaryPipeline.sceneCutsTopK(spark, sfDir)
+      .filter(c("cut_rank") === 1)
+      .select(c("item_id"), c("cut_idx"), c("delta"))
+    assert(single.exceptAll(top1).count() === 0 && top1.exceptAll(single).count() === 0,
+      "rank-1 cuts must equal the single-cut face")
+  }
+
   test("rgb phash: deterministic, well-formed, and brightness-shift invariant") {
     val a = BinaryPipeline.phashRgb(spark, sfDir).collect()
     val b = BinaryPipeline.phashRgb(spark, sfDir).collect()

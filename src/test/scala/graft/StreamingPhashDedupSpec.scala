@@ -133,4 +133,32 @@ class StreamingPhashDedupSpec extends AnyFunSuite with SparkSpec {
     assert(bs === Some(Set((1L, 10L))), "bands family restores its displaced rows")
     assert(!new java.io.File(s"$root/_pre_compact_bands").exists())
   }
+
+  test("index recovers a pre-upgrade crash left at the legacy _pre_compact slot") {
+    import spark.implicits._
+    import graft.streaming.BatchedParquetIndex
+    val root = java.nio.file.Files.createTempDirectory("bpi-legacy").toString
+    val idx = new BatchedParquetIndex(spark, root, subdir = "hashes",
+      markerName = "_hash_format", format = "fmt-a", columns = Seq("doc_id", "k"))
+    idx.checkOrWriteFormat()
+    idx.append(Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "k"), 0L)
+    idx.compact()
+    // simulate a crash that happened BEFORE the staging dirs were
+    // namespaced per subdir: the live dir sits displaced at the shared
+    // legacy `_pre_compact` name and no live dir exists
+    val live = new java.io.File(s"$root/hashes")
+    assert(live.renameTo(new java.io.File(s"$root/_pre_compact")),
+      "fixture: displace the live dir to the legacy slot")
+    // a fresh (post-upgrade) instance must restore it — silently
+    // reading the index as empty would lose every pre-crash row
+    val upgraded = new BatchedParquetIndex(spark, root, subdir = "hashes",
+      markerName = "_hash_format", format = "fmt-a", columns = Seq("doc_id", "k"))
+    val rows = upgraded.readIndex().map(_.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(rows === Some(Set((1L, 10L), (2L, 20L))),
+      "legacy crash-window index must be restored, not reset")
+    assert(live.exists() && !new java.io.File(s"$root/_pre_compact").exists(),
+      "restore must be by rename")
+    assert(upgraded.compactedThrough() === 0L,
+      "the folded-through marker travels with the restored dir")
+  }
 }
