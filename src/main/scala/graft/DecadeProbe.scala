@@ -21,11 +21,15 @@ object DecadeProbe {
     "graph_edges" -> ((s: SparkSession, d: String) => { queries.Graph.cachedGraph(s, d); () }),
     "dedup_containment_pairs" -> ((s: SparkSession, d: String) => dedup.Dedup.prewarmContainmentPairs(s, d)))
 
+  // exact triangles LAST: its wedge-mass shuffle is the roster's one
+  // documented disk-quadratic face (at 100x sf0.1 it overflows this
+  // box's disk — a measured result, not a probe bug) and a mid-list
+  // disk-full would poison every entry after it.
   private val entries = Seq(
     "graph_pagerank", "graph_ppr", "graph_hits", "graph_betweenness",
-    "graph_cc_maintain", "graph_degree_maintain", "graph_triangles",
+    "graph_cc_maintain", "graph_degree_maintain",
     "graph_triangles_approx", "dedup_containment_approx", "value_psi",
-    "copurchase_pairs")
+    "copurchase_pairs", "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val dirs =
@@ -47,12 +51,19 @@ object DecadeProbe {
         println(f"PROBE $dir artifact:$label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       entries.foreach { n =>
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+        try {
+          val ts = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"PROBE $dir $n ${ts.min}%.2f s")
+        } catch {
+          // a DNF (disk-full wedge spill at 100x) is itself a probe
+          // result; record it and keep the rest of the decade honest
+          case e: Throwable =>
+            println(s"PROBEFAIL $dir $n: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
         }
-        println(f"PROBE $dir $n ${ts.min}%.2f s")
       }
     }
     spark.stop()
