@@ -96,7 +96,11 @@ object AvroEnvelope {
   private def fromAvro(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (r: GenericRecord, st: StructType) =>
-      Row.fromSeq(st.fields.toIndexedSeq.map(f => fromAvro(r.get(f.name), f.dataType)))
+      // positional get: GenericRecord.get(name) walks the schema's
+      // field map on EVERY call — per-row hot path (r17, guide §1.2
+      // "per-task work"); Avro field order equals StructType order by
+      // construction (recordJson emits fields in StructType order)
+      Row.fromSeq(st.fields.indices.map(i => fromAvro(r.get(i), st.fields(i).dataType)))
     case (s: CharSequence, StringType) => s.toString
     case (x, _) => x
   }
@@ -108,10 +112,13 @@ object AvroEnvelope {
         if (row.isNullAt(i)) null
         else f.dataType match {
           case s: StructType =>
-            toAvro(row.getStruct(i), s, nonNull(sch.getField(f.name).schema()))
+            // positional schema access (field i IS StructType field i —
+            // recordJson emits them in order); the by-name getField
+            // walked the schema map once per row per field
+            toAvro(row.getStruct(i), s, nonNull(sch.getFields.get(i).schema()))
           case _ => row.get(i).asInstanceOf[AnyRef]
         }
-      rec.put(f.name, v)
+      rec.put(i, v)
     }
     rec
   }
@@ -140,10 +147,21 @@ object AvroEnvelope {
       .mapPartitions { it =>
         val kReader = new GenericDatumReader[GenericRecord](new Schema.Parser().parse(kJson))
         val vReader = new GenericDatumReader[GenericRecord](new Schema.Parser().parse(vJson))
-        def read(reader: GenericDatumReader[GenericRecord], bytes: Array[Byte]): GenericRecord = {
-          val body = if (framing) java.util.Arrays.copyOfRange(bytes, ConfluentHeader, bytes.length)
-                     else bytes
-          reader.read(null, DecoderFactory.get.binaryDecoder(body, null))
+        // r17 (guide §1.2 per-task work): reuse the BinaryDecoder and
+        // the decoded record skeletons across rows — the factory call
+        // with reuse=null allocated a fresh decoder (plus buffer
+        // bookkeeping) per record; every decoded value is copied into
+        // external Rows before the next record is read, so reuse is
+        // safe. Framing skip reads via an offset decoder instead of
+        // copying the body array per record.
+        var dec: org.apache.avro.io.BinaryDecoder = null
+        var kReuse: GenericRecord = null
+        var vReuse: GenericRecord = null
+        def read(reader: GenericDatumReader[GenericRecord], bytes: Array[Byte],
+                 reuse: GenericRecord): GenericRecord = {
+          val off = if (framing) ConfluentHeader else 0
+          dec = DecoderFactory.get.binaryDecoder(bytes, off, bytes.length - off, dec)
+          reader.read(reuse, dec)
         }
         it.map { r =>
           val kBytes = r.getAs[Array[Byte]](0)
@@ -154,21 +172,25 @@ object AvroEnvelope {
           // fields instead of crashing the task: the key (when present)
           // still identifies the record, everything else is null and a
           // downstream `op IS NOT NULL` filter drops tombstones.
-          val k = if (kBytes == null) null else read(kReader, kBytes)
-          val v = if (vBytes == null) null else read(vReader, vBytes)
+          val k = if (kBytes == null) null else { kReuse = read(kReader, kBytes, kReuse); kReuse }
+          val v = if (vBytes == null) null else { vReuse = read(vReader, vBytes, vReuse); vReuse }
+          // positional access throughout (schema layout is fixed by
+          // valueSchemaJson: before=0 after=1 source=2 op=3 ts_ms=4;
+          // source: ...table=5 lsn=6 pos=7) — by-name get walked the
+          // schema field map once per row per field
           val src =
-            if (v == null) null else v.get("source").asInstanceOf[GenericRecord]
+            if (v == null) null else v.get(2).asInstanceOf[GenericRecord]
           val lsn: Any =
             if (src == null) null
-            else Option(src.get("lsn")).orElse(Option(src.get("pos"))).orNull
+            else Option(src.get(6)).orElse(Option(src.get(7))).orNull
           Row.fromSeq(
-            pk.fields.toIndexedSeq.map(f =>
-              if (k == null) null else fromAvro(k.get(f.name), f.dataType)) ++ Seq(
-              if (v == null) null else fromAvro(v.get("op"), StringType),
-              if (v == null) null else fromAvro(v.get("ts_ms"), LongType),
-              if (v == null) null else fromAvro(v.get("before"), rs),
-              if (v == null) null else fromAvro(v.get("after"), rs),
-              if (src == null) null else fromAvro(src.get("table"), StringType),
+            pk.fields.indices.map(i =>
+              if (k == null) null else fromAvro(k.get(i), pk.fields(i).dataType)) ++ Seq(
+              if (v == null) null else fromAvro(v.get(3), StringType),
+              if (v == null) null else fromAvro(v.get(4), LongType),
+              if (v == null) null else fromAvro(v.get(0), rs),
+              if (v == null) null else fromAvro(v.get(1), rs),
+              if (src == null) null else fromAvro(src.get(5), StringType),
               lsn))
         }
       }(Encoders.row(outSchema))
@@ -205,31 +227,41 @@ object AvroEnvelope {
       val srcSch = nonNull(vSchema.getField("source").schema())
       val kWriter = new GenericDatumWriter[GenericRecord](kSchema)
       val vWriter = new GenericDatumWriter[GenericRecord](vSchema)
+      // r17 (guide §1.2 per-task work): ONE output buffer + ONE
+      // encoder for the whole task, reset/reconfigured per record —
+      // the old path allocated a ByteArrayOutputStream and a fresh
+      // buffered BinaryEncoder per record. Byte output is identical.
+      val bos = new ByteArrayOutputStream()
+      var enc: org.apache.avro.io.BinaryEncoder = null
       def ser(writer: GenericDatumWriter[GenericRecord], rec: GenericRecord): Array[Byte] = {
-        val bos = new ByteArrayOutputStream()
+        bos.reset()
         if (framing) bos.write(Array[Byte](0, 0, 0, 0, 0))
-        val enc = EncoderFactory.get.binaryEncoder(bos, null)
+        enc = EncoderFactory.get.binaryEncoder(bos, enc)
         writer.write(rec, enc)
         enc.flush()
         bos.toByteArray
       }
       it.map { r =>
+        // positional puts (value layout: before=0 after=1 source=2
+        // op=3 ts_ms=4; source: version=0 connector=1 name=2 ts_ms=3
+        // db=4 table=5 lsn=6 pos=7) — by-name put walked the schema
+        // field map once per row per field
         val kRec = toAvro(r.getStruct(0), pkSchema, kSchema)
         val vRec = new GenericData.Record(vSchema)
-        vRec.put("before",
+        vRec.put(0,
           if (r.isNullAt(4)) null else toAvro(r.getStruct(4), rowSchema, rowSch))
-        vRec.put("after",
+        vRec.put(1,
           if (r.isNullAt(3)) null else toAvro(r.getStruct(3), rowSchema, rowSch))
         val src = new GenericData.Record(srcSch)
-        src.put("version", "2.5"); src.put("connector", "graft")
-        src.put("name", "graftserver")
-        src.put("ts_ms", if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[AnyRef])
-        src.put("db", "inventory"); src.put("table", tbl)
-        src.put("lsn", if (r.isNullAt(5)) null else r.getLong(5).asInstanceOf[AnyRef])
-        src.put("pos", null)
-        vRec.put("source", src)
-        vRec.put("op", if (r.isNullAt(1)) null else r.getString(1))
-        vRec.put("ts_ms", if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[AnyRef])
+        src.put(0, "2.5"); src.put(1, "graft")
+        src.put(2, "graftserver")
+        src.put(3, if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[AnyRef])
+        src.put(4, "inventory"); src.put(5, tbl)
+        src.put(6, if (r.isNullAt(5)) null else r.getLong(5).asInstanceOf[AnyRef])
+        src.put(7, null)
+        vRec.put(2, src)
+        vRec.put(3, if (r.isNullAt(1)) null else r.getString(1))
+        vRec.put(4, if (r.isNullAt(2)) null else r.getLong(2).asInstanceOf[AnyRef])
         Row(ser(kWriter, kRec), ser(vWriter, vRec))
       }
     }(Encoders.row(outSchema))

@@ -258,7 +258,14 @@ object Dedup {
       .select(explode(col("shs")).as("sh"),
         packIdSz(col("doc_id"), size(col("shs"))).as("e"))
       .groupBy("sh").agg(sort_array(collect_list(col("e"))).as("ids"))
-      .select("ids")
+      // keep the shingle hash beside its posting list: ppjoin derives
+      // its (df, sh)-sorted doc arrays straight from this table (df =
+      // size(ids) — per-doc-distinct postings, so the raw count IS the
+      // doc count), replacing a full-corpus df aggregation + a
+      // posting-grain shuffle join; jaccard/containment consumers read
+      // only `ids`, so the extra long per ROW (not per posting) is
+      // noise against the array payload
+      .select("sh", "ids")
       .localCheckpoint(true)
   }
 
@@ -338,6 +345,77 @@ object Dedup {
     graft.SessionCache.getOrElseUpdate(spark, ("rarePostings", dir, maxDf))(
       rarePostingsFrom(cachedShingles(spark, dir), maxDf))
 
+  /** ONE unpruned pair explosion + aggregation serving BOTH exact pair
+    * families (r17, guide §2.4 "remove shuffles outright"): candidate
+    * pairs expand once from the shared df-capped postings, the
+    * packed-id pair count lands once, and the two metric faces
+    * (symmetric Jaccard ≥ jt, asymmetric containment ≥ ct) are derived
+    * by filters over the ONE tiny materialization (pairs that clear
+    * EITHER threshold — both outputs are sparse, so the checkpoint is
+    * KB not GB). Before r17 the jaccard and containment tables each
+    * ran their own Θ(Σ min(df,cap)²) explosion — the two most
+    * expensive artifact lines in the roster (26.3 s + 23.6 s at sf1).
+    * The price is losing the jaccard-only map-side size-ratio prune on
+    * the shared explosion; the containment face cannot take that prune
+    * (the asymmetric metric lives at extreme size ratios), so the
+    * UNPRUNED explosion was already being paid in full — sharing it
+    * deletes the second, pruned one. Result identity: the prune only
+    * ever dropped pairs the final `jaccard >= jt` filter drops anyway
+    * (jac ≤ min(sz)/max(sz), the documented soundness argument), so
+    * the derived jaccard face is row-identical — certified by the
+    * unchanged oracle hash and DedupSpec's cross-face identities.
+    */
+  private def cachedPairScores(spark: SparkSession, dir: String,
+      jacThreshold: Double = 0.5, contThreshold: Double = 0.8,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    graft.SessionCache.getOrElseUpdate(
+        spark, ("pairScores", dir, jacThreshold, contThreshold, maxDf))(
+      pairScoresFrom(cachedPostings(spark, dir, maxDf), jacThreshold, contThreshold)
+        .localCheckpoint(true))
+
+  /** The unmemoized pair-scores generation chain (plan-audit hook). */
+  private[graft] def pairScoresPlan(spark: SparkSession, dir: String,
+      jacThreshold: Double = 0.5, contThreshold: Double = 0.8,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    pairScoresFrom(cachedPostings(spark, dir, maxDf), jacThreshold, contThreshold)
+
+  /** Scale-adaptive fan-out for a posting-array pair explosion (guide
+    * §2: partitioning must derive from the data, not a constant tuned
+    * for one box): each map task of the pair aggregation holds a
+    * partial-agg hash map keyed by the exploded pairs, so its state is
+    * bounded by the pair mass Σ¦ids¦² landing in that task. At the
+    * default 32 partitions an sf1-shaped corpus (~132M candidate
+    * pairs) put ~4M entries ≈ 160 MB of agg state in EVERY concurrent
+    * task — spill/GC pressure that doubled the artifact line inside
+    * the (memory-crowded) bench JVM vs a fresh probe JVM. One cheap
+    * aggregation over the (checkpointed, posting-count-sized) posting
+    * table sizes the explosion so a task explodes ~1.5M pairs; the
+    * repartition itself shuffles only the posting rows (KBs per row).
+    */
+  private def pairFanout(postings: DataFrame): Int = {
+    val mass = postings
+      .agg(sum(size(col("ids")).cast("long") * size(col("ids"))))
+      .head.getLong(0)
+    val base = postings.sparkSession.sparkContext.defaultParallelism.toLong
+    math.min(4096L, math.max(base, mass / 1500000L)).toInt
+  }
+
+  private def pairScoresFrom(postings: DataFrame, jacThreshold: Double,
+      contThreshold: Double): DataFrame =
+    postings
+      .filter(size(col("ids")) >= 2)
+      .repartition(pairFanout(postings))
+      .select(explode(postingPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("a"), col("p.id_b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(unpackId(col("a")).as("id_a"), unpackId(col("b")).as("id_b"),
+        round(col("inter").cast("double") /
+          (unpackSz(col("a")) + unpackSz(col("b")) - col("inter")), 4).as("jaccard"),
+        round(col("inter").cast("double") /
+          least(unpackSz(col("a")), unpackSz(col("b"))), 4).as("containment"))
+      .filter(col("jaccard") >= jacThreshold ||
+        col("containment") >= contThreshold)
+
   private def jaccardFromPostings(postings: DataFrame, threshold: Double): DataFrame =
     postings
       .filter(size(col("ids")) >= 2)
@@ -406,18 +484,49 @@ object Dedup {
     cachedPpjoinPairs(spark, dir); ()
   }
 
-  private def ppjoinPairs(spark: SparkSession, dir: String,
+  private[graft] def ppjoinPairs(spark: SparkSession, dir: String,
                           threshold: Double, maxDf: Int): DataFrame = {
-    val sh = cachedShingles(spark, dir)
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("sh")
-    val rare = sh.join(hot, Seq("sh"), "left_anti")
+    // r17 (guide §2.4): derive the (df, sh)-sorted doc arrays from the
+    // SHARED grouped postings instead of a fresh df aggregation + a
+    // posting-grain shuffle join — the postings table already carries
+    // each shingle's full rare posting list, so df = size(ids) (the
+    // postings are per-doc-distinct) and one explode+doc-grain groupBy
+    // rebuilds exactly ppjoinDocArrays' output: same (df asc, sh asc)
+    // global order, same sz (the packed rare-set size the posting
+    // elements carry is |rare set| under this cap — the identical
+    // quantity size(arr0) measured). Replaces the hot-list anti-join
+    // (already applied upstream), the df groupBy over Σ postings rows,
+    // and the rare ⋈ dfs shuffle join with a single pass over the
+    // memoized checkpoint. Row-identity vs the old plan is covered by
+    // DedupSpec's "ppjoin is row-identical to the df-cap jaccard plan"
+    // plus the unchanged oracle hash.
+    //
     // ONE doc-grain pass serves both the prefix expansion and the
     // verify sets (the checkpoint stops the candidate and verify
-    // branches re-deriving the df join + doc agg)
-    val docArr = ppjoinDocArrays(rare).localCheckpoint(true)
+    // branches re-deriving the doc agg)
+    val post = cachedPostings(spark, dir, maxDf)
+    val docArr = post
+      .select(col("sh"), size(col("ids")).cast("long").as("df"),
+        explode(col("ids")).as("e"))
+      .groupBy(unpackId(col("e")).as("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr0"))
+      .select(col("doc_id"),
+        transform(col("arr0"), s => s.getField("sh")).as("arr"),
+        size(col("arr0")).cast("long").as("sz"))
+      .localCheckpoint(true)
     val cand = ppjoinCandidatesFromArr(docArr, threshold)
-    val docSets = docArr.select(col("doc_id"), col("arr").as("shs"))
+    // r17 (guide §3.1): the candidate set dwarfs the doc-array table
+    // (32M candidate pairs vs 50k docs at sf1), and the default
+    // sort-merge verify shuffled those 32M rows TWICE — the second
+    // exchange dragging the already-attached sa arrays with it. While
+    // the doc table fits the exact-tier broadcast budget, ship IT
+    // instead and verify map-side (zero candidate exchanges); past the
+    // budget, pin it as the build side of a co-partitioned shuffled
+    // hash join so the arrays at least never pass through sort buffers.
+    val docSets0 = docArr.select(col("doc_id"), col("arr").as("shs"))
+    val docSets =
+      if (docArr.count() <= maxExactBroadcastRows(spark)) broadcast(docSets0)
+      else docSets0.hint("shuffle_hash")
     cand
       .select(unpackId(col("a")).as("id_a"), unpackSz(col("a")).as("sza"),
         unpackId(col("b")).as("id_b"), unpackSz(col("b")).as("szb"))
@@ -510,11 +619,17 @@ object Dedup {
                                       threshold: Double): DataFrame = {
     val tSlack = threshold - 1e-4
     val prefixLen = (col("sz") - ceil(col("sz") * lit(tSlack)) + 1).cast("int")
-    docArr
+    // checkpointed so the fan-out sizing pass below reads materialized
+    // arrays instead of re-running the prefix explode + groupBy
+    val prefixPostings = docArr
       .select(packIdSz(col("doc_id"), col("sz")).as("e"),
         explode(slice(col("arr"), lit(1), prefixLen)).as("sh"))
       .groupBy("sh").agg(sort_array(collect_list(col("e"))).as("ids"))
+      .localCheckpoint(true)
+    prefixPostings
       .filter(size(col("ids")) >= 2)
+      // mass-adaptive explosion fan-out — see pairFanout
+      .repartition(pairFanout(prefixPostings))
       .select(explode(postingPairs(col("ids"))).as("p"))
       .filter(least(unpackSz(col("p.id_a")), unpackSz(col("p.id_b"))) >=
         (greatest(unpackSz(col("p.id_a")), unpackSz(col("p.id_b"))) * lit(tSlack)))
@@ -567,7 +682,12 @@ object Dedup {
   private def cachedContainmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("containmentPairs", dir, threshold))(
-      containmentFromPostings(cachedPostings(spark, dir), threshold)
+      // default-parameter face: derived from the SHARED pair scores
+      // (one explosion serves jaccard + containment, cachedPairScores)
+      (if (threshold == 0.8)
+         cachedPairScores(spark, dir).filter(col("containment") >= threshold)
+           .select("id_a", "id_b", "containment")
+       else containmentFromPostings(cachedPostings(spark, dir), threshold))
         .localCheckpoint(true))
 
   /** Force the shared containment pair table (bench artifact hook). */
@@ -750,9 +870,14 @@ object Dedup {
       .select(col("e.sh").as("sh"), col("packed"))
       .groupBy("sh").agg(sort_array(collect_list(col("packed"))).as("ids"))
       .select("ids")
+      // checkpointed for the mass-adaptive fan-out pass (pairFanout) —
+      // the thinned explosion still carries ~p²·Σdf² pair mass into
+      // its partial aggregation
+      .localCheckpoint(true)
     val p = pPct / 100.0
     postings
       .filter(size(col("ids")) >= 2)
+      .repartition(pairFanout(postings))
       .select(explode(postingPairs(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("a"), col("p.id_b").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -830,7 +955,13 @@ object Dedup {
                                  threshold: Double = 0.5,
                                  maxDf: Int = MaxShingleDf): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("jaccardPairs", dir, threshold, maxDf))(
-      jaccardFromPostings(cachedPostings(spark, dir, maxDf), threshold)
+      // default-parameter face: a cheap filter over the SHARED pair
+      // scores (one explosion serves jaccard + containment, see
+      // cachedPairScores); any non-default call keeps its own plan
+      (if (threshold == 0.5 && maxDf == MaxShingleDf)
+         cachedPairScores(spark, dir).filter(col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard")
+       else jaccardFromPostings(cachedPostings(spark, dir, maxDf), threshold))
         .localCheckpoint(true))
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -2530,12 +2661,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("gap"), col("jaccard"))
   }
 
+  /** Dir face of [[snPairs]] (r17, guide §2.3 "shuffle fewer bytes /
+    * narrower types"): the window candidates are verified against the
+    * session's memoized HASHED shingle postings instead of
+    * re-shingling the corpus into string arrays — the two verify
+    * joins then carry 8-byte longs per shingle instead of ~25-char
+    * strings (≈8× fewer join-payload bytes), and the second
+    * full-corpus shingling pass disappears into the shared
+    * [[cachedShingles]] checkpoint. Jaccard over per-doc-distinct
+    * hashed shingles equals jaccard over the strings modulo xxhash64
+    * collisions — the same accepted equivalence the ppjoin verify and
+    * the whole posting family already ride (the oracle hash
+    * certifies). Docs whose only shingle is the empty string
+    * (empty/blank/null text) are absent from the hashed postings
+    * ([[explodedNgrams]] filters ''), so they are re-attached with the
+    * singleton hash('') array the string plan carried for them —
+    * identical pair semantics for degenerate docs.
+    */
+  private[graft] def snPairsDir(spark: SparkSession, dir: String,
+      window: Int = SnWindow, threshold: Double = 0.5,
+      nRanges: Int = 32): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val docs = Tables.documents(spark, dir)
+    val keyed = docs.select(col("doc_id"),
+      substring(normText(col("text")), 1, SnKeyLen).as("sk"))
+    val ranked = graft.functions.Ranks
+      .globalRank(keyed, Seq(col("sk"), col("doc_id")), nRanges)
+      .select(col("doc_id"), col("rn"))
+    val probe = ranked
+      .select(col("doc_id").as("d_a"), col("rn"),
+        explode(sequence(lit(1), lit(window - 1))).as("gap"))
+      .select(col("d_a"), col("gap"), (col("rn") + col("gap")).as("rn_b"))
+    val cand = probe
+      .join(ranked.select(col("doc_id").as("d_b"), col("rn").as("rn_b")), "rn_b")
+      .select(least(col("d_a"), col("d_b")).as("id_a"),
+        greatest(col("d_a"), col("d_b")).as("id_b"), col("gap"))
+    val arrs0 = docs.select("doc_id")
+      .join(cachedShingles(spark, dir).groupBy("doc_id")
+        .agg(collect_list(col("sh")).as("shs")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shs"), array(xxhash64(lit("")))).as("shs"))
+      .localCheckpoint(true)
+    // gated broadcast verify (guide §3.1, the ppjoin treatment): the
+    // n·(window−1) candidate rows never shuffle while the doc-array
+    // table fits the exact-tier budget; past it, shuffled-hash keeps
+    // the arrays out of sort buffers
+    val arrs =
+      if (arrs0.count() <= maxExactBroadcastRows(spark)) broadcast(arrs0)
+      else arrs0.hint("shuffle_hash")
+    val sa = arrs.select(col("doc_id").as("id_a"), col("shs").as("sh_a"))
+    val sb = arrs.select(col("doc_id").as("id_b"), col("shs").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("gap"), col("jaccard"))
+  }
+
   /** The SN pair table memoized per dir — shared by the driver face
     * and [[blockingReport]] (the cachedJaccardPairs discipline).
     */
   private[graft] def cachedSnPairs(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("snPairs", dir, SnWindow))(
-      snPairs(Tables.documents(spark, dir)).localCheckpoint(true))
+      snPairsDir(spark, dir).localCheckpoint(true))
 
   /** Force the SN pair table (bench artifact hook). */
   def prewarmSnPairs(spark: SparkSession, dir: String): Unit = {

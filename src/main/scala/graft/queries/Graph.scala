@@ -512,6 +512,15 @@ object Graph {
         md5(concat(col("start_id").cast("string"), lit(s"_$t"))), 1, 8), 16, 10)
         .cast("long")
       cur = cur
+        // r17 (guide §3.1): SHUFFLE_HASH with the frontier as the
+        // build side — the default SortMergeJoin re-SORTED the
+        // adjacency (|V| rows dragging the full |E|-long neighbor
+        // arrays through sort buffers) on EVERY hop; hashing the
+        // narrow frontier rows (start_id, node, ≤steps-long path)
+        // streams the fat arrays sort-free. Build-side mass is
+        // |V|/partitions rows of ≤4 longs per task — bounded at any
+        // scale where the walk corpus itself is feasible.
+        .hint("shuffle_hash")
         .join(adj, col("node") === col("anode"))
         .withColumn("nxt", element_at(col("nbrs"),
           (coin % size(col("nbrs")) + lit(1L)).cast("int")))

@@ -625,6 +625,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "prefix filter pruned nothing on this corpus — claim is vacuous")
   }
 
+  test("r17 shared-substrate dir faces are row-identical to their generic plans") {
+    // the r17 optimizations reroute the memoized dir faces (shared
+    // pair-scores explosion for jaccard+containment, postings-derived
+    // ppjoin doc arrays, hashed-array SN verify) — each must stay
+    // row-identical to the independent generic-docs plan it replaced
+    val docs = Tables.documents(spark, sfDir)
+    val jacDir = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacGen = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jacDir.nonEmpty && jacDir === jacGen,
+      s"jaccard drift: missing=${(jacGen -- jacDir).take(3)} " +
+        s"extra=${(jacDir -- jacGen).take(3)}")
+    val contDir = Dedup.ngramContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val contGen = Dedup.ngramContainmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(contDir.nonEmpty && contDir === contGen,
+      s"containment drift: missing=${(contGen -- contDir).take(3)} " +
+        s"extra=${(contDir -- contGen).take(3)}")
+    val snDir = Dedup.sortedNeighborhood(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val snGen = Dedup.sortedNeighborhood(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(snDir.nonEmpty && snDir === snGen,
+      s"SN drift: missing=${(snGen -- snDir).take(3)} " +
+        s"extra=${(snDir -- snGen).take(3)}")
+  }
+
   test("blocking report: ppjoin row is the certified identity, SN recall is honest") {
     val rows = Dedup.blockingReport(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
