@@ -196,8 +196,15 @@ object Graph {
     // the rank vector + the dst agg, never the edges
     val edges = if (bc) edges0 else cachedSrcEdges(spark, dir)
     var ranks = deg.select(col("node"), lit(1.0 / n.toDouble).as("rank"))
-    for (_ <- 1 to iters)
-      ranks = pageRankIter(edges, ranks, n, bc).localCheckpoint(true)
+    // r17: checkpoint every SECOND iteration — each intermediate rank
+    // vector has exactly ONE consumer (the next round's broadcast/SHJ
+    // build), so skipping alternate materializations re-executes
+    // nothing; it halves the checkpoint jobs while still truncating
+    // lineage fast enough that the plan never exceeds two rounds.
+    for (i <- 1 to iters) {
+      val next = pageRankIter(edges, ranks, n, bc)
+      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint(true) else next
+    }
     ranks.withColumn("n_nodes", lit(n.toDouble))
   }
 
@@ -298,8 +305,12 @@ object Graph {
       .join(broadcast(seeds.withColumn("t", lit(1.0 / nS))), Seq("node"), "left")
       .select(col("node"), coalesce(col("t"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters)
-      ranks = pprIter(edges, ranks, seeds, nS, bc).localCheckpoint(true)
+    // alternate-round checkpoints — the pageRankRanks rationale (one
+    // consumer per intermediate, nothing re-executes)
+    for (i <- 1 to iters) {
+      val next = pprIter(edges, ranks, seeds, nS, bc)
+      ranks = if (i % 2 == 0 || i == iters) next.localCheckpoint(true) else next
+    }
     ranks.withColumn("n_nodes", lit(n.toDouble))
   }
 
